@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Core relational operators over the driver's TPC-H-ish tables.
+  *
+  * Each entry demonstrates one SURVEY.md §2 operator family executed
+  * Spark-first (hash agg with map-side combine, broadcast joins for
+  * dims, window functions, semi/anti joins, set ops). The oracle SQL
+  * in [[Relational.oracle]] is the DuckDB-equivalent statement.
+  *
+  * Scale notes (100 TB design intent):
+  *  - dimension joins (nation/region/customer) are `broadcast()` —
+  *    no shuffle of the fact table;
+  *  - aggregations are partial (Spark's hash agg does map-side
+  *    combine automatically since these are all algebraic aggs);
+  *  - filters are pushed to the parquet scan (verified via
+  *    `.explain` — see BenchReport).
+  */
+object Relational {
+
+  // Exact, order-independent money math: aggregate DECIMAL, emit DOUBLE.
+  private def dec(c: String) = col(c).cast("decimal(20,2)")
+
+  /** TPC-H Q1 flavor: big scan + hash aggregation on lineitem.
+    * ref: dlx has only count/max aggs (SURVEY §2.5) — this is the
+    * general groupBy/agg operator the engine provides. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1.0).cast("decimal(20,2)") - dec("l_discount"))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Filter + projection; predicate/column pushdown to parquet scan. */
+  def q2Filter(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec("l_extendedprice") * dec("l_discount")).cast("double").as("disc_revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Broadcast dim join chain + agg (TPC-H Q5 flavor): revenue per nation. */
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(s, dir)
+    val o = orders(s, dir)
+    val c = customer(s, dir)
+    val n = broadcast(nation(s, dir))
+    val r = broadcast(region(s, dir))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(dec("l_extendedprice") * (lit(1.0).cast("decimal(20,2)") - dec("l_discount"))).cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Window function: latest order per customer (row_number desc). */
+  def q4WindowLatest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .orderBy("o_custkey")
+  }
+
+  /** Top-k: 10 highest-value customers by summed order totalprice. */
+  def q5TopK(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(dec("o_totalprice")).cast("double").as("total_spent"),
+        count(lit(1)).as("order_count"))
+      .orderBy(col("total_spent").desc, col("o_custkey"))
+      .limit(10)
+
+  /** Anti join: customers with no 2001 orders (dlx `in_use`/orphan
+    * check analog, SURVEY §2.4 reverse-FK usage). */
+  def q6AntiJoin(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir).where(col("o_orderdate") >= lit("2001-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Semi join (EXISTS): orders having a high-quantity lineitem. */
+  def q7SemiJoin(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(lineitem(s, dir).where(col("l_quantity") >= 48), col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  /** Distinct + multi-key agg: per-supplier distinct part count. */
+  def q8DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .agg(countDistinct("l_partkey").as("distinct_parts"),
+        count(lit(1)).as("line_count"))
+      .orderBy("l_suppkey")
+
+  /** Conditional aggregation (dlx `bib_type_map` when-chains analog):
+    * order-priority bucket counts per status. */
+  def q9CaseAgg(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        sum(when(col("o_orderpriority").startsWith("1") || col("o_orderpriority").startsWith("2"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").startsWith("1") || col("o_orderpriority").startsWith("2"), 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("o_orderstatus")
+
+  /** Grouped having + join-back (TPC-H Q18 flavor): big-quantity orders. */
+  def q10Having(s: SparkSession, dir: String): DataFrame = {
+    val big = lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(dec("l_quantity")).cast("double").as("total_qty"))
+      .where(col("total_qty") > 300)
+    orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Event-time tumbling window agg over the events table (Structured
+    * Streaming-shaped query run as batch; same plan works under
+    * readStream + watermark). */
+  def q11EventWindows(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec("value")).cast("double").as("sum_value"))
+      .select(col("w.start").cast("long").as("window_start_s"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start_s", "event_type")
+
+  /** Set op: UNION of two predicate-disjoint projections, dedup'd
+    * (dlx `Or` condition algebra, SURVEY §2.7). */
+  def q12Union(s: SparkSession, dir: String): DataFrame = {
+    val a = customer(s, dir).where(col("c_acctbal") > 9900).select(col("c_custkey").as("key"))
+    val b = supplier(s, dir).where(col("s_acctbal") > 9900).select(col("s_suppkey").as("key"))
+    a.union(b).distinct().orderBy("key")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_filter" -> (q2Filter _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q4_window_latest" -> (q4WindowLatest _),
+    "q5_topk" -> (q5TopK _),
+    "q6_anti_join" -> (q6AntiJoin _),
+    "q7_semi_join" -> (q7SemiJoin _),
+    "q8_distinct_agg" -> (q8DistinctAgg _),
+    "q9_case_agg" -> (q9CaseAgg _),
+    "q10_having" -> (q10Having _),
+    "q11_event_windows" -> (q11EventWindows _),
+    "q12_union" -> (q12Union _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1.0 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS sum_disc_price,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(l_discount AS DECIMAL(20,2)) AS DOUBLE) AS disc_revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1.0 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q4_window_latest" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |SELECT o_custkey, o_orderkey, o_orderdate,
+        |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q5_topk" ->
+      """SELECT o_custkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total_spent,
+        |COUNT(*) AS order_count
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin,
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "q7_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q8_distinct_agg" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS distinct_parts, COUNT(*) AS line_count
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q9_case_agg" ->
+      """SELECT o_orderstatus,
+        |CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%' THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q10_having" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, total_qty FROM orders
+        |JOIN (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) big ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q11_event_windows" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start_s,
+        |event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_s, event_type""".stripMargin,
+    "q12_union" ->
+      """SELECT DISTINCT key FROM (
+        |SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9900
+        |UNION ALL
+        |SELECT s_suppkey AS key FROM supplier WHERE s_acctbal > 9900)
+        |ORDER BY key""".stripMargin)
+}
