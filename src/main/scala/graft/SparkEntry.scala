@@ -13,7 +13,9 @@ object SparkEntry {
 
   private def catalogs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (q.Relational.queries, q.Relational.oracle))
+      (q.Relational.queries, q.Relational.oracle),
+      (q.TextOps.queries, q.TextOps.oracle),
+      (q.VectorOps.queries, q.VectorOps.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Training-data pipeline text operators over the `documents` table:
+  * exact + near dedup, fingerprinting, token/quality statistics.
+  *
+  * All token logic splits on a single space (the synthetic corpus is
+  * single-space separated) so the DuckDB oracle can reproduce results
+  * byte-for-byte. Cross-engine hashing uses md5 hex strings — both
+  * engines emit lowercase hex and agree on string ordering, so
+  * `min(md5(...))` is a portable MinHash.
+  *
+  * Scale notes: every operator here is a scan + hash-shuffle on a
+  * derived key (hash, shingle, band signature) — no cross joins; the
+  * pair-generation joins are keyed equi-joins whose fan-out is bounded
+  * by duplicate-group size, which is the standard LSH trade-off at
+  * 100 TB (band width controls the candidate volume).
+  */
+object TextOps {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Corpus statistics per (lang, source): docs, chars, distinct texts. */
+  def q13DocStats(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("text")).as("distinct_texts"))
+      .orderBy("lang", "source")
+
+  /** Token counting (whitespace tokenizer) — per-doc token counts. */
+  def q14TokenCount(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio + mean token length + length band.
+    * (dlx quality analog is its stopword list, dlx/marc/query.py:718-720.) */
+  def q15QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val stop = typedLit(Seq("a", "the", "of", "to", "and", "in", "on", "by", "it", "at"))
+    documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        size(filter(t, w => array_contains(stop, w))).cast("long").as("n_stopwords"),
+        (size(filter(t, w => array_contains(stop, w))).cast("double") / size(t).cast("double")).as("stopword_ratio"),
+        (col("n_chars").cast("double") / size(t).cast("double")).as("mean_token_len"),
+        when(col("n_chars") < 100, "short").when(col("n_chars") < 400, "medium").otherwise("long").as("length_band"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup: content-hash groups with representative id + count.
+    * (dlx files module content-addressing analog, dlx/file/__init__.py:184-199.) */
+  def q16DedupExact(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1)
+      .orderBy("content_hash")
+
+  /** Document fingerprint: first-8-token prefix hash; groups >1 are
+    * near-dup candidates (rolling-hash fingerprint family). */
+  def q17Fingerprint(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(toks(col("text")), 1, 8))).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc_id"))
+      .where(col("n_docs") > 1)
+      .orderBy("fingerprint")
+
+  /** N-gram Jaccard near-dup pairs: candidates via shared fingerprint
+    * (bounded fan-out), verified by exact token-set Jaccard >= 0.5. */
+  def q18NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(toks(col("text")), 1, 8))).as("fp"),
+        array_distinct(toks(col("text"))).as("tokset"))
+    val a = d.select(col("doc_id").as("doc_a"), col("fp"), col("tokset").as("set_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("fp"), col("tokset").as("set_b"))
+    a.join(b, "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signatures: 8 portable hash functions = min md5 over
+    * 3-token shingles, seeded by function index. LSH banding pairs
+    * docs agreeing on a 2-row band. */
+  def q19MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val nHashes = 8
+    val t = toks(col("text"))
+    val shingles = transform(
+      sequence(lit(1), greatest(size(t) - 2, lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(3))))
+    val sigs = documents(s, dir)
+      .select(col("doc_id"), array_distinct(shingles).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(nHashes - 1))).as("h"), col("shingle"))
+      .groupBy("doc_id", "h")
+      .agg(min(md5(concat(col("h"), lit("|"), col("shingle")))).as("mh"))
+    // band id = h / 2 (bands of 2 rows); band key = concat of the band's minhashes
+    val bands = sigs
+      .withColumn("band", (col("h") / 2).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("h"), col("mh"))))
+        .getField("mh")).as("band_key"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Gap-based sessionization over events: 30-min inactivity closes a
+    * session (lag + running sum window — the streaming-state analog
+    * expressed as batch windows). */
+  def q20Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // All ordering and gap math at whole-second resolution so the
+    // DuckDB oracle (ns timestamps) agrees exactly.
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    events(s, dir)
+      .withColumn("ts_s", col("ts").cast("long"))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > 1800, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(byUser))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_s")) - min(col("ts_s"))).as("duration_s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("total_events"),
+        max("duration_s").as("longest_session_s"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_doc_stats" -> (q13DocStats _),
+    "q14_token_count" -> (q14TokenCount _),
+    "q15_quality_score" -> (q15QualityScore _),
+    "q16_dedup_exact" -> (q16DedupExact _),
+    "q17_fingerprint" -> (q17Fingerprint _),
+    "q18_ngram_jaccard" -> (q18NgramJaccard _),
+    "q19_minhash_lsh" -> (q19MinhashLsh _),
+    "q20_sessionize" -> (q20Sessionize _))
+
+  val oracle: Map[String, String] = Map(
+    "q13_doc_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |COUNT(DISTINCT text) AS distinct_texts
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q14_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q15_quality_score" ->
+      """SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |CAST(len(list_filter(string_split(text, ' '), w -> w IN ('a','the','of','to','and','in','on','by','it','at'))) AS BIGINT) AS n_stopwords,
+        |CAST(len(list_filter(string_split(text, ' '), w -> w IN ('a','the','of','to','and','in','on','by','it','at'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |CAST(n_chars AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+        |CASE WHEN n_chars < 100 THEN 'short' WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS length_band
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash""".stripMargin,
+    "q17_fingerprint" ->
+      """SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fingerprint,
+        |COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fingerprint""".stripMargin,
+    "q18_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+        |         list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
+        |CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE) AS jaccard
+        |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q19_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    range(1, GREATEST(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM t),
+        |sig AS (
+        |  SELECT doc_id, h.range AS h, MIN(md5(CAST(h.range AS VARCHAR) || '|' || shingle)) AS mh
+        |  FROM sh CROSS JOIN range(0, 8) h GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+        |         string_agg(mh, '' ORDER BY h) AS band_key
+        |  FROM sig GROUP BY 1, 2)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |WHERE a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q20_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_id, ts_s,
+        |         LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_s
+        |  FROM e),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_s,
+        |         CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts_s,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_no, COUNT(*) AS n_events,
+        |         MAX(ts_s) - MIN(ts_s) AS duration_s
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |CAST(SUM(n_events) AS BIGINT) AS total_events,
+        |CAST(MAX(duration_s) AS BIGINT) AS longest_session_s
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

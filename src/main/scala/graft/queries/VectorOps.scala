@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-d).
+  *
+  * q21 is the exact brute-force baseline: broadcast the (small) query
+  * set against the corpus — at 100 TB this is the standard "broadcast
+  * queries, scan corpus once, per-partition top-k then global top-k"
+  * plan; Spark's TakeOrderedAndProject does exactly that after the
+  * window filter.
+  *
+  * q22 is the scale path: hash-derived hyperplane LSH buckets (8-bit
+  * signature → candidates share a bucket), so the pairwise work drops
+  * from O(N·Q) to per-bucket. The hyperplanes are pseudo-random but
+  * deterministic (md5-based), which keeps the DuckDB oracle exact.
+  *
+  * Scores are rounded to 4 decimals before ranking, with vec_id
+  * tiebreak, so double-accumulation-order differences between engines
+  * cannot flip ranks.
+  */
+object VectorOps {
+
+  /** dot(a, b) over array<double> as an explicit left fold. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Brute-force cosine top-5 neighbors for query vectors vec_id < 10. */
+  def q21AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = emb(s, dir)
+    val queries = broadcast(corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN: 8 deterministic hyperplanes (md5-derived
+    * coefficients in [-0.5, 0.5)); signature = sign bits; neighbors
+    * ranked within the query's bucket only. */
+  def q22AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // plane p (0..7), dim d (0..63): coeff = (hex2long(md5("p_d")[0,8)) % 1000)/1000 - 0.5
+    // Computed driver-side (same md5 the oracle computes in SQL) so the
+    // plan carries plain literals instead of 512 hash expressions.
+    def md5hex8(s2: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val planes = (0 until 8).map { p =>
+      val coeffs = array((0 until 64).map { d =>
+        lit((md5hex8(s"${p}_$d") % 1000).toDouble / 1000.0 - 0.5)
+      }: _*)
+      when(dot(col("v"), coeffs) > 0, lit("1")).otherwise(lit("0"))
+    }
+    val sig = concat(planes: _*)
+    val corpus = emb(s, dir).withColumn("bucket", sig)
+    val queries = broadcast(corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket")))
+    val scored = corpus.join(queries, Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** k-NN label vote: majority label among the 5 nearest neighbors of
+    * each query vector (embedding-cosine classification). */
+  def q23KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = emb(s, dir)
+    val queries = broadcast(corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("true_label")))
+    val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"), col("label"),
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 4).as("cos_sim"),
+        col("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .groupBy("query_id", "true_label", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vote_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))))
+      .where(col("vote_rank") === 1)
+      .select(col("query_id"), col("true_label"), col("label").as("predicted_label"), col("votes"))
+      .orderBy("query_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_ann_brute" -> (q21AnnBrute _),
+    "q22_ann_lsh" -> (q22AnnLsh _),
+    "q23_knn_classify" -> (q23KnnClassify _))
+
+  private val cosSql =
+    """ROUND(list_sum(list_transform(q.qv, (x,i) -> x * c.v[i])) /
+      |(SQRT(list_sum(list_transform(q.qv, (x,i) -> x * q.qv[i]))) *
+      | SQRT(list_sum(list_transform(c.v, (x,i) -> x * c.v[i])))), 4)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q21_ann_brute" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS cos_sim
+        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q22_ann_lsh" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |    (SELECT string_agg(
+        |       CASE WHEN list_sum(list_transform(v, (x,i) ->
+        |         x * (CAST(CAST(('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_' || CAST(i-1 AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 AS DOUBLE)/1000 - 0.5)
+        |       )) > 0 THEN '1' ELSE '0' END, '' ORDER BY p.range)
+        |     FROM range(0, 8) p) AS bucket
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, q.bucket, $cosSql AS cos_sim
+        |  FROM sig c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, bucket, cos_sim, CAST(rank AS INT) AS rank FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q23_knn_classify" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, q.true_label, c.label, c.vec_id, $cosSql AS cos_sim
+        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM scored),
+        |votes AS (
+        |  SELECT query_id, true_label, label, COUNT(*) AS votes FROM ranked
+        |  WHERE rank <= 5 GROUP BY 1, 2, 3),
+        |winner AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vote_rank
+        |  FROM votes)
+        |SELECT query_id, true_label, label AS predicted_label, votes FROM winner
+        |WHERE vote_rank = 1 ORDER BY query_id""".stripMargin)
+}
