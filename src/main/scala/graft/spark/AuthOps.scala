@@ -1,0 +1,69 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Authority-control whole-table operations: the reference's cascade
+  * jobs re-expressed as single joins + array transforms (SURVEY §2.4).
+  */
+object AuthOps {
+
+  /** Auth.merge FK rewrite (dlx/marc/__init__.py:2143-2233): replace
+    * every subfield xref `losing` -> `gaining` across the records
+    * table, then drop duplicate fields that the rewrite created
+    * (array_distinct on the rewritten datafields). One narrow
+    * transform — no shuffle; the reference's polling watchdog
+    * disappears because the batch is deterministic. */
+  def mergeAuthXrefs(records: DataFrame, losing: Long, gaining: Long): DataFrame =
+    records.withColumn("datafields",
+      array_distinct(transform(col("datafields"), f => struct(
+        f.getField("tag").as("tag"),
+        f.getField("ind1").as("ind1"),
+        f.getField("ind2").as("ind2"),
+        transform(f.getField("subfields"), s => struct(
+          s.getField("code").as("code"),
+          s.getField("value").as("value"),
+          when(s.getField("xref") === losing, gaining)
+            .otherwise(s.getField("xref")).as("xref"))).as("subfields")))))
+
+  /** update_attached_records heading retag
+    * (dlx/marc/__init__.py:1155-1232): when an auth heading moves from
+    * `oldTag` to `newTag` (e.g. 150 -> 151), every attached record's
+    * linked field tag is rewritten to field.tag[0] + newTag[1:] —
+    * applied only to fields actually referencing the auth id. */
+  def retagAttached(records: DataFrame, authId: Long, newHeadingTag: String): DataFrame = {
+    val newSuffix = newHeadingTag.substring(1)
+    records.withColumn("datafields",
+      transform(col("datafields"), f => struct(
+        when(exists(f.getField("subfields"), s => s.getField("xref") === authId),
+          concat(substring(f.getField("tag"), 1, 1), lit(newSuffix)))
+          .otherwise(f.getField("tag")).as("tag"),
+        f.getField("ind1").as("ind1"),
+        f.getField("ind2").as("ind2"),
+        f.getField("subfields").as("subfields"))))
+  }
+
+  /** Refresh the materialized values of linked subfields after a
+    * heading value change: ONE broadcast join against the new heading
+    * dimension (the cascade "re-commit attached" loop,
+    * dlx/marc/__init__.py:1205-1232, as a set operation). */
+  def refreshLinkedValues(records: DataFrame, auths: DataFrame): DataFrame =
+    MarcContext.resolveLinked(
+      records.withColumn("datafields",
+        transform(col("datafields"), f => struct(
+          f.getField("tag").as("tag"),
+          f.getField("ind1").as("ind1"),
+          f.getField("ind2").as("ind2"),
+          transform(f.getField("subfields"), s => struct(
+            s.getField("code").as("code"),
+            when(s.getField("xref").isNotNull, lit(null).cast("string"))
+              .otherwise(s.getField("value")).as("value"),
+            s.getField("xref").as("xref"))).as("subfields")))),
+      auths)
+
+  /** in_use count for one auth id (dlx/marc/__init__.py:2091-2141):
+    * semi-join shaped existence scan. */
+  def inUse(records: DataFrame, xref: Long): Long =
+    records.where(exists(col("datafields"), f =>
+      exists(f.getField("subfields"), s => s.getField("xref") === xref))).count()
+}

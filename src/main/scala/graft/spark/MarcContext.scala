@@ -1,0 +1,134 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derived DataFrames over the bibs/auths tables — the Spark-native
+  * form of the reference's maintained collections (SURVEY §2.9, §4):
+  *
+  *  - [[authHeadings]]: the auth-heading dimension; the reference's
+  *    Auth caches (dlx/marc/__init__.py:1835-1874) become a broadcast
+  *    hash join side. At 100 TB the auths table is still dimension-
+  *    sized relative to bibs, so every value resolution is a
+  *    broadcast, never a fact-table shuffle.
+  *  - [[resolveLinked]]: materializes linked subfield values record-
+  *    wide (Auth.lookup per subfield becomes ONE broadcast join).
+  *  - [[tagIndex]]: the `_index_<tag>` collections
+  *    (dlx/scripts/build_text_collections.py:48-121) as one
+  *    DataFrame: explode datafields -> field text -> group by
+  *    (tag, text) with collected subfield sets + tokenized words.
+  *  - [[browseIndex]]: the `_index_<logical field>` collections
+  *    (dlx/scripts/build_logical_fields.py:84-102).
+  *
+  * All are `DataFrame => DataFrame` pipelines: recompute in batch or
+  * incrementally maintain via foreachBatch (graft.streaming).
+  */
+object MarcContext {
+
+  val scrubUdf = udf((s: String) => if (s == null) "" else graft.text.Tokenizer.scrub(s))
+  val tokenizeUdf = udf((s: String) =>
+    if (s == null) Seq.empty[String] else graft.text.Tokenizer.tokenize(s))
+
+  def registerFunctions(spark: SparkSession): Unit = {
+    spark.udf.register("dlx_scrub", scrubUdf)
+    spark.udf.register("dlx_tokenize", tokenizeUdf)
+  }
+
+  /** (xref, tag, code, value, norm_value) — one row per subfield of
+    * each auth's heading field (first field whose tag starts '1'). */
+  def authHeadings(auths: DataFrame): DataFrame = {
+    val heading = auths.select(col("_id").as("xref"),
+      // first datafield with tag like '1%' — element_at after filter
+      element_at(filter(col("datafields"), f => f.getField("tag").startsWith("1")), 1).as("hf"))
+      .where(col("hf").isNotNull)
+    heading.select(col("xref"), col("hf.tag").as("tag"),
+        explode(col("hf.subfields")).as("sf"))
+      .select(col("xref"), col("tag"), col("sf.code").as("code"), col("sf.value").as("value"))
+      .where(col("value").isNotNull)
+      .withColumn("norm_value", normalizeCol(col("value")))
+  }
+
+  /** strength-1 collation shadow: lowercase + strip diacritics
+    * (SURVEY §4 collation row). */
+  def normalizeCol(c: Column): Column = {
+    val norm = udf((s: String) => if (s == null) null else graft.query.Collation.normalize(s))
+    norm(c)
+  }
+
+  /** Materialize linked subfield values via ONE broadcast join against
+    * the heading dimension (the Spark-shaped Auth.lookup). */
+  def resolveLinked(records: DataFrame, auths: DataFrame): DataFrame = {
+    val dim = broadcast(authHeadings(auths)
+      .select(col("xref").as("h_xref"), col("code").as("h_code"), col("value").as("h_value")))
+    val exploded = records.select(col("_id").as("r_id"), posexplode(col("datafields")).as(Seq("fpos", "f")))
+      .select(col("r_id"), col("fpos"), col("f.tag").as("tag"), col("f.ind1").as("ind1"),
+        col("f.ind2").as("ind2"), posexplode(col("f.subfields")).as(Seq("spos", "s")))
+    val resolved = exploded
+      .join(dim, exploded("s.xref") === dim("h_xref") && exploded("s.code") === dim("h_code"), "left")
+      .select(col("r_id"), col("fpos"), col("tag"), col("ind1"), col("ind2"), col("spos"),
+        col("s.code").as("code"),
+        coalesce(col("s.value"), col("h_value")).as("value"),
+        col("s.xref").as("xref"))
+    val fields = resolved
+      .groupBy("r_id", "fpos", "tag", "ind1", "ind2")
+      .agg(sort_array(collect_list(struct(col("spos"), col("code"), col("value"), col("xref")))).as("subs"))
+      .withColumn("subfields", transform(col("subs"),
+        s => struct(s.getField("code").as("code"), s.getField("value").as("value"), s.getField("xref").as("xref"))))
+      .groupBy("r_id")
+      .agg(sort_array(collect_list(struct(col("fpos"), col("tag"), col("ind1"), col("ind2"), col("subfields")))).as("fs"))
+      .withColumn("datafields", transform(col("fs"), f => struct(
+        f.getField("tag").as("tag"), f.getField("ind1").as("ind1"),
+        f.getField("ind2").as("ind2"), f.getField("subfields").as("subfields"))))
+      .select(col("r_id"), col("datafields"))
+    records.drop("datafields")
+      .join(fields, records("_id") === fields("r_id"), "left")
+      .drop("r_id")
+  }
+
+  /** Field-level text of each datafield (resolved values assumed):
+    * space-joined subfield values (dlx/marc/__init__.py:921). */
+  private def fieldTextCol(f: Column): Column =
+    concat_ws(" ", transform(f.getField("subfields"),
+      s => coalesce(s.getField("value"), lit(""))))
+
+  /** The `_index_<tag>` family as one DataFrame:
+    * (tag, raw text, padded scrubbed text, stemmed words, subfield
+    * (code, value) set). Hash-aggregation on (tag, text) — map-side
+    * combine, no skew (text keys are near-unique). */
+  def tagIndex(recordsResolved: DataFrame): DataFrame = {
+    val fields = recordsResolved
+      .select(explode(col("datafields")).as("f"))
+      .select(col("f.tag").as("tag"), fieldTextCol(col("f")).as("raw"),
+        col("f.subfields").as("subfields"))
+    fields
+      .select(col("tag"), col("raw"), explode(col("subfields")).as("s"))
+      .where(col("s.value").isNotNull)
+      .groupBy("tag", "raw")
+      .agg(collect_set(struct(col("s.code").as("code"), col("s.value").as("value"))).as("subfields"))
+      .withColumn("text", concat(lit(" "), scrubUdf(col("raw")), lit(" ")))
+      .withColumn("words", array_distinct(tokenizeUdf(col("raw"))))
+  }
+
+  /** The `_index_<logical field>` family: (field, value, padded
+    * scrubbed text, words, record types). */
+  def browseIndex(records: DataFrame): DataFrame =
+    records
+      .select(col("record_type"), explode(col("logical")).as(Seq("field", "values")))
+      .where(col("field") =!= "_record_type")
+      .select(col("record_type"), col("field"), explode(col("values")).as("value"))
+      .groupBy("field", "value")
+      .agg(collect_set(col("record_type")).as("_record_type"))
+      .withColumn("text", concat(lit(" "), scrubUdf(col("value")), lit(" ")))
+      .withColumn("words", array_distinct(tokenizeUdf(scrubUdf(col("value")))))
+
+  /** Per-xref usage counts across auth-controlled tags
+    * (calculate_auth_use, dlx/scripts/build_logical_fields.py:218-252):
+    * explode -> explode -> groupBy(xref).count — textbook hash agg. */
+  def authUseCounts(records: DataFrame): DataFrame =
+    records
+      .select(explode(col("datafields")).as("f"))
+      .select(explode(col("f.subfields")).as("s"))
+      .where(col("s.xref").isNotNull)
+      .groupBy(col("s.xref").as("xref"))
+      .agg(count(lit(1)).as("use_count"))
+}

@@ -1,0 +1,91 @@
+package graft.spark
+
+import graft.model._
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+/** Canonical Spark row shape for MARC records (SURVEY §1.4).
+  *
+  * Tags are NOT top-level columns (the tag space is open-ended);
+  * fields are ordered arrays of structs, preserving repetition and
+  * order. Linked vs literal subfields = nullable xref, exactly how the
+  * reference BSON persists them (dlx/marc/__init__.py:2689-2725).
+  * `text`/`words`/`logical` are the denormalized commit-time columns
+  * (dlx/marc/__init__.py:954-956, 1050-1052).
+  */
+final case class SubfieldRow(code: String, value: String, xref: java.lang.Long)
+final case class DataFieldRow(tag: String, ind1: String, ind2: String,
+    subfields: Seq[SubfieldRow])
+final case class ControlFieldRow(tag: String, value: String)
+
+final case class MarcRow(
+    record_type: String,
+    _id: Long,
+    created: java.sql.Timestamp,
+    updated: java.sql.Timestamp,
+    created_user: String,
+    user: String,
+    basket: String,
+    leader: String,
+    controlfields: Seq[ControlFieldRow],
+    datafields: Seq[DataFieldRow],
+    text: String,
+    words: Seq[String],
+    logical: Map[String, Seq[String]])
+
+object MarcSchema {
+
+  implicit val marcRowEncoder: Encoder[MarcRow] = Encoders.product[MarcRow]
+
+  def toRow(rec: MarcRecord)(implicit auth: AuthLookup): MarcRow = {
+    val ctrl = rec.fields.collect { case ControlField(t, v) => ControlFieldRow(t, v) }
+    val data = rec.fields.collect { case d: DataField =>
+      DataFieldRow(d.tag, d.ind1, d.ind2, d.subfields.map { s =>
+        SubfieldRow(s.code, s.resolvedValue(auth).orNull,
+          s.xref.map(Long.box).orNull)
+      })
+    }
+    val fieldTexts = rec.fields.collect { case d: DataField =>
+      d.subfields.map(_.resolvedValue(auth).getOrElse("")).mkString(" ")
+    }
+    val text = fieldTexts.map(graft.text.Tokenizer.scrub).mkString(" ")
+    val words = graft.text.Tokenizer.tokenize(fieldTexts.mkString(" ")).distinct
+    MarcRow(
+      record_type = rec.recordType,
+      _id = rec.id.getOrElse(0L),
+      created = rec.created.map(java.sql.Timestamp.from).orNull,
+      updated = rec.updated.map(java.sql.Timestamp.from).orNull,
+      created_user = rec.createdUser.orNull,
+      user = rec.user.orNull,
+      basket = rec.basket.orNull,
+      leader = rec.leader,
+      controlfields = ctrl,
+      datafields = data,
+      text = " " + text + " ",
+      words = words,
+      logical = rec.logicalFields().map { case (k, v) => k -> (v: Seq[String]) })
+  }
+
+  def fromRow(row: MarcRow): MarcRecord = {
+    val fields: Vector[Field] =
+      row.controlfields.map(c => ControlField(c.tag, c.value)).toVector ++
+        row.datafields.map { d =>
+          DataField(d.tag, d.ind1, d.ind2, d.subfields.map { s =>
+            Subfield(s.code, Option(s.value), Option(s.xref).map(_.longValue))
+          }.toVector)
+        }.toVector
+    MarcRecord(
+      recordType = row.record_type,
+      id = Some(row._id),
+      created = Option(row.created).map(_.toInstant),
+      updated = Option(row.updated).map(_.toInstant),
+      user = Option(row.user),
+      createdUser = Option(row.created_user),
+      basket = Option(row.basket),
+      fields = fields)
+  }
+
+  def toDataset(spark: SparkSession, recs: Seq[MarcRecord])(implicit auth: AuthLookup): Dataset[MarcRow] = {
+    import spark.implicits._
+    spark.createDataset(recs.map(toRow))
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.spark._
+import graft.query.QueryParser
+import Fixtures._
+
+/** Spark-side semantics: canonical schema round-trip, derived index
+  * DataFrames, broadcast auth resolution, query compilation parity
+  * with the row engine. */
+class SparkMarcSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  lazy val bibsDs = MarcSchema.toDataset(spark, Seq(bib1, bib2))
+  lazy val authsDs = MarcSchema.toDataset(spark, Seq(auth1, auth2))
+  lazy val compiler = new SparkQueryCompiler(spark, bibsDs.toDF(), authsDs.toDF())
+
+  test("MarcRow round-trip preserves record content") {
+    val rows = bibsDs.collect()
+    assert(rows.length == 2)
+    val back = MarcSchema.fromRow(rows.find(_._id == 1L).get)
+    assert(back.getValue("245", "a") == "This")
+    assert(back.getXref("650", "a").contains(1L))
+    assert(back.getValue("650", "a") == "Header") // value materialized in row
+  }
+
+  test("record text/words computed like commit") {
+    val r1 = bibsDs.collect().find(_._id == 1L).get
+    assert(r1.text.startsWith(" this is the title"))
+    assert(r1.words.contains("header"))
+    assert(r1.words.contains("anoth"))
+    assert(r1.logical("title") == Seq("This is the"))
+    assert(r1.logical("_record_type") == Seq("default", "bib"))
+  }
+
+  test("authHeadings dimension") {
+    val h = MarcContext.authHeadings(authsDs.toDF()).collect()
+    assert(h.length == 2)
+    val m = h.map(r => r.getAs[Long]("xref") -> (r.getAs[String]("tag"), r.getAs[String]("value"))).toMap
+    assert(m(1L) == ("150", "Header"))
+    assert(m(2L) == ("110", "Another header"))
+  }
+
+  test("tagIndex matches the reference index shape") {
+    val idx = compiler.tagIdx.where(col("tag") === "520").collect()
+    assert(idx.length == 2)
+    val byRaw = idx.map(r => r.getAs[String]("raw")).toSet
+    assert(byRaw == Set("Description", "Another description Repeated subfield"))
+    val words = idx.flatMap(_.getAs[scala.collection.Seq[String]]("words")).toSet
+    assert(words.contains("anoth") && words.contains("descript"))
+  }
+
+  test("browseIndex carries logical values") {
+    val idx = compiler.browseIdx.where(col("field") === "title").collect()
+    assert(idx.map(_.getAs[String]("value")).toSet == Set("This is the", "Another is the"))
+  }
+
+  test("query parity with row engine across the corpus") {
+    val queries = Seq(
+      "245__c:'title'", "245__a:'This' AND 650__a:'Header'",
+      "245__a:'This' OR 245__a:'Another'", "650__a:/[Hh]eader/", "650__a:/header/i",
+      "\"another description\"", "520__a:\"another description\"", "520:\"another descrip\"",
+      "title:\"is the\"", "header", "Another header", "Another -header",
+      "245:'is the'", "650:'Header'", "650:/eader/", "id:1",
+      "xref:1", "xref:2", "NOT xref:2", "245__c:*itl*", "245:titl*", "650:head*",
+      "650__a:head*", "title:*is*", "title:this*", "245__a:*", "520:*")
+    val rowEngine = new graft.query.RowQueryEngine(Seq(bib1, bib2), Seq(auth1, auth2))
+    for (q <- queries) {
+      val expected = rowEngine.runString(q).flatMap(_.id).toSet
+      val got = compiler.run(q).select("_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"query '$q': spark=$got row=$expected")
+    }
+  }
+
+  test("resolveLinked materializes values via broadcast join") {
+    // strip materialized values first to prove the join resolves them
+    val stripped = bibsDs.toDF().withColumn("datafields",
+      transform(col("datafields"), f => struct(
+        f.getField("tag").as("tag"), f.getField("ind1").as("ind1"), f.getField("ind2").as("ind2"),
+        transform(f.getField("subfields"), s => struct(
+          s.getField("code").as("code"),
+          when(s.getField("xref").isNotNull, lit(null).cast("string"))
+            .otherwise(s.getField("value")).as("value"),
+          s.getField("xref").as("xref"))).as("subfields"))))
+    val resolved = MarcContext.resolveLinked(stripped, authsDs.toDF())
+    val r1 = resolved.where(col("_id") === 1L)
+      .select(explode(col("datafields")).as("f")).where(col("f.tag") === "650")
+      .select(explode(col("f.subfields")).as("s")).select("s.value").head().getString(0)
+    assert(r1 == "Header")
+  }
+
+  test("auth merge xref rewrite + dedupe") {
+    val merged = AuthOps.mergeAuthXrefs(bibsDs.toDF(), losing = 1L, gaining = 2L)
+    val xrefs = merged.select(explode(col("datafields")).as("f"))
+      .select(explode(col("f.subfields")).as("s"))
+      .where(col("s.xref").isNotNull).select("s.xref")
+      .collect().map(_.getLong(0)).toSet
+    assert(xrefs == Set(2L))
+  }
+
+  test("retag attached on heading tag change") {
+    val retagged = AuthOps.retagAttached(bibsDs.toDF(), authId = 1L, newHeadingTag = "151")
+    val tags = retagged.where(col("_id") === 1L)
+      .select(explode(col("datafields")).as("f")).select("f.tag")
+      .collect().map(_.getString(0)).toSet
+    assert(tags.contains("651")) // 650 -> 651
+    assert(tags.contains("710")) // untouched (different xref)
+  }
+
+  test("auth use counts") {
+    val counts = MarcContext.authUseCounts(bibsDs.toDF()).collect()
+      .map(r => r.getAs[Long]("xref") -> r.getAs[Long]("use_count")).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 1L))
+    assert(AuthOps.inUse(bibsDs.toDF(), 1L) == 2L)
+  }
+
+  test("store: commit, history, max id, delete, restore") {
+    val dir = java.nio.file.Files.createTempDirectory("marcstore").toString
+    val store = new graft.store.MarcStore(spark, dir)
+    store.commit(bibsDs, user = "tester")
+    assert(store.read("bib").count() == 2)
+    assert(store.maxId("bib") == 2L)
+
+    // second commit of an updated record versions history
+    val updated = MarcSchema.toDataset(spark, Seq(bib1.set("245", "a", "Changed")))
+    store.commit(updated, user = "tester2")
+    assert(store.read("bib").count() == 2)
+    val hist = store.readHistory("bib").where(col("_id") === 1L).collect()
+    assert(hist.map(_.getAs[Long]("version_no")).sorted.toSeq == Seq(1L, 2L))
+
+    // created preserved, updated stamped
+    val r1 = store.read("bib").where(col("_id") === 1L).head()
+    assert(r1.user == "tester2")
+    assert(r1.created_user == "tester")
+
+    // new record gets max+1
+    val fresh = MarcSchema.toDataset(spark, Seq(MarcRecord(recordType = "bib")
+      .set("245", "a", "Fresh")))
+    store.commit(fresh, user = "t")
+    assert(store.read("bib").where(col("_id") === 3L).count() == 1)
+
+    store.delete("bib", Seq(3L))
+    assert(store.read("bib").count() == 2)
+    store.restore("bib", 3L, user = "t")
+    assert(store.read("bib").where(col("_id") === 3L).count() == 1)
+  }
+
+  test("auth delete guard: in-use auths cannot be deleted") {
+    val dir = java.nio.file.Files.createTempDirectory("marcstore2").toString
+    val store = new graft.store.MarcStore(spark, dir)
+    store.commit(bibsDs, user = "t")
+    store.commit(authsDs, user = "t")
+    intercept[IllegalArgumentException] { store.delete("auth", Seq(1L)) }
+  }
+}
