@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.model.{AuthLookup, MarcRecord}
+import graft.records.Serialization
+import graft.spark.{AuthOps, LogicalFields, MarcContext, SparkQueryCompiler}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** MARC-engine operators run through the driver's correctness gate.
+  *
+  * The testdata has no MARC records, so these queries first construct
+  * a deterministic MARC corpus from it, entirely with Column
+  * expressions (no driver-side loops):
+  *
+  *   auth records:  one per `part` row — _id = p_partkey, heading
+  *                  150$a = p_name (the auth dimension);
+  *   bib records:   one per `orders` row — _id = o_orderkey,
+  *                  245$a = o_orderpriority, 245$b = o_orderstatus,
+  *                  269$a = o_orderdate (yyyy-MM-dd),
+  *                  650$a = xref -> min(l_partkey) of the order's
+  *                  lineitems (absent if the order has none).
+  *
+  * Each query then exercises one SURVEY §2 operator family (query DSL
+  * compilation, broadcast auth resolution, logical fields,
+  * serialization, auth-use aggregation) and flattens the result so
+  * DuckDB can replay the construction + operator in ANSI SQL.
+  */
+object MarcOps {
+
+  private def sub(code: String, value: Column, xref: Column = lit(null).cast("long")): Column =
+    struct(lit(code).as("code"), value.as("value"), xref.cast("long").as("xref"))
+
+  private def field(tag: String, subs: Column*): Column =
+    struct(lit(tag).as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
+      array(subs: _*).as("subfields"))
+
+  /** Deterministic bib corpus from orders/lineitem/part — canonical
+    * MarcRow columns built with pure expressions. */
+  def marcBibs(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val firstPart = lineitem(s, dir).groupBy("l_orderkey")
+      .agg(min("l_partkey").as("subject_key"))
+    val p = broadcast(part(s, dir).select(col("p_partkey"), col("p_name")))
+    val joined = o
+      .join(firstPart, col("o_orderkey") === col("l_orderkey"), "left")
+      .join(p, col("subject_key") === col("p_partkey"), "left")
+    val f245 = field("245", sub("a", col("o_orderpriority")), sub("b", col("o_orderstatus")))
+    val f269 = field("269", sub("a", date_format(col("o_orderdate"), "yyyy-MM-dd")))
+    val f650 = struct(lit("650").as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
+      array(struct(lit("a").as("code"), col("p_name").as("value"),
+        col("subject_key").cast("long").as("xref"))).as("subfields"))
+    joined.select(
+      lit("bib").as("record_type"),
+      col("o_orderkey").as("_id"),
+      lit(null).cast("timestamp").as("created"),
+      lit(null).cast("timestamp").as("updated"),
+      lit(null).cast("string").as("created_user"),
+      lit(null).cast("string").as("user"),
+      lit(null).cast("string").as("basket"),
+      lit("").as("leader"),
+      array().cast("array<struct<tag:string,value:string>>").as("controlfields"),
+      when(col("subject_key").isNotNull, array(f245, f269, f650))
+        .otherwise(array(f245, f269)).as("datafields"),
+      lit(null).cast("string").as("text"),
+      lit(null).cast("array<string>").as("words"),
+      lit(null).cast("map<string,array<string>>").as("logical"))
+  }
+
+  /** Auth dimension from part. */
+  def marcAuths(s: SparkSession, dir: String): DataFrame =
+    part(s, dir).select(
+      lit("auth").as("record_type"),
+      col("p_partkey").cast("long").as("_id"),
+      lit(null).cast("timestamp").as("created"),
+      lit(null).cast("timestamp").as("updated"),
+      lit(null).cast("string").as("created_user"),
+      lit(null).cast("string").as("user"),
+      lit(null).cast("string").as("basket"),
+      lit("").as("leader"),
+      array().cast("array<struct<tag:string,value:string>>").as("controlfields"),
+      array(struct(lit("150").as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
+        array(struct(lit("a").as("code"), col("p_name").as("value"),
+          lit(null).cast("long").as("xref"))).as("subfields"))).as("datafields"),
+      lit(null).cast("string").as("text"),
+      lit(null).cast("array<string>").as("words"),
+      lit(null).cast("map<string,array<string>>").as("logical"))
+
+  private val oracleBibs: String =
+    """bibs AS (
+      |  SELECT o_orderkey AS id, o_orderpriority AS prio, o_orderstatus AS status,
+      |         strftime(o_orderdate, '%Y-%m-%d') AS odate, fp.subject_key, p_name
+      |  FROM orders o
+      |  LEFT JOIN (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp
+      |    ON o_orderkey = fp.l_orderkey
+      |  LEFT JOIN part ON fp.subject_key = p_partkey)""".stripMargin
+
+  /** Flattened construction: record getters over the built corpus. */
+  def q24MarcBuild(s: SparkSession, dir: String): DataFrame =
+    marcBibs(s, dir).select(
+      col("_id"),
+      try_element_at(flatten(transform(
+        filter(col("datafields"), f => f.getField("tag") === "245"),
+        f => transform(filter(f.getField("subfields"), sf => sf.getField("code") === "a"),
+          sf => sf.getField("value")))), lit(1)).as("title_a"),
+      try_element_at(flatten(transform(
+        filter(col("datafields"), f => f.getField("tag") === "269"),
+        f => transform(f.getField("subfields"), sf => sf.getField("value")))), lit(1)).as("pub_date"),
+      try_element_at(flatten(transform(
+        filter(col("datafields"), f => f.getField("tag") === "650"),
+        f => transform(f.getField("subfields"), sf => sf.getField("xref")))), lit(1)).as("subject_xref"))
+      .orderBy("_id")
+
+  /** Query DSL end-to-end: parse + compile to Column predicates over
+    * the corpus (exact match with collation + date-prefix regex). */
+  def q25MarcQueryDsl(s: SparkSession, dir: String): DataFrame = {
+    val bibs = marcBibs(s, dir)
+    val compiler = new SparkQueryCompiler(s, bibs, marcAuths(s, dir))
+    compiler.run("245__a:'1-urgent' AND 269__a:/^1996/")
+      .select("_id").orderBy("_id")
+  }
+
+  /** Broadcast auth resolution: strip the materialized values, resolve
+    * through the heading dimension join (Auth.lookup at scale). */
+  def q26MarcAuthResolve(s: SparkSession, dir: String): DataFrame = {
+    val stripped = marcBibs(s, dir).withColumn("datafields",
+      transform(col("datafields"), f => struct(
+        f.getField("tag").as("tag"), f.getField("ind1").as("ind1"), f.getField("ind2").as("ind2"),
+        transform(f.getField("subfields"), sf => struct(
+          sf.getField("code").as("code"),
+          when(sf.getField("xref").isNotNull, lit(null).cast("string"))
+            .otherwise(sf.getField("value")).as("value"),
+          sf.getField("xref").as("xref"))).as("subfields"))))
+    val resolved = MarcContext.resolveLinked(stripped, marcAuths(s, dir))
+    resolved.select(col("_id"),
+      try_element_at(flatten(transform(
+        filter(col("datafields"), f => f.getField("tag") === "650"),
+        f => transform(f.getField("subfields"), sf => sf.getField("value")))), lit(1)).as("subject"))
+      .where(col("subject").isNotNull)
+      .orderBy("_id")
+  }
+
+  /** Logical fields as config-driven Column codegen (SURVEY §2.9):
+    * subject browse counts. */
+  def q27MarcLogical(s: SparkSession, dir: String): DataFrame =
+    LogicalFields.withLogical(marcBibs(s, dir), "bib")
+      .select(explode(col("logical")("subject")).as("subject"))
+      .groupBy("subject").agg(count(lit(1)).as("n_bibs"))
+      .orderBy("subject")
+
+  /** MRK serialization through the record model (row-wise library
+    * call), DuckDB replays the exact golden format. */
+  def q28MarcMrk(s: SparkSession, dir: String): DataFrame = {
+    val mrkUdf = udf((id: Long, prio: String, status: String, odate: String,
+        pname: String, pkey: java.lang.Long) => {
+      implicit val auth: AuthLookup = AuthLookup.Empty
+      var rec = MarcRecord(recordType = "bib", id = Some(id))
+        .set("245", "a", prio).set("245", "b", status)
+        .set("269", "a", odate)
+      if (pkey != null) {
+        rec = rec.setXref("650", "a", pkey.longValue)
+        // materialize the heading value so serialization needs no lookup
+        rec = rec.copy(fields = rec.fields.map {
+          case d: graft.model.DataField if d.tag == "650" =>
+            d.copy(subfields = d.subfields.map(sf => sf.copy(value = Some(pname))))
+          case f => f
+        })
+      }
+      Serialization.toMrk(rec)
+    })
+    val o = orders(s, dir)
+    val firstPart = lineitem(s, dir).groupBy("l_orderkey").agg(min("l_partkey").as("pk"))
+    val p = broadcast(part(s, dir).select(col("p_partkey"), col("p_name")))
+    o.join(firstPart, col("o_orderkey") === col("l_orderkey"), "left")
+      .join(p, col("pk") === col("p_partkey"), "left")
+      .select(col("o_orderkey").as("_id"),
+        mrkUdf(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"), col("p_name"), col("pk")).as("mrk"))
+      .orderBy("_id")
+  }
+
+  /** Serialize -> parse roundtrip: records survive the MRK format. */
+  def q29MarcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parseUdf = udf((mrk: String) => {
+      implicit val auth: AuthLookup = AuthLookup.Empty
+      val rec = Serialization.fromMrk("bib", mrk, authControl = false)
+      rec.getValue("245", "a") + "|" + rec.getValue("269", "a")
+    })
+    q28MarcMrk(s, dir)
+      .select(col("_id"), parseUdf(col("mrk")).as("roundtrip"))
+      .orderBy("_id")
+  }
+
+  /** Auth-use aggregation (calculate_auth_use): per-xref counts. */
+  def q30MarcAuthUse(s: SparkSession, dir: String): DataFrame =
+    MarcContext.authUseCounts(marcBibs(s, dir))
+      .orderBy("xref")
+
+  /** xref search (`xref:N`): records referencing one auth. */
+  def q31MarcXrefQuery(s: SparkSession, dir: String): DataFrame = {
+    val bibs = marcBibs(s, dir)
+    val compiler = new SparkQueryCompiler(s, bibs, marcAuths(s, dir))
+    compiler.run("xref:7").select("_id").orderBy("_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_marc_build" -> (q24MarcBuild _),
+    "q25_marc_query_dsl" -> (q25MarcQueryDsl _),
+    "q26_marc_auth_resolve" -> (q26MarcAuthResolve _),
+    "q27_marc_logical" -> (q27MarcLogical _),
+    "q28_marc_mrk" -> (q28MarcMrk _),
+    "q29_marc_roundtrip" -> (q29MarcRoundtrip _),
+    "q30_marc_auth_use" -> (q30MarcAuthUse _),
+    "q31_marc_xref_query" -> (q31MarcXrefQuery _))
+
+  val oracle: Map[String, String] = Map(
+    "q24_marc_build" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id, prio AS title_a, odate AS pub_date,
+        |CAST(subject_key AS BIGINT) AS subject_xref
+        |FROM bibs ORDER BY _id""".stripMargin,
+    "q25_marc_query_dsl" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id FROM bibs
+        |WHERE prio = '1-URGENT' AND odate LIKE '1996%'
+        |ORDER BY _id""".stripMargin,
+    "q26_marc_auth_resolve" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id, p_name AS subject FROM bibs
+        |WHERE p_name IS NOT NULL ORDER BY _id""".stripMargin,
+    "q27_marc_logical" ->
+      s"""WITH $oracleBibs
+        |SELECT p_name AS subject, COUNT(*) AS n_bibs FROM bibs
+        |WHERE p_name IS NOT NULL GROUP BY 1 ORDER BY subject""".stripMargin,
+    "q28_marc_mrk" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id,
+        |'=000  ****' || chr(10) ||
+        |'=001  ' || id || chr(10) ||
+        |'=245  \\\\$$a' || prio || '$$b' || status || chr(10) ||
+        |'=269  \\\\$$a' || odate || chr(10) ||
+        |CASE WHEN subject_key IS NOT NULL
+        |     THEN '=650  \\\\$$a' || p_name || '$$0' || subject_key || chr(10)
+        |     ELSE '' END AS mrk
+        |FROM bibs ORDER BY _id""".stripMargin,
+    "q29_marc_roundtrip" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id, prio || '|' || odate AS roundtrip
+        |FROM bibs ORDER BY _id""".stripMargin,
+    "q30_marc_auth_use" ->
+      """SELECT CAST(subject_key AS BIGINT) AS xref, COUNT(*) AS use_count
+        |FROM (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp
+        |JOIN orders ON o_orderkey = fp.l_orderkey
+        |GROUP BY 1 ORDER BY xref""".stripMargin,
+    "q31_marc_xref_query" ->
+      """SELECT o_orderkey AS _id FROM orders
+        |JOIN (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp
+        |  ON o_orderkey = fp.l_orderkey
+        |WHERE subject_key = 7 ORDER BY _id""".stripMargin)
+}
