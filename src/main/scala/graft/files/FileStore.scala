@@ -1,0 +1,185 @@
+package graft.files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Content-addressed file store: MD5-keyed metadata + blob storage
+  * (reference dlx/file/__init__.py:71-388; jfile.schema.json shape).
+  *
+  * The S3 upload becomes a [[BlobStore]] (Hadoop-FS path at scale); a
+  * batch ingest is `spark.read.format("binaryFile")` -> md5(content)
+  * -> anti-join on existing checksums -> conflict checks as joins
+  * (SURVEY §2.2 File.import row).
+  */
+final case class Identifier(idType: String, value: String) {
+  def eqv(other: Identifier): Boolean =
+    idType == other.idType && value.toLowerCase == other.value.toLowerCase
+}
+
+final case class FileRecord(
+    _id: String, // md5 hex checksum
+    filename: String,
+    identifiers: Seq[Identifier],
+    languages: Seq[String],
+    mimetype: String,
+    size: Long,
+    source: String,
+    timestamp: java.sql.Timestamp,
+    uri: String,
+    user: String,
+    updated: java.sql.Timestamp)
+
+class FileExists(msg: String = "File already exists") extends RuntimeException(msg)
+class FileExistsIdentifierConflict(checksum: String)
+  extends FileExists(s"File $checksum already exists but with different identifiers")
+class FileExistsLanguageConflict(checksum: String)
+  extends FileExists(s"File $checksum already exists but with different languages")
+
+trait BlobStore {
+  def put(checksum: String, data: Array[Byte], mimetype: String): String // returns uri
+}
+
+final class LocalBlobStore(dir: String) extends BlobStore {
+  new java.io.File(dir).mkdirs()
+  def put(checksum: String, data: Array[Byte], mimetype: String): String = {
+    val f = java.nio.file.Paths.get(dir, checksum)
+    java.nio.file.Files.write(f, data)
+    f.toString
+  }
+}
+
+final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore) {
+  import spark.implicits._
+
+  private val tablePath = s"$basePath/files"
+
+  def read(): DataFrame = {
+    if (!new java.io.File(tablePath).exists())
+      spark.emptyDataset[FileRecord].toDF()
+    else spark.read.parquet(tablePath)
+  }
+
+  def md5Hex(data: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(data)
+      .map(b => f"$b%02x").mkString
+
+  /** Import one binary (reference import_from_binary/handle semantics:
+    * empty-content guard, identifier/language validation, checksum
+    * dedup with conflict detection, optional overwrite). */
+  def importBinary(data: Array[Byte], identifiers: Seq[Identifier], languages: Seq[String],
+      mimetype: String, source: String, filename: String = null, overwrite: Boolean = false,
+      user: String = null,
+      now: java.time.Instant = java.time.Instant.now()): FileRecord = {
+    require(identifiers.nonEmpty && languages.nonEmpty,
+      "Params `identifiers` and `languages` cannot be an empty list")
+    languages.foreach { l =>
+      require(ISO6391.codes.contains(l.toLowerCase), "Invalid ISO 639-1 language code")
+    }
+    require(data.nonEmpty, "File-like object has no content")
+
+    val checksum = md5Hex(data)
+    if (!overwrite) checkFileExists(checksum, identifiers, languages)
+
+    val uri = blobs.put(checksum, data, mimetype)
+    val rec = FileRecord(checksum, filename, identifiers, languages, mimetype,
+      data.length.toLong, source, java.sql.Timestamp.from(now), uri, user, null)
+
+    val existing = read()
+    val merged = existing.where(col("_id") =!= checksum)
+      .unionByName(Seq(rec).toDF(), allowMissingColumns = true)
+      .localCheckpoint(true)
+    writeTable(merged)
+    rec
+  }
+
+  /** Conflict semantics (dlx/file/__init__.py:238-250): same checksum
+    * with an unseen identifier or different language set. */
+  private def checkFileExists(checksum: String, identifiers: Seq[Identifier],
+      languages: Seq[String]): Unit = {
+    val existing = read().where(col("_id") === checksum).collect()
+    if (existing.nonEmpty) {
+      val row = existing.head
+      val exIds = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("identifiers")
+        .map(r => Identifier(r.getString(0), r.getString(1)))
+      val exLangs = row.getAs[scala.collection.Seq[String]]("languages")
+      identifiers.foreach { idx =>
+        if (!exIds.exists(_.eqv(idx))) throw new FileExistsIdentifierConflict(checksum)
+      }
+      if (languages.sorted != exLangs.toSeq.sorted)
+        throw new FileExistsLanguageConflict(checksum)
+      throw new FileExists()
+    }
+  }
+
+  /** Filename encoding with the reference's char translation
+    * `' /[]*:;'` -> `'__^^!#%'` (dlx/file/__init__.py:252-264). */
+  def encodeFn(identifiers: Seq[String], languages: Seq[String], extension: String): String = {
+    languages.foreach(l => require(ISO6391.codes.contains(l.toLowerCase)))
+    val table = Map(' ' -> '_', '/' -> '_', '[' -> '^', ']' -> '^', '*' -> '!', ':' -> '#', ';' -> '%')
+    val ids = identifiers.map(_.map(c => table.getOrElse(c, c)).mkString)
+    s"${ids.mkString("&")}-${languages.map(_.toUpperCase).mkString("-")}.$extension"
+  }
+
+  def fromId(checksum: String): Option[FileRecord] = toRecords(
+    read().where(col("_id") === checksum)).headOption
+
+  /** Case-insensitive identifier match, newest first (strength-2
+    * collation + timestamp desc sort, dlx/file/__init__.py:284-304). */
+  def findByIdentifier(identifier: Identifier, language: Option[String] = None): Seq[FileRecord] = {
+    val base = read().where(exists(col("identifiers"),
+      i => i.getField("idType") === identifier.idType &&
+        lower(i.getField("value")) === identifier.value.toLowerCase))
+    val filtered = language.map(l => base.where(array_contains(col("languages"), l))).getOrElse(base)
+    toRecords(filtered.orderBy(col("timestamp").desc))
+  }
+
+  def latestByIdentifierLanguage(identifier: Identifier, language: String): Option[FileRecord] =
+    findByIdentifier(identifier, Some(language)).headOption
+
+  /** Set-scale variant: latest file per (identifier value, language)
+    * via window (SURVEY §2.6 latest-file row). */
+  def latestPerIdentifierLanguage(): DataFrame = {
+    val w = Window.partitionBy("id_value", "language").orderBy(col("timestamp").desc)
+    read()
+      .select(col("*"), explode(col("identifiers")).as("idf"))
+      .select(col("*"), col("idf.value").as("id_value"))
+      .select(col("*"), explode(col("languages")).as("language"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn", "idf")
+  }
+
+  /** Metadata update (File.commit, dlx/file/__init__.py:360-364). */
+  def commit(rec: FileRecord, now: java.time.Instant = java.time.Instant.now()): Unit = {
+    val updated = rec.copy(updated = java.sql.Timestamp.from(now))
+    val merged = read().where(col("_id") =!= rec._id)
+      .unionByName(Seq(updated).toDF(), allowMissingColumns = true)
+      .localCheckpoint(true)
+    writeTable(merged)
+  }
+
+  private def toRecords(df: DataFrame): Seq[FileRecord] = {
+    import MarcEncoders._
+    df.as[FileRecord](fileRecordEncoder).collect().toSeq
+  }
+
+  private def writeTable(df: DataFrame): Unit = {
+    val tmp = tablePath + "_tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(tablePath)
+    if (target.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(target)
+    }
+    new java.io.File(tmp).renameTo(target)
+    spark.catalog.refreshByPath(tablePath)
+  }
+}
+
+object MarcEncoders {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  implicit val fileRecordEncoder: Encoder[FileRecord] = Encoders.product[FileRecord]
+}

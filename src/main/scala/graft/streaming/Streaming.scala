@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.spark.MarcContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+/** Structured Streaming extensions (SURVEY §2.10).
+  *
+  * The reference has no stream semantics — its threaded index
+  * maintenance on commit (dlx/marc/__init__.py:960-964,1059-1063) is
+  * async batch work. The Spark-native generalization: record upserts
+  * arrive as a stream and the derived tables (tag index, browse
+  * index) are incrementally maintained with foreachBatch — each
+  * micro-batch recomputes only the index keys its records touch and
+  * merges them into the materialized index. Event-time analytics get
+  * real watermarked windows.
+  */
+object Streaming {
+
+  /** Incremental tag-index maintenance: per micro-batch, compute the
+    * batch's index entries and merge into the target parquet index
+    * (delete-and-replace the touched (tag, raw) keys — the stream
+    * analog of the reference's $addToSet upserts). */
+  def maintainTagIndex(records: DataFrame, indexPath: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    records.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = MarcContext.tagIndex(batch).localCheckpoint(true)
+        val existingDir = new java.io.File(indexPath)
+        val merged = if (existingDir.exists()) {
+          val existing = spark.read.parquet(indexPath)
+          existing.join(delta.select(col("tag").as("d_tag"), col("raw").as("d_raw")),
+              existing("tag") === col("d_tag") && existing("raw") === col("d_raw"), "left_anti")
+            .unionByName(delta)
+            .localCheckpoint(true)
+        } else delta
+        val tmp = indexPath + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (existingDir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+          }
+          rm(existingDir)
+        }
+        new java.io.File(tmp).renameTo(existingDir)
+        spark.catalog.refreshByPath(indexPath)
+      }
+
+  /** Watermarked tumbling-window event counts — the streaming form of
+    * the batch q11 plan (same logical plan under readStream). */
+  def eventWindowCounts(events: DataFrame, watermark: String = "1 hour",
+      window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap sessionization with custom state (flatMapGroupsWithState
+    * analog shaped as a plain API for tests): batch fallback uses the
+    * window form in TextOps.q20Sessionize. */
+  def sessionCounts(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    events
+      .withColumn("ts_s", col("ts").cast("long"))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(byUser))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.files._
+
+/** File-module semantics from the reference suite
+  * (tests/test_file.py:19-202, FIXTURES.md §7). */
+class FileStoreSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  def freshStore(): FileStore = {
+    val dir = java.nio.file.Files.createTempDirectory("filestore").toString
+    new FileStore(spark, dir, new LocalBlobStore(s"$dir/blobs"))
+  }
+
+  val testData: Array[Byte] = "test data".getBytes("UTF-8")
+
+  test("md5 checksum is the record id (golden from reference suite)") {
+    val store = freshStore()
+    assert(store.md5Hex(testData) == "eb733a00c0c9d336e65691a37ab54293")
+    val rec = store.importBinary(testData, Seq(Identifier("isbn", "1")), Seq("EN"),
+      "application/dlx", "test", filename = "fn.ext")
+    assert(rec._id == "eb733a00c0c9d336e65691a37ab54293")
+    assert(rec.size == 9L)
+    assert(store.fromId(rec._id).isDefined)
+  }
+
+  test("duplicate import raises FileExists; conflicts detected") {
+    val store = freshStore()
+    store.importBinary(testData, Seq(Identifier("isbn", "1")), Seq("EN"), "application/dlx", "test")
+    intercept[FileExists] {
+      store.importBinary(testData, Seq(Identifier("isbn", "1")), Seq("EN"), "application/dlx", "test")
+    }
+    intercept[FileExistsIdentifierConflict] {
+      store.importBinary(testData, Seq(Identifier("isbn", "2")), Seq("EN"), "application/dlx", "test")
+    }
+    intercept[FileExistsLanguageConflict] {
+      store.importBinary(testData, Seq(Identifier("isbn", "1")), Seq("FR"), "application/dlx", "test")
+    }
+    // overwrite bypasses the guard
+    val rec = store.importBinary(testData, Seq(Identifier("isbn", "2")), Seq("FR"),
+      "application/dlx", "test", overwrite = true)
+    assert(rec.languages == Seq("FR"))
+  }
+
+  test("validation: empty identifiers/languages/content, bad language") {
+    val store = freshStore()
+    intercept[IllegalArgumentException] {
+      store.importBinary(testData, Nil, Seq("EN"), "m", "s")
+    }
+    intercept[IllegalArgumentException] {
+      store.importBinary(testData, Seq(Identifier("isbn", "1")), Nil, "m", "s")
+    }
+    intercept[IllegalArgumentException] {
+      store.importBinary(testData, Seq(Identifier("isbn", "1")), Seq("XX"), "m", "s")
+    }
+    intercept[IllegalArgumentException] {
+      store.importBinary(Array.empty[Byte], Seq(Identifier("isbn", "1")), Seq("EN"), "m", "s")
+    }
+  }
+
+  test("encode_fn char translation (dlx/file/__init__.py:252-264)") {
+    val store = freshStore()
+    assert(store.encodeFn(Seq("A/RES 71:1"), Seq("en"), "pdf") == "A_RES_71#1-EN.pdf")
+    assert(store.encodeFn(Seq("S[2]*x;y", "B"), Seq("en", "fr"), "txt") == "S^2^!x%y&B-EN-FR.txt")
+    intercept[IllegalArgumentException] { store.encodeFn(Seq("x"), Seq("zz"), "pdf") }
+  }
+
+  test("find by identifier: case-insensitive, newest first; latest window") {
+    val store = freshStore()
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    val t1 = java.time.Instant.parse("2026-02-01T00:00:00Z")
+    store.importBinary("v1".getBytes, Seq(Identifier("symbol", "A/1")), Seq("EN"),
+      "m", "s", now = t0)
+    store.importBinary("v2".getBytes, Seq(Identifier("symbol", "a/1")), Seq("EN"),
+      "m", "s", now = t1)
+    val found = store.findByIdentifier(Identifier("symbol", "A/1"), Some("EN"))
+    assert(found.length == 2)
+    assert(found.head.timestamp.toInstant == t1) // newest first
+    val latest = store.latestByIdentifierLanguage(Identifier("symbol", "A/1"), "EN")
+    assert(latest.map(_._id) == Some(store.md5Hex("v2".getBytes)))
+    assert(store.latestPerIdentifierLanguage().count() == 2) // A/1 and a/1 spellings
+  }
+
+  test("commit stamps updated") {
+    val store = freshStore()
+    val rec = store.importBinary(testData, Seq(Identifier("isbn", "1")), Seq("EN"), "m", "s")
+    store.commit(rec)
+    val back = store.fromId(rec._id).get
+    assert(back.updated != null)
+  }
+}

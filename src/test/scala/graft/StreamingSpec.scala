@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.spark.MarcSchema
+import Fixtures._
+
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  test("watermarked window counts over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = graft.streaming.Streaming.eventWindowCounts(stream.toDF(), "10 minutes", "1 hour")
+    val query = out.writeStream.format("memory").queryName("wincounts")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    stream.addData(
+      Ev(1, ts("2026-01-01T00:10:00Z"), 1, "click", 1.0),
+      Ev(2, ts("2026-01-01T00:20:00Z"), 1, "click", 2.0),
+      Ev(3, ts("2026-01-01T01:05:00Z"), 2, "view", 3.0))
+    query.processAllAvailable()
+    // advance watermark past the first window so it emits
+    stream.addData(Ev(4, ts("2026-01-01T03:00:00Z"), 2, "view", 4.0))
+    query.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM wincounts").collect()
+    query.stop()
+    val clicks = rows.find(_.getAs[String]("event_type") == "click")
+    assert(clicks.isDefined)
+    assert(clicks.get.getAs[Long]("n") == 2L)
+  }
+
+  test("incremental tag index maintenance via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_idx").toString
+    val indexPath = s"$dir/tag_index"
+    val stream = MemoryStream[Int]
+    // batches of record ids -> MarcRow stream
+    val rows = MarcSchema.toDataset(spark, Seq(bib1, bib2)).collect()
+    val recordStream = stream.toDF().withColumn("idx", col("value"))
+    val query = graft.streaming.Streaming.maintainTagIndex(
+      recordStream.join(
+        spark.createDataset(rows.toSeq).toDF().withColumn("idx", col("_id").cast("int")), "idx"),
+      indexPath, s"$dir/chk").start()
+    stream.addData(1)
+    query.processAllAvailable()
+    val after1 = spark.read.parquet(indexPath)
+    assert(after1.where(col("tag") === "245").count() == 1)
+    stream.addData(2)
+    query.processAllAvailable()
+    spark.catalog.refreshByPath(indexPath)
+    val after2 = spark.read.parquet(indexPath)
+    assert(after2.where(col("tag") === "245").count() == 2)
+    assert(after2.where(col("tag") === "650").count() == 1) // same raw text merged
+    query.stop()
+  }
+}
