@@ -16,7 +16,8 @@ object SparkEntry {
       (q.Relational.queries, q.Relational.oracle),
       (q.TextOps.queries, q.TextOps.oracle),
       (q.VectorOps.queries, q.VectorOps.oracle),
-      (q.MarcOps.queries, q.MarcOps.oracle))
+      (q.MarcOps.queries, q.MarcOps.oracle),
+      (q.PipelineOps.queries, q.PipelineOps.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.multimodal.{MediaDecoder, Multimodal}
+import graft.text.LanguageId
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Multimodal + language-ID pipeline operators through the gate.
+  * Media content is synthesized from document text bytes (no media in
+  * the testdata); the decode layer is the documented stub, and the
+  * outputs are chosen so DuckDB replays them exactly.
+  */
+object PipelineOps {
+
+  /** Binary-column featurization: text bytes -> MediaRow -> partition-
+    * wise stub decode -> embedding norm. */
+  def q32Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromBinaryColumns(
+      documents(s, dir), "doc_id", "text", "image", "image/fake")
+    val feats = Multimodal.featurize(media, MediaDecoder.Stub)
+    feats.toDF()
+      .select(col("media_id").as("doc_id"), col("n_bytes"), col("width"), col("height"),
+        round(sqrt(
+          col("embedding")(0).cast("double") * col("embedding")(0).cast("double") +
+            col("embedding")(1).cast("double") * col("embedding")(1).cast("double") +
+            col("embedding")(2).cast("double") * col("embedding")(2).cast("double")), 4)
+          .as("embedding_norm"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-word language ID vs the labeled lang column. */
+  def q33LangId(s: SparkSession, dir: String): DataFrame = {
+    val detect = udf((text: String) => LanguageId.detect(text))
+    documents(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled"), detect(col("text")).as("predicted"))
+      .withColumn("agree", (col("labeled") === col("predicted")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_multimodal" -> (q32Multimodal _),
+    "q33_lang_id" -> (q33LangId _))
+
+  private def markerList(lang: String): String =
+    LanguageId.markers.toMap.apply(lang).toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q32_multimodal" ->
+      """SELECT doc_id,
+        |CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |CAST(strlen(text) % 1024 AS INT) AS width,
+        |CAST(ascii(substr(text, 1, 1)) + 1 AS INT) AS height,
+        |ROUND(SQRT(
+        |  CAST(strlen(text) AS DOUBLE) * CAST(strlen(text) AS DOUBLE) +
+        |  CAST(ascii(substr(text, 1, 1)) AS DOUBLE) * CAST(ascii(substr(text, 1, 1)) AS DOUBLE) +
+        |  CAST(ascii(substr(text, -1, 1)) AS DOUBLE) * CAST(ascii(substr(text, -1, 1)) AS DOUBLE)), 4) AS embedding_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_lang_id" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang AS labeled, text,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${markerList("en")}))) AS s_en,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${markerList("es")}))) AS s_es,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${markerList("de")}))) AS s_de,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${markerList("fr")}))) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, labeled,
+        |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |       WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+        |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de'
+        |       ELSE 'fr' END AS predicted,
+        |  CAST(CASE WHEN labeled = (CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |       WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+        |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de'
+        |       ELSE 'fr' END) THEN 1 ELSE 0 END AS INT) AS agree
+        |FROM scored ORDER BY doc_id""".stripMargin)
+}
