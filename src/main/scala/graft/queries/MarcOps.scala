@@ -131,7 +131,9 @@ object MarcOps {
           when(sf.getField("xref").isNotNull, lit(null).cast("string"))
             .otherwise(sf.getField("value")).as("value"),
           sf.getField("xref").as("xref"))).as("subfields"))))
-    val resolved = MarcContext.resolveLinked(stripped, marcAuths(s, dir))
+    import graft.spark.MarcSchema.marcRowEncoder
+    val resolved = MarcContext.resolveLinkedBroadcast(
+      stripped.as[graft.spark.MarcRow](marcRowEncoder), marcAuths(s, dir)).toDF()
     resolved.select(col("_id"),
       try_element_at(flatten(transform(
         filter(col("datafields"), f => f.getField("tag") === "650"),
@@ -141,12 +143,15 @@ object MarcOps {
   }
 
   /** Logical fields as config-driven Column codegen (SURVEY §2.9):
-    * subject browse counts. */
-  def q27MarcLogical(s: SparkSession, dir: String): DataFrame =
-    LogicalFields.withLogical(marcBibs(s, dir), "bib")
-      .select(explode(col("logical")("subject")).as("subject"))
+    * subject browse counts. Uses the single-field generator — reading
+    * one logical field must not pay for the whole map. */
+  def q27MarcLogical(s: SparkSession, dir: String): DataFrame = {
+    val subjectSpec = graft.config.DlxConfig.bibLogicalFields.toMap.apply("subject")
+    marcBibs(s, dir)
+      .select(explode(LogicalFields.fieldValues("subject", subjectSpec)).as("subject"))
       .groupBy("subject").agg(count(lit(1)).as("n_bibs"))
       .orderBy("subject")
+  }
 
   /** MRK serialization through the record model (row-wise library
     * call), DuckDB replays the exact golden format. */

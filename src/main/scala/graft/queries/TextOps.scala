@@ -99,22 +99,26 @@ object TextOps {
     * docs agreeing on a 2-row band. */
   def q19MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val nHashes = 8
-    val t = toks(col("text"))
-    val shingles = transform(
-      sequence(lit(1), greatest(size(t) - 2, lit(1))),
-      i => concat_ws(" ", slice(t, i, lit(3))))
+    // materialize the token array once per row; the naive
+    // slice-per-index form re-evaluates split() per shingle = O(n^2)
+    val shingles = slice(
+      transform(col("toks"), (x, i) => concat_ws(" ", x,
+        try_element_at(col("toks"), i + lit(2)), try_element_at(col("toks"), i + lit(3)))),
+      lit(1), greatest(size(col("toks")) - 2, lit(1)))
+    // all 8 minhashes in ONE aggregation pass (no 8x row blowup, one
+    // shuffle): min over shingles of md5(seed|shingle), per seed column
+    val mhCols = (0 until nHashes).map(h =>
+      min(md5(concat(lit(s"$h|"), col("shingle")))).as(s"mh$h"))
     val sigs = documents(s, dir)
-      .select(col("doc_id"), array_distinct(shingles).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(nHashes - 1))).as("h"), col("shingle"))
-      .groupBy("doc_id", "h")
-      .agg(min(md5(concat(col("h"), lit("|"), col("shingle")))).as("mh"))
-    // band id = h / 2 (bands of 2 rows); band key = concat of the band's minhashes
-    val bands = sigs
-      .withColumn("band", (col("h") / 2).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws("", sort_array(collect_list(struct(col("h"), col("mh"))))
-        .getField("mh")).as("band_key"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(shingles)).as("shingle"))
+      .groupBy("doc_id")
+      .agg(mhCols.head, mhCols.tail: _*)
+    // bands of 2 rows; band key = concat of the band's minhashes
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until nHashes / 2).map(b =>
+        struct(lit(b).as("band"), concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))

