@@ -1,0 +1,122 @@
+package graft.cli
+
+import graft.model.AuthLookup
+import graft.records.Serialization
+import graft.spark.{AuthOps, LogicalFields, MarcContext, MarcSchema}
+import graft.store.MarcStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI parity with the reference's dlx scripts (SURVEY §7 module 10).
+  * Each script is a batch job over the store at `--base`; where the
+  * reference chunks + bulk-writes (1000/10000 increments), Spark
+  * partitioning replaces the chunking entirely.
+  */
+object Cli {
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def argMap(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect { case Array(k, v) => k.stripPrefix("--") -> v }.toMap
+}
+
+/** build-text-collections analog
+  * (dlx/scripts/build_text_collections.py): full tag-index rebuild as
+  * one groupBy pipeline, written as parquet. */
+object BuildTextCollections {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = args.headOption.getOrElse(sys.error("usage: BuildTextCollections <base>"))
+    val store = new MarcStore(spark, base)
+    val records = store.read("bib").toDF().unionByName(store.read("auth").toDF())
+    MarcContext.tagIndex(records).write.mode("overwrite").parquet(s"$base/tag_index")
+    println(s"tag index rebuilt at $base/tag_index")
+    spark.stop()
+  }
+}
+
+/** build-logical-fields analog (dlx/scripts/build_logical_fields.py):
+  * recompute the logical map + browse index. */
+object BuildLogicalFields {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = args.headOption.getOrElse(sys.error("usage: BuildLogicalFields <base>"))
+    val store = new MarcStore(spark, base)
+    val all = Seq("bib", "auth").map { rt =>
+      LogicalFields.withLogical(store.read(rt).toDF(), rt)
+    }.reduce(_ unionByName _)
+    MarcContext.browseIndex(all).write.mode("overwrite").parquet(s"$base/browse_index")
+    println(s"browse index rebuilt at $base/browse_index")
+    spark.stop()
+  }
+}
+
+/** marc-import analog (dlx/scripts/marc_import.py): read .mrk/.xml
+  * files into the store. */
+object MarcImport {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: MarcImport <base> <recordType> <file.mrk|file.xml>")
+    val Array(base, recordType, path) = args.take(3)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val store = new MarcStore(spark, base)
+    implicit val auth: AuthLookup = new graft.auth.AuthIndex(
+      store.read("auth").collect().map(MarcSchema.fromRow).toSeq)
+    val content = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val records =
+      if (path.endsWith(".xml")) Serialization.setFromXml(recordType, content, authControl = true)
+      else Serialization.setFromMrk(recordType, content)
+    store.commit(MarcSchema.toDataset(spark, records), user = "marc-import")
+    println(s"imported ${records.length} $recordType records")
+    spark.stop()
+  }
+}
+
+/** auth-merge analog (dlx/scripts/auth_merge.py): rewrite xrefs from
+  * losing -> gaining across bibs and auths, delete the losing auth. */
+object AuthMerge {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: AuthMerge <base> <gaining> <losing>")
+    val Array(base, gainingS, losingS) = args.take(3)
+    val (gaining, losing) = (gainingS.toLong, losingS.toLong)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val store = new MarcStore(spark, base)
+    import MarcSchema.marcRowEncoder
+    for (rt <- Seq("bib", "auth")) {
+      val rewritten = AuthOps.mergeAuthXrefs(store.read(rt).toDF(), losing, gaining)
+        .as[graft.spark.MarcRow]
+      store.commit(rewritten, user = "auth-merge")
+    }
+    store.delete("auth", Seq(losing))
+    println(s"merged auth $losing into $gaining")
+    spark.stop()
+  }
+}
+
+/** clear-incrementers analog (dlx/scripts/clear_incrementers.py): a
+  * no-op in batch (ids derive from max over live ∪ history). */
+object ClearIncrementers {
+  def main(args: Array[String]): Unit =
+    println("no persistent id counters in the Spark engine: ids derive from max(live ∪ history)")
+}

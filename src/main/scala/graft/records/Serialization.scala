@@ -151,6 +151,46 @@ object Serialization {
   def setToMrc(recs: Seq[MarcRecord], writeId: Boolean = true)(implicit auth: AuthLookup): String =
     recs.map(toMrc(_, writeId)).mkString
 
+  /** Parse MARC21 binary. The reference's from_mrc is unfinished
+    * (raises, dlx/marc/__init__.py:1633-1649); this is a complete
+    * implementation: byte-accurate directory walk (offsets/lengths are
+    * UTF-8 byte counts), subfield split on 0x1F, 001 -> id. */
+  def fromMrc(recordType: String, mrc: String): MarcRecord = {
+    val bytes = mrc.getBytes("UTF-8")
+    def str(from: Int, until: Int) = new String(bytes.slice(from, until), "UTF-8")
+    val leader = str(0, 24)
+    val base = str(12, 17).toInt
+    var rec = MarcRecord(recordType = recordType)
+    if (!leader.startsWith("|") && leader.nonEmpty)
+      rec = rec.copy(fields = rec.fields :+ ControlField("000", leader))
+    var dirPos = 24
+    while (dirPos + 12 <= base - 1 && bytes(dirPos) != 0x1e) {
+      val tag = str(dirPos, dirPos + 3)
+      val len = str(dirPos + 3, dirPos + 7).toInt
+      val start = str(dirPos + 7, dirPos + 12).toInt
+      val fieldBytes = bytes.slice(base + start, base + start + len)
+      // strip the trailing field terminator
+      val body = new String(fieldBytes.takeWhile(_ != 0x1e), "UTF-8")
+      if (tag.startsWith("00")) {
+        rec = rec.copy(fields = rec.fields :+ ControlField(tag, body))
+        if (tag == "001") rec = rec.copy(id = body.trim.toLongOption)
+      } else {
+        val ind1 = body.substring(0, 1)
+        val ind2 = body.substring(1, 2)
+        val subs = body.substring(2).split('').filter(_.nonEmpty).map { chunk =>
+          Subfield(chunk.substring(0, 1), Some(chunk.substring(1)))
+        }.toVector
+        rec = rec.copy(fields = rec.fields :+ DataField(tag, ind1, ind2, subs))
+      }
+      dirPos += 12
+    }
+    rec
+  }
+
+  /** Split a concatenated .mrc stream on the record terminator. */
+  def setFromMrc(recordType: String, mrc: String): Seq[MarcRecord] =
+    mrc.split('').toSeq.filter(_.nonEmpty).map(fromMrc(recordType, _))
+
   // ---------------------------------------------------------------- XML
 
   private def escText(s: String): String =

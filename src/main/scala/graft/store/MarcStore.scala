@@ -128,6 +128,18 @@ final class MarcStore(spark: SparkSession, basePath: String) {
     commit(hist.as[MarcRow], user)
   }
 
+  /** Record state at a given version (1-based, oldest first) — the
+    * reference's in-memory Marc.revert (dlx/marc/__init__.py:1349-1366)
+    * as a history read. */
+  def revert(recordType: String, id: Long, version: Long): MarcRow = {
+    val rows = readHistory(recordType)
+      .where(col("_id") === id && col("version_no") === version)
+      .drop("version_no", "action")
+      .as[MarcRow].collect()
+    require(rows.nonEmpty, s"History version $version of $recordType $id does not exist")
+    rows.head
+  }
+
   /** One row per version (exploded history array — SURVEY §1.4). */
   private def appendHistory(batch: DataFrame, recordType: String,
       action: String, now: java.sql.Timestamp): Unit = {

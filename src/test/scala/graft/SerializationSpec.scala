@@ -108,6 +108,33 @@ class SerializationSpec extends AnyFunSuite {
     assert(S.setToMrc(Seq(bib1, bib2)) == control)
   }
 
+  test("from_mrc parses MARC21 binary (complete, unlike the reference)") {
+    val mrc = S.toMrc(bib1)
+    val back = S.fromMrc("bib", mrc)
+    assert(back.id.contains(1L))
+    assert(back.getValue("245", "a") == "This")
+    assert(back.getValues("520", "a") ==
+      Vector("Description", "Another description", "Repeated subfield"))
+    assert(back.getValue("650", "a") == "Header") // value was materialized in mrc
+    val f = back.getDataField("245").get
+    assert(f.ind1 == " " && f.ind2 == " ")
+  }
+
+  test("from_mrc handles multi-byte content (byte-accurate offsets)") {
+    val bib = MarcRecord(recordType = "bib", id = Some(5L))
+      .set("245", "a", "Titre é à ü")
+      .set("500", "a", "plain")
+    val back = S.fromMrc("bib", S.toMrc(bib))
+    assert(back.getValue("245", "a") == "Titre é à ü")
+    assert(back.getValue("500", "a") == "plain")
+  }
+
+  test("set from_mrc splits records on the record terminator") {
+    val recs = S.setFromMrc("bib", S.setToMrc(Seq(bib1, bib2)))
+    assert(recs.length == 2)
+    assert(recs(1).getValue("245", "a") == "Another")
+  }
+
   test("to_str golden") {
     val control = "000\n   leader\n008\n   controlfield\n245\n   a: This\n   b: is the\n   c: title\n" +
       "520\n   a: Description\n520\n   a: Another description\n   a: Repeated subfield\n" +

@@ -146,6 +146,12 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(store.read("bib").count() == 2)
     store.restore("bib", 3L, user = "t")
     assert(store.read("bib").where(col("_id") === 3L).count() == 1)
+
+    // revert reads a specific prior version
+    val v1 = store.revert("bib", 1L, 1L)
+    val v1rec = MarcSchema.fromRow(v1)
+    assert(v1rec.getValue("245", "a")(authLookup) == "This") // pre-update state
+    intercept[IllegalArgumentException] { store.revert("bib", 1L, 99L) }
   }
 
   test("auth delete guard: in-use auths cannot be deleted") {
