@@ -32,6 +32,7 @@ object MarcContext {
   def registerFunctions(spark: SparkSession): Unit = {
     spark.udf.register("dlx_scrub", scrubUdf)
     spark.udf.register("dlx_tokenize", tokenizeUdf)
+    CollationNormalizeExpr.register(spark)
   }
 
   /** (xref, tag, code, value, norm_value) — one row per subfield of
@@ -49,10 +50,17 @@ object MarcContext {
   }
 
   /** strength-1 collation shadow: lowercase + strip diacritics
-    * (SURVEY §4 collation row). */
+    * (SURVEY §4 collation row). Uses the native codegen expression
+    * when the session has it registered, else the UDF fallback. */
   def normalizeCol(c: Column): Column = {
-    val norm = udf((s: String) => if (s == null) null else graft.query.Collation.normalize(s))
-    norm(c)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if s.sessionState.functionRegistry
+          .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dlx_normalize")) =>
+        call_function("dlx_normalize", c)
+      case _ =>
+        val norm = udf((s2: String) => if (s2 == null) null else graft.query.Collation.normalize(s2))
+        norm(c)
+    }
   }
 
   /** Materialize linked subfield values via ONE broadcast join against

@@ -27,6 +27,8 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
 
   import MarcContext._
 
+  MarcContext.registerFunctions(spark)
+
   // Not cached by default: per-query tag filters push down through the
   // aggregation to the scan, so a one-shot query only tokenizes the
   // queried tag's fields. Call cacheIndexes() for repeated querying.
@@ -36,6 +38,15 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
 
   def cacheIndexes(): this.type = {
     tagIdx.cache(); browseIdx.cache(); headings.cache(); this
+  }
+
+  /** Index restricted to one tag: prunes the datafields array BEFORE
+    * the explode so a single-tag resolution never shuffles the other
+    * tags' fields (the explode can't see through a post-hoc filter). */
+  private def tagIdxFor(tag: String): DataFrame = {
+    if (tagIdx.storageLevel.useMemory) tagIdx.where(col("tag") === tag)
+    else tagIndex(bibs.unionByName(auths).withColumn("datafields",
+      filter(col("datafields"), f => f.getField("tag") === tag)))
   }
 
   private def records(recordType: String): DataFrame =
@@ -62,7 +73,7 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
 
   /** subfield values matched by a regex in the tag index. */
   def resolveTagRegex(tag: String, code: Option[String], rx: Rx): Seq[String] = {
-    val subs = tagIdx.where(col("tag") === tag)
+    val subs = tagIdxFor(tag)
       .select(explode(col("subfields")).as("s"))
       .select(col("s.code").as("c"), col("s.value").as("v"))
     val filtered = code.map(c => subs.where(col("c") === c)).getOrElse(subs)
@@ -75,7 +86,7 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
   def resolveTagText(tag: String, code: Option[String], tq: TextQuery): Seq[String] = {
     val terms = Tokenizer.tokenize(tq.terms)
     val negated = Tokenizer.tokenize(tq.negated.mkString(" "))
-    var entries = tagIdx.where(col("tag") === tag)
+    var entries = tagIdxFor(tag)
     terms.foreach(t => entries = entries.where(array_contains(col("words"), t)))
     negated.foreach(t => entries = entries.where(!array_contains(col("words"), t)))
     tq.phrases.foreach { p =>
