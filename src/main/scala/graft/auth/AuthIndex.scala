@@ -62,7 +62,7 @@ final class AuthIndex(auths: Seq[MarcRecord]) extends AuthLookup {
     * dlx/marc/__init__.py:1967-1993): unique multi-match, else the
     * single auth whose full heading subfield list equals the given
     * pairs. */
-  def resolveAmbiguous(recordType: String, tag: String, pairs: Seq[(String, String)]): Option[Long] = {
+  override def resolveAmbiguous(recordType: String, tag: String, pairs: Seq[(String, String)]): Option[Long] = {
     val sourceTag = pairs.headOption
       .flatMap(p => DlxConfig.authoritySourceTag(recordType, tag, p._1))
       .getOrElse(return None)

@@ -85,6 +85,9 @@ trait AuthLookup extends Serializable {
   def lookup(xref: Long, code: String, language: String): Option[String] = lookup(xref, code)
   /** value -> matching auth ids for (sourceTag, code) — Auth.xlookup. */
   def xlookup(sourceTag: String, code: String, value: String): Seq[Long]
+  /** multi-subfield exact-match disambiguation — Auth.resolve_ambiguous
+    * (dlx/marc/__init__.py:1967-1993); None when unresolvable. */
+  def resolveAmbiguous(recordType: String, tag: String, pairs: Seq[(String, String)]): Option[Long] = None
 }
 
 object AuthLookup {

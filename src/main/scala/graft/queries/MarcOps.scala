@@ -35,9 +35,24 @@ object MarcOps {
     struct(lit(tag).as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
       array(subs: _*).as("subfields"))
 
+  // The gate invokes each query independently but shares the session;
+  // memoize the constructed corpus per input dir (persisted) so eight
+  // MARC queries pay the construction join once.
+  private val corpusCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def cached(kind: String, dir: String)(build: => DataFrame): DataFrame =
+    corpusCache.getOrElseUpdate((kind, dir), build.persist())
+
+  def marcBibs(s: SparkSession, dir: String): DataFrame =
+    cached("bibs", dir)(buildMarcBibs(s, dir))
+
+  def marcAuths(s: SparkSession, dir: String): DataFrame =
+    cached("auths", dir)(buildMarcAuths(s, dir))
+
   /** Deterministic bib corpus from orders/lineitem/part — canonical
     * MarcRow columns built with pure expressions. */
-  def marcBibs(s: SparkSession, dir: String): DataFrame = {
+  def buildMarcBibs(s: SparkSession, dir: String): DataFrame = {
     val o = orders(s, dir)
     val firstPart = lineitem(s, dir).groupBy("l_orderkey")
       .agg(min("l_partkey").as("subject_key"))
@@ -68,7 +83,7 @@ object MarcOps {
   }
 
   /** Auth dimension from part. */
-  def marcAuths(s: SparkSession, dir: String): DataFrame =
+  def buildMarcAuths(s: SparkSession, dir: String): DataFrame =
     part(s, dir).select(
       lit("auth").as("record_type"),
       col("p_partkey").cast("long").as("_id"),

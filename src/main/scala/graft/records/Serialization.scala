@@ -76,6 +76,7 @@ object Serialization {
         val body = rest.substring(2)
         val xref: Option[Long] = """\$0(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
         var subs = Vector.empty[Subfield]
+        var ambiguous = Vector.empty[(String, String)]
         for (chunk <- body.split("\\$").filter(_.nonEmpty)) {
           val code = chunk.substring(0, 1)
           val value = chunk.substring(1)
@@ -88,10 +89,20 @@ object Serialization {
                 xrefs match {
                   case Seq(x) => subs :+= Subfield(code, None, Some(x))
                   case Seq() => throw new InvalidAuthValue(recordType, tag, code, value)
-                  case _ => throw new AmbiguousAuthValue(recordType, tag, code, value)
+                  case _ => ambiguous :+= (code -> value)
                 }
             }
           } else subs :+= Subfield(code, Some(value))
+        }
+        // multi-subfield disambiguation before giving up (reference
+        // from_mrk, dlx/marc/__init__.py:1695-1700)
+        if (ambiguous.nonEmpty) {
+          auth.resolveAmbiguous(recordType, tag, ambiguous) match {
+            case Some(x) => ambiguous.foreach { case (c, _) => subs :+= Subfield(c, None, Some(x)) }
+            case None =>
+              val (c, v) = ambiguous.head
+              throw new AmbiguousAuthValue(recordType, tag, c, v)
+          }
         }
         if (deleteSubfieldZero) subs = subs.filterNot(_.code == "0")
         rec = rec.copy(fields = rec.fields :+ DataField(tag, ind1, ind2, subs))
@@ -257,6 +268,7 @@ object Serialization {
       val xref: Option[Long] = subNodes.find(n => (n \ "@code").text == "0")
         .map(n => n.text.filter(c => c >= '0' && c <= '9').toLong)
       var subs = Vector.empty[Subfield]
+      var ambiguous = Vector.empty[(String, String)]
       for (sn <- subNodes) {
         val code = (sn \ "@code").text
         val value = sn.text
@@ -269,10 +281,18 @@ object Serialization {
               xrefs match {
                 case Seq(x) => subs :+= Subfield(code, None, Some(x))
                 case Seq() => throw new InvalidAuthValue(recordType, tag, code, value)
-                case _ => throw new AmbiguousAuthValue(recordType, tag, code, value)
+                case _ => ambiguous :+= (code -> value)
               }
           }
         } else subs :+= Subfield(code, Some(value))
+      }
+      if (ambiguous.nonEmpty) {
+        auth.resolveAmbiguous(recordType, tag, ambiguous) match {
+          case Some(x) => ambiguous.foreach { case (c, _) => subs :+= Subfield(c, None, Some(x)) }
+          case None =>
+            val (c, v) = ambiguous.head
+            throw new AmbiguousAuthValue(recordType, tag, c, v)
+        }
       }
       if (deleteSubfieldZero) subs = subs.filterNot(_.code == "0")
       rec = rec.copy(fields = rec.fields :+ DataField(tag,

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.model._
+import graft.records.{Serialization => S, TableSerialization => T}
+
+/** Property tests: parse ∘ serialize = identity for MRK / MARCXML /
+  * JMARC JSON / MRC over generated records (an improvement over the
+  * reference suite, which has only fixed goldens — SURVEY §5). */
+class RoundTripPropertySpec extends AnyFunSuite {
+
+  /** deterministic sampling (no scalatest-scalacheck bridge in the
+    * offline cache): fixed seeds, 100 cases per property */
+  private def forAll[A](g: Gen[A])(check: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    (1 to 100).foreach { i =>
+      check(g.pureApply(params, org.scalacheck.rng.Seed(i.toLong), 100))
+    }
+  }
+
+  implicit val noAuth: AuthLookup = AuthLookup.Empty
+
+  // value alphabet avoids format delimiters ('$' for MRK, control
+  // chars for MRC) — records with those can't round-trip in the
+  // reference formats either
+  private val valueGen: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '-', '.', ',', 'é', 'ü', 'ß'))))
+      .map(_.mkString.trim).suchThat(_.nonEmpty)
+
+  private val codeGen: Gen[String] = Gen.oneOf("a", "b", "c", "z")
+  // uncontrolled data tags only (auth-controlled parse needs an index)
+  private val dataTagGen: Gen[String] = Gen.oneOf("245", "269", "500", "520", "999")
+
+  private val subfieldGen: Gen[Subfield] =
+    for { c <- codeGen; v <- valueGen } yield Subfield(c, Some(v))
+
+  private val dataFieldGen: Gen[DataField] =
+    for {
+      tag <- dataTagGen
+      ind1 <- Gen.oneOf(" ", "0", "1")
+      ind2 <- Gen.oneOf(" ", "0", "9")
+      n <- Gen.chooseNum(1, 3)
+      subs <- Gen.listOfN(n, subfieldGen)
+    } yield DataField(tag, ind1, ind2, subs.toVector)
+
+  private val recordGen: Gen[MarcRecord] =
+    for {
+      id <- Gen.chooseNum(1L, 99999L)
+      nFields <- Gen.chooseNum(1, 5)
+      fields <- Gen.listOfN(nFields, dataFieldGen)
+      // MARC leaders are ASCII by definition (24 BYTES); a multi-byte
+      // leader breaks the byte math in any implementation
+      leader <- Gen.chooseNum(4, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    } yield MarcRecord(recordType = "bib", id = Some(id),
+      // fields sorted because serializations emit tag order; a set
+      // with identical content round-trips to the sorted form
+      fields = (ControlField("000", leader) +: fields.toVector).sortBy(_.tag))
+
+  private def contentKey(r: MarcRecord): Seq[(String, String, String, Seq[(String, String)])] =
+    r.getFields().map {
+      case ControlField(t, v) => (t, v, "", Nil)
+      case d: DataField => (d.tag, "", d.ind1 + d.ind2,
+        d.subfields.map(s => (s.code, s.value.getOrElse(""))))
+    }
+
+  test("MRK round-trip") {
+    forAll(recordGen) { rec =>
+      val back = S.fromMrk("bib", S.toMrk(rec), authControl = false)
+      assert(contentKey(back.deleteFields("001")) == contentKey(rec))
+      assert(back.id == rec.id)
+    }
+  }
+
+  test("MARCXML round-trip") {
+    forAll(recordGen) { rec =>
+      val back = S.fromXml("bib", S.toXml(rec), authControl = false)
+      assert(contentKey(back.deleteFields("001")) == contentKey(rec))
+      assert(back.id == rec.id)
+    }
+  }
+
+  test("JMARC JSON round-trip") {
+    forAll(recordGen) { rec =>
+      val back = S.fromJson("bib", S.toJson(rec))
+      assert(contentKey(back) == contentKey(rec))
+      assert(back.id == rec.id)
+    }
+  }
+
+  test("MRC round-trip (field content; leader is computed)") {
+    forAll(recordGen) { rec =>
+      val back = S.fromMrc("bib", S.toMrc(rec))
+      val stripCtl = (r: MarcRecord) => r.deleteFields("000", "001")
+      assert(contentKey(stripCtl(back)) == contentKey(stripCtl(rec)))
+      assert(back.id == rec.id)
+    }
+  }
+
+  test("table round-trip for records without repeated codes in a field") {
+    val simpleField = for {
+      tag <- dataTagGen
+      subs <- Gen.chooseNum(1, 3).flatMap(n =>
+        Gen.pick(n, Seq("a", "b", "c", "z")).flatMap(codes =>
+          Gen.sequence[Seq[Subfield], Subfield](codes.map(c =>
+            valueGen.map(v => Subfield(c, Some(v)))))))
+    } yield DataField(tag, " ", " ", subs.toVector)
+    val simpleRecord = for {
+      id <- Gen.chooseNum(1L, 9999L)
+      fields <- Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, simpleField))
+    } yield MarcRecord(recordType = "bib", id = Some(id),
+      fields = fields.toVector.sortBy(_.tag))
+    forAll(Gen.listOfN(2, simpleRecord)) { recs =>
+      val table = T.toTable(recs)
+      val back = T.fromTable(table, "bib", authControl = false)
+      assert(back.length == recs.length)
+      for ((orig, parsed) <- recs.zip(back)) {
+        assert(parsed.id == orig.id)
+        for (tag <- orig.getTags; code <- Seq("a", "b", "c", "z")) {
+          assert(parsed.getValues(tag, code) == orig.getValues(tag, code),
+            s"mismatch at $tag$$$code")
+        }
+      }
+    }
+  }
+}
