@@ -377,6 +377,43 @@ object Serialization {
       "fields" -> JArray(fields.toList))))
   }
 
+  /** Parse MARC-in-JSON. The reference's from_mij is an empty stub
+    * (dlx/marc/__init__.py:1630-1631); this is the complete inverse of
+    * to_mij: {leader, fields: [{tag: value} | {tag: {ind1, ind2,
+    * subfields: [{code: value}]}}]}. */
+  def fromMij(recordType: String, json: String): MarcRecord = {
+    val ast = JsonMethods.parse(json).asInstanceOf[JObject]
+    var rec = MarcRecord(recordType = recordType)
+    (ast \ "leader") match {
+      case JString(l) if l.nonEmpty =>
+        rec = rec.copy(fields = rec.fields :+ ControlField("000", l))
+      case _ =>
+    }
+    (ast \ "fields") match {
+      case JArray(fields) =>
+        fields.foreach {
+          case JObject(List((tag, JString(value)))) =>
+            if (tag != "000") { // leader already captured
+              rec = rec.copy(fields = rec.fields :+ ControlField(tag, value))
+              if (tag == "001") rec = rec.copy(id = value.trim.toLongOption)
+            }
+          case JObject(List((tag, body: JObject))) =>
+            val ind1 = (body \ "ind1") match { case JString(s) => s; case _ => " " }
+            val ind2 = (body \ "ind2") match { case JString(s) => s; case _ => " " }
+            val subs = (body \ "subfields") match {
+              case JArray(ss) => ss.collect {
+                case JObject(List((code, JString(v)))) => Subfield(code, Some(v))
+              }.toVector
+              case _ => Vector.empty
+            }
+            rec = rec.copy(fields = rec.fields :+ DataField(tag, ind1, ind2, subs))
+          case _ =>
+        }
+      case _ =>
+    }
+    rec
+  }
+
   /** Parse a JMARC JSON document (reference Marc.parse,
     * dlx/marc/__init__.py:629-639 + from_json 1787-1789). Datafields
     * where every subfield lacks both value and xref are dropped. */

@@ -83,6 +83,22 @@ class FileStoreSpec extends AnyFunSuite {
     assert(store.latestPerIdentifierLanguage().count() == 2) // A/1 and a/1 spellings
   }
 
+  test("Bib.files linkage by 191 symbol + language") {
+    import graft.model._
+    implicit val noAuth: AuthLookup = AuthLookup.Empty
+    val store = freshStore()
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    val t1 = java.time.Instant.parse("2026-02-01T00:00:00Z")
+    store.importBinary("v1".getBytes, Seq(Identifier("symbol", "A/RES/1")), Seq("EN"), "m", "s", now = t0)
+    store.importBinary("v2".getBytes, Seq(Identifier("symbol", "A/RES/1")), Seq("EN"), "m", "s", now = t1)
+    val bib = MarcRecord(recordType = "bib").set("191", "a", "A/RES/1")
+    val all = BibFiles.files(bib, store, Some("EN"))
+    assert(all.length == 2)
+    val latest = BibFiles.file(bib, store, "EN")
+    assert(latest.map(_._id) == Some(store.md5Hex("v2".getBytes)))
+    assert(BibFiles.file(MarcRecord(recordType = "bib"), store, "EN").isEmpty)
+  }
+
   test("commit stamps updated") {
     val store = freshStore()
     val rec = store.importBinary(testData, Seq(Identifier("isbn", "1")), Seq("EN"), "m", "s")

@@ -226,6 +226,16 @@ class SerializationSpec extends AnyFunSuite {
     assert(mij.contains(""""245":{"ind1":" ","ind2":" ","subfields":[{"a":"This"}"""))
   }
 
+  test("from_mij roundtrip (complete, unlike the reference stub)") {
+    val back = S.fromMij("bib", S.toMij(bib1))
+    assert(back.getValue("000") == "leader")
+    assert(back.getValue("245", "a") == "This")
+    assert(back.getValues("520", "a") ==
+      Vector("Description", "Another description", "Repeated subfield"))
+    assert(back.getValue("650", "a") == "Header") // materialized value
+    assert(back.getValue("008") == "controlfield")
+  }
+
   test("jmarc parse drops empty datafields and keeps repeated tags") {
     val json = """{"_id": 9, "000": ["leader"], "520": [
       {"indicators": [" ", " "], "subfields": [{"code": "a", "value": "one"}]},
