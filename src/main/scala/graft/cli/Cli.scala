@@ -14,20 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object Cli {
 
-  private def session(): SparkSession = {
-    val s = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
-
   private def argMap(args: Array[String]): Map[String, String] =
     args.sliding(2, 2).collect { case Array(k, v) => k.stripPrefix("--") -> v }.toMap
+
+  /** getOrCreate + remember whether the session pre-existed (tests
+    * share one session; a CLI must not stop a session it didn't own). */
+  def obtainSession(): (SparkSession, Boolean) = {
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val s = SparkSession.builder().master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    (s, preExisting)
+  }
+
+  def release(spark: SparkSession, preExisting: Boolean): Unit =
+    if (!preExisting) spark.stop()
 }
 
 /** build-text-collections analog
@@ -35,16 +39,13 @@ object Cli {
   * one groupBy pipeline, written as parquet. */
 object BuildTextCollections {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (spark, preExisting) = Cli.obtainSession()
     val base = args.headOption.getOrElse(sys.error("usage: BuildTextCollections <base>"))
     val store = new MarcStore(spark, base)
     val records = store.read("bib").toDF().unionByName(store.read("auth").toDF())
     MarcContext.tagIndex(records).write.mode("overwrite").parquet(s"$base/tag_index")
     println(s"tag index rebuilt at $base/tag_index")
-    spark.stop()
+    Cli.release(spark, preExisting)
   }
 }
 
@@ -52,10 +53,7 @@ object BuildTextCollections {
   * recompute the logical map + browse index. */
 object BuildLogicalFields {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (spark, preExisting) = Cli.obtainSession()
     val base = args.headOption.getOrElse(sys.error("usage: BuildLogicalFields <base>"))
     val store = new MarcStore(spark, base)
     val all = Seq("bib", "auth").map { rt =>
@@ -63,7 +61,7 @@ object BuildLogicalFields {
     }.reduce(_ unionByName _)
     MarcContext.browseIndex(all).write.mode("overwrite").parquet(s"$base/browse_index")
     println(s"browse index rebuilt at $base/browse_index")
-    spark.stop()
+    Cli.release(spark, preExisting)
   }
 }
 
@@ -73,10 +71,7 @@ object MarcImport {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: MarcImport <base> <recordType> <file.mrk|file.xml>")
     val Array(base, recordType, path) = args.take(3)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (spark, preExisting) = Cli.obtainSession()
     val store = new MarcStore(spark, base)
     implicit val auth: AuthLookup = new graft.auth.AuthIndex(
       store.read("auth").collect().map(MarcSchema.fromRow).toSeq)
@@ -86,7 +81,7 @@ object MarcImport {
       else Serialization.setFromMrk(recordType, content)
     store.commit(MarcSchema.toDataset(spark, records), user = "marc-import")
     println(s"imported ${records.length} $recordType records")
-    spark.stop()
+    Cli.release(spark, preExisting)
   }
 }
 
@@ -97,10 +92,7 @@ object AuthMerge {
     require(args.length >= 3, "usage: AuthMerge <base> <gaining> <losing>")
     val Array(base, gainingS, losingS) = args.take(3)
     val (gaining, losing) = (gainingS.toLong, losingS.toLong)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (spark, preExisting) = Cli.obtainSession()
     val store = new MarcStore(spark, base)
     import MarcSchema.marcRowEncoder
     for (rt <- Seq("bib", "auth")) {
@@ -110,7 +102,7 @@ object AuthMerge {
     }
     store.delete("auth", Seq(losing))
     println(s"merged auth $losing into $gaining")
-    spark.stop()
+    Cli.release(spark, preExisting)
   }
 }
 

@@ -374,31 +374,33 @@ final case class MarcRecord(
 }
 
 /** Field-multiset comparison (reference Diff,
-  * dlx/marc/__init__.py:2235-2282): a = fields only in self, b = only
-  * in other, c = common, d = order differs, e = duplication count
-  * differs. */
+  * dlx/marc/__init__.py:2235-2282): a = fields only in self (with
+  * duplicates), b = only in other, c = common, d = common but at a
+  * different position within their tag, e = duplicated a different
+  * number of times. `different` = a or b or d or e — exactly the
+  * reference's equality check. */
 final case class Diff(recA: MarcRecord, recB: MarcRecord) {
   private def key(f: Field): (String, String) = f match {
     case ControlField(t, v) => (t, v)
-    case d: DataField => (d.tag, d.ind1 + "" + d.ind2 + "" +
-      d.subfields.map(s => s.code + "=" + s.value.getOrElse("") + "@" + s.xref.getOrElse(-1L)).mkString(""))
+    case d: DataField => (d.tag, d.ind1 + "" + d.ind2 + "" +
+      d.subfields.map(s => s.code + "=" + s.value.getOrElse("") + "@" + s.xref.getOrElse(-1L)).mkString(""))
   }
-  private val aKeys = recA.fields.map(key)
-  private val bKeys = recB.fields.map(key)
-  private val aCount = aKeys.groupBy(identity).view.mapValues(_.size).toMap
-  private val bCount = bKeys.groupBy(identity).view.mapValues(_.size).toMap
+  private val aCount = recA.fields.map(key).groupBy(identity).view.mapValues(_.size).toMap
+  private val bCount = recB.fields.map(key).groupBy(identity).view.mapValues(_.size).toMap
 
-  val a: Vector[Field] = recA.fields.filter(f => !bCount.contains(key(f))).distinctBy(key)
-  val b: Vector[Field] = recB.fields.filter(f => !aCount.contains(key(f))).distinctBy(key)
-  val c: Vector[Field] = recA.fields.filter(f => bCount.contains(key(f))).distinctBy(key)
-  /** common fields whose relative order differs */
-  val d: Vector[Field] = {
-    val commonA = aKeys.filter(bCount.contains)
-    val commonB = bKeys.filter(aCount.contains)
-    if (commonA == commonB) Vector.empty
-    else c.filter { f => commonA.indexOf(key(f)) != commonB.indexOf(key(f)) }
-  }
+  val a: Vector[Field] = recA.fields.filter(f => !bCount.contains(key(f)))
+  val b: Vector[Field] = recB.fields.filter(f => !aCount.contains(key(f)))
+  val c: Vector[Field] = recA.fields.filter(f => bCount.contains(key(f)))
+
+  private def indexWithinTag(rec: MarcRecord, f: Field): Int =
+    rec.getFields(f.tag).indexWhere(g => key(g) == key(f))
+
+  /** common fields at a different position within their tag's fields */
+  val d: Vector[Field] =
+    c.filter(f => indexWithinTag(recA, f) != indexWithinTag(recB, f))
+
   /** common fields with different duplication counts */
   val e: Vector[Field] = c.filter(f => aCount(key(f)) != bCount(key(f)))
-  val different: Boolean = a.nonEmpty || b.nonEmpty
+
+  val different: Boolean = a.nonEmpty || b.nonEmpty || d.nonEmpty || e.nonEmpty
 }

@@ -103,6 +103,25 @@ class MarcModelSpec extends AnyFunSuite {
     assert(d.b.exists(_.tag == "245")) // 245 differs (values)
   }
 
+  test("diff: d (order within tag) and e (duplication counts) drive difference") {
+    val f1 = DataField("520", " ", " ", Vector(Subfield("a", Some("one"))))
+    val f2 = DataField("520", " ", " ", Vector(Subfield("a", Some("two"))))
+    val ra = MarcRecord(recordType = "bib", fields = Vector(f1, f2))
+    val rb = MarcRecord(recordType = "bib", fields = Vector(f2, f1))
+    val dd = Diff(ra, rb)
+    assert(dd.a.isEmpty && dd.b.isEmpty)
+    assert(dd.d.length == 2) // same fields, swapped positions
+    assert(dd.different) // order difference alone makes them different
+
+    val rc = MarcRecord(recordType = "bib", fields = Vector(f1))
+    val rd = MarcRecord(recordType = "bib", fields = Vector(f1, f1))
+    val de = Diff(rc, rd)
+    assert(de.e.nonEmpty) // duplicated a different number of times
+    assert(de.different)
+
+    assert(!Diff(ra, ra.copy()).different)
+  }
+
   test("zmerge fills missing values only") {
     val target = MarcRecord(recordType = "bib",
       fields = Vector(DataField("245", " ", " ", Vector(Subfield("a", Some("Mine"))))))
