@@ -58,6 +58,76 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
   def run(query: String, recordType: String = "bib"): DataFrame =
     run(QueryParser.parse(query, recordType))
 
+  /** The unbounded-match execution path (SCALING.md): top-level
+    * positive text/regex conditions become LEFT SEMI joins against the
+    * index DataFrames instead of collected in-lists — no driver
+    * materialization, no size cap. Catalyst/AQE picks broadcast vs
+    * shuffled semi join from runtime sizes. Remaining conditions
+    * compile to predicates as usual. */
+  def runSemiJoin(ast: QueryAst): DataFrame = {
+    val rt = ast.recordType
+    val (joinable, rest) = ast.conditions.partition {
+      case TagText(_, _, _, false, _) => true
+      case TagRegex(_, _, _, false, _) => true
+      case _ => false
+    }
+    var df = records(rt)
+    if (rest.nonEmpty) df = df.where(rest.map(compileCond(_, rt)).reduce(_ && _))
+
+    for (cond <- joinable) {
+      val (tag, code, matchedValues: DataFrame) = cond match {
+        case TagRegex(t, c, rx, _, _) =>
+          val subs = tagIdxFor(t).select(explode(col("subfields")).as("s"))
+            .select(col("s.code").as("c"), col("s.value").as("v"))
+          val scoped = c.map(cc => subs.where(col("c") === cc)).getOrElse(subs)
+          (t, c, scoped.where(rxFilter(rx)).select(normalizeCol(col("v")).as("mnorm")).distinct())
+        case TagText(t, c, tq, _, _) =>
+          val terms = Tokenizer.tokenize(tq.terms)
+          val negated = Tokenizer.tokenize(tq.negated.mkString(" "))
+          var entries = tagIdxFor(t)
+          terms.foreach(w => entries = entries.where(array_contains(col("words"), w)))
+          negated.foreach(w => entries = entries.where(!array_contains(col("words"), w)))
+          tq.phrases.foreach { p =>
+            entries = entries.where(col("text").rlike("\\b" + java.util.regex.Pattern.quote(p) + "\\b"))
+          }
+          val values = entries.select(explode(col("subfields")).as("s"))
+            .select(col("s.code").as("c"), col("s.value").as("v"))
+          val scoped = c.map(cc => values.where(col("c") === cc)).getOrElse(values)
+            .where(col("v").isNotNull && col("v") =!= "")
+          // value-level term containment via the tokenizer UDF
+          val termsOk = terms.foldLeft(scoped) { (d, w) =>
+            d.where(array_contains(tokenizeUdf(col("v")), w))
+          }
+          (t, c, termsOk.select(normalizeCol(col("v")).as("mnorm")).distinct())
+        case other => throw new IllegalStateException(other.toString)
+      }
+      // records whose tag subfields hit the matched values
+      val exploded = df.select(col("_id").as("rid"), explode(col("datafields")).as("f"))
+        .where(col("f.tag") === tag)
+        .select(col("rid"), explode(col("f.subfields")).as("s"))
+      val codeScoped = code.map(c => exploded.where(col("s.code") === c)).getOrElse(exploded)
+      val valueHits = codeScoped
+        .join(matchedValues, normalizeCol(col("s.value")) === col("mnorm"))
+        .select("rid")
+      // auth xref OR branch: heading values in the matched set
+      val xrefHits =
+        if (DlxConfig.authorityControlled(rt).contains(tag) &&
+            code.forall(c => DlxConfig.isAuthorityControlled(rt, tag, c))) {
+          val src = DlxConfig.authorityControlled(rt)(tag).values.head
+          val xrefDf = headings.where(col("tag") === src)
+            .join(matchedValues, col("norm_value") === col("mnorm"))
+            .select(col("xref").as("mxref")).distinct()
+          exploded.join(xrefDf, col("s.xref") === col("mxref")).select("rid")
+        } else df.sparkSession.emptyDataFrame.withColumn("rid", lit(0L)).limit(0).select("rid")
+      val hits = valueHits.union(xrefHits).distinct()
+      df = df.join(hits, df("_id") === hits("rid"), "left_semi")
+    }
+    df
+  }
+
+  def runSemiJoin(query: String, recordType: String): DataFrame =
+    runSemiJoin(QueryParser.parse(query, recordType))
+
   def compile(ast: QueryAst): Column =
     ast.conditions.map(compileCond(_, ast.recordType)).reduceOption(_ && _).getOrElse(lit(true))
 

@@ -75,6 +75,18 @@ class SparkMarcSpec extends AnyFunSuite {
     }
   }
 
+  test("semi-join execution path matches the in-list path") {
+    val queries = Seq(
+      "650__a:/[Hh]eader/", "650:/eader/", "245:titl*", "650:head*",
+      "520__a:\"another description\"", "245__c:*itl*",
+      "245__a:'This' AND 650__a:head*")
+    for (q <- queries) {
+      val inList = compiler.run(q).select("_id").collect().map(_.getLong(0)).toSet
+      val semi = compiler.runSemiJoin(q, "bib").select("_id").collect().map(_.getLong(0)).toSet
+      assert(semi == inList, s"query '$q': semi=$semi inlist=$inList")
+    }
+  }
+
   test("resolveLinked materializes values via broadcast join") {
     // strip materialized values first to prove the join resolves them
     val stripped = bibsDs.toDF().withColumn("datafields",
