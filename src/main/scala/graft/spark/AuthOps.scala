@@ -43,6 +43,47 @@ object AuthOps {
         f.getField("subfields").as("subfields"))))
   }
 
+  /** Full heading-change cascade (update_attached_records,
+    * dlx/marc/__init__.py:1155-1232) as ONE array transform over the
+    * records table — three effects applied only to fields referencing
+    * the auth id: tag rename to field.tag[0] + newTag[1:] when the
+    * heading tag moved; subfields whose codes were removed from the
+    * heading are dropped; codes added to the heading are appended as
+    * unresolved linked subfields (value materializes on the next
+    * resolve join). */
+  def cascadeHeadingChange(records: DataFrame, authId: Long,
+      oldHeadingTag: String, oldCodes: Seq[String],
+      newHeadingTag: String, newCodes: Seq[String]): DataFrame = {
+    val removed = oldCodes.filterNot(newCodes.contains)
+    val added = newCodes.filterNot(oldCodes.contains)
+    val newSuffix = newHeadingTag.substring(1)
+
+    records.withColumn("datafields",
+      transform(col("datafields"), f => {
+        val refsAuth = exists(f.getField("subfields"), s => s.getField("xref") === authId)
+        val newTag =
+          if (oldHeadingTag != newHeadingTag)
+            when(refsAuth, concat(substring(f.getField("tag"), 1, 1), lit(newSuffix)))
+              .otherwise(f.getField("tag"))
+          else f.getField("tag")
+        val afterDrop =
+          if (removed.nonEmpty)
+            when(refsAuth, filter(f.getField("subfields"),
+              s => !s.getField("code").isin(removed: _*)))
+              .otherwise(f.getField("subfields"))
+          else f.getField("subfields")
+        val afterAdd =
+          if (added.nonEmpty)
+            when(refsAuth, concat(afterDrop, array(added.map(c =>
+              struct(lit(c).as("code"), lit(null).cast("string").as("value"),
+                lit(authId).as("xref"))): _*)))
+              .otherwise(afterDrop)
+          else afterDrop
+        struct(newTag.as("tag"), f.getField("ind1").as("ind1"),
+          f.getField("ind2").as("ind2"), afterAdd.as("subfields"))
+      }))
+  }
+
   /** Refresh the materialized values of linked subfields after a
     * heading value change: ONE broadcast join against the new heading
     * dimension (the cascade "re-commit attached" loop,

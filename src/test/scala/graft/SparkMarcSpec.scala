@@ -122,6 +122,25 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(tags.contains("710")) // untouched (different xref)
   }
 
+  test("full heading-change cascade: retag + drop + add subfields") {
+    // auth 1 heading moves 150$a -> 151 with $a removed, $z added
+    val cascaded = AuthOps.cascadeHeadingChange(bibsDs.toDF(), authId = 1L,
+      oldHeadingTag = "150", oldCodes = Seq("a"),
+      newHeadingTag = "151", newCodes = Seq("z"))
+    val f = cascaded.where(col("_id") === 1L)
+      .select(explode(col("datafields")).as("f"))
+      .where(col("f.tag") === "651") // 650 renamed
+      .select(col("f.subfields").as("subs")).head()
+    val subs = f.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("subs")
+    assert(subs.map(_.getString(0)) == Seq("z")) // $a dropped, $z added
+    assert(subs.head.getLong(2) == 1L) // linked to the auth
+    // untouched field (different xref) keeps its tag and subfields
+    val tags = cascaded.where(col("_id") === 1L)
+      .select(explode(col("datafields")).as("f")).select("f.tag")
+      .collect().map(_.getString(0)).toSet
+    assert(tags.contains("710"))
+  }
+
   test("auth use counts") {
     val counts = MarcContext.authUseCounts(bibsDs.toDF()).collect()
       .map(r => r.getAs[Long]("xref") -> r.getAs[Long]("use_count")).toMap
