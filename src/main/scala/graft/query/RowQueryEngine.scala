@@ -86,7 +86,8 @@ final class RowQueryEngine(bibs: Seq[MarcRecord], authRecords: Seq[MarcRecord]) 
     " " + r.fields.collect { case d: DataField => Tokenizer.scrub(fieldText(d)) }.mkString(" ") + " "
 
   def recordWords(r: MarcRecord): Set[String] =
-    Tokenizer.tokenize(r.fields.collect { case d: DataField => fieldText(d) }.mkString(" ")).toSet
+    Tokenizer.tokenize(
+      r.fields.collect { case d: DataField => Tokenizer.scrub(fieldText(d)) }.mkString(" ")).toSet
 
   // ---- value matching helpers
 

@@ -47,8 +47,11 @@ object MarcSchema {
     val fieldTexts = rec.fields.collect { case d: DataField =>
       d.subfields.map(_.resolvedValue(auth).getOrElse("")).mkString(" ")
     }
+    // record text = scrubbed field texts joined; words = tokenize of
+    // the SCRUBBED text, duplicates kept (reference commit,
+    // dlx/marc/__init__.py:953-956: data['words'] = tokenize(text))
     val text = fieldTexts.map(graft.text.Tokenizer.scrub).mkString(" ")
-    val words = graft.text.Tokenizer.tokenize(fieldTexts.mkString(" ")).distinct
+    val words = graft.text.Tokenizer.tokenize(text)
     MarcRow(
       record_type = rec.recordType,
       _id = rec.id.getOrElse(0L),

@@ -34,6 +34,12 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(r1.words.contains("anoth"))
     assert(r1.logical("title") == Seq("This is the"))
     assert(r1.logical("_record_type") == Seq("default", "bib"))
+    // duplicates kept, like reference commit (test_marc.py:123-126:
+    // 'TESTING TESTING 1234' -> ['test', 'test', '1234'])
+    val dup = MarcSchema.toRow(graft.model.MarcRecord(recordType = "bib", id = Some(9L))
+      .set("245", "a", "TESTING TESTING 1234"))(graft.model.AuthLookup.Empty)
+    assert(dup.text == " testing testing 1234 ")
+    assert(dup.words == Seq("test", "test", "1234"))
   }
 
   test("authHeadings dimension") {
