@@ -112,7 +112,10 @@ final class MarcStore(spark: SparkSession, basePath: String) {
       require(inUse == 0, s"Auth record(s) in use: cannot delete")
     }
     val live = read(recordType)
-    val deleted = live.filter(col("_id").isin(ids: _*)).toDF().localCheckpoint(true)
+    // stamp the deletion time on the history marker (reference records
+    // deleted.user/time, dlx/marc/__init__.py:1288-1308)
+    val deleted = live.filter(col("_id").isin(ids: _*)).toDF()
+      .withColumn("updated", lit(now)).localCheckpoint(true)
     writeTable(live.filter(!col("_id").isin(ids: _*)).toDF(), tablePath(recordType))
     appendHistory(deleted, recordType, "deleted", now)
   }
@@ -127,6 +130,27 @@ final class MarcStore(spark: SparkSession, basePath: String) {
     require(!hist.isEmpty, s"History for $recordType $id not found")
     commit(hist.as[MarcRow], user)
   }
+
+  /** History.from_query analog (dlx/marc/__init__.py:2345-2354): run
+    * a search-string query against the version records. */
+  def queryHistory(recordType: String, query: String): DataFrame = {
+    val hist = readHistory(recordType)
+    val compiler = new graft.spark.SparkQueryCompiler(spark,
+      hist.drop("version_no", "action"), read("auth").toDF())
+    hist.where(compiler.compile(graft.query.QueryParser.parse(query, recordType)))
+  }
+
+  /** Deleted record ids matching a query (History.find_deleted). */
+  def findDeleted(recordType: String, query: String): DataFrame =
+    queryHistory(recordType, query).where(col("action") === "deleted").select("_id").distinct()
+
+  /** Deleted record ids in a time window (History.deleted_by_date). */
+  def deletedByDate(recordType: String, from: java.time.Instant, to: java.time.Instant): DataFrame =
+    readHistory(recordType)
+      .where(col("action") === "deleted" &&
+        col("updated") >= lit(java.sql.Timestamp.from(from)) &&
+        col("updated") < lit(java.sql.Timestamp.from(to)))
+      .select("_id").distinct()
 
   /** Record state at a given version (1-based, oldest first) — the
     * reference's in-memory Marc.revert (dlx/marc/__init__.py:1349-1366)

@@ -191,6 +191,27 @@ class SparkMarcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { store.revert("bib", 1L, 99L) }
   }
 
+  test("history queries: from_query, find_deleted, deleted_by_date (test_marc.py:1122-1146)") {
+    val dir = java.nio.file.Files.createTempDirectory("marcstore3").toString
+    val store = new graft.store.MarcStore(spark, dir)
+    val rec = MarcRecord(recordType = "bib").set("245", "a", "new record")
+    store.commit(MarcSchema.toDataset(spark, Seq(rec)), user = "t")
+    val id = store.read("bib").head()._id
+    assert(store.queryHistory("bib", "245__a:'new record'")
+      .select("_id").collect().map(_.getLong(0)).toSeq == Seq(id))
+
+    store.delete("bib", Seq(id))
+    assert(store.findDeleted("bib", "245__a:'new record'")
+      .collect().map(_.getLong(0)).toSeq == Seq(id))
+    assert(store.deletedByDate("bib",
+      java.time.Instant.parse("1999-12-31T00:00:00Z"),
+      java.time.Instant.parse("2999-12-31T00:00:00Z"))
+      .collect().map(_.getLong(0)).toSeq == Seq(id))
+
+    store.restore("bib", id, user = "t")
+    assert(store.read("bib").where(col("_id") === id).count() == 1)
+  }
+
   test("auth delete guard: in-use auths cannot be deleted") {
     val dir = java.nio.file.Files.createTempDirectory("marcstore2").toString
     val store = new graft.store.MarcStore(spark, dir)
