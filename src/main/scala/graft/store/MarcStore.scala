@@ -69,11 +69,44 @@ final class MarcStore(spark: SparkSession, basePath: String) {
     recs.filter(col("_id") =!= 0L).unionByName(needIds.as[MarcRow])
   }
 
+  /** Commit-time auth validation (reference auth_validate,
+    * dlx/marc/__init__.py:890-904): controlled subfields must carry a
+    * resolvable xref; uncontrolled subfields must not carry one. One
+    * join job against the heading dimension. */
+  private def authValidate(recs: Dataset[MarcRow], rt: String): Unit = {
+    val controlledKeys = graft.config.DlxConfig.authorityControlled(rt)
+      .flatMap { case (tag, codes) => codes.keys.map(c => s"$tag|$c") }.toSeq
+    val subs = recs.toDF()
+      .select(col("_id"), explode(col("datafields")).as("f"))
+      .select(col("_id"), col("f.tag").as("tag"), explode(col("f.subfields")).as("s"))
+      .select(col("_id"), col("tag"), col("s.code").as("code"), col("s.xref").as("xref"))
+      .withColumn("ckey", concat(col("tag"), lit("|"), col("code")))
+    val controlled = subs.where(col("ckey").isin(controlledKeys: _*))
+    val uncontrolledWithXref = subs
+      .where(!col("ckey").isin(controlledKeys: _*) && col("xref").isNotNull)
+    val missingXref = controlled.where(col("xref").isNull)
+    val headings = graft.spark.MarcContext.authHeadings(read("auth").toDF())
+      .select(col("xref").as("h_xref"), col("code").as("h_code"))
+    val badXref = controlled.where(col("xref").isNotNull)
+      .join(headings, controlled("xref") === headings("h_xref") &&
+        controlled("code") === headings("h_code"), "left_anti")
+    val bad = uncontrolledWithXref.limit(1).collect() ++
+      missingXref.limit(1).collect() ++ badXref.limit(1).collect()
+    if (bad.nonEmpty) {
+      val r = bad.head
+      throw new IllegalArgumentException(
+        s"Auth validation failed for $rt ${r.getAs[Long]("_id")} " +
+          s"${r.getAs[String]("tag")}$$${r.getAs[String]("code")} xref=${r.getAs[Any]("xref")}")
+    }
+  }
+
   /** Upsert a batch: keep the incoming row for each _id, keep
     * untouched rows, stamp audit columns, append history. */
   def commit(recs: Dataset[MarcRow], user: String,
-      now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now())): Unit = {
+      now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()),
+      authCheck: Boolean = false): Unit = {
     val rt = recs.head().record_type
+    if (authCheck) authValidate(recs, rt)
     val live = read(rt)
     val incomingRaw = assignIds(recs)
 

@@ -191,6 +191,25 @@ class SparkMarcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { store.revert("bib", 1L, 99L) }
   }
 
+  test("commit auth validation (reference auth_validate)") {
+    val dir = java.nio.file.Files.createTempDirectory("marcstore4").toString
+    val store = new graft.store.MarcStore(spark, dir)
+    // bibs referencing auths that don't exist yet -> invalid xref
+    intercept[IllegalArgumentException] {
+      store.commit(bibsDs, user = "t", authCheck = true)
+    }
+    store.commit(authsDs, user = "t")
+    store.commit(bibsDs, user = "t", authCheck = true) // now valid
+    assert(store.read("bib").count() == 2)
+    // controlled subfield with a literal value (no xref) -> invalid
+    val badRec = MarcSchema.toDataset(spark, Seq(
+      MarcRecord(recordType = "bib", id = Some(8L), fields = Vector(
+        DataField("650", " ", " ", Vector(Subfield("a", Some("literal not allowed"))))))))
+    intercept[IllegalArgumentException] {
+      store.commit(badRec, user = "t", authCheck = true)
+    }
+  }
+
   test("history queries: from_query, find_deleted, deleted_by_date (test_marc.py:1122-1146)") {
     val dir = java.nio.file.Files.createTempDirectory("marcstore3").toString
     val store = new graft.store.MarcStore(spark, dir)
