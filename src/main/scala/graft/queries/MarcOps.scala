@@ -212,6 +212,41 @@ object MarcOps {
       .orderBy("_id")
   }
 
+  /** Tabular serialization through the library: each bib rendered to
+    * its `place.tag$code` table cells (sorted header order), exploded
+    * to (record, column, cell) rows — the to_table/to_csv operator
+    * with a SQL replay. */
+  def q34MarcTable(s: SparkSession, dir: String): DataFrame = {
+    val cellsUdf = udf((id: Long, prio: String, status: String, odate: String,
+        pname: String, pkey: java.lang.Long) => {
+      implicit val auth: AuthLookup = AuthLookup.Empty
+      var rec = MarcRecord(recordType = "bib", id = Some(id))
+        .set("245", "a", prio).set("245", "b", status)
+        .set("269", "a", odate)
+      if (pkey != null) {
+        rec = rec.setXref("650", "a", pkey.longValue)
+        rec = rec.copy(fields = rec.fields.map {
+          case d: graft.model.DataField if d.tag == "650" =>
+            d.copy(subfields = d.subfields.map(sf => sf.copy(value = Some(pname))))
+          case f => f
+        })
+      }
+      val table = graft.records.TableSerialization.toTable(Seq(rec))
+      table.header.map(h => (h, table.get(1, h).getOrElse("")))
+    })
+    val o = orders(s, dir)
+    val firstPart = lineitem(s, dir).groupBy("l_orderkey").agg(min("l_partkey").as("pk"))
+    val p = broadcast(part(s, dir).select(col("p_partkey"), col("p_name")))
+    o.join(firstPart, col("o_orderkey") === col("l_orderkey"), "left")
+      .join(p, col("pk") === col("p_partkey"), "left")
+      .select(col("o_orderkey").as("_id"),
+        posexplode(cellsUdf(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"), col("p_name"), col("pk")))
+          .as(Seq("col_pos", "cell")))
+      .select(col("_id"), col("col_pos"), col("cell._1").as("col_name"), col("cell._2").as("cell_value"))
+      .orderBy("_id", "col_pos")
+  }
+
   /** Auth-use aggregation (calculate_auth_use): per-xref counts. */
   def q30MarcAuthUse(s: SparkSession, dir: String): DataFrame =
     MarcContext.authUseCounts(marcBibs(s, dir))
@@ -232,6 +267,7 @@ object MarcOps {
     "q28_marc_mrk" -> (q28MarcMrk _),
     "q29_marc_roundtrip" -> (q29MarcRoundtrip _),
     "q30_marc_auth_use" -> (q30MarcAuthUse _),
+    "q34_marc_table" -> (q34MarcTable _),
     "q31_marc_xref_query" -> (q31MarcXrefQuery _))
 
   val oracle: Map[String, String] = Map(
@@ -268,6 +304,19 @@ object MarcOps {
       s"""WITH $oracleBibs
         |SELECT id AS _id, prio || '|' || odate AS roundtrip
         |FROM bibs ORDER BY _id""".stripMargin,
+    "q34_marc_table" ->
+      s"""WITH $oracleBibs
+        |SELECT _id, col_pos, col_name, cell_value FROM (
+        |  SELECT id AS _id, CAST(0 AS INT) AS col_pos, '1.001' AS col_name, CAST(id AS VARCHAR) AS cell_value FROM bibs
+        |  UNION ALL SELECT id, 1, '1.245__', '__' FROM bibs
+        |  UNION ALL SELECT id, 2, '1.245$$a', prio FROM bibs
+        |  UNION ALL SELECT id, 3, '1.245$$b', status FROM bibs
+        |  UNION ALL SELECT id, 4, '1.269__', '__' FROM bibs
+        |  UNION ALL SELECT id, 5, '1.269$$a', odate FROM bibs
+        |  UNION ALL SELECT id, 6, '1.650$$0', CAST(subject_key AS VARCHAR) FROM bibs WHERE subject_key IS NOT NULL
+        |  UNION ALL SELECT id, 7, '1.650__', '__' FROM bibs WHERE subject_key IS NOT NULL
+        |  UNION ALL SELECT id, 8, '1.650$$a', p_name FROM bibs WHERE subject_key IS NOT NULL
+        |) t ORDER BY _id, col_pos""".stripMargin,
     "q30_marc_auth_use" ->
       """SELECT CAST(subject_key AS BIGINT) AS xref, COUNT(*) AS use_count
         |FROM (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp

@@ -158,6 +158,23 @@ class QuerySpec extends AnyFunSuite {
     assert(engine.runString("650:'header'").length == 2)
   }
 
+  test("parser robustness: arbitrary input either parses or raises InvalidQueryString") {
+    val gen = org.scalacheck.Gen.chooseNum(0, 40).flatMap(n =>
+      org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.oneOf(
+        org.scalacheck.Gen.alphaNumChar, org.scalacheck.Gen.oneOf(
+          ':', '\'', '"', '/', '*', '-', ' ', '$', '\\', '`', '(', ')'))))
+      .map(_.mkString)
+    val params = org.scalacheck.Gen.Parameters.default
+    (1 to 300).foreach { i =>
+      val s = gen.pureApply(params, org.scalacheck.rng.Seed(i.toLong), 100)
+      try QueryParser.parse(s)
+      catch {
+        case _: InvalidQueryString => // expected failure mode
+        case e: Throwable => fail(s"parser crashed on <$s>: ${e.getClass.getSimpleName} ${e.getMessage}")
+      }
+    }
+  }
+
   test("subfield/tag existence") {
     assert(engine.runString("245__a:*").length == 2)
     assert(engine.runString("520:*").map(_.id.get) == Seq(1L))
