@@ -22,10 +22,14 @@ object Collation {
   }
 }
 
+/** raw field text -> (scrubbed, words, distinct (code, value)) per tag. */
+final case class TagIndexEntry(raw: String, text: String, words: Set[String],
+    subfields: Seq[(String, String)])
+
 /** Corpus-backed query evaluation over in-memory records.
   *
   * This is the executable semantic spec for the engine: the Spark
-  * compiler (graft.plans.SparkQueryCompiler) produces plans with the
+  * compiler (graft.spark.SparkQueryCompiler) produces plans with the
   * same semantics, with the tag/browse indexes as DataFrames and the
   * corpus-global value resolution as semi-joins. Mirrors the
   * reference's Mongo-filter semantics including quirks: zero text/
@@ -43,9 +47,6 @@ final class RowQueryEngine(bibs: Seq[MarcRecord], authRecords: Seq[MarcRecord]) 
   // ---- derived state: tag index, browse index, record text/words
   // (what Marc.commit maintains: dlx/marc/__init__.py:913-1063)
 
-  /** raw field text -> (scrubbed, words, distinct (code, value)) per tag. */
-  final case class TagIndexEntry(raw: String, text: String, words: Set[String],
-      subfields: Seq[(String, String)])
 
   private def fieldText(d: DataField): String =
     d.subfields.map(_.resolvedValue(lookup).getOrElse("")).mkString(" ")
