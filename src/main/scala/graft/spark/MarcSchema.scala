@@ -54,7 +54,9 @@ object MarcSchema {
     val words = graft.text.Tokenizer.tokenize(text)
     MarcRow(
       record_type = rec.recordType,
-      _id = rec.id.getOrElse(0L),
+      // -1 = unassigned (0 is a legitimate id — e.g. partkey-derived
+      // auth corpora start at 0); MarcStore.assignIds fills these
+      _id = rec.id.getOrElse(-1L),
       created = rec.created.map(java.sql.Timestamp.from).orNull,
       updated = rec.updated.map(java.sql.Timestamp.from).orNull,
       created_user = rec.createdUser.orNull,

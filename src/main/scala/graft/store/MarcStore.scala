@@ -63,10 +63,10 @@ final class MarcStore(spark: SparkSession, basePath: String) {
   def assignIds(recs: Dataset[MarcRow]): Dataset[MarcRow] = {
     val rt = recs.head().record_type
     val start = maxId(rt)
-    val needIds = recs.filter(col("_id") === 0L)
+    val needIds = recs.filter(col("_id") === -1L)
       .withColumn("new_id", lit(start) + row_number().over(Window.orderBy(monotonically_increasing_id())))
       .withColumn("_id", col("new_id")).drop("new_id")
-    recs.filter(col("_id") =!= 0L).unionByName(needIds.as[MarcRow])
+    recs.filter(col("_id") =!= -1L).unionByName(needIds.as[MarcRow])
   }
 
   /** Commit-time auth validation (reference auth_validate,

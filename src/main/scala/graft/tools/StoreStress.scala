@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.spark.{MarcContext, MarcSchema, MarcRow}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Write-path stress: commit the full constructed MARC corpus for a
+  * scale factor through MarcStore, rebuild both indexes, re-commit an
+  * updated slice (history versioning at volume), and report counts +
+  * wall times. */
+object StoreStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import MarcSchema.marcRowEncoder
+
+    val base = java.nio.file.Files.createTempDirectory("storestress").toString
+    val store = new graft.store.MarcStore(spark, base)
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val auths = graft.queries.MarcOps.marcAuths(spark, sfDir).as[MarcRow]
+    val bibs = graft.queries.MarcOps.marcBibs(spark, sfDir).as[MarcRow]
+    timed("commit auths")(store.commit(auths, user = "stress"))
+    timed("commit bibs with auth_check")(store.commit(bibs, user = "stress", authCheck = true))
+    println(s"bibs=${store.read("bib").count()} auths=${store.read("auth").count()} maxId=${store.maxId("bib")}")
+
+    timed("tag index rebuild") {
+      MarcContext.tagIndex(store.read("bib").toDF().unionByName(store.read("auth").toDF()))
+        .write.mode("overwrite").parquet(s"$base/tag_index")
+    }
+    println(s"tag index entries=${spark.read.parquet(s"$base/tag_index").count()}")
+
+    // update a slice -> history versions
+    val slice = store.read("bib").limit(1000).as[MarcRow]
+      .map(r => r.copy(basket = "updated"))
+    timed("re-commit 1000 updated")(store.commit(slice, user = "stress2"))
+    val versions = store.readHistory("bib").groupBy("_id").count()
+      .where(col("count") > 1).count()
+    println(s"records with 2+ history versions=$versions")
+
+    timed("history query")(
+      println(s"history q hits=${store.queryHistory("bib", "245__a:'1-urgent'").count()}"))
+    spark.stop()
+  }
+}
