@@ -247,6 +247,17 @@ object MarcOps {
       .orderBy("_id", "col_pos")
   }
 
+  /** Unbounded text search through the DEFAULT execution path — the
+    * left-semi-join plan (SCALING.md): `650__a:anvil` resolves against
+    * the tag index entirely in the cluster (no driver in-list; at
+    * sf0.1 the term matches thousands of distinct subject values).
+    * ExplainCheck asserts the LeftSemi join in this plan. */
+  def q35SemijoinText(s: SparkSession, dir: String): DataFrame = {
+    val bibs = marcBibs(s, dir)
+    val compiler = new SparkQueryCompiler(s, bibs, marcAuths(s, dir))
+    compiler.run("650__a:anvil").select("_id").orderBy("_id")
+  }
+
   /** Auth-use aggregation (calculate_auth_use): per-xref counts. */
   def q30MarcAuthUse(s: SparkSession, dir: String): DataFrame =
     MarcContext.authUseCounts(marcBibs(s, dir))
@@ -268,7 +279,8 @@ object MarcOps {
     "q29_marc_roundtrip" -> (q29MarcRoundtrip _),
     "q30_marc_auth_use" -> (q30MarcAuthUse _),
     "q34_marc_table" -> (q34MarcTable _),
-    "q31_marc_xref_query" -> (q31MarcXrefQuery _))
+    "q31_marc_xref_query" -> (q31MarcXrefQuery _),
+    "q35_semijoin_text" -> (q35SemijoinText _))
 
   val oracle: Map[String, String] = Map(
     "q24_marc_build" ->
@@ -326,5 +338,12 @@ object MarcOps {
       """SELECT o_orderkey AS _id FROM orders
         |JOIN (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp
         |  ON o_orderkey = fp.l_orderkey
-        |WHERE subject_key = 7 ORDER BY _id""".stripMargin)
+        |WHERE subject_key = 7 ORDER BY _id""".stripMargin,
+    "q35_semijoin_text" ->
+      """SELECT o_orderkey AS _id FROM orders
+        |JOIN (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp
+        |  ON o_orderkey = fp.l_orderkey
+        |JOIN part ON subject_key = p_partkey
+        |WHERE list_contains(string_split(p_name, ' '), 'anvil')
+        |ORDER BY _id""".stripMargin)
 }

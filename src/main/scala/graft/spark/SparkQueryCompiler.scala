@@ -15,15 +15,23 @@ import org.apache.spark.sql.functions._
   * (dlx/marc/query.py:137-199: resolve text/regex terms against
   * `_index_<tag>`, auth values against `auths`), this compiler
   * resolves against the tagIndex/browseIndex/authHeadings DataFrames.
-  * Resolved value sets are small (the reference enforces a 1 MB cap;
-  * typical queries match a handful of values), so they become `isin`
-  * predicates on normalized columns — the list plays the role of the
-  * broadcast side of a semi-join, and Catalyst pushes the whole
-  * predicate into the scan. Structural conditions compile to pure
-  * higher-order-function expressions (exists/filter over the
-  * datafields array) — fully codegen'd, no UDFs on the hot path.
+  *
+  * Execution strategy (SCALING.md):
+  *  - `run` routes top-level positive text/regex conditions through
+  *    LEFT SEMI joins against the index DataFrames — never a driver
+  *    materialization, so an arbitrarily broad term is safe at 100 TB.
+  *  - Conditions that must become Column predicates (nested in OR,
+  *    negated, logical-field text/regex) resolve to `isin` in-lists
+  *    capped at the reference's limit (dlx/marc/query.py:194-199);
+  *    past the cap they degrade to a direct predicate over the
+  *    record's own values, exactly as the reference degrades to a raw
+  *    regex condition.
+  * Structural conditions compile to pure higher-order-function
+  * expressions (exists/filter over the datafields array) — fully
+  * codegen'd, no UDFs on the hot path.
   */
-final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: DataFrame) {
+final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: DataFrame,
+    maxResolvedValues: Int = 10000, maxResolvedBytes: Int = 1 << 20) {
 
   import MarcContext._
 
@@ -52,11 +60,24 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
   private def records(recordType: String): DataFrame =
     if (recordType == "auth") auths else bibs
 
-  def run(ast: QueryAst): DataFrame =
-    records(ast.recordType).where(compile(ast))
+  /** Default execution path: top-level positive text/regex conditions
+    * run as LEFT SEMI joins against the index DataFrames (no driver
+    * materialization, no size cap — the 100 TB-safe plan); everything
+    * else compiles to Column predicates, where any residual index
+    * resolution is capped at the reference's in-list limit
+    * (dlx/marc/query.py:194-199) with a direct-predicate fallback. */
+  def run(ast: QueryAst): DataFrame = runSemiJoin(ast)
 
   def run(query: String, recordType: String = "bib"): DataFrame =
     run(QueryParser.parse(query, recordType))
+
+  /** The pure-predicate path (collected in-lists, capped): used by
+    * history queries and tests; `run` prefers the semi-join plan. */
+  def runInList(ast: QueryAst): DataFrame =
+    records(ast.recordType).where(compile(ast))
+
+  def runInList(query: String, recordType: String = "bib"): DataFrame =
+    runInList(QueryParser.parse(query, recordType))
 
   /** The unbounded-match execution path (SCALING.md): top-level
     * positive text/regex conditions become LEFT SEMI joins against the
@@ -77,33 +98,17 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
     for (cond <- joinable) {
       val (tag, code, matchedValues: DataFrame) = cond match {
         case TagRegex(t, c, rx, _, _) =>
-          val subs = tagIdxFor(t).select(explode(col("subfields")).as("s"))
-            .select(col("s.code").as("c"), col("s.value").as("v"))
-          val scoped = c.map(cc => subs.where(col("c") === cc)).getOrElse(subs)
-          (t, c, scoped.where(rxFilter(rx)).select(normalizeCol(col("v")).as("mnorm")).distinct())
+          (t, c, tagRegexValues(t, c, rx).select(normalizeCol(col("v")).as("mnorm")).distinct())
         case TagText(t, c, tq, _, _) =>
-          val terms = Tokenizer.tokenize(tq.terms)
-          val negated = Tokenizer.tokenize(tq.negated.mkString(" "))
-          var entries = tagIdxFor(t)
-          terms.foreach(w => entries = entries.where(array_contains(col("words"), w)))
-          negated.foreach(w => entries = entries.where(!array_contains(col("words"), w)))
-          tq.phrases.foreach { p =>
-            entries = entries.where(col("text").rlike("\\b" + java.util.regex.Pattern.quote(p) + "\\b"))
-          }
-          val values = entries.select(explode(col("subfields")).as("s"))
-            .select(col("s.code").as("c"), col("s.value").as("v"))
-          val scoped = c.map(cc => values.where(col("c") === cc)).getOrElse(values)
-            .where(col("v").isNotNull && col("v") =!= "")
-          // value-level term containment via the tokenizer UDF
-          val termsOk = terms.foldLeft(scoped) { (d, w) =>
-            d.where(array_contains(tokenizeUdf(col("v")), w))
-          }
-          (t, c, termsOk.select(normalizeCol(col("v")).as("mnorm")).distinct())
+          (t, c, tagTextValues(t, c, tq).select(normalizeCol(col("v")).as("mnorm")).distinct())
         case other => throw new IllegalStateException(other.toString)
       }
-      // records whose tag subfields hit the matched values
-      val exploded = df.select(col("_id").as("rid"), explode(col("datafields")).as("f"))
-        .where(col("f.tag") === tag)
+      // records whose tag subfields hit the matched values; prune the
+      // array to the tag BEFORE the explode so the generate never
+      // materializes the other tags' fields
+      val exploded = df
+        .select(col("_id").as("rid"),
+          explode(filter(col("datafields"), f => f.getField("tag") === tag)).as("f"))
         .select(col("rid"), explode(col("f.subfields")).as("s"))
       val codeScoped = code.map(c => exploded.where(col("s.code") === c)).getOrElse(exploded)
       val valueHits = codeScoped
@@ -131,8 +136,22 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
   def compile(ast: QueryAst): Column =
     ast.conditions.map(compileCond(_, ast.recordType)).reduceOption(_ && _).getOrElse(lit(true))
 
-  // ---- resolution against the derived DataFrames (collect: the value
-  // sets are condition-selective, mirroring the reference's in-lists)
+  // ---- resolution against the derived DataFrames. Collected in-lists
+  // are capped at the reference's limit (dlx/marc/query.py:194-199:
+  // 1 MB serialized); past the cap the caller falls back to a direct
+  // predicate over the record — same degradation the reference applies.
+
+  /** Collect a single-string-column DataFrame unless it exceeds the
+    * caps (row-count guard + the reference's 1 MB byte cap);
+    * None = too big, use the fallback predicate. */
+  private def collectCapped(values: DataFrame): Option[Seq[String]] = {
+    val rows = values.limit(maxResolvedValues + 1).collect()
+    if (rows.length > maxResolvedValues) None
+    else {
+      val vs = rows.iterator.map(_.getString(0)).filter(_ != null).toSeq
+      if (vs.iterator.map(_.length).sum > maxResolvedBytes) None else Some(vs)
+    }
+  }
 
   private def normalize(s: String): String = Collation.normalize(s)
 
@@ -141,19 +160,16 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
     col("v").rlike(pattern)
   }
 
-  /** subfield values matched by a regex in the tag index. */
-  def resolveTagRegex(tag: String, code: Option[String], rx: Rx): Seq[String] = {
+  private def tagRegexValues(tag: String, code: Option[String], rx: Rx): DataFrame = {
     val subs = tagIdxFor(tag)
       .select(explode(col("subfields")).as("s"))
       .select(col("s.code").as("c"), col("s.value").as("v"))
-    val filtered = code.map(c => subs.where(col("c") === c)).getOrElse(subs)
+    code.map(c => subs.where(col("c") === c)).getOrElse(subs)
       .where(rxFilter(rx))
-    filtered.select("v").distinct().collect().map(_.getString(0)).toSeq
+      .select("v").distinct()
   }
 
-  /** subfield values matched by field-level text search + value-level
-    * term containment. */
-  def resolveTagText(tag: String, code: Option[String], tq: TextQuery): Seq[String] = {
+  private def tagTextValues(tag: String, code: Option[String], tq: TextQuery): DataFrame = {
     val terms = Tokenizer.tokenize(tq.terms)
     val negated = Tokenizer.tokenize(tq.negated.mkString(" "))
     var entries = tagIdxFor(tag)
@@ -166,12 +182,21 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
       .select(col("s.code").as("c"), col("s.value").as("v"))
     val scoped = code.map(c => values.where(col("c") === c)).getOrElse(values)
       .where(col("v").isNotNull && col("v") =!= "")
-      .select("v").distinct().collect().map(_.getString(0)).toSeq
-    scoped.filter { v =>
-      val words = Tokenizer.tokenize(v)
-      terms.forall(words.contains)
-    }
+    // value-level term containment evaluated in the cluster (not on the
+    // driver): each value must itself contain every stemmed term
+    terms.foldLeft(scoped)((d, w) => d.where(array_contains(tokenizeUdf(col("v")), w)))
+      .select("v").distinct()
   }
+
+  /** subfield values matched by a regex in the tag index (capped;
+    * None = beyond the reference's in-list limit). */
+  def resolveTagRegex(tag: String, code: Option[String], rx: Rx): Option[Seq[String]] =
+    collectCapped(tagRegexValues(tag, code, rx))
+
+  /** subfield values matched by field-level text search + value-level
+    * term containment (capped). */
+  def resolveTagText(tag: String, code: Option[String], tq: TextQuery): Option[Seq[String]] =
+    collectCapped(tagTextValues(tag, code, tq))
 
   /** auth ids whose source-tag heading subfield (code-scoped) matches. */
   private def authXrefs(rt: String, tag: String, code: String, value: Either[String, Rx]): Seq[Long] = {
@@ -285,14 +310,19 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
       else !valueHit && !xrefHit
 
     case TagRegex(tag, code, rx, not, _) =>
-      val matched = resolveTagRegex(tag, code, rx)
-      if (matched.isEmpty) lit(false)
-      else inSetPredicate(rt, tag, code, matched, not)
+      resolveTagRegex(tag, code, rx) match {
+        // reference quirk: zero matches = match-nothing, even under NOT
+        case Some(matched) if matched.isEmpty => lit(false)
+        case Some(matched) => inSetPredicate(rt, tag, code, matched, not)
+        case None => directRegexPredicate(rt, tag, code, rx, not)
+      }
 
     case TagText(tag, code, tq, not, _) =>
-      val matched = resolveTagText(tag, code, tq)
-      if (matched.isEmpty) lit(false)
-      else inSetPredicate(rt, tag, code, matched, not)
+      resolveTagText(tag, code, tq) match {
+        case Some(matched) if matched.isEmpty => lit(false)
+        case Some(matched) => inSetPredicate(rt, tag, code, matched, not)
+        case None => directTextPredicate(rt, tag, code, tq, not)
+      }
 
     case SubfieldExists(tag, code, not) =>
       val hit = existsField(tag, subMatch(Some(code), _ => lit(true)))
@@ -344,13 +374,18 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
 
     case LogicalRx(field, rx, not) =>
       val pattern = if (rx.ci) "(?i)" + rx.pattern else rx.pattern
-      val values = browseIdx.where(col("field") === field && col("value").rlike(pattern))
-        .select("value").distinct().collect().map(_.getString(0)).toSeq
-      if (values.isEmpty) lit(false)
-      else {
-        val hit = exists(coalesce(col("logical").getItem(field), array()),
-          v => normalizeCol(v).isin(values.map(normalize): _*))
-        if (not) !hit else hit
+      collectCapped(browseIdx.where(col("field") === field && col("value").rlike(pattern))
+          .select("value").distinct()) match {
+        case Some(values) if values.isEmpty => lit(false)
+        case Some(values) =>
+          val hit = exists(coalesce(col("logical").getItem(field), array()),
+            v => normalizeCol(v).isin(values.map(normalize): _*))
+          if (not) !hit else hit
+        case None =>
+          // beyond the in-list cap: regex the record's own logical values
+          val hit = exists(coalesce(col("logical").getItem(field), array()),
+            v => v.rlike(pattern))
+          if (not) !hit else hit
       }
 
     case LogicalText(field, tq, not) =>
@@ -362,12 +397,25 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
       tq.phrases.foreach { p =>
         entries = entries.where(col("text").rlike("\\b" + java.util.regex.Pattern.quote(p) + "\\b"))
       }
-      val values = entries.select("value").distinct().collect().map(_.getString(0)).toSeq
-      if (values.isEmpty) lit(false)
-      else {
-        val hit = exists(coalesce(col("logical").getItem(field), array()),
-          v => normalizeCol(v).isin(values.map(normalize): _*))
-        if (not) !hit else hit
+      collectCapped(entries.select("value").distinct()) match {
+        case Some(values) if values.isEmpty => lit(false)
+        case Some(values) =>
+          val hit = exists(coalesce(col("logical").getItem(field), array()),
+            v => normalizeCol(v).isin(values.map(normalize): _*))
+          if (not) !hit else hit
+        case None =>
+          // beyond the cap: tokenized matching on the record's own
+          // logical values (browse-index words = tokenize(scrub(value)))
+          val hit = exists(coalesce(col("logical").getItem(field), array()), v => {
+            val words = tokenizeUdf(scrubUdf(v))
+            val termsOk = terms.map(t => array_contains(words, t))
+            val negOk = negated.map(t => !array_contains(words, t))
+            val phrasesOk = tq.phrases.map(p =>
+              concat(lit(" "), scrubUdf(v), lit(" "))
+                .rlike("\\b" + java.util.regex.Pattern.quote(p) + "\\b"))
+            (termsOk ++ negOk ++ phrasesOk).reduceOption(_ && _).getOrElse(lit(true))
+          })
+          if (not) !hit else hit
       }
 
     case FreeText(tq) =>
@@ -385,6 +433,77 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
       }
       (termCols ++ negCols ++ phraseCols ++ starCols)
         .reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** value-in-set / xref OR shape shared by the direct fallbacks. */
+  private def directShape(rt: String, tag: String, code: Option[String],
+      valueHit: Column, xrefs: Seq[Long], not: Boolean): Column = {
+    val xrefHit = existsField(tag, subMatch(None, xrefIn(xrefs)))
+    if (!not) (if (xrefs.nonEmpty) valueHit || xrefHit else valueHit)
+    else if (xrefs.nonEmpty) !valueHit && !xrefHit
+    else !valueHit
+  }
+
+  /** first configured source tag of an authority-controlled tag, if
+    * the code scope stays within authority control. */
+  private def controlledSourceTag(rt: String, tag: String, code: Option[String]): Option[String] =
+    if (DlxConfig.authorityControlled(rt).contains(tag) &&
+        code.forall(c => DlxConfig.isAuthorityControlled(rt, tag, c)))
+      DlxConfig.authorityControlled(rt).get(tag).map(_.values.head)
+    else None
+
+  /** Fallback when a regex condition's resolved in-list exceeds the cap
+    * (the reference falls back to a direct regex condition,
+    * dlx/marc/query.py:194-206): regex the record's own subfield
+    * values. The xref branch still resolves through the heading
+    * dimension — dimension-bounded by design (SCALING.md). */
+  private def directRegexPredicate(rt: String, tag: String, code: Option[String],
+      rx: Rx, not: Boolean): Column = {
+    val pattern = if (rx.ci) "(?i)" + rx.pattern else rx.pattern
+    val valueHit = existsField(tag, subMatch(code, s => s.getField("value").rlike(pattern)))
+    val xrefs: Seq[Long] = controlledSourceTag(rt, tag, code) match {
+      case None => Nil
+      case Some(src) =>
+        headings.where(col("tag") === src && col("value").rlike(pattern))
+          .select("xref").distinct().collect().map(_.getLong(0)).toSeq
+    }
+    directShape(rt, tag, code, valueHit, xrefs, not)
+  }
+
+  /** Fallback when a text condition's resolved in-list exceeds the cap:
+    * evaluate field-level term/negation/phrase constraints and
+    * value-level term containment against the record's own fields
+    * (the per-record form of the tag-index entry tests). */
+  private def directTextPredicate(rt: String, tag: String, code: Option[String],
+      tq: TextQuery, not: Boolean): Column = {
+    val terms = Tokenizer.tokenize(tq.terms)
+    val negated = Tokenizer.tokenize(tq.negated.mkString(" "))
+    def fieldTextCol(f: Column): Column =
+      concat_ws(" ", transform(f.getField("subfields"),
+        s => coalesce(s.getField("value"), lit(""))))
+    val fieldPred: Column => Column = f => {
+      val words = tokenizeUdf(fieldTextCol(f))
+      val termsOk = terms.map(t => array_contains(words, t))
+      val negOk = negated.map(t => !array_contains(words, t))
+      val phrasesOk = tq.phrases.map(p =>
+        concat(lit(" "), scrubUdf(fieldTextCol(f)), lit(" "))
+          .rlike("\\b" + java.util.regex.Pattern.quote(p) + "\\b"))
+      val valueOk = exists(f.getField("subfields"), s =>
+        code.map(c => s.getField("code") === c).getOrElse(lit(true)) &&
+          terms.map(t => array_contains(tokenizeUdf(s.getField("value")), t))
+            .reduceOption(_ && _).getOrElse(lit(true)))
+      (termsOk ++ negOk ++ phrasesOk :+ valueOk).reduce(_ && _)
+    }
+    val valueHit = existsField(tag, fieldPred)
+    val xrefs: Seq[Long] = controlledSourceTag(rt, tag, code) match {
+      case None => Nil
+      case Some(src) =>
+        var h = headings.where(col("tag") === src)
+        terms.foreach(t => h = h.where(array_contains(tokenizeUdf(col("value")), t)))
+        negated.foreach(t => h = h.where(!array_contains(tokenizeUdf(col("value")), t)))
+        h.select("xref").distinct().collect().map(_.getLong(0)).toSeq
+    }
+    directShape(rt, tag, code, valueHit, xrefs, not)
   }
 
   /** value-in-set predicate with the auth xref OR branch. */

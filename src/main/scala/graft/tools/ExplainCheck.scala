@@ -47,6 +47,11 @@ object ExplainCheck {
       "q21: query set not broadcast")
     println("q21 broadcast query-set OK")
 
+    val q35 = graft.queries.MarcOps.q35SemijoinText(spark, sfDir)
+    val p35 = planOf(q35)
+    assert(p35.contains("LeftSemi"), "q35: default text path not a left-semi join")
+    println("q35 left-semi text search OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

@@ -87,9 +87,27 @@ class SparkMarcSpec extends AnyFunSuite {
       "520__a:\"another description\"", "245__c:*itl*",
       "245__a:'This' AND 650__a:head*")
     for (q <- queries) {
-      val inList = compiler.run(q).select("_id").collect().map(_.getLong(0)).toSet
+      val inList = compiler.runInList(q).select("_id").collect().map(_.getLong(0)).toSet
       val semi = compiler.runSemiJoin(q, "bib").select("_id").collect().map(_.getLong(0)).toSet
       assert(semi == inList, s"query '$q': semi=$semi inlist=$inList")
+    }
+  }
+
+  test("over-cap fallback predicates match the row engine") {
+    // cap of zero forces every text/regex in-list over the limit, so
+    // every condition degrades to the direct predicate
+    val capped = new SparkQueryCompiler(spark, bibsDs.toDF(), authsDs.toDF(),
+      maxResolvedValues = 0)
+    val rowEngine = new graft.query.RowQueryEngine(Seq(bib1, bib2), Seq(auth1, auth2))
+    val queries = Seq(
+      "650__a:/[Hh]eader/", "650:/eader/", "245:titl*", "650:head*",
+      "520__a:\"another description\"", "245__c:*itl*",
+      "245__a:'This' OR 650__a:head*", "NOT 650:/eader/",
+      "title:*is*", "title:this*")
+    for (q <- queries) {
+      val expected = rowEngine.runString(q).flatMap(_.id).toSet
+      val got = capped.runInList(q).select("_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"fallback query '$q': spark=$got row=$expected")
     }
   }
 
