@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.spark.{MarcRow, MarcSchema}
+import graft.store.MarcStore
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** The store WRITE path under the correctness gate: q36 drives a full
+  * commit → re-commit → delete lifecycle through [[MarcStore]] (the
+  * reference's Marc.commit/delete semantics, dlx/marc/__init__.py:
+  * 856-1310) against a scratch store, then emits the resulting history
+  * + audit state so DuckDB can replay version numbering, audit-column
+  * preservation, deletion markers and live-row survival in plain SQL.
+  *
+  * Fixed timestamps make the audit columns deterministic; ids derive
+  * from o_orderkey so the oracle can reproduce the exact batches.
+  */
+object StoreOps {
+
+  private val ts1 = java.sql.Timestamp.from(java.time.Instant.parse("2020-01-01T00:00:00Z"))
+  private val ts2 = java.sql.Timestamp.from(java.time.Instant.parse("2020-02-01T00:00:00Z"))
+  private val ts3 = java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T00:00:00Z"))
+
+  private def sub(code: String, value: Column): Column =
+    struct(lit(code).as("code"), value.as("value"), lit(null).cast("long").as("xref"))
+
+  private def field(tag: String, subs: Column*): Column =
+    struct(lit(tag).as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
+      array(subs: _*).as("subfields"))
+
+  /** orders-derived commit batch: one bib per sampled order. */
+  private def batch(s: SparkSession, dir: String, mod: Long, titlePrefix: String): DataFrame =
+    orders(s, dir).where(col("o_orderkey") % mod === 0)
+      .select(
+        lit("bib").as("record_type"),
+        col("o_orderkey").as("_id"),
+        lit(null).cast("timestamp").as("created"),
+        lit(null).cast("timestamp").as("updated"),
+        lit(null).cast("string").as("created_user"),
+        lit(null).cast("string").as("user"),
+        lit(null).cast("string").as("basket"),
+        lit("").as("leader"),
+        array().cast("array<struct<tag:string,value:string>>").as("controlfields"),
+        array(
+          field("245", sub("a", concat(lit(titlePrefix), col("o_orderpriority")))),
+          field("269", sub("a", date_format(col("o_orderdate"), "yyyy-MM-dd")))).as("datafields"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("array<string>").as("words"),
+        lit(null).cast("map<string,array<string>>").as("logical"))
+
+  /** commit v1 (1/97 of orders) → commit v2 (half of those, retitled)
+    * → delete a quarter → emit (history ⨝ live-presence). */
+  def q36StoreCommit(s: SparkSession, dir: String): DataFrame = {
+    import MarcSchema.marcRowEncoder
+    val base = java.nio.file.Files.createTempDirectory("graft_q36").toString
+    val store = new MarcStore(s, base)
+
+    store.commit(batch(s, dir, 97L, "").as[MarcRow], user = "alice", now = ts1)
+    store.commit(batch(s, dir, 194L, "X-").as[MarcRow], user = "bob", now = ts2)
+    val delIds = orders(s, dir).where(col("o_orderkey") % 388 === 0)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+    store.delete("bib", delIds, now = ts3)
+
+    val title = try_element_at(flatten(transform(
+      filter(col("datafields"), f => f.getField("tag") === "245"),
+      f => transform(filter(f.getField("subfields"), sf => sf.getField("code") === "a"),
+        sf => sf.getField("value")))), lit(1))
+    val live = store.read("bib").toDF().select(col("_id").as("l_id"))
+    store.readHistory("bib")
+      .select(col("_id"), col("version_no"), col("action"), title.as("title"),
+        col("user").as("mod_user"), col("created_user"),
+        col("updated").cast("long").as("updated_epoch"),
+        col("created").cast("long").as("created_epoch"))
+      .join(live, col("_id") === col("l_id"), "left")
+      .withColumn("live", col("l_id").isNotNull).drop("l_id")
+      .orderBy("_id", "version_no")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_store_commit" -> (q36StoreCommit _))
+
+  val oracle: Map[String, String] = Map(
+    "q36_store_commit" ->
+      """WITH s AS (
+        |  SELECT o_orderkey AS id, o_orderpriority AS prio FROM orders WHERE o_orderkey % 97 = 0),
+        |h AS (
+        |  SELECT id, CAST(1 AS BIGINT) AS version_no, 'commit' AS action, prio AS title,
+        |         'alice' AS mod_user, 'alice' AS created_user,
+        |         CAST(1577836800 AS BIGINT) AS updated_epoch,
+        |         CAST(1577836800 AS BIGINT) AS created_epoch
+        |  FROM s
+        |  UNION ALL
+        |  SELECT id, 2, 'commit', 'X-' || prio, 'bob', 'alice',
+        |         CAST(1580515200 AS BIGINT), CAST(1577836800 AS BIGINT)
+        |  FROM s WHERE id % 194 = 0
+        |  UNION ALL
+        |  SELECT id, 3, 'deleted', 'X-' || prio, 'bob', 'alice',
+        |         CAST(1583020800 AS BIGINT), CAST(1577836800 AS BIGINT)
+        |  FROM s WHERE id % 388 = 0)
+        |SELECT id AS _id, version_no, action, title, mod_user, created_user,
+        |       updated_epoch, created_epoch, (id % 388 <> 0) AS live
+        |FROM h ORDER BY _id, version_no""".stripMargin)
+}

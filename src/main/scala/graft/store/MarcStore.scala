@@ -1,44 +1,69 @@
 package graft.store
 
-import graft.spark.{MarcContext, MarcRow, MarcSchema}
+import graft.spark.{AuthOps, MarcContext, MarcRow, MarcSchema}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Batch storage layer: the Spark-native shape of the reference's
   * write path (Marc.commit / delete / restore / history / id counters,
   * dlx/marc/__init__.py:856-1310; SURVEY §3 EP3).
   *
-  * One commit batch = one deterministic job:
-  *   1. assign ids to new records (max_id + row_number — replaces the
-  *      Mongo $inc counter; no shared counter needed in batch),
-  *   2. MERGE into the live table (union + keep newest per _id),
-  *   3. append one row per version to the history table,
-  *   4. derived DataFrames (tag index, browse index, auth headings)
-  *      recompute from the merged table — eviction falls out of the
-  *      recompute (SURVEY §2.5 browse-index dedup row).
+  * Layout (designed for 100 TB — see SCALING.md):
+  *  - live tables are parquet partitioned by `id_bucket`
+  *    (pmod(_id, numBuckets)): a commit rewrites ONLY the buckets its
+  *    batch touches (dynamic partition overwrite), so write cost is
+  *    O(touched buckets), never O(table);
+  *  - history is append-only: each commit/delete APPENDS one row per
+  *    version (SaveMode.Append) — no rewrite amplification; version
+  *    numbers come from a read-only count over the batch's ids.
   *
-  * At scale the live table is parquet partitioned by id-bucket; the
-  * MERGE is a shuffle on _id only over the touched partitions (or a
-  * Delta MERGE INTO where available). History is append-only.
+  * One commit batch = one deterministic job:
+  *   1. assign ids to new records (max_id + dense zipWithIndex — the
+  *      batch form of the reference's $inc counter; no global window,
+  *      no single-task funnel),
+  *   2. auth-validate (reference defaults auth_check=True),
+  *   3. rewrite the touched live buckets (keep newest per _id),
+  *   4. append one history row per version,
+  *   5. for auth commits whose heading changed: cascade to attached
+  *      bibs (retag / drop / add / refresh values) and re-commit them,
+  *      exactly the reference's update_attached_records default.
   */
-final class MarcStore(spark: SparkSession, basePath: String) {
+final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 64) {
   import spark.implicits._
   import MarcSchema.marcRowEncoder
 
   private def tablePath(recordType: String) = s"$basePath/${recordType}s"
   private def historyPath(recordType: String) = s"$basePath/${recordType}_history"
 
-  def read(recordType: String): Dataset[MarcRow] = {
-    val path = tablePath(recordType)
-    if (!new java.io.File(path).exists())
-      spark.emptyDataset[MarcRow]
-    else spark.read.parquet(path).as[MarcRow]
+  private val canonicalCols = Seq("record_type", "_id", "created", "updated",
+    "created_user", "user", "basket", "leader", "controlfields", "datafields",
+    "text", "words", "logical")
+
+  /** a delete can empty every bucket, leaving a dir with no parquet
+    * files — schema inference would fail on it. */
+  private def hasParquet(path: String): Boolean = {
+    def walk(f: java.io.File): Boolean =
+      if (f.isDirectory) { val fs = f.listFiles(); fs != null && fs.exists(walk) }
+      else f.getName.endsWith(".parquet")
+    val d = new java.io.File(path)
+    d.exists() && walk(d)
   }
+
+  /** live table with the physical id_bucket column (partition pruning
+    * happens on filters against it). */
+  private def readRaw(recordType: String): DataFrame = {
+    val path = tablePath(recordType)
+    if (!hasParquet(path))
+      spark.emptyDataset[MarcRow].toDF().withColumn("id_bucket", lit(0L)).limit(0)
+    else spark.read.parquet(path)
+  }
+
+  def read(recordType: String): Dataset[MarcRow] =
+    readRaw(recordType).select(canonicalCols.map(col): _*).as[MarcRow]
 
   def readHistory(recordType: String): DataFrame = {
     val path = historyPath(recordType)
-    if (!new java.io.File(path).exists())
+    if (!hasParquet(path))
       spark.emptyDataset[MarcRow].toDF()
         .withColumn("version_no", lit(0L))
         .withColumn("action", lit(""))
@@ -58,15 +83,17 @@ final class MarcStore(spark: SparkSession, basePath: String) {
     }
   }
 
-  /** ids for new records: max_id + row_number (reference
-    * _increment_ids, dlx/marc/__init__.py:457-472, batch form). */
+  /** ids for new records: max_id + dense per-partition assignment
+    * (reference _increment_ids, dlx/marc/__init__.py:457-472, batch
+    * form). zipWithIndex keeps ids dense max+1..max+n without routing
+    * the batch through a single window task. */
   def assignIds(recs: Dataset[MarcRow]): Dataset[MarcRow] = {
-    val rt = recs.head().record_type
-    val start = maxId(rt)
     val needIds = recs.filter(col("_id") === -1L)
-      .withColumn("new_id", lit(start) + row_number().over(Window.orderBy(monotonically_increasing_id())))
-      .withColumn("_id", col("new_id")).drop("new_id")
-    recs.filter(col("_id") =!= -1L).unionByName(needIds.as[MarcRow])
+    if (needIds.isEmpty) return recs
+    val start = maxId(recs.head().record_type)
+    val assigned = spark.createDataset(
+      needIds.rdd.zipWithIndex().map { case (r, i) => r.copy(_id = start + i + 1) })
+    recs.filter(col("_id") =!= -1L).unionByName(assigned)
   }
 
   /** Commit-time auth validation (reference auth_validate,
@@ -85,7 +112,7 @@ final class MarcStore(spark: SparkSession, basePath: String) {
     val uncontrolledWithXref = subs
       .where(!col("ckey").isin(controlledKeys: _*) && col("xref").isNotNull)
     val missingXref = controlled.where(col("xref").isNull)
-    val headings = graft.spark.MarcContext.authHeadings(read("auth").toDF())
+    val headings = MarcContext.authHeadings(read("auth").toDF())
       .select(col("xref").as("h_xref"), col("code").as("h_code"))
     val badXref = controlled.where(col("xref").isNotNull)
       .join(headings, controlled("xref") === headings("h_xref") &&
@@ -101,37 +128,110 @@ final class MarcStore(spark: SparkSession, basePath: String) {
   }
 
   /** Upsert a batch: keep the incoming row for each _id, keep
-    * untouched rows, stamp audit columns, append history. */
+    * untouched rows, stamp audit columns, append history. Defaults
+    * mirror the reference (dlx/marc/__init__.py:857): auth_check on,
+    * update_attached on. */
   def commit(recs: Dataset[MarcRow], user: String,
       now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()),
-      authCheck: Boolean = false): Unit = {
+      authCheck: Boolean = true, updateAttached: Boolean = true): Unit = {
+    if (recs.isEmpty) return
     val rt = recs.head().record_type
     if (authCheck) authValidate(recs, rt)
-    val live = read(rt)
     val incomingRaw = assignIds(recs)
 
     // audit columns: preserve created/created_user from previous state
-    val prev = live.select(col("_id").as("p_id"), col("created").as("p_created"),
+    val prev = read(rt).select(col("_id").as("p_id"), col("created").as("p_created"),
       col("created_user").as("p_created_user"))
-    val incoming = incomingRaw
+    val incoming = incomingRaw.toDF()
       .join(prev, incomingRaw("_id") === prev("p_id"), "left")
       .withColumn("created", coalesce(col("p_created"), lit(now)))
       .withColumn("created_user", coalesce(col("p_created_user"), lit(user)))
       .withColumn("updated", lit(now))
       .withColumn("user", lit(user))
       .drop("p_id", "p_created", "p_created_user")
+      .select(canonicalCols.map(col): _*)
       .as[MarcRow]
       // cut lineage: the plan must not re-read the live table after
-      // the atomic swap below replaces its files
+      // the bucket overwrite below replaces its files
       .localCheckpoint(true)
 
-    val merged = live.join(incoming.select(col("_id").as("i_id")),
-        live("_id") === col("i_id"), "left_anti")
-      .as[MarcRow]
-      .unionByName(incoming)
+    // heading state BEFORE the write, for the attached-record cascade
+    val oldHeadings =
+      if (rt == "auth" && updateAttached) collectHeadings(
+        read("auth").toDF().join(incoming.select(col("_id").as("i_id")),
+          col("_id") === col("i_id"), "left_semi"))
+      else Map.empty[Long, (String, Seq[(String, String)])]
 
-    writeTable(merged.toDF(), tablePath(rt))
+    writeLiveBuckets(incoming.toDF(), rt)
     appendHistory(incoming.toDF(), rt, "commit", now)
+
+    if (rt == "auth" && updateAttached) {
+      val newHeadings = collectHeadings(incoming.toDF())
+      cascadeToAttached(oldHeadings, newHeadings, user, now)
+    }
+  }
+
+  /** Rewrite ONLY the buckets the batch touches: each touched bucket =
+    * surviving old rows + incoming rows; dynamic partition overwrite
+    * leaves every other bucket untouched on disk. */
+  private def writeLiveBuckets(incoming: DataFrame, recordType: String): Unit = {
+    val path = tablePath(recordType)
+    val withBucket = incoming.withColumn("id_bucket", pmod(col("_id"), lit(numBuckets.toLong)))
+    val touched = withBucket.select("id_bucket").distinct().as[Long].collect()
+    val survivors = readRaw(recordType)
+      .where(col("id_bucket").isin(touched: _*)) // partition-pruned scan
+      .join(incoming.select(col("_id").as("i_id")), col("_id") === col("i_id"), "left_anti")
+      .select((canonicalCols :+ "id_bucket").map(col): _*)
+    val replacement = survivors.unionByName(withBucket)
+      // cut lineage before overwriting the files the plan reads
+      .localCheckpoint(true)
+    replacement.write
+      .partitionBy("id_bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** (auth id -> (heading tag, heading (code, value) pairs)) for the
+    * cascade comparison — bounded by the commit batch size. */
+  private def collectHeadings(auths: DataFrame): Map[Long, (String, Seq[(String, String)])] =
+    MarcContext.authHeadings(auths)
+      .select("xref", "tag", "code", "value").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> (rows.head.getString(1), rows.map(r => (r.getString(2), r.getString(3))).toSeq)
+      }
+
+  /** The reference's update_attached_records default
+    * (dlx/marc/__init__.py:1155-1232): for every committed auth whose
+    * heading changed, rewrite attached bibs — retag on heading-tag
+    * change, drop/add subfields on code-set change, refresh the
+    * materialized linked values — then re-commit them (which appends
+    * their history versions). */
+  private def cascadeToAttached(oldH: Map[Long, (String, Seq[(String, String)])],
+      newH: Map[Long, (String, Seq[(String, String)])],
+      user: String, now: java.sql.Timestamp): Unit = {
+    val changed = newH.filter { case (id, h) => oldH.get(id).exists(_ != h) }
+    if (changed.isEmpty) return
+    val changedIds = changed.keys.toSeq
+    val attached = read("bib").toDF()
+      .where(exists(col("datafields"), f =>
+        exists(f.getField("subfields"), s => s.getField("xref").isin(changedIds: _*))))
+    if (attached.isEmpty) return
+    // structural cascade per changed auth (tag rename, code drop/add)
+    val restructured = changed.foldLeft(attached) { case (df, (id, (newTag, newCodes))) =>
+      val (oldTag, oldCodes) = oldH(id)
+      if (oldTag == newTag && oldCodes.map(_._1).sorted == newCodes.map(_._1).sorted) df
+      else AuthOps.cascadeHeadingChange(df, id, oldTag, oldCodes.map(_._1),
+        newTag, newCodes.map(_._1))
+    }
+    // refresh materialized linked values against the NEW heading state,
+    // then recompute the derived text/words/logical columns
+    val refreshed = AuthOps.refreshLinkedValues(restructured, read("auth").toDF())
+      .select(canonicalCols.map(col): _*).as[MarcRow]
+      .map(r => MarcSchema.toRow(MarcSchema.fromRow(r))(graft.model.AuthLookup.Empty))
+    commit(refreshed, user, now, authCheck = false, updateAttached = false)
   }
 
   /** Delete ids; refuse when an auth is still referenced (AuthInUse
@@ -144,12 +244,32 @@ final class MarcStore(spark: SparkSession, basePath: String) {
         .count()
       require(inUse == 0, s"Auth record(s) in use: cannot delete")
     }
-    val live = read(recordType)
+    val path = tablePath(recordType)
+    val buckets = ids.map(id => math.floorMod(id, numBuckets.toLong)).distinct
     // stamp the deletion time on the history marker (reference records
     // deleted.user/time, dlx/marc/__init__.py:1288-1308)
-    val deleted = live.filter(col("_id").isin(ids: _*)).toDF()
+    val deleted = read(recordType).filter(col("_id").isin(ids: _*)).toDF()
       .withColumn("updated", lit(now)).localCheckpoint(true)
-    writeTable(live.filter(!col("_id").isin(ids: _*)).toDF(), tablePath(recordType))
+    val survivors = readRaw(recordType)
+      .where(col("id_bucket").isin(buckets: _*) && !col("_id").isin(ids: _*))
+      .localCheckpoint(true)
+    survivors.write
+      .partitionBy("id_bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+    // dynamic overwrite only replaces partitions PRESENT in the data;
+    // a bucket whose rows were all deleted must be dropped explicitly
+    val survivorBuckets = survivors.select("id_bucket").distinct().as[Long].collect().toSet
+    buckets.filterNot(survivorBuckets.contains).foreach { b =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      val dir = new java.io.File(s"$path/id_bucket=$b")
+      if (dir.exists()) rm(dir)
+    }
+    spark.catalog.refreshByPath(path)
     appendHistory(deleted, recordType, "deleted", now)
   }
 
@@ -161,7 +281,7 @@ final class MarcStore(spark: SparkSession, basePath: String) {
       .drop("version_no", "action")
       .localCheckpoint(true)
     require(!hist.isEmpty, s"History for $recordType $id not found")
-    commit(hist.as[MarcRow], user)
+    commit(hist.as[MarcRow], user, authCheck = false)
   }
 
   /** History.from_query analog (dlx/marc/__init__.py:2345-2354): run
@@ -192,42 +312,28 @@ final class MarcStore(spark: SparkSession, basePath: String) {
     val rows = readHistory(recordType)
       .where(col("_id") === id && col("version_no") === version)
       .drop("version_no", "action")
+      .select(canonicalCols.map(col): _*)
       .as[MarcRow].collect()
     require(rows.nonEmpty, s"History version $version of $recordType $id does not exist")
     rows.head
   }
 
-  /** One row per version (exploded history array — SURVEY §1.4). */
+  /** One row per version, APPENDED — never a table rewrite. The
+    * version number is prior-count + 1, computed from a read-only
+    * aggregate restricted (semi-join) to the batch's ids. */
   private def appendHistory(batch: DataFrame, recordType: String,
       action: String, now: java.sql.Timestamp): Unit = {
     val existing = readHistory(recordType)
-    val counts =
-      if (existing.isEmpty) batch.select(col("_id").as("h_id")).distinct().withColumn("prev_versions", lit(0L))
-      else existing.groupBy(col("_id").as("h_id")).agg(count(lit(1)).as("prev_versions"))
+    val ids = batch.select(col("_id").as("h_id")).distinct()
+    val counts = existing
+      .join(broadcast(ids), col("_id") === col("h_id"), "left_semi")
+      .groupBy(col("_id").as("h_id")).agg(count(lit(1)).as("prev_versions"))
     val versioned = batch
       .join(counts, batch("_id") === counts("h_id"), "left")
       .withColumn("version_no", coalesce(col("prev_versions"), lit(0L)) + 1)
       .withColumn("action", lit(action))
       .drop("h_id", "prev_versions")
-    val combined = if (existing.isEmpty) versioned else existing.unionByName(versioned)
-    writeTable(combined, historyPath(recordType))
-  }
-
-  /** Parquet "MERGE": stage to a temp dir, then swap (single-node
-    * test layout; Delta MERGE INTO / partition overwrite at scale). */
-  private def writeTable(df: DataFrame, path: String): Unit = {
-    val tmp = path + "_tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(target)
-    }
-    new java.io.File(tmp).renameTo(target)
-    // the swap invalidates Spark's cached file listing for the path
-    spark.catalog.refreshByPath(path)
+    versioned.write.mode(SaveMode.Append).parquet(historyPath(recordType))
+    spark.catalog.refreshByPath(historyPath(recordType))
   }
 }

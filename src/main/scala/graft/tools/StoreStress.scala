@@ -39,10 +39,30 @@ object StoreStress {
     }
     println(s"tag index entries=${spark.read.parquet(s"$base/tag_index").count()}")
 
-    // update a slice -> history versions
-    val slice = store.read("bib").limit(1000).as[MarcRow]
+    // update a slice -> history versions. O(batch) evidence: count the
+    // live files rewritten and history files before/after — a touched-
+    // bucket overwrite + append must leave untouched buckets' files and
+    // all prior history files in place.
+    def filesUnder(p: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val d = new java.io.File(p)
+      if (!d.exists()) Set.empty
+      else walk(d).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val liveBefore = filesUnder(s"$base/bibs")
+    val histBefore = filesUnder(s"$base/bib_history")
+    // 8 ids -> at most 8 of the 64 buckets rewritten
+    val slice = store.read("bib").where(col("_id") <= 8).as[MarcRow]
       .map(r => r.copy(basket = "updated"))
-    timed("re-commit 1000 updated")(store.commit(slice, user = "stress2"))
+    timed("re-commit 8 updated")(store.commit(slice, user = "stress2"))
+    val liveAfter = filesUnder(s"$base/bibs")
+    val histAfter = filesUnder(s"$base/bib_history")
+    require(histBefore.subsetOf(histAfter), "history was rewritten, not appended")
+    val untouched = (liveBefore intersect liveAfter).size
+    println(s"live files untouched=$untouched/${liveBefore.size} " +
+      s"(rewrote ${liveBefore.size - untouched} bucket files); " +
+      s"history files appended=${histAfter.size - histBefore.size}")
     val versions = store.readHistory("bib").groupBy("_id").count()
       .where(col("count") > 1).count()
     println(s"records with 2+ history versions=$versions")

@@ -13,8 +13,9 @@ class CliSpec extends AnyFunSuite {
   test("import -> index rebuild -> auth merge pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("clistore").toString
     val store = new graft.store.MarcStore(spark, dir)
-    store.commit(MarcSchema.toDataset(spark, Seq(bib1, bib2)), user = "t")
+    // default auth_check: referenced auths must exist first
     store.commit(MarcSchema.toDataset(spark, Seq(auth1, auth2)), user = "t")
+    store.commit(MarcSchema.toDataset(spark, Seq(bib1, bib2)), user = "t")
 
     // marc-import from an .mrk file
     val mrk = graft.records.Serialization.setToMrk(Seq(

@@ -175,6 +175,8 @@ class SparkMarcSpec extends AnyFunSuite {
   test("store: commit, history, max id, delete, restore") {
     val dir = java.nio.file.Files.createTempDirectory("marcstore").toString
     val store = new graft.store.MarcStore(spark, dir)
+    // default auth_check requires the referenced auths first
+    store.commit(authsDs, user = "tester")
     store.commit(bibsDs, user = "tester")
     assert(store.read("bib").count() == 2)
     assert(store.maxId("bib") == 2L)
@@ -249,11 +251,48 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(store.read("bib").where(col("_id") === id).count() == 1)
   }
 
+  test("history files are append-only across commits") {
+    val dir = java.nio.file.Files.createTempDirectory("marcstore5").toString
+    val store = new graft.store.MarcStore(spark, dir)
+    store.commit(authsDs, user = "t")
+    store.commit(bibsDs, user = "t")
+    def histFiles() = {
+      val d = new java.io.File(s"$dir/bib_history")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val after1 = histFiles()
+    store.commit(MarcSchema.toDataset(spark, Seq(bib1.set("245", "a", "Changed"))), user = "t2")
+    val after2 = histFiles()
+    assert(after1.subsetOf(after2), "history commit rewrote existing files")
+    assert(after2.size > after1.size)
+  }
+
+  test("auth commit cascades heading change to attached bibs by default") {
+    val dir = java.nio.file.Files.createTempDirectory("marcstore6").toString
+    val store = new graft.store.MarcStore(spark, dir)
+    store.commit(authsDs, user = "t")
+    store.commit(bibsDs, user = "t")
+    // change auth 1's heading value; default updateAttached must
+    // refresh bib 1's materialized 650$a value and version its history
+    val changed = MarcSchema.toDataset(spark, Seq(auth1.set("150", "a", "Updated Header")))
+    store.commit(changed, user = "t2")
+    val b1 = store.read("bib").where(col("_id") === 1L).head()
+    val v650 = b1.datafields.find(_.tag == "650").get.subfields.find(_.code == "a").get.value
+    assert(v650 == "Updated Header")
+    assert(b1.words.contains("updat")) // derived columns recomputed
+    val versions = store.readHistory("bib").where(col("_id") === 1L).count()
+    assert(versions == 2L)
+    // bib 2 also links auth 1 -> cascaded too
+    assert(store.readHistory("bib").where(col("_id") === 2L).count() == 2L)
+    val b2 = store.read("bib").where(col("_id") === 2L).head()
+    assert(b2.datafields.find(_.tag == "650").get.subfields.head.value == "Updated Header")
+  }
+
   test("auth delete guard: in-use auths cannot be deleted") {
     val dir = java.nio.file.Files.createTempDirectory("marcstore2").toString
     val store = new graft.store.MarcStore(spark, dir)
-    store.commit(bibsDs, user = "t")
     store.commit(authsDs, user = "t")
+    store.commit(bibsDs, user = "t")
     intercept[IllegalArgumentException] { store.delete("auth", Seq(1L)) }
   }
 }
