@@ -7,15 +7,17 @@ import Tables._
 /** Similarity search over the `embeddings` table (Array[Float], 64-d).
   *
   * q21 is the exact brute-force baseline: broadcast the (small) query
-  * set against the corpus — at 100 TB this is the standard "broadcast
-  * queries, scan corpus once, per-partition top-k then global top-k"
-  * plan; Spark's TakeOrderedAndProject does exactly that after the
-  * window filter.
+  * set against the corpus, then TWO-PHASE top-k via the bounded
+  * [[graft.spark.TopK]] Aggregator — the partial (map-side) aggregate
+  * keeps ≤k candidates per query per task, so the shuffle carries
+  * O(tasks × queries × k) structs; the full scored corpus never
+  * funnels through #queries reducer tasks.
   *
   * q22 is the scale path: hash-derived hyperplane LSH buckets (8-bit
   * signature → candidates share a bucket), so the pairwise work drops
-  * from O(N·Q) to per-bucket. The hyperplanes are pseudo-random but
-  * deterministic (md5-based), which keeps the DuckDB oracle exact.
+  * from O(N·Q) to per-bucket, with the same bounded top-k per bucket.
+  * The hyperplanes are pseudo-random but deterministic (md5-based),
+  * which keeps the DuckDB oracle exact.
   *
   * Scores are rounded to 4 decimals before ranking, with vec_id
   * tiebreak, so double-accumulation-order differences between engines
@@ -33,18 +35,26 @@ object VectorOps {
     embeddings(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
 
+  private def topkUdaf(k: Int) = udaf(new graft.spark.TopK(k))
+
+  /** explode a TopK result column into (payload struct, 1-based rank). */
+  private def explodeRanked(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    df.select(groupCols.map(col) :+ posexplode(col("top")).as(Seq("pos", "c")): _*)
+      .withColumn("rank", (col("pos") + 1).cast("int")).drop("pos")
+
   /** Brute-force cosine top-5 neighbors for query vectors vec_id < 10. */
   def q21AnnBrute(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val corpus = emb(s, dir)
     val queries = broadcast(corpus.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv")))
     val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 4).as("cos_sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
+    val grouped = scored.groupBy("query_id")
+      .agg(topkUdaf(5)(col("cos_sim"), col("neighbor_id"), lit("")).as("top"))
+    explodeRanked(grouped, Seq("query_id"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"),
+        col("c.score").as("cos_sim"), col("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -52,7 +62,6 @@ object VectorOps {
     * coefficients in [-0.5, 0.5)); signature = sign bits; neighbors
     * ranked within the query's bucket only. */
   def q22AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // plane p (0..7), dim d (0..63): coeff = (hex2long(md5("p_d")[0,8)) % 1000)/1000 - 0.5
     // Computed driver-side (same md5 the oracle computes in SQL) so the
     // plan carries plain literals instead of 512 hash expressions.
@@ -74,9 +83,11 @@ object VectorOps {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
         round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 4).as("cos_sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
+    val grouped = scored.groupBy("query_id", "bucket")
+      .agg(topkUdaf(3)(col("cos_sim"), col("neighbor_id"), lit("")).as("top"))
+    explodeRanked(grouped, Seq("query_id", "bucket"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"), col("bucket"),
+        col("c.score").as("cos_sim"), col("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -91,10 +102,13 @@ object VectorOps {
       .select(col("query_id"), col("true_label"), col("label"),
         round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 4).as("cos_sim"),
         col("vec_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .groupBy("query_id", "true_label", "label")
+    // bounded top-5 per query (two-phase; label rides in the tag slot),
+    // then vote over the ≤5 survivors — the vote window's input is
+    // queries×k rows, not the corpus
+    val grouped = scored.groupBy("query_id", "true_label")
+      .agg(topkUdaf(5)(col("cos_sim"), col("vec_id"), col("label")).as("top"))
+    explodeRanked(grouped, Seq("query_id", "true_label"))
+      .groupBy(col("query_id"), col("true_label"), col("c.tag").as("label"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("vote_rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))))

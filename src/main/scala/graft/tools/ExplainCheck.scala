@@ -46,6 +46,11 @@ object ExplainCheck {
     assert(p21.contains("BroadcastNestedLoopJoin") || p21.contains("BroadcastHashJoin"),
       "q21: query set not broadcast")
     println("q21 broadcast query-set OK")
+    // two-phase top-k: partial ObjectHashAggregate (bounded heap) on
+    // the map side, and NO window over the scored corpus
+    assert(p21.contains("ObjectHashAggregate"), "q21: top-k not a partial aggregate")
+    assert(!p21.contains("Window"), "q21: scored corpus still flows through a window")
+    println("q21 two-phase top-k OK")
 
     val q35 = graft.queries.MarcOps.q35SemijoinText(spark, sfDir)
     val p35 = planOf(q35)
