@@ -270,6 +270,26 @@ object MarcOps {
     compiler.run("xref:7").select("_id").orderBy("_id")
   }
 
+  /** Auth.merge under the oracle (dlx/marc/__init__.py:2143-2233):
+    * rewrite every xref losing→gaining across the bib table (one
+    * narrow array transform, no shuffle), re-materialize the linked
+    * values against the heading dimension, and emit every bib now
+    * attached to the gaining auth — DuckDB replays the FK rewrite +
+    * value refresh relationally. */
+  def q37AuthMerge(s: SparkSession, dir: String): DataFrame = {
+    val merged = AuthOps.mergeAuthXrefs(marcBibs(s, dir), losing = 7L, gaining = 11L)
+    val refreshed = AuthOps.refreshLinkedValues(merged, marcAuths(s, dir))
+    refreshed.select(col("_id"),
+        try_element_at(flatten(transform(
+          filter(col("datafields"), f => f.getField("tag") === "650"),
+          f => transform(f.getField("subfields"), sf => sf.getField("xref")))), lit(1)).as("subject_xref"),
+        try_element_at(flatten(transform(
+          filter(col("datafields"), f => f.getField("tag") === "650"),
+          f => transform(f.getField("subfields"), sf => sf.getField("value")))), lit(1)).as("subject"))
+      .where(col("subject_xref") === 11L)
+      .orderBy("_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_marc_build" -> (q24MarcBuild _),
     "q25_marc_query_dsl" -> (q25MarcQueryDsl _),
@@ -280,7 +300,8 @@ object MarcOps {
     "q30_marc_auth_use" -> (q30MarcAuthUse _),
     "q34_marc_table" -> (q34MarcTable _),
     "q31_marc_xref_query" -> (q31MarcXrefQuery _),
-    "q35_semijoin_text" -> (q35SemijoinText _))
+    "q35_semijoin_text" -> (q35SemijoinText _),
+    "q37_auth_merge" -> (q37AuthMerge _))
 
   val oracle: Map[String, String] = Map(
     "q24_marc_build" ->
@@ -345,5 +366,13 @@ object MarcOps {
         |  ON o_orderkey = fp.l_orderkey
         |JOIN part ON subject_key = p_partkey
         |WHERE list_contains(string_split(p_name, ' '), 'anvil')
+        |ORDER BY _id""".stripMargin,
+    "q37_auth_merge" ->
+      """SELECT o_orderkey AS _id, CAST(11 AS BIGINT) AS subject_xref,
+        |       (SELECT p_name FROM part WHERE p_partkey = 11) AS subject
+        |FROM orders
+        |JOIN (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp
+        |  ON o_orderkey = fp.l_orderkey
+        |WHERE subject_key IN (7, 11)
         |ORDER BY _id""".stripMargin)
 }
