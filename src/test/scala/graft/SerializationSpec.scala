@@ -179,6 +179,39 @@ class SerializationSpec extends AnyFunSuite {
     }
   }
 
+  test("from_excel reads a generated xlsx through the table path") {
+    // build a minimal real xlsx (zip of XML parts): header row uses
+    // shared strings, data row mixes shared, inline and numeric cells
+    // (the numeric id must render as an int, xlrd ctype-2 semantics)
+    val sharedStrings = Seq("1.001", "1.245$a", "1.269$a", "1.650$a", "Title ", "Header")
+    val sst =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${sharedStrings.length}" uniqueCount="${sharedStrings.length}">""" +
+        sharedStrings.map(s2 => s"<si><t xml:space=\"preserve\">$s2</t></si>").mkString + "</sst>"
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c></row>""" +
+        """<row r="2"><c r="A2"><v>12</v></c><c r="B2" t="s"><v>4</v></c>""" +
+        """<c r="C2" t="inlineStr"><is><t>Date</t></is></c><c r="D2" t="s"><v>5</v></c></row>""" +
+        """</sheetData></worksheet>"""
+    val path = java.nio.file.Files.createTempFile("graft", ".xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    for ((name, content) <- Seq("xl/sharedStrings.xml" -> sst, "xl/worksheets/sheet1.xml" -> sheet)) {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    val recs = graft.records.ExcelSerialization.fromExcel(path, "bib")
+    assert(recs.length == 1)
+    val bib = recs.head
+    assert(bib.id.contains(12L)) // numeric cell -> int, into 001
+    assert(bib.getValue("245", "a") == "Title") // shared string, rstripped
+    assert(bib.getValue("269", "a") == "Date") // inline string
+    assert(bib.getXref("650", "a").contains(1L)) // auth-controlled lookup
+  }
+
   test("from_csv without auth control keeps literals") {
     val bib = T.fromCsv("1.245$a,1.269$a,1.650$a\nTitle,Date,Not validated", "bib",
       authControl = false).head
