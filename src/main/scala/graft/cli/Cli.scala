@@ -65,6 +65,30 @@ object BuildLogicalFields {
   }
 }
 
+/** init-indexes analog (dlx/scripts/init_indexes.py:14-193): where the
+  * reference declares Mongo index definitions, the Spark engine's
+  * "indexes" are derived DataFrames — one entry point materializes all
+  * three (tag index, browse index, auth-heading dimension) to parquet
+  * under the store base. An explicit full rebuild is O(table) by
+  * design; incremental maintenance is the streaming module's job. */
+object InitIndexes {
+  def main(args: Array[String]): Unit = {
+    val (spark, preExisting) = Cli.obtainSession()
+    val base = args.headOption.getOrElse(sys.error("usage: InitIndexes <base>"))
+    val store = new MarcStore(spark, base)
+    val records = store.read("bib").toDF().unionByName(store.read("auth").toDF())
+    MarcContext.tagIndex(records).write.mode("overwrite").parquet(s"$base/tag_index")
+    val withLogical = Seq("bib", "auth").map { rt =>
+      LogicalFields.withLogical(store.read(rt).toDF(), rt)
+    }.reduce(_ unionByName _)
+    MarcContext.browseIndex(withLogical).write.mode("overwrite").parquet(s"$base/browse_index")
+    MarcContext.authHeadings(store.read("auth").toDF())
+      .write.mode("overwrite").parquet(s"$base/headings")
+    println(s"indexes materialized at $base/{tag_index,browse_index,headings}")
+    Cli.release(spark, preExisting)
+  }
+}
+
 /** marc-import analog (dlx/scripts/marc_import.py): read .mrk/.xml
   * files into the store. */
 object MarcImport {

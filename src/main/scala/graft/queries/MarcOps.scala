@@ -147,7 +147,8 @@ object MarcOps {
             .otherwise(sf.getField("value")).as("value"),
           sf.getField("xref").as("xref"))).as("subfields"))))
     import graft.spark.MarcSchema.marcRowEncoder
-    val resolved = MarcContext.resolveLinkedBroadcast(
+    // auto: broadcast-map here (dimension-sized auths), join if it grows
+    val resolved = MarcContext.resolveLinkedAuto(
       stripped.as[graft.spark.MarcRow](marcRowEncoder), marcAuths(s, dir)).toDF()
     resolved.select(col("_id"),
       try_element_at(flatten(transform(

@@ -119,6 +119,23 @@ object MarcContext {
     }
   }
 
+  /** Auto-select the resolution strategy from the dimension's actual
+    * size (the reference's build_cache assumption, made checkable):
+    * a heading dimension under `maxBroadcastHeadings` rows resolves
+    * via the zero-shuffle broadcast map; a larger one falls back to
+    * the broadcast-hash-join path. Callers no longer choose. */
+  def resolveLinkedAuto(records: org.apache.spark.sql.Dataset[MarcRow], auths: DataFrame,
+      maxBroadcastHeadings: Long = 1L << 20): org.apache.spark.sql.Dataset[MarcRow] = {
+    import MarcSchema.marcRowEncoder
+    val dimSize = authHeadings(auths).count()
+    if (dimSize <= maxBroadcastHeadings) resolveLinkedBroadcast(records, auths)
+    else {
+      val cols = records.columns
+      resolveLinked(records.toDF(), auths)
+        .select(cols.map(col): _*).as[MarcRow]
+    }
+  }
+
   /** Field-level text of each datafield (resolved values assumed):
     * space-joined subfield values (dlx/marc/__init__.py:921). */
   private def fieldTextCol(f: Column): Column =

@@ -33,6 +33,13 @@ class CliSpec extends AnyFunSuite {
     val browse = spark.read.parquet(s"$dir/browse_index")
     assert(browse.where(col("field") === "title").count() >= 3)
 
+    // init-indexes: one entry point materializes all three derived
+    // indexes (dlx/scripts/init_indexes.py analog)
+    graft.cli.InitIndexes.main(Array(dir))
+    assert(spark.read.parquet(s"$dir/headings").where(col("tag") === "150").count() >= 1)
+    assert(spark.read.parquet(s"$dir/tag_index").count() > 0)
+    assert(spark.read.parquet(s"$dir/browse_index").count() > 0)
+
     // auth merge: move every xref 2 -> 1, delete auth 2
     graft.cli.AuthMerge.main(Array(dir, "1", "2"))
     val xrefs = store.read("bib").select(explode(col("datafields")).as("f"))

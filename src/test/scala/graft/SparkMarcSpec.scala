@@ -93,6 +93,26 @@ class SparkMarcSpec extends AnyFunSuite {
     }
   }
 
+  test("resolveLinkedAuto picks map vs join by dimension size, same result") {
+    val stripped = bibsDs.toDF().withColumn("datafields",
+      transform(col("datafields"), f => struct(
+        f.getField("tag").as("tag"), f.getField("ind1").as("ind1"), f.getField("ind2").as("ind2"),
+        transform(f.getField("subfields"), s => struct(
+          s.getField("code").as("code"),
+          when(s.getField("xref").isNotNull, lit(null).cast("string"))
+            .otherwise(s.getField("value")).as("value"),
+          s.getField("xref").as("xref"))).as("subfields"))))
+      .as[MarcRow](MarcSchema.marcRowEncoder)
+    def values(ds: org.apache.spark.sql.Dataset[MarcRow]): Map[Long, Seq[String]] =
+      ds.collect().map(r => r._id ->
+        r.datafields.flatMap(_.subfields.map(_.value)).toSeq).toMap
+    // tiny dimension -> broadcast-map path; threshold 0 -> join path
+    val viaMap = MarcContext.resolveLinkedAuto(stripped, authsDs.toDF())
+    val viaJoin = MarcContext.resolveLinkedAuto(stripped, authsDs.toDF(), maxBroadcastHeadings = 0L)
+    assert(values(viaMap) == values(viaJoin))
+    assert(values(viaMap)(1L).contains("Header"))
+  }
+
   test("over-cap fallback predicates match the row engine") {
     // cap of zero forces every text/regex in-list over the limit, so
     // every condition degrades to the direct predicate
