@@ -279,7 +279,11 @@ object MarcOps {
     * value refresh relationally. */
   def q37AuthMerge(s: SparkSession, dir: String): DataFrame = {
     val merged = AuthOps.mergeAuthXrefs(marcBibs(s, dir), losing = 7L, gaining = 11L)
-    val refreshed = AuthOps.refreshLinkedValues(merged, marcAuths(s, dir))
+    // select the attached rows FIRST (narrow predicate on the scan),
+    // then refresh only those — the resolve join never sees the corpus
+    val attached = merged.where(exists(col("datafields"),
+      f => exists(f.getField("subfields"), sf => sf.getField("xref") === 11L)))
+    val refreshed = AuthOps.refreshLinkedValues(attached, marcAuths(s, dir))
     refreshed.select(col("_id"),
         try_element_at(flatten(transform(
           filter(col("datafields"), f => f.getField("tag") === "650"),

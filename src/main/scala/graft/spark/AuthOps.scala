@@ -84,23 +84,37 @@ object AuthOps {
       }))
   }
 
+  /** null out the materialized values of linked subfields so a resolve
+    * pass re-derives them from the current heading state. */
+  def stripLinkedValues(records: DataFrame): DataFrame =
+    records.withColumn("datafields",
+      transform(col("datafields"), f => struct(
+        f.getField("tag").as("tag"),
+        f.getField("ind1").as("ind1"),
+        f.getField("ind2").as("ind2"),
+        transform(f.getField("subfields"), s => struct(
+          s.getField("code").as("code"),
+          when(s.getField("xref").isNotNull, lit(null).cast("string"))
+            .otherwise(s.getField("value")).as("value"),
+          s.getField("xref").as("xref"))).as("subfields"))))
+
   /** Refresh the materialized values of linked subfields after a
     * heading value change: ONE broadcast join against the new heading
     * dimension (the cascade "re-commit attached" loop,
     * dlx/marc/__init__.py:1205-1232, as a set operation). */
   def refreshLinkedValues(records: DataFrame, auths: DataFrame): DataFrame =
-    MarcContext.resolveLinked(
-      records.withColumn("datafields",
-        transform(col("datafields"), f => struct(
-          f.getField("tag").as("tag"),
-          f.getField("ind1").as("ind1"),
-          f.getField("ind2").as("ind2"),
-          transform(f.getField("subfields"), s => struct(
-            s.getField("code").as("code"),
-            when(s.getField("xref").isNotNull, lit(null).cast("string"))
-              .otherwise(s.getField("value")).as("value"),
-            s.getField("xref").as("xref"))).as("subfields")))),
-      auths)
+    MarcContext.resolveLinked(stripLinkedValues(records), auths)
+
+  /** Typed refresh through the size-auto resolution path — the
+    * broadcast map (zero shuffle) while the heading dimension fits,
+    * the join above it. */
+  def refreshLinkedValuesTyped(records: org.apache.spark.sql.Dataset[MarcRow],
+      auths: DataFrame): org.apache.spark.sql.Dataset[MarcRow] = {
+    import MarcSchema.marcRowEncoder
+    val cols = records.columns
+    MarcContext.resolveLinkedAuto(
+      stripLinkedValues(records.toDF()).select(cols.map(col): _*).as[MarcRow], auths)
+  }
 
   /** in_use count for one auth id (dlx/marc/__init__.py:2091-2141):
     * semi-join shaped existence scan. */

@@ -57,6 +57,27 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
       filter(col("datafields"), f => f.getField("tag") === tag)))
   }
 
+  /** One-tag RESOLUTION entries without the index aggregate: the
+    * tagIndex groupBy(tag, raw) exists only to dedup entries for the
+    * materialized index; for query resolution the per-field rows carry
+    * the same (text, words, subfields) semantics and the value set is
+    * `.distinct()`ed at the end — so skip the shuffle entirely and
+    * derive field-level entries straight off the records scan. Uses
+    * the cached index when one exists. */
+  private def tagEntriesFor(tag: String): DataFrame = {
+    if (tagIdx.storageLevel.useMemory)
+      tagIdx.where(col("tag") === tag).select("raw", "text", "words", "subfields")
+    else {
+      val fieldText = concat_ws(" ", transform(col("f").getField("subfields"),
+        s => coalesce(s.getField("value"), lit(""))))
+      bibs.unionByName(auths)
+        .select(explode(filter(col("datafields"), f => f.getField("tag") === tag)).as("f"))
+        .select(fieldText.as("raw"), col("f.subfields").as("subfields"))
+        .withColumn("text", concat(lit(" "), scrubUdf(col("raw")), lit(" ")))
+        .withColumn("words", tokenizeUdf(col("raw")))
+    }
+  }
+
   private def records(recordType: String): DataFrame =
     if (recordType == "auth") auths else bibs
 
@@ -161,18 +182,18 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
   }
 
   private def tagRegexValues(tag: String, code: Option[String], rx: Rx): DataFrame = {
-    val subs = tagIdxFor(tag)
+    val subs = tagEntriesFor(tag)
       .select(explode(col("subfields")).as("s"))
       .select(col("s.code").as("c"), col("s.value").as("v"))
     code.map(c => subs.where(col("c") === c)).getOrElse(subs)
-      .where(rxFilter(rx))
+      .where(col("v").isNotNull && rxFilter(rx))
       .select("v").distinct()
   }
 
   private def tagTextValues(tag: String, code: Option[String], tq: TextQuery): DataFrame = {
     val terms = Tokenizer.tokenize(tq.terms)
     val negated = Tokenizer.tokenize(tq.negated.mkString(" "))
-    var entries = tagIdxFor(tag)
+    var entries = tagEntriesFor(tag)
     terms.foreach(t => entries = entries.where(array_contains(col("words"), t)))
     negated.foreach(t => entries = entries.where(!array_contains(col("words"), t)))
     tq.phrases.foreach { p =>

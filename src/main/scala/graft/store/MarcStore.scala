@@ -87,10 +87,13 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     * (reference _increment_ids, dlx/marc/__init__.py:457-472, batch
     * form). zipWithIndex keeps ids dense max+1..max+n without routing
     * the batch through a single window task. */
-  def assignIds(recs: Dataset[MarcRow]): Dataset[MarcRow] = {
+  def assignIds(recs: Dataset[MarcRow]): Dataset[MarcRow] =
+    assignIds(recs, recs.head().record_type)
+
+  private def assignIds(recs: Dataset[MarcRow], rt: String): Dataset[MarcRow] = {
     val needIds = recs.filter(col("_id") === -1L)
     if (needIds.isEmpty) return recs
-    val start = maxId(recs.head().record_type)
+    val start = maxId(rt)
     val assigned = spark.createDataset(
       needIds.rdd.zipWithIndex().map { case (r, i) => r.copy(_id = start + i + 1) })
     recs.filter(col("_id") =!= -1L).unionByName(assigned)
@@ -117,8 +120,11 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     val badXref = controlled.where(col("xref").isNotNull)
       .join(headings, controlled("xref") === headings("h_xref") &&
         controlled("code") === headings("h_code"), "left_anti")
-    val bad = uncontrolledWithXref.limit(1).collect() ++
-      missingXref.limit(1).collect() ++ badXref.limit(1).collect()
+    // one action for all three violation classes
+    val bad = uncontrolledWithXref.limit(1)
+      .unionByName(missingXref.limit(1))
+      .unionByName(badXref.limit(1))
+      .collect()
     if (bad.nonEmpty) {
       val r = bad.head
       throw new IllegalArgumentException(
@@ -134,10 +140,12 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   def commit(recs: Dataset[MarcRow], user: String,
       now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()),
       authCheck: Boolean = true, updateAttached: Boolean = true): Unit = {
-    if (recs.isEmpty) return
-    val rt = recs.head().record_type
+    // one job answers both "empty?" and "which record type?"
+    val first = recs.limit(1).collect()
+    if (first.isEmpty) return
+    val rt = first.head.record_type
     if (authCheck) authValidate(recs, rt)
-    val incomingRaw = assignIds(recs)
+    val incomingRaw = assignIds(recs, rt)
 
     // audit columns: preserve created/created_user from previous state
     val prev = read(rt).select(col("_id").as("p_id"), col("created").as("p_created"),
@@ -228,8 +236,8 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     }
     // refresh materialized linked values against the NEW heading state,
     // then recompute the derived text/words/logical columns
-    val refreshed = AuthOps.refreshLinkedValues(restructured, read("auth").toDF())
-      .select(canonicalCols.map(col): _*).as[MarcRow]
+    val refreshed = AuthOps.refreshLinkedValuesTyped(
+        restructured.select(canonicalCols.map(col): _*).as[MarcRow], read("auth").toDF())
       .map(r => MarcSchema.toRow(MarcSchema.fromRow(r))(graft.model.AuthLookup.Empty))
     commit(refreshed, user, now, authCheck = false, updateAttached = false)
   }

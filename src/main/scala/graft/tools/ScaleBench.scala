@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-bound behavior only shows at a scale factor higher than the
+  * correctness gate's sf0.1, and the sandbox ships no sf1 data — so
+  * this tool materializes an sf1-EQUIVALENT dataset by replicating the
+  * sf0.1 FACT tables `factor`× with disjoint key ranges (dimension
+  * tables stay fixed, like TPC-H dims relative to facts), then runs
+  * the full query battery and writes:
+  *   - BENCH_sfN.json   — per-query wall times (same shape as Bench)
+  *   - PLANS_sfN.md     — executed (post-AQE) plans of the slowest
+  *                        queries, for the repo record.
+  *
+  * Key shifts preserve join semantics: l_orderkey moves with
+  * o_orderkey; part/customer/supplier references stay in range;
+  * events keep their timestamps (10× density = more rows per window,
+  * the realistic scale direction) with user/event ids shifted;
+  * documents replicate into exact duplicates (10× duplicate rate —
+  * adversarial for the dedup family); embeddings replicate the corpus
+  * while the vec_id<10 query set stays fixed.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outDir = args.lift(2).getOrElse(s"/tmp/graft_scaled_x$factor")
+    val label = args.lift(3).getOrElse("sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is TIMESTAMP(NANOS): read it as long, write it as long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def src(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
+
+    def span(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1L
+
+    /** factor× replicas with each key column shifted into a disjoint range. */
+    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame =
+      (0 until factor).map { r =>
+        shifts.foldLeft(df) { case (d, (c, sp)) =>
+          d.withColumn(c, col(c) + lit(r.toLong * sp))
+        }
+      }.reduce(_ unionByName _)
+
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+      println(s"materializing ${factor}x of $srcDir at $outDir ...")
+      val ordSpan = span(src("orders"), "o_orderkey")
+      val evSpan = span(src("events"), "event_id")
+      val userSpan = span(src("events"), "user_id")
+      val docSpan = span(src("documents"), "doc_id")
+      val vecSpan = span(src("embeddings"), "vec_id")
+      val jobs: Seq[(String, DataFrame)] = Seq(
+        "orders" -> replicate(src("orders"), "o_orderkey" -> ordSpan),
+        "lineitem" -> replicate(src("lineitem"), "l_orderkey" -> ordSpan),
+        "events" -> replicate(src("events"), "event_id" -> evSpan, "user_id" -> userSpan),
+        "documents" -> replicate(src("documents"), "doc_id" -> docSpan),
+        "embeddings" -> replicate(src("embeddings"), "vec_id" -> vecSpan),
+        "customer" -> src("customer"), "supplier" -> src("supplier"),
+        "part" -> src("part"), "nation" -> src("nation"), "region" -> src("region"))
+      for ((name, df) <- jobs)
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println("materialized.")
+    }
+
+    // warmup like Bench
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings"))
+      try spark.read.parquet(s"$outDir/$t.parquet").count()
+      catch { case _: Throwable => }
+
+    val plans = scala.collection.mutable.Map.empty[String, String]
+    val results = SparkEntry_queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val secs = try {
+        val df = fn(spark, outDir)
+        df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        plans(name) = df.queryExecution.executedPlan.toString
+        dt
+      } catch {
+        case e: Throwable =>
+          plans(name) = s"FAILED: ${e.getMessage}"
+          -1.0
+      }
+      name -> secs
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$label-equivalent ($srcDir x$factor)"}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"BENCH_$label.json"), json + "\n")
+
+    val slowest = results.sortBy(-_._2).take(8)
+    val md = new StringBuilder
+    md.append(s"# Executed plans at $label-equivalent scale ($srcDir x$factor, local[$cpus])\n\n")
+    md.append("Post-AQE physical plans of the slowest queries — committed so plan\n")
+    md.append("regressions (lost pushdown, broadcast->shuffle flips, window funnels)\n")
+    md.append("show up in review, not just in wall time.\n\n")
+    for ((name, secs) <- slowest) {
+      md.append(f"## $name — $secs%.2f s\n\n```\n")
+      md.append(plans.getOrElse(name, "?").linesIterator.take(60).mkString("\n"))
+      md.append("\n```\n\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"PLANS_$label.md"), md.result())
+    println(s"wrote BENCH_$label.json and PLANS_$label.md")
+    spark.stop()
+  }
+
+  private def SparkEntry_queries = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+}
