@@ -36,8 +36,11 @@ class FileExistsIdentifierConflict(checksum: String)
 class FileExistsLanguageConflict(checksum: String)
   extends FileExists(s"File $checksum already exists but with different languages")
 
-trait BlobStore {
+trait BlobStore extends Serializable {
   def put(checksum: String, data: Array[Byte], mimetype: String): String // returns uri
+  /** deterministic content-addressed uri (batch ingest computes it
+    * without a round-trip to the executors). */
+  def uriFor(checksum: String): String = checksum
 }
 
 final class LocalBlobStore(dir: String) extends BlobStore {
@@ -47,6 +50,28 @@ final class LocalBlobStore(dir: String) extends BlobStore {
     java.nio.file.Files.write(f, data)
     f.toString
   }
+  override def uriFor(checksum: String): String =
+    java.nio.file.Paths.get(dir, checksum).toString
+}
+
+/** Hadoop-FileSystem blob backend — the public-safe analog of the
+  * reference's S3 store (dlx/file/s3.py): one URI scheme covers
+  * s3a://, gs://, abfs://, hdfs:// and file://. The FileSystem handle
+  * is constructed lazily on whichever JVM calls put(), so the store is
+  * safe to ship into `foreachPartition` for distributed ingest. */
+final class HadoopBlobStore(baseUri: String) extends BlobStore {
+  @transient private lazy val fs = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    new org.apache.hadoop.fs.Path(baseUri).getFileSystem(conf)
+  }
+  def put(checksum: String, data: Array[Byte], mimetype: String): String = {
+    val path = new org.apache.hadoop.fs.Path(baseUri, checksum)
+    val out = fs.create(path, true)
+    try out.write(data) finally out.close()
+    path.toString
+  }
+  override def uriFor(checksum: String): String =
+    new org.apache.hadoop.fs.Path(baseUri, checksum).toString
 }
 
 final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore) {
@@ -148,6 +173,51 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore) {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .drop("rn", "idf")
+  }
+
+  /** Set-scale ingest — the batch form of import_from_binary for a
+    * 100 TB pipeline (`spark.read.format("binaryFile")` feeds this):
+    * md5 in the cluster, in-batch dedup on checksum, anti-join against
+    * the existing table (existing checksums are skipped, the batch
+    * analog of the FileExists path), blob puts from the executors via
+    * foreachPartition, ONE metadata write for the whole batch.
+    *
+    * `files` columns: content (binary), filename, identifiers
+    * (array<struct<idType,value>>), languages, mimetype, source, user.
+    * Returns the imported metadata rows.
+    */
+  def importBatch(files: DataFrame,
+      now: java.time.Instant = java.time.Instant.now()): DataFrame = {
+    val stamped = files
+      .withColumn("_id", md5(col("content")))
+      .withColumn("size", length(col("content")).cast("long"))
+    val fresh = stamped
+      .dropDuplicates("_id")
+      .join(read().select(col("_id")), Seq("_id"), "left_anti")
+      .localCheckpoint(true)
+    val store = blobs
+    fresh.select("_id", "content", "mimetype").foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          store.put(r.getString(0), r.getAs[Array[Byte]](1), r.getString(2))
+        }
+    }
+    val ts = java.sql.Timestamp.from(now)
+    // bind to a local so the closure ships the BlobStore, not `this`
+    val uriStore = blobs
+    val uriUdf = udf((checksum: String) => uriStore.uriFor(checksum))
+    val meta = fresh.select(
+      col("_id"), col("filename"), col("identifiers"), col("languages"),
+      col("mimetype"), col("size"), col("source"),
+      lit(ts).as("timestamp"),
+      uriUdf(col("_id")).as("uri"),
+      col("user"), lit(null).cast("timestamp").as("updated"))
+    val merged = read().join(meta.select(col("_id").as("m_id")),
+        col("_id") === col("m_id"), "left_anti")
+      .unionByName(meta, allowMissingColumns = true)
+      .localCheckpoint(true)
+    writeTable(merged)
+    meta
   }
 
   /** Metadata update (File.commit, dlx/file/__init__.py:360-364). */

@@ -213,6 +213,33 @@ object MarcOps {
       .orderBy("_id")
   }
 
+  /** XML serialize -> parse roundtrip (to_xml/from_xml under the
+    * oracle; xref carried through the $0-prefix convention). */
+  def q38XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val rtUdf = udf((mrk: String) => {
+      implicit val auth: AuthLookup = AuthLookup.Empty
+      val rec = Serialization.fromMrk("bib", mrk, authControl = false)
+      val back = Serialization.fromXml("bib", Serialization.toXml(rec), authControl = false)
+      back.getValue("245", "a") + "|" + back.getValue("269", "a")
+    })
+    q28MarcMrk(s, dir)
+      .select(col("_id"), rtUdf(col("mrk")).as("xml_roundtrip"))
+      .orderBy("_id")
+  }
+
+  /** JSON (JMARC) serialize -> parse roundtrip. */
+  def q39JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val rtUdf = udf((mrk: String) => {
+      implicit val auth: AuthLookup = AuthLookup.Empty
+      val rec = Serialization.fromMrk("bib", mrk, authControl = false)
+      val back = Serialization.fromJson("bib", Serialization.toJson(rec))
+      back.getValue("245", "a") + "|" + back.getValue("269", "a")
+    })
+    q28MarcMrk(s, dir)
+      .select(col("_id"), rtUdf(col("mrk")).as("json_roundtrip"))
+      .orderBy("_id")
+  }
+
   /** Tabular serialization through the library: each bib rendered to
     * its `place.tag$code` table cells (sorted header order), exploded
     * to (record, column, cell) rows — the to_table/to_csv operator
@@ -306,7 +333,9 @@ object MarcOps {
     "q34_marc_table" -> (q34MarcTable _),
     "q31_marc_xref_query" -> (q31MarcXrefQuery _),
     "q35_semijoin_text" -> (q35SemijoinText _),
-    "q37_auth_merge" -> (q37AuthMerge _))
+    "q37_auth_merge" -> (q37AuthMerge _),
+    "q38_xml_roundtrip" -> (q38XmlRoundtrip _),
+    "q39_json_roundtrip" -> (q39JsonRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "q24_marc_build" ->
@@ -372,6 +401,14 @@ object MarcOps {
         |JOIN part ON subject_key = p_partkey
         |WHERE list_contains(string_split(p_name, ' '), 'anvil')
         |ORDER BY _id""".stripMargin,
+    "q38_xml_roundtrip" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id, prio || '|' || odate AS xml_roundtrip
+        |FROM bibs ORDER BY _id""".stripMargin,
+    "q39_json_roundtrip" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id, prio || '|' || odate AS json_roundtrip
+        |FROM bibs ORDER BY _id""".stripMargin,
     "q37_auth_merge" ->
       """SELECT o_orderkey AS _id, CAST(11 AS BIGINT) AS subject_xref,
         |       (SELECT p_name FROM part WHERE p_partkey = 11) AS subject

@@ -77,8 +77,40 @@ object StoreOps {
       .orderBy("_id", "version_no")
   }
 
+  /** The File module's batch ingest under the oracle: derived binary
+    * contents md5'd and deduped in the cluster, blobs written from the
+    * executors (Hadoop-FS backend over file://), a second import of
+    * the same batch proving checksum-dedup is a no-op. DuckDB replays
+    * md5/length relationally. */
+  def q40FileImport(s: SparkSession, dir: String): DataFrame = {
+    import graft.files.{FileStore, HadoopBlobStore}
+    val base = java.nio.file.Files.createTempDirectory("graft_q40").toString
+    val store = new FileStore(s, base, new HadoopBlobStore(s"file://$base/blobs"))
+    val files = orders(s, dir).where(col("o_orderkey") % 97 === 0)
+      .select(
+        concat(lit("file-"), col("o_orderkey"), lit("-"), col("o_orderpriority"))
+          .cast("binary").as("content"),
+        concat(lit("f"), col("o_orderkey"), lit(".txt")).as("filename"),
+        array(struct(lit("isbn").as("idType"),
+          col("o_orderkey").cast("string").as("value"))).as("identifiers"),
+        array(lit("en")).as("languages"),
+        lit("text/plain").as("mimetype"),
+        lit("gate").as("source"),
+        lit("tester").as("user"))
+    store.importBatch(files, java.time.Instant.parse("2020-01-01T00:00:00Z"))
+    // identical batch again: checksum dedup must keep the table stable
+    store.importBatch(files, java.time.Instant.parse("2020-02-01T00:00:00Z"))
+    store.read()
+      .select(explode(col("identifiers")).as("i"), col("_id"), col("size"),
+        col("timestamp").cast("long").as("ts_epoch"))
+      .select(col("i.value").as("id_value"), col("_id").as("checksum"),
+        col("size"), col("ts_epoch"))
+      .orderBy("id_value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q36_store_commit" -> (q36StoreCommit _))
+    "q36_store_commit" -> (q36StoreCommit _),
+    "q40_file_import" -> (q40FileImport _))
 
   val oracle: Map[String, String] = Map(
     "q36_store_commit" ->
@@ -100,5 +132,12 @@ object StoreOps {
         |  FROM s WHERE id % 388 = 0)
         |SELECT id AS _id, version_no, action, title, mod_user, created_user,
         |       updated_epoch, created_epoch, (id % 388 <> 0) AS live
-        |FROM h ORDER BY _id, version_no""".stripMargin)
+        |FROM h ORDER BY _id, version_no""".stripMargin,
+    "q40_file_import" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id_value,
+        |       md5('file-' || o_orderkey || '-' || o_orderpriority) AS checksum,
+        |       CAST(length('file-' || o_orderkey || '-' || o_orderpriority) AS BIGINT) AS size,
+        |       CAST(1577836800 AS BIGINT) AS ts_epoch
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY id_value""".stripMargin)
 }

@@ -99,6 +99,31 @@ class FileStoreSpec extends AnyFunSuite {
     assert(BibFiles.file(MarcRecord(recordType = "bib"), store, "EN").isEmpty)
   }
 
+  test("hadoop blob store writes via file:// and batch import dedups") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("filestore_h").toString
+    val store = new FileStore(spark, dir, new HadoopBlobStore(s"file://$dir/blobs"))
+    import spark.implicits._
+    val files = Seq(("c1", "1"), ("c2", "2"), ("c1", "3")).toDF("body", "idv")
+      .select(col("body").cast("binary").as("content"),
+        concat(lit("f"), col("idv")).as("filename"),
+        array(struct(lit("isbn").as("idType"), col("idv").as("value"))).as("identifiers"),
+        array(lit("en")).as("languages"),
+        lit("text/plain").as("mimetype"), lit("t").as("source"), lit("u").as("user"))
+    val imported = store.importBatch(files)
+    // in-batch dedup: c1 appears twice -> 2 distinct checksums imported
+    assert(imported.count() == 2)
+    assert(store.read().count() == 2)
+    // second import of same contents is a no-op
+    store.importBatch(files)
+    assert(store.read().count() == 2)
+    // blobs exist on the hadoop fs and round-trip content
+    val sum = store.md5Hex("c1".getBytes("UTF-8"))
+    val blob = java.nio.file.Paths.get(s"$dir/blobs/$sum")
+    assert(new String(java.nio.file.Files.readAllBytes(blob), "UTF-8") == "c1")
+    assert(store.fromId(sum).get.uri.endsWith(sum))
+  }
+
   test("commit stamps updated") {
     val store = freshStore()
     val rec = store.importBinary(testData, Seq(Identifier("isbn", "1")), Seq("EN"), "m", "s")
