@@ -62,7 +62,12 @@ final class LocalBlobStore(dir: String) extends BlobStore {
 final class HadoopBlobStore(baseUri: String) extends BlobStore {
   @transient private lazy val fs = {
     val conf = new org.apache.hadoop.conf.Configuration()
-    new org.apache.hadoop.fs.Path(baseUri).getFileSystem(conf)
+    val f = new org.apache.hadoop.fs.Path(baseUri).getFileSystem(conf)
+    // blobs are content-addressed (md5 IS the integrity check): FS-level
+    // .crc sidecars only double the file count per put
+    f.setWriteChecksum(false)
+    f.setVerifyChecksum(false)
+    f
   }
   def put(checksum: String, data: Array[Byte], mimetype: String): String = {
     val path = new org.apache.hadoop.fs.Path(baseUri, checksum)

@@ -86,7 +86,7 @@ object StoreOps {
     import graft.files.{FileStore, HadoopBlobStore}
     val base = java.nio.file.Files.createTempDirectory("graft_q40").toString
     val store = new FileStore(s, base, new HadoopBlobStore(s"file://$base/blobs"))
-    val files = orders(s, dir).where(col("o_orderkey") % 97 === 0)
+    val files = orders(s, dir).where(col("o_orderkey") % 485 === 0)
       .select(
         concat(lit("file-"), col("o_orderkey"), lit("-"), col("o_orderpriority"))
           .cast("binary").as("content"),
@@ -138,6 +138,6 @@ object StoreOps {
         |       md5('file-' || o_orderkey || '-' || o_orderpriority) AS checksum,
         |       CAST(length('file-' || o_orderkey || '-' || o_orderpriority) AS BIGINT) AS size,
         |       CAST(1577836800 AS BIGINT) AS ts_epoch
-        |FROM orders WHERE o_orderkey % 97 = 0
+        |FROM orders WHERE o_orderkey % 485 = 0
         |ORDER BY id_value""".stripMargin)
 }
