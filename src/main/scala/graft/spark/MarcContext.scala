@@ -119,21 +119,49 @@ object MarcContext {
     }
   }
 
+  /** Broadcast-map resolution as a pure Column projection: the heading
+    * dimension rides an executor broadcast behind a scalar UDF applied
+    * INSIDE the datafields transform — unlike the typed
+    * [[resolveLinkedBroadcast]] it never pays the MarcRow encoder
+    * round-trip for untouched columns, and unlike [[resolveLinked]] it
+    * never shuffles. The fastest path while the dimension fits
+    * executor memory. */
+  def resolveLinkedMapUdf(records: DataFrame, auths: DataFrame): DataFrame = {
+    val spark = records.sparkSession
+    val dim: Map[(Long, String), String] = authHeadings(auths)
+      .select("xref", "code", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    val bc = spark.sparkContext.broadcast(dim)
+    val lookup = udf((xref: java.lang.Long, code: String) =>
+      if (xref == null) null else bc.value.getOrElse((xref.longValue, code), null))
+    records.withColumn("datafields",
+      transform(col("datafields"), f => struct(
+        f.getField("tag").as("tag"),
+        f.getField("ind1").as("ind1"),
+        f.getField("ind2").as("ind2"),
+        transform(f.getField("subfields"), s => struct(
+          s.getField("code").as("code"),
+          when(s.getField("xref").isNotNull && s.getField("value").isNull,
+            lookup(s.getField("xref"), s.getField("code")))
+            .otherwise(s.getField("value")).as("value"),
+          s.getField("xref").as("xref"))).as("subfields"))))
+  }
+
   /** Auto-select the resolution strategy from the dimension's actual
     * size (the reference's build_cache assumption, made checkable):
     * a heading dimension under `maxBroadcastHeadings` rows resolves
-    * via the zero-shuffle broadcast map; a larger one falls back to
-    * the broadcast-hash-join path. Callers no longer choose. */
+    * via the zero-shuffle broadcast-map projection; a larger one
+    * falls back to the broadcast-hash-join path. Callers no longer
+    * choose. */
   def resolveLinkedAuto(records: org.apache.spark.sql.Dataset[MarcRow], auths: DataFrame,
       maxBroadcastHeadings: Long = 1L << 20): org.apache.spark.sql.Dataset[MarcRow] = {
     import MarcSchema.marcRowEncoder
     val dimSize = authHeadings(auths).count()
-    if (dimSize <= maxBroadcastHeadings) resolveLinkedBroadcast(records, auths)
-    else {
-      val cols = records.columns
-      resolveLinked(records.toDF(), auths)
-        .select(cols.map(col): _*).as[MarcRow]
-    }
+    val cols = records.columns
+    if (dimSize <= maxBroadcastHeadings)
+      resolveLinkedMapUdf(records.toDF(), auths).select(cols.map(col): _*).as[MarcRow]
+    else
+      resolveLinked(records.toDF(), auths).select(cols.map(col): _*).as[MarcRow]
   }
 
   /** Field-level text of each datafield (resolved values assumed):

@@ -92,6 +92,8 @@ object ScaleBench {
           plans(name) = s"FAILED: ${e.getMessage}"
           -1.0
       }
+      // untimed: free dead checkpoint/broadcast blocks between queries
+      System.gc()
       name -> secs
     }
 
