@@ -240,6 +240,35 @@ object MarcOps {
       .orderBy("_id")
   }
 
+  /** to_csv -> from_csv roundtrip (RFC-4180 quoting + header
+    * addressing survive, auth control off so $0 stays literal). */
+  def q41CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val rtUdf = udf((mrk: String) => {
+      implicit val auth: AuthLookup = AuthLookup.Empty
+      val rec = Serialization.fromMrk("bib", mrk, authControl = false)
+      val csv = graft.records.TableSerialization.toCsv(Seq(rec))
+      val back = graft.records.TableSerialization.fromCsv(csv, "bib", authControl = false).head
+      back.getValue("245", "a") + "|" + back.getValue("269", "a")
+    })
+    q28MarcMrk(s, dir)
+      .select(col("_id"), rtUdf(col("mrk")).as("csv_roundtrip"))
+      .orderBy("_id")
+  }
+
+  /** Whole-record free-text search (`Text` / bare-term queries) over a
+    * corpus with commit-time text/words columns derived in-plan. */
+  def q42FreeText(s: SparkSession, dir: String): DataFrame = {
+    import graft.spark.MarcContext.{scrubUdf, tokenizeUdf}
+    val fieldTexts = concat_ws(" ", transform(col("datafields"),
+      f => concat_ws(" ", transform(f.getField("subfields"),
+        sf => coalesce(sf.getField("value"), lit(""))))))
+    val bibs = marcBibs(s, dir)
+      .withColumn("text", concat(lit(" "), scrubUdf(fieldTexts), lit(" ")))
+      .withColumn("words", tokenizeUdf(fieldTexts))
+    val compiler = new SparkQueryCompiler(s, bibs, marcAuths(s, dir))
+    compiler.run("anvil").select("_id").orderBy("_id")
+  }
+
   /** Tabular serialization through the library: each bib rendered to
     * its `place.tag$code` table cells (sorted header order), exploded
     * to (record, column, cell) rows — the to_table/to_csv operator
@@ -335,7 +364,9 @@ object MarcOps {
     "q35_semijoin_text" -> (q35SemijoinText _),
     "q37_auth_merge" -> (q37AuthMerge _),
     "q38_xml_roundtrip" -> (q38XmlRoundtrip _),
-    "q39_json_roundtrip" -> (q39JsonRoundtrip _))
+    "q39_json_roundtrip" -> (q39JsonRoundtrip _),
+    "q41_csv_roundtrip" -> (q41CsvRoundtrip _),
+    "q42_free_text" -> (q42FreeText _))
 
   val oracle: Map[String, String] = Map(
     "q24_marc_build" ->
@@ -409,6 +440,17 @@ object MarcOps {
       s"""WITH $oracleBibs
         |SELECT id AS _id, prio || '|' || odate AS json_roundtrip
         |FROM bibs ORDER BY _id""".stripMargin,
+    "q41_csv_roundtrip" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id, prio || '|' || odate AS csv_roundtrip
+        |FROM bibs ORDER BY _id""".stripMargin,
+    "q42_free_text" ->
+      """SELECT o_orderkey AS _id FROM orders
+        |JOIN (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp
+        |  ON o_orderkey = fp.l_orderkey
+        |JOIN part ON subject_key = p_partkey
+        |WHERE list_contains(string_split(p_name, ' '), 'anvil')
+        |ORDER BY _id""".stripMargin,
     "q37_auth_merge" ->
       """SELECT o_orderkey AS _id, CAST(11 AS BIGINT) AS subject_xref,
         |       (SELECT p_name FROM part WHERE p_partkey = 11) AS subject

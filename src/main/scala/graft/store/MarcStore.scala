@@ -180,8 +180,12 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   }
 
   /** Rewrite ONLY the buckets the batch touches: each touched bucket =
-    * surviving old rows + incoming rows; dynamic partition overwrite
-    * leaves every other bucket untouched on disk. */
+    * surviving old rows + incoming rows. The replacement is written
+    * ONCE to a staging dir and the bucket directories swap in by
+    * rename — no block-manager materialization, and the read of the
+    * old bucket files completes before any of them is replaced.
+    * (On a rename-less object store, dynamic partition overwrite of a
+    * localCheckpoint'd plan is the drop-in alternative.) */
   private def writeLiveBuckets(incoming: DataFrame, recordType: String): Unit = {
     val path = tablePath(recordType)
     val withBucket = incoming.withColumn("id_bucket", pmod(col("_id"), lit(numBuckets.toLong)))
@@ -190,15 +194,29 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       .where(col("id_bucket").isin(touched: _*)) // partition-pruned scan
       .join(incoming.select(col("_id").as("i_id")), col("_id") === col("i_id"), "left_anti")
       .select((canonicalCols :+ "id_bucket").map(col): _*)
-    val replacement = survivors.unionByName(withBucket)
-      // cut lineage before overwriting the files the plan reads
-      .localCheckpoint(true)
-    replacement.write
-      .partitionBy("id_bucket")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .parquet(path)
+    swapBuckets(path, survivors.unionByName(withBucket), touched)
+  }
+
+  /** stage → swap: write the partitioned replacement to `_staging`,
+    * then move each touched bucket dir into place. */
+  private def swapBuckets(path: String, replacement: DataFrame, touched: Seq[Long]): Unit = {
+    val staging = path + "_staging"
+    rmDir(new java.io.File(staging))
+    replacement.write.partitionBy("id_bucket").mode(SaveMode.Overwrite).parquet(staging)
+    new java.io.File(path).mkdirs()
+    for (b <- touched) {
+      val dst = new java.io.File(s"$path/id_bucket=$b")
+      rmDir(dst)
+      val src = new java.io.File(s"$staging/id_bucket=$b")
+      if (src.exists()) require(src.renameTo(dst), s"bucket swap failed: $src -> $dst")
+    }
+    rmDir(new java.io.File(staging))
     spark.catalog.refreshByPath(path)
+  }
+
+  private def rmDir(f: java.io.File): Unit = {
+    if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmDir) }
+    if (f.exists()) f.delete()
   }
 
   /** (auth id -> (heading tag, heading (code, value) pairs)) for the
@@ -255,29 +273,15 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     val path = tablePath(recordType)
     val buckets = ids.map(id => math.floorMod(id, numBuckets.toLong)).distinct
     // stamp the deletion time on the history marker (reference records
-    // deleted.user/time, dlx/marc/__init__.py:1288-1308)
+    // deleted.user/time, dlx/marc/__init__.py:1288-1308); checkpointed
+    // because it is read again for history AFTER the bucket swap
     val deleted = read(recordType).filter(col("_id").isin(ids: _*)).toDF()
       .withColumn("updated", lit(now)).localCheckpoint(true)
     val survivors = readRaw(recordType)
       .where(col("id_bucket").isin(buckets: _*) && !col("_id").isin(ids: _*))
-      .localCheckpoint(true)
-    survivors.write
-      .partitionBy("id_bucket")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .parquet(path)
-    // dynamic overwrite only replaces partitions PRESENT in the data;
-    // a bucket whose rows were all deleted must be dropped explicitly
-    val survivorBuckets = survivors.select("id_bucket").distinct().as[Long].collect().toSet
-    buckets.filterNot(survivorBuckets.contains).foreach { b =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      val dir = new java.io.File(s"$path/id_bucket=$b")
-      if (dir.exists()) rm(dir)
-    }
-    spark.catalog.refreshByPath(path)
+    // a bucket whose rows were all deleted has no staging dir and
+    // swapBuckets removes it outright
+    swapBuckets(path, survivors, buckets)
     appendHistory(deleted, recordType, "deleted", now)
   }
 
