@@ -50,6 +50,23 @@ object Streaming {
         spark.catalog.refreshByPath(indexPath)
       }
 
+  /** Streaming ingest into the bucketed store: each micro-batch goes
+    * through the FULL MarcStore.commit path — id assignment, audit
+    * stamping, auth validation, touched-bucket rewrite, append-only
+    * history, heading-change cascade. Write amplification per batch is
+    * O(touched buckets), so a continuous record feed maintains the
+    * store + its versioning exactly like discrete batch commits. */
+  def commitStream(records: DataFrame, store: graft.store.MarcStore, user: String,
+      checkpoint: String, authCheck: Boolean = true): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.spark.{MarcRow, MarcSchema}
+    records.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.commit(batch.as[MarcRow](MarcSchema.marcRowEncoder), user, authCheck = authCheck)
+      }
+  }
+
   /** Watermarked tumbling-window event counts — the streaming form of
     * the batch q11 plan (same logical plan under readStream). */
   def eventWindowCounts(events: DataFrame, watermark: String = "1 hour",

@@ -60,4 +60,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(after2.where(col("tag") === "650").count() == 1) // same raw text merged
     query.stop()
   }
+
+  test("streaming commit maintains the store + history per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_store").toString
+    val store = new graft.store.MarcStore(spark, dir)
+    store.commit(MarcSchema.toDataset(spark, Seq(auth1, auth2)), user = "seed")
+    val rows = MarcSchema.toDataset(spark, Seq(bib1, bib2)).collect()
+    val stream = MemoryStream[Int]
+    val recordStream = stream.toDF().withColumn("idx", col("value"))
+      .join(spark.createDataset(rows.toSeq).toDF().withColumn("idx", col("_id").cast("int")), "idx")
+      .drop("value", "idx")
+    val query = graft.streaming.Streaming.commitStream(
+      recordStream, store, user = "streamer", s"$dir/chk").start()
+    stream.addData(1)
+    query.processAllAvailable()
+    assert(store.read("bib").count() == 1L)
+    stream.addData(1, 2) // re-commit bib1 (version 2) + new bib2
+    query.processAllAvailable()
+    query.stop()
+    assert(store.read("bib").count() == 2L)
+    val hist = store.readHistory("bib")
+    assert(hist.where(col("_id") === 1L).count() == 2L)
+    assert(hist.where(col("_id") === 2L).count() == 1L)
+    assert(store.read("bib").head().user == "streamer")
+  }
 }
