@@ -127,6 +127,49 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** 64-bit SimHash near-dup: per-token 64-bit hash from md5 (two
+    * 32-bit halves — `conv` stays in long range), bitwise ±1 voting as
+    * 64 sum columns in ONE aggregation pass (no 64x row blowout),
+    * candidates via 16-bit chunk banding (a pair within hamming
+    * distance 3 of 64 bits shares at least one of 4 chunks — the
+    * pigeonhole guarantee), verified by exact popcount hamming. */
+  def q43Simhash(s: SparkSession, dir: String): DataFrame = {
+    val hi = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long")
+    def vote(b: Int): Column = {
+      val bit = if (b < 32) shiftright(col("lo"), b) else shiftright(col("hi"), b - 32)
+      sum((bit.bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$b")
+    }
+    val votes = documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), hi.as("hi"), lo.as("lo"))
+      .groupBy("doc_id")
+      .agg(vote(0), (1 until 64).map(vote): _*)
+    val simLo = (0 until 32).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val simHi = (32 until 64).map(b =>
+      when(col(s"s$b") > 0, lit(1L << (b - 32))).otherwise(lit(0L))).reduce(_ + _)
+    val sims = votes.select(col("doc_id"), simLo.as("lo"), simHi.as("hi"))
+    val chunks = sims.select(col("doc_id"), col("lo"), col("hi"),
+      explode(array(
+        struct(lit(0).as("chunk"), col("lo").bitwiseAND(lit(0xFFFFL)).as("key")),
+        struct(lit(1).as("chunk"), shiftright(col("lo"), 16).bitwiseAND(lit(0xFFFFL)).as("key")),
+        struct(lit(2).as("chunk"), col("hi").bitwiseAND(lit(0xFFFFL)).as("key")),
+        struct(lit(3).as("chunk"), shiftright(col("hi"), 16).bitwiseAND(lit(0xFFFFL)).as("key")))).as("c"))
+      .select(col("doc_id"), col("lo"), col("hi"), col("c.chunk").as("chunk"), col("c.key").as("key"))
+    val a = chunks.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a"),
+      col("chunk"), col("key"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"), col("hi").as("hi_b"),
+      col("chunk"), col("key"))
+    a.join(b, Seq("chunk", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(expr("lo_a ^ lo_b")) + bit_count(expr("hi_a ^ hi_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Gap-based sessionization over events: 30-min inactivity closes a
     * session (lag + running sum window — the streaming-state analog
     * expressed as batch windows). */
@@ -159,9 +202,37 @@ object TextOps {
     "q17_fingerprint" -> (q17Fingerprint _),
     "q18_ngram_jaccard" -> (q18NgramJaccard _),
     "q19_minhash_lsh" -> (q19MinhashLsh _),
-    "q20_sessionize" -> (q20Sessionize _))
+    "q20_sessionize" -> (q20Sessionize _),
+    "q43_simhash" -> (q43Simhash _))
 
   val oracle: Map[String, String] = Map(
+    "q43_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT) AS hi,
+        |        CAST(CAST(('0x' || substr(md5(t), 9, 8)) AS UBIGINT) AS BIGINT) AS lo
+        |      FROM tok),
+        |votes AS (
+        |  SELECT doc_id, br.range AS b,
+        |    SUM(CASE WHEN br.range < 32 THEN ((lo >> CAST(br.range AS INT)) & 1)
+        |             ELSE ((hi >> CAST(br.range - 32 AS INT)) & 1) END * 2 - 1) AS s
+        |  FROM h CROSS JOIN range(0, 64) br GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN s > 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM votes GROUP BY 1),
+        |chunks AS (
+        |  SELECT doc_id, lo, hi, c.chunk,
+        |    CASE c.chunk WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |                 WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS key
+        |  FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk) c),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+        |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "q13_doc_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |COUNT(DISTINCT text) AS distinct_texts

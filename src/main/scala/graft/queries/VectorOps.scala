@@ -61,10 +61,11 @@ object VectorOps {
   /** LSH-bucketed ANN: 8 deterministic hyperplanes (md5-derived
     * coefficients in [-0.5, 0.5)); signature = sign bits; neighbors
     * ranked within the query's bucket only. */
-  def q22AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    // plane p (0..7), dim d (0..63): coeff = (hex2long(md5("p_d")[0,8)) % 1000)/1000 - 0.5
-    // Computed driver-side (same md5 the oracle computes in SQL) so the
-    // plan carries plain literals instead of 512 hash expressions.
+  /** 8 deterministic md5-derived hyperplanes -> sign-bit signature.
+    * plane p (0..7), dim d (0..63): coeff = (hex2long(md5("p_d")[0,8)) % 1000)/1000 - 0.5
+    * Computed driver-side (same md5 the oracle computes in SQL) so the
+    * plan carries plain literals instead of 512 hash expressions. */
+  private def lshSignature: Column = {
     def md5hex8(s2: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
       java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
@@ -75,8 +76,11 @@ object VectorOps {
       }: _*)
       when(dot(col("v"), coeffs) > 0, lit("1")).otherwise(lit("0"))
     }
-    val sig = concat(planes: _*)
-    val corpus = emb(s, dir).withColumn("bucket", sig)
+    concat(planes: _*)
+  }
+
+  def q22AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir).withColumn("bucket", lshSignature)
     val queries = broadcast(corpus.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket")))
     val scored = corpus.join(queries, Seq("bucket"))
@@ -89,6 +93,23 @@ object VectorOps {
       .select(col("query_id"), col("c.id").as("neighbor_id"), col("bucket"),
         col("c.score").as("cos_sim"), col("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-dup pairs: candidates restricted to one LSH
+    * bucket (the pairwise work is per-bucket, never all-pairs), then
+    * exact cosine verification. The 0.30 threshold is the knob — set
+    * for the synthetic corpus, whose max pairwise cosine is ~0.44; a
+    * real near-dup sweep runs the same plan at 0.9+. */
+  def q44EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir).withColumn("bucket", lshSignature)
+    val a = corpus.select(col("vec_id").as("doc_a"), col("v").as("va"), col("bucket"))
+    val b = corpus.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 4).as("cos_sim"))
+      .where(col("cos_sim") >= 0.30)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** k-NN label vote: majority label among the 5 nearest neighbors of
@@ -120,7 +141,8 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_ann_brute" -> (q21AnnBrute _),
     "q22_ann_lsh" -> (q22AnnLsh _),
-    "q23_knn_classify" -> (q23KnnClassify _))
+    "q23_knn_classify" -> (q23KnnClassify _),
+    "q44_embed_neardup" -> (q44EmbedNearDup _))
 
   private val cosSql =
     """ROUND(list_sum(list_transform(q.qv, (x,i) -> x * c.v[i])) /
@@ -162,6 +184,26 @@ object VectorOps {
         |  FROM scored)
         |SELECT query_id, neighbor_id, bucket, cos_sim, CAST(rank AS INT) AS rank FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q44_embed_neardup" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |    (SELECT string_agg(
+        |       CASE WHEN list_sum(list_transform(v, (x,i) ->
+        |         x * (CAST(CAST(('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_' || CAST(i-1 AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 AS DOUBLE)/1000 - 0.5)
+        |       )) > 0 THEN '1' ELSE '0' END, '' ORDER BY p.range)
+        |     FROM range(0, 8) p) AS bucket
+        |  FROM e),
+        |pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |    ROUND(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) /
+        |      (SQRT(list_sum(list_transform(a.v, (x,i) -> x * a.v[i]))) *
+        |       SQRT(list_sum(list_transform(b.v, (x,i) -> x * b.v[i])))), 4) AS cos_sim
+        |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT doc_a, doc_b, cos_sim FROM pairs WHERE cos_sim >= 0.30
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q23_knn_classify" ->
       s"""WITH e AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
