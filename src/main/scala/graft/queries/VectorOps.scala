@@ -112,6 +112,47 @@ object VectorOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** IVF (inverted-file) ANN — the centroid-cell scale path: 16
+    * deterministic centroids (first corpus vectors), every corpus
+    * vector assigned to its arg-max-cosine cell with the bounded TopK
+    * aggregator (k=1; no window over the corpus), queries probe their
+    * 2 nearest cells, and candidates are ONLY the probed cells'
+    * members — scan cost drops to nProbe/nCells of the corpus. Exact
+    * cosine + bounded top-3 on the candidates. */
+  def q45AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    def cosC(a: Column, b: Column) = round(dot(a, b) / (norm(a) * norm(b)), 4)
+    val corpus = emb(s, dir)
+    val cents = broadcast(corpus.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    val assigned = corpus.crossJoin(cents)
+      .select(col("vec_id"), cosC(col("v"), col("cv")).as("c"), col("cid"))
+      .groupBy("vec_id")
+      .agg(topkUdaf(1)(col("c"), col("cid"), lit("")).as("top"))
+      .select(col("vec_id"), element_at(col("top"), 1).getField("id").as("cell"))
+      .join(corpus, "vec_id")
+    val probes = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(cents)
+      .select(col("query_id"), cosC(col("qv"), col("cv")).as("c"), col("cid"))
+      .groupBy("query_id")
+      .agg(topkUdaf(2)(col("c"), col("cid"), lit("")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("cell"))
+    val queries = broadcast(corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val scored = broadcast(probes).join(assigned, "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .join(queries, col("query_id") === col("q_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosC(col("qv"), col("v")).as("cos_sim"))
+    val grouped = scored.groupBy("query_id")
+      .agg(topkUdaf(3)(col("cos_sim"), col("neighbor_id"), lit("")).as("top"))
+    explodeRanked(grouped, Seq("query_id"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"),
+        col("c.score").as("cos_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** k-NN label vote: majority label among the 5 nearest neighbors of
     * each query vector (embedding-cosine classification). */
   def q23KnnClassify(s: SparkSession, dir: String): DataFrame = {
@@ -142,7 +183,8 @@ object VectorOps {
     "q21_ann_brute" -> (q21AnnBrute _),
     "q22_ann_lsh" -> (q22AnnLsh _),
     "q23_knn_classify" -> (q23KnnClassify _),
-    "q44_embed_neardup" -> (q44EmbedNearDup _))
+    "q44_embed_neardup" -> (q44EmbedNearDup _),
+    "q45_ann_ivf" -> (q45AnnIvf _))
 
   private val cosSql =
     """ROUND(list_sum(list_transform(q.qv, (x,i) -> x * c.v[i])) /
@@ -183,6 +225,36 @@ object VectorOps {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, bucket, cos_sim, CAST(rank AS INT) AS rank FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q45_ann_ivf" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |centcos AS (
+        |  SELECT ev.vec_id, c.cid,
+        |    ROUND(list_sum(list_transform(ev.v, (x,i) -> x * c.cv[i])) /
+        |      (SQRT(list_sum(list_transform(ev.v, (x,i) -> x * ev.v[i]))) *
+        |       SQRT(list_sum(list_transform(c.cv, (x,i) -> x * c.cv[i])))), 4) AS cc
+        |  FROM e ev CROSS JOIN cents c),
+        |asg AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+        |    FROM centcos) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+        |    FROM centcos WHERE vec_id < 10) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id, $cosSql AS cos_sim
+        |  FROM probes p
+        |  JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |  JOIN (SELECT vec_id, v AS qv FROM e) q ON q.vec_id = p.query_id
+        |  JOIN e c ON c.vec_id = a.vec_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q44_embed_neardup" ->
       s"""WITH e AS (
