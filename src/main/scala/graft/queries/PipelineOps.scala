@@ -29,6 +29,20 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Video frame sampling plumbing: text bytes as fake video content,
+    * exploded to one row per sampled frame (every 2nd of 8 slices) —
+    * the frame-table contract a real codec drops into. DuckDB replays
+    * the slicing with substr + md5. */
+  def q46FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromBinaryColumns(
+      documents(s, dir), "doc_id", "text", "video", "video/fake")
+    Multimodal.sampleFrames(media, everyK = 2)
+      .select(col("media_id"), col("frame_no"),
+        md5(col("frame_bytes")).as("frame_md5"),
+        length(col("frame_bytes")).cast("long").as("n_bytes"))
+      .orderBy("media_id", "frame_no")
+  }
+
   /** Marker-word language ID vs the labeled lang column. */
   def q33LangId(s: SparkSession, dir: String): DataFrame = {
     val detect = udf((text: String) => LanguageId.detect(text))
@@ -40,12 +54,25 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_multimodal" -> (q32Multimodal _),
-    "q33_lang_id" -> (q33LangId _))
+    "q33_lang_id" -> (q33LangId _),
+    "q46_frame_sample" -> (q46FrameSample _))
 
   private def markerList(lang: String): String =
     LanguageId.markers.toMap.apply(lang).toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q46_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS L,
+        |         GREATEST(CAST(strlen(text) // 8 AS INT), 1) AS fs
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(r.range AS INT) AS frame_no,
+        |         substr(text, CAST(r.range * fs + 1 AS INT), fs) AS fb
+        |  FROM d CROSS JOIN range(0, 100) r WHERE r.range * fs < L)
+        |SELECT doc_id AS media_id, frame_no, md5(fb) AS frame_md5,
+        |       CAST(strlen(fb) AS BIGINT) AS n_bytes
+        |FROM f WHERE frame_no % 2 = 0 ORDER BY media_id, frame_no""".stripMargin,
     "q32_multimodal" ->
       """SELECT doc_id,
         |CAST(strlen(text) AS BIGINT) AS n_bytes,
