@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   *      bibs (retag / drop / add / refresh values) and re-commit them,
   *      exactly the reference's update_attached_records default.
   */
-final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 64) {
+final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 64,
+    historyPartitions: Int = 8) {
   import spark.implicits._
   import MarcSchema.marcRowEncoder
 
@@ -202,7 +203,11 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   private def swapBuckets(path: String, replacement: DataFrame, touched: Seq[Long]): Unit = {
     val staging = path + "_staging"
     rmDir(new java.io.File(staging))
-    replacement.write.partitionBy("id_bucket").mode(SaveMode.Overwrite).parquet(staging)
+    // cluster rows by bucket before the write: ONE file per touched
+    // bucket instead of one per shuffle task — without this, file
+    // count grows ~taskCount per commit and reads degrade
+    replacement.repartition(math.max(touched.size, 1), col("id_bucket"))
+      .write.partitionBy("id_bucket").mode(SaveMode.Overwrite).parquet(staging)
     new java.io.File(path).mkdirs()
     for (b <- touched) {
       val dst = new java.io.File(s"$path/id_bucket=$b")
@@ -345,7 +350,9 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       .withColumn("version_no", coalesce(col("prev_versions"), lit(0L)) + 1)
       .withColumn("action", lit(action))
       .drop("h_id", "prev_versions")
-    versioned.write.mode(SaveMode.Append).parquet(historyPath(recordType))
+    // cap files per append (small-file hygiene; raise for huge batches)
+    versioned.coalesce(historyPartitions)
+      .write.mode(SaveMode.Append).parquet(historyPath(recordType))
     spark.catalog.refreshByPath(historyPath(recordType))
   }
 }
