@@ -57,6 +57,18 @@ object ExplainCheck {
     assert(p35.contains("LeftSemi"), "q35: default text path not a left-semi join")
     println("q35 left-semi text search OK")
 
+    val q19 = graft.queries.TextOps.q19MinhashLsh(spark, sfDir)
+    val p19 = planOf(q19)
+    assert(!p19.contains("CartesianProduct") && !p19.contains("BroadcastNestedLoop"),
+      "q19: band candidate generation must be an equi-join, not a cross product")
+    println("q19 band equi-join OK")
+
+    val q45 = graft.queries.VectorOps.q45AnnIvf(spark, sfDir)
+    val p45 = planOf(q45)
+    assert(p45.contains("ObjectHashAggregate"), "q45: cell/probe top-k not a bounded aggregate")
+    assert(!p45.contains("Window"), "q45: corpus flows through a window")
+    println("q45 IVF bounded aggregates OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
