@@ -315,6 +315,14 @@ object MarcOps {
     compiler.run("650__a:anvil").select("_id").orderBy("_id")
   }
 
+  /** Bulk tabular export — the SET-scale to_table (one explode+window
+    * job, no per-row Table objects; contrast q34's row-wise serializer
+    * gate): every `place.tag$code` / indicator / $0 cell of the corpus
+    * as rows. */
+  def q47TableExport(s: SparkSession, dir: String): DataFrame =
+    graft.spark.TableExport.cells(marcBibs(s, dir))
+      .orderBy("_id", "col_name")
+
   /** Auth-use aggregation (calculate_auth_use): per-xref counts. */
   def q30MarcAuthUse(s: SparkSession, dir: String): DataFrame =
     MarcContext.authUseCounts(marcBibs(s, dir))
@@ -366,7 +374,8 @@ object MarcOps {
     "q38_xml_roundtrip" -> (q38XmlRoundtrip _),
     "q39_json_roundtrip" -> (q39JsonRoundtrip _),
     "q41_csv_roundtrip" -> (q41CsvRoundtrip _),
-    "q42_free_text" -> (q42FreeText _))
+    "q42_free_text" -> (q42FreeText _),
+    "q47_table_export" -> (q47TableExport _))
 
   val oracle: Map[String, String] = Map(
     "q24_marc_build" ->
@@ -415,6 +424,19 @@ object MarcOps {
         |  UNION ALL SELECT id, 7, '1.650__', '__' FROM bibs WHERE subject_key IS NOT NULL
         |  UNION ALL SELECT id, 8, '1.650$$a', p_name FROM bibs WHERE subject_key IS NOT NULL
         |) t ORDER BY _id, col_pos""".stripMargin,
+    "q47_table_export" ->
+      s"""WITH $oracleBibs
+        |SELECT _id, col_name, cell_value FROM (
+        |  SELECT id AS _id, '1.001' AS col_name, CAST(id AS VARCHAR) AS cell_value FROM bibs
+        |  UNION ALL SELECT id, '1.245__', '__' FROM bibs
+        |  UNION ALL SELECT id, '1.245$$a', prio FROM bibs
+        |  UNION ALL SELECT id, '1.245$$b', status FROM bibs
+        |  UNION ALL SELECT id, '1.269__', '__' FROM bibs
+        |  UNION ALL SELECT id, '1.269$$a', odate FROM bibs
+        |  UNION ALL SELECT id, '1.650$$0', CAST(subject_key AS VARCHAR) FROM bibs WHERE subject_key IS NOT NULL
+        |  UNION ALL SELECT id, '1.650__', '__' FROM bibs WHERE subject_key IS NOT NULL
+        |  UNION ALL SELECT id, '1.650$$a', p_name FROM bibs WHERE subject_key IS NOT NULL
+        |) t ORDER BY _id, col_name""".stripMargin,
     "q30_marc_auth_use" ->
       """SELECT CAST(subject_key AS BIGINT) AS xref, COUNT(*) AS use_count
         |FROM (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp
