@@ -133,6 +133,7 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
         .select(col("rid"), explode(col("f.subfields")).as("s"))
       val codeScoped = code.map(c => exploded.where(col("s.code") === c)).getOrElse(exploded)
       val valueHits = codeScoped
+        .where(col("s.xref").isNull) // linked subfields match via xref branch
         .join(matchedValues, normalizeCol(col("s.value")) === col("mnorm"))
         .select("rid")
       // auth xref OR branch: heading values in the matched set
@@ -259,8 +260,18 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
     f => exists(f.getField("subfields"), s =>
       code.map(c => s.getField("code") === c).getOrElse(lit(true)) && valuePred(s))
 
+  /** Reference BSON stores NO value key on linked subfields
+    * (dlx/marc/__init__.py:2689-2725) — a value predicate can only
+    * match literal subfields; xref-carrying ones match via the xref
+    * branch. The canonical MarcRow materializes linked values for
+    * display/serialization, so every value predicate carries an
+    * explicit `xref IS NULL` guard to reproduce the reference
+    * semantics (QueryParitySpec found the divergence). */
+  private def literalOnly(pred: Column => Column): Column => Column =
+    s => s.getField("xref").isNull && pred(s)
+
   private def normValueIn(values: Seq[String]): Column => Column =
-    s => normalizeCol(s.getField("value")).isin(values.map(normalize): _*)
+    literalOnly(s => normalizeCol(s.getField("value")).isin(values.map(normalize): _*))
 
   private def xrefIn(xrefs: Seq[Long]): Column => Column =
     s => if (xrefs.isEmpty) lit(false) else s.getField("xref").isin(xrefs: _*)
@@ -289,7 +300,7 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
               s => s.getField("value").rlike(pattern)
             case Star => _ => lit(true)
           }
-          s => s.getField("code") === code && valuePred(s)
+          s => s.getField("code") === code && literalOnly(valuePred)(s)
         }
       }
       val preds = subs.map { case (c, v) => pairPred(c, v) }
@@ -325,7 +336,7 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
           }
         case Star => Nil
       }
-      val valueHit = existsField(tag, subMatch(None, valuePred))
+      val valueHit = existsField(tag, subMatch(None, literalOnly(valuePred)))
       val xrefHit = existsField(tag, subMatch(None, xrefIn(xrefs)))
       if (!not) (if (xrefs.nonEmpty) valueHit || xrefHit else valueHit)
       else !valueHit && !xrefHit
@@ -481,7 +492,8 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
   private def directRegexPredicate(rt: String, tag: String, code: Option[String],
       rx: Rx, not: Boolean): Column = {
     val pattern = if (rx.ci) "(?i)" + rx.pattern else rx.pattern
-    val valueHit = existsField(tag, subMatch(code, s => s.getField("value").rlike(pattern)))
+    val valueHit = existsField(tag,
+      subMatch(code, literalOnly(s => s.getField("value").rlike(pattern))))
     val xrefs: Seq[Long] = controlledSourceTag(rt, tag, code) match {
       case None => Nil
       case Some(src) =>
@@ -511,6 +523,7 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
           .rlike("\\b" + java.util.regex.Pattern.quote(p) + "\\b"))
       val valueOk = exists(f.getField("subfields"), s =>
         code.map(c => s.getField("code") === c).getOrElse(lit(true)) &&
+          s.getField("xref").isNull &&
           terms.map(t => array_contains(tokenizeUdf(s.getField("value")), t))
             .reduceOption(_ && _).getOrElse(lit(true)))
       (termsOk ++ negOk ++ phrasesOk :+ valueOk).reduce(_ && _)

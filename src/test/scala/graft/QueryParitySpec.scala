@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.query._
+import graft.query.Cond._
+import graft.query.CondVal._
+import graft.spark.SparkQueryCompiler
+import Fixtures._
+
+/** Generative three-way parity for the query DSL: a seeded stream of
+  * random condition trees evaluated by (1) the row engine — the
+  * executable semantic spec, (2) the compiler's in-list predicate
+  * path, and (3) the semi-join default path. Any divergence between
+  * the Spark plans and the row engine is a bug by definition. */
+class QueryParitySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  lazy val bibsDf = graft.spark.MarcSchema.toDataset(spark, Seq(bib1, bib2)).toDF()
+  lazy val authsDf = graft.spark.MarcSchema.toDataset(spark, Seq(auth1, auth2)).toDF()
+  lazy val compiler = new SparkQueryCompiler(spark, bibsDf, authsDf)
+  lazy val rowEngine = new RowQueryEngine(Seq(bib1, bib2), Seq(auth1, auth2))
+
+  private val tagPool = Seq("245", "520", "650", "710", "999")
+  private val codes = Seq("a", "b", "c")
+  private val values = Seq("This", "Another", "title", "is the", "Header",
+    "Another header", "Description", "DESCRIPTION", "héader", "zzz", "")
+  private val termPools = Seq("title", "header", "description", "another",
+    "another description", "this", "repeated subfield", "zzz qqq")
+  private val regexes = Seq("[Hh]eader", "^Desc", "tion$", "i.le", "e{2}", "zzz")
+
+  private def genVal(r: scala.util.Random): CondVal = r.nextInt(4) match {
+    case 0 => Exact(values(r.nextInt(values.length)))
+    case 1 => TextMode(values(r.nextInt(values.length)))
+    case 2 => Rx(regexes(r.nextInt(regexes.length)), ci = r.nextBoolean())
+    case _ => Star
+  }
+
+  private def genLeaf(r: scala.util.Random): Cond = {
+    val tag = tagPool(r.nextInt(tagPool.length))
+    val code = codes(r.nextInt(codes.length))
+    r.nextInt(8) match {
+      case 0 => FieldCond(tag, Seq(code -> genVal(r)),
+        modifier = Seq(None, Some("not"), Some("exists"), Some("not_exists"))(r.nextInt(4)))
+      case 1 => TagValue(tag, genVal(r), not = r.nextBoolean())
+      case 2 => TagText(tag, if (r.nextBoolean()) Some(code) else None,
+        TextQuery.fielded(termPools(r.nextInt(termPools.length))), not = r.nextBoolean())
+      case 3 => TagRegex(tag, if (r.nextBoolean()) Some(code) else None,
+        Rx(regexes(r.nextInt(regexes.length)), ci = r.nextBoolean()), not = r.nextBoolean())
+      case 4 => SubfieldExists(tag, code, not = r.nextBoolean())
+      case 5 => TagExists(tag, not = r.nextBoolean())
+      case 6 => IdEquals(1L + r.nextInt(3))
+      case _ => XrefRef(1L + r.nextInt(3), not = r.nextBoolean())
+    }
+  }
+
+  private def genCond(r: scala.util.Random, depth: Int): Cond =
+    if (depth <= 0 || r.nextInt(3) == 0) genLeaf(r)
+    else if (r.nextBoolean()) OrCond(Seq(genCond(r, depth - 1), genCond(r, depth - 1)))
+    else AndCond(Seq(genCond(r, depth - 1), genCond(r, depth - 1)))
+
+  test("random condition trees: row engine == in-list plan == semi-join plan") {
+    val r = new scala.util.Random(20260812L)
+    for (i <- 1 to 40) {
+      val ast = QueryAst(Seq(genCond(r, 2)), "bib")
+      val expected = rowEngine.run(ast).flatMap(_.id).toSet
+      val inList = compiler.runInList(ast).select("_id").collect().map(_.getLong(0)).toSet
+      assert(inList == expected, s"[$i] in-list diverged for $ast: spark=$inList row=$expected")
+      val semi = compiler.runSemiJoin(ast).select("_id").collect().map(_.getLong(0)).toSet
+      assert(semi == expected, s"[$i] semi-join diverged for $ast: spark=$semi row=$expected")
+    }
+  }
+}
