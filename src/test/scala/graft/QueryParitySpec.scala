@@ -35,10 +35,13 @@ class QueryParitySpec extends AnyFunSuite {
     case _ => Star
   }
 
+  private val logicalFields = Seq("title", "subject", "author", "nope")
+
   private def genLeaf(r: scala.util.Random): Cond = {
     val tag = tagPool(r.nextInt(tagPool.length))
     val code = codes(r.nextInt(codes.length))
-    r.nextInt(8) match {
+    def field = logicalFields(r.nextInt(logicalFields.length))
+    r.nextInt(14) match {
       case 0 => FieldCond(tag, Seq(code -> genVal(r)),
         modifier = Seq(None, Some("not"), Some("exists"), Some("not_exists"))(r.nextInt(4)))
       case 1 => TagValue(tag, genVal(r), not = r.nextBoolean())
@@ -49,7 +52,16 @@ class QueryParitySpec extends AnyFunSuite {
       case 4 => SubfieldExists(tag, code, not = r.nextBoolean())
       case 5 => TagExists(tag, not = r.nextBoolean())
       case 6 => IdEquals(1L + r.nextInt(3))
-      case _ => XrefRef(1L + r.nextInt(3), not = r.nextBoolean())
+      case 7 => XrefRef(1L + r.nextInt(3), not = r.nextBoolean())
+      case 8 => LogicalExists(field, not = r.nextBoolean())
+      case 9 => LogicalExact(field, values(r.nextInt(values.length)))
+      case 10 => LogicalRx(field, Rx(regexes(r.nextInt(regexes.length)), ci = r.nextBoolean()),
+        not = r.nextBoolean())
+      case 11 => LogicalText(field,
+        TextQuery.fielded(termPools(r.nextInt(termPools.length))), not = r.nextBoolean())
+      case 12 => CtrlEquals(Seq("000", "008")(r.nextInt(2)),
+        Seq("leader", "controlfield", "nope")(r.nextInt(3)))
+      case _ => FreeText(TextQuery.freeText(termPools(r.nextInt(termPools.length))))
     }
   }
 
