@@ -378,29 +378,52 @@ final case class MarcRecord(
   * duplicates), b = only in other, c = common, d = common but at a
   * different position within their tag, e = duplicated a different
   * number of times. `different` = a or b or d or e — exactly the
-  * reference's equality check. */
-final case class Diff(recA: MarcRecord, recB: MarcRecord) {
-  private def key(f: Field): (String, String) = f match {
-    case ControlField(t, v) => (t, v)
-    case d: DataField => (d.tag, d.ind1 + "" + d.ind2 + "" +
-      d.subfields.map(s => s.code + "=" + s.value.getOrElse("") + "@" + s.xref.getOrElse(-1L)).mkString(""))
+  * reference's equality check.
+  *
+  * Two distinct keys, exactly as upstream:
+  *  - membership (a/b/c/d) uses Field equality = Controlfield
+  *    (tag, value) / Datafield (tag, to_dict()) — to_dict carries
+  *    indicators and only subfields whose RESOLVED value is truthy
+  *    (dlx/marc/__init__.py:2410-2417, 2437-2444, 2621-2626);
+  *  - duplication counts (e) use the field's to_mrk rendering
+  *    (dlx/marc/__init__.py:2275-2279), under which a linked subfield
+  *    and its literal `$0` spelling coincide. */
+final case class Diff(recA: MarcRecord, recB: MarcRecord)(
+    implicit auth: AuthLookup = AuthLookup.Empty) {
+  /** Datafield.__eq__ analog: tag + indicators + (code, value, xref?)
+    * of subfields with a non-empty resolved value. */
+  private def memberKey(f: Field): (String, String, String) = f match {
+    case ControlField(t, v) => ("C", t, v)
+    case d: DataField =>
+      val subs = d.subfields.flatMap { s =>
+        s.resolvedValue(auth).filter(_.nonEmpty)
+          .map(v => s.code + "=" + v + s.xref.fold("")("@" + _))
+      }
+      ("D", d.tag, d.ind1 + "" + d.ind2 + "" + subs.mkString(""))
   }
-  private val aCount = recA.fields.map(key).groupBy(identity).view.mapValues(_.size).toMap
-  private val bCount = recB.fields.map(key).groupBy(identity).view.mapValues(_.size).toMap
+  private def mrkKey(f: Field): String =
+    graft.records.Serialization.fieldToMrk(recA.recordType, f)
 
-  val a: Vector[Field] = recA.fields.filter(f => !bCount.contains(key(f)))
-  val b: Vector[Field] = recB.fields.filter(f => !aCount.contains(key(f)))
-  val c: Vector[Field] = recA.fields.filter(f => bCount.contains(key(f)))
+  private val aKeys = recA.fields.map(memberKey).toSet
+  private val bKeys = recB.fields.map(memberKey).toSet
+  private val aMrk = recA.fields.map(mrkKey).groupBy(identity).view.mapValues(_.size).toMap
+  private val bMrk = recB.fields.map(mrkKey).groupBy(identity).view.mapValues(_.size).toMap
+
+  val a: Vector[Field] = recA.fields.filter(f => !bKeys.contains(memberKey(f)))
+  val b: Vector[Field] = recB.fields.filter(f => !aKeys.contains(memberKey(f)))
+  val c: Vector[Field] = recA.fields.filter(f => bKeys.contains(memberKey(f)))
 
   private def indexWithinTag(rec: MarcRecord, f: Field): Int =
-    rec.getFields(f.tag).indexWhere(g => key(g) == key(f))
+    rec.getFields(f.tag).indexWhere(g => memberKey(g) == memberKey(f))
 
   /** common fields at a different position within their tag's fields */
   val d: Vector[Field] =
     c.filter(f => indexWithinTag(recA, f) != indexWithinTag(recB, f))
 
-  /** common fields with different duplication counts */
-  val e: Vector[Field] = c.filter(f => aCount(key(f)) != bCount(key(f)))
+  /** common fields whose to_mrk rendering is duplicated a different
+    * number of times across the two records */
+  val e: Vector[Field] =
+    c.filter(f => aMrk.getOrElse(mrkKey(f), 0) != bMrk.getOrElse(mrkKey(f), 0))
 
   val different: Boolean = a.nonEmpty || b.nonEmpty || d.nonEmpty || e.nonEmpty
 }

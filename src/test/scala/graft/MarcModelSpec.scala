@@ -122,6 +122,34 @@ class MarcModelSpec extends AnyFunSuite {
     assert(!Diff(ra, ra.copy()).different)
   }
 
+  test("diff: reference key semantics — empty subfields, $0 spelling, indicators") {
+    // an empty-value subfield is invisible to membership (to_dict drops
+    // it) but visible to e (to_mrk renders it)
+    val withEmpty = MarcRecord(recordType = "bib", fields = Vector(
+      DataField("245", " ", " ", Vector(Subfield("a", Some("x")), Subfield("b", Some(""))))))
+    val withoutEmpty = MarcRecord(recordType = "bib", fields = Vector(
+      DataField("245", " ", " ", Vector(Subfield("a", Some("x"))))))
+    val d1 = Diff(withEmpty, withoutEmpty)
+    assert(d1.a.isEmpty && d1.b.isEmpty && d1.c.length == 1)
+    assert(d1.e.nonEmpty && d1.different)
+
+    // linked subfield vs its literal $0 spelling: to_mrk-equal but
+    // to_dict-unequal, so membership separates them
+    val linked = MarcRecord(recordType = "bib", fields = Vector(
+      DataField("650", " ", " ", Vector(Subfield("a", Some("Cats"), Some(5L))))))
+    val literal = MarcRecord(recordType = "bib", fields = Vector(
+      DataField("650", " ", " ", Vector(Subfield("a", Some("Cats")), Subfield("0", Some("5"))))))
+    val d2 = Diff(linked, literal)
+    assert(d2.a.nonEmpty && d2.b.nonEmpty && d2.c.isEmpty)
+
+    // indicators participate in membership equality
+    val i1 = MarcRecord(recordType = "bib", fields = Vector(
+      DataField("100", "1", " ", Vector(Subfield("a", Some("n"))))))
+    val i2 = MarcRecord(recordType = "bib", fields = Vector(
+      DataField("100", "0", " ", Vector(Subfield("a", Some("n"))))))
+    assert(Diff(i1, i2).a.nonEmpty && Diff(i1, i2).different)
+  }
+
   test("zmerge fills missing values only") {
     val target = MarcRecord(recordType = "bib",
       fields = Vector(DataField("245", " ", " ", Vector(Subfield("a", Some("Mine"))))))
