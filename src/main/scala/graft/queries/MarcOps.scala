@@ -323,6 +323,45 @@ object MarcOps {
     graft.spark.TableExport.cells(marcBibs(s, dir))
       .orderBy("_id", "col_name")
 
+  /** Existence + negated-exact modifiers through the DSL
+    * (`650__a:*` → SubfieldExists, `NOT 245__b:'F'` → negated exact
+    * FieldCond — dlx/marc/query.py modifier semantics): subjects
+    * present, status not F. */
+  def q48ExistsNot(s: SparkSession, dir: String): DataFrame = {
+    val compiler = new SparkQueryCompiler(s, marcBibs(s, dir), marcAuths(s, dir))
+    compiler.run("650__a:* AND NOT 245__b:'F'").select("_id").orderBy("_id")
+  }
+
+  /** Typeahead partial lookup over the heading dimension
+    * (partial_lookup, dlx/marc/__init__.py:1995-2041) as a bounded
+    * TakeOrderedAndProject — deterministic (value, xref) order where
+    * the reference takes arbitrary collection order. */
+  def q51PartialLookup(s: SparkSession, dir: String): DataFrame =
+    AuthOps.partialLookup(marcAuths(s, dir), "bib", "650", "a", "gear")
+      .orderBy("value", "xref")
+
+  /** zmerge / xmerge under the oracle (dlx/marc/__init__.py:1370-1438):
+    * per record, fill-missing merge keeps the base title while
+    * adopting the other record's new fields; overwrite xmerge takes
+    * the other record's values everywhere. */
+  def q52Merge(s: SparkSession, dir: String): DataFrame = {
+    val mergeUdf = udf((prio: String, status: String, odate: String) => {
+      implicit val auth: AuthLookup = AuthLookup.Empty
+      val base = MarcRecord(recordType = "bib")
+        .set("245", "a", prio).set("269", "a", "1990-01-01")
+      val other = MarcRecord(recordType = "bib")
+        .set("245", "a", "ALT").set("246", "a", status).set("269", "a", odate)
+      val z = base.zmerge(other)
+      val x = base.xmerge(other, overwrite = true)
+      Seq(z.getValue("245", "a"), z.getValue("246", "a"), z.getValue("269", "a"),
+        x.getValue("245", "a"), x.getValue("269", "a")).mkString("|")
+    })
+    orders(s, dir).select(col("o_orderkey").as("_id"),
+        mergeUdf(col("o_orderpriority"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd")).as("merged"))
+      .orderBy("_id")
+  }
+
   /** Auth-use aggregation (calculate_auth_use): per-xref counts. */
   def q30MarcAuthUse(s: SparkSession, dir: String): DataFrame =
     MarcContext.authUseCounts(marcBibs(s, dir))
@@ -375,7 +414,10 @@ object MarcOps {
     "q39_json_roundtrip" -> (q39JsonRoundtrip _),
     "q41_csv_roundtrip" -> (q41CsvRoundtrip _),
     "q42_free_text" -> (q42FreeText _),
-    "q47_table_export" -> (q47TableExport _))
+    "q47_table_export" -> (q47TableExport _),
+    "q48_exists_not" -> (q48ExistsNot _),
+    "q51_partial_lookup" -> (q51PartialLookup _),
+    "q52_merge" -> (q52Merge _))
 
   val oracle: Map[String, String] = Map(
     "q24_marc_build" ->
@@ -473,6 +515,20 @@ object MarcOps {
         |JOIN part ON subject_key = p_partkey
         |WHERE list_contains(string_split(p_name, ' '), 'anvil')
         |ORDER BY _id""".stripMargin,
+    "q48_exists_not" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id FROM bibs
+        |WHERE subject_key IS NOT NULL AND status <> 'F'
+        |ORDER BY _id""".stripMargin,
+    "q51_partial_lookup" ->
+      """SELECT p_name AS value, CAST(p_partkey AS BIGINT) AS xref FROM part
+        |WHERE contains(lower(p_name), 'gear')
+        |ORDER BY value, xref LIMIT 25""".stripMargin,
+    "q52_merge" ->
+      """SELECT o_orderkey AS _id,
+        |       o_orderpriority || '|' || o_orderstatus || '|1990-01-01|ALT|'
+        |       || strftime(o_orderdate, '%Y-%m-%d') AS merged
+        |FROM orders ORDER BY _id""".stripMargin,
     "q37_auth_merge" ->
       """SELECT o_orderkey AS _id, CAST(11 AS BIGINT) AS subject_xref,
         |       (SELECT p_name FROM part WHERE p_partkey = 11) AS subject

@@ -49,18 +49,30 @@ object StoreOps {
         lit(null).cast("array<string>").as("words"),
         lit(null).cast("map<string,array<string>>").as("logical"))
 
-  /** commit v1 (1/97 of orders) → commit v2 (half of those, retitled)
-    * → delete a quarter → emit (history ⨝ live-presence). */
-  def q36StoreCommit(s: SparkSession, dir: String): DataFrame = {
-    import MarcSchema.marcRowEncoder
-    val base = java.nio.file.Files.createTempDirectory("graft_q36").toString
-    val store = new MarcStore(s, base)
+  // q36/q49/q50 all read the same committed lifecycle; build it once
+  // per input dir (the gate invokes each query independently but
+  // shares the session).
+  private val storeCache =
+    scala.collection.concurrent.TrieMap.empty[String, MarcStore]
 
-    store.commit(batch(s, dir, 97L, "").as[MarcRow], user = "alice", now = ts1)
-    store.commit(batch(s, dir, 194L, "X-").as[MarcRow], user = "bob", now = ts2)
-    val delIds = orders(s, dir).where(col("o_orderkey") % 388 === 0)
-      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
-    store.delete("bib", delIds, now = ts3)
+  /** commit v1 (1/97 of orders) → commit v2 (half of those, retitled)
+    * → delete a quarter. */
+  private def lifecycleStore(s: SparkSession, dir: String): MarcStore =
+    storeCache.getOrElseUpdate(dir, {
+      import MarcSchema.marcRowEncoder
+      val base = java.nio.file.Files.createTempDirectory("graft_q36").toString
+      val store = new MarcStore(s, base)
+      store.commit(batch(s, dir, 97L, "").as[MarcRow], user = "alice", now = ts1)
+      store.commit(batch(s, dir, 194L, "X-").as[MarcRow], user = "bob", now = ts2)
+      val delIds = orders(s, dir).where(col("o_orderkey") % 388 === 0)
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+      store.delete("bib", delIds, now = ts3)
+      store
+    })
+
+  /** emit (history ⨝ live-presence) of the lifecycle store. */
+  def q36StoreCommit(s: SparkSession, dir: String): DataFrame = {
+    val store = lifecycleStore(s, dir)
 
     val title = try_element_at(flatten(transform(
       filter(col("datafields"), f => f.getField("tag") === "245"),
@@ -75,6 +87,38 @@ object StoreOps {
       .join(live, col("_id") === col("l_id"), "left")
       .withColumn("live", col("l_id").isNotNull).drop("l_id")
       .orderBy("_id", "version_no")
+  }
+
+  /** Audit-column query DSL over the LIVE store (created/updated date
+    * compare + user search, SparkQueryCompiler on a committed table —
+    * dlx date/user token semantics, dlx/marc/query.py:376-412): bibs
+    * last touched by bob after mid-January. */
+  def q49StoreQuery(s: SparkSession, dir: String): DataFrame = {
+    val store = lifecycleStore(s, dir)
+    val live = store.read("bib").toDF()
+    val compiler = new graft.spark.SparkQueryCompiler(s, live, store.read("auth").toDF())
+    live.where(compiler.compile(graft.query.QueryParser.parse(
+        "updated>2020-01-15 AND user:bob", "bib")))
+      .select("_id").orderBy("_id")
+  }
+
+  /** History query surface (History.from_query / find_deleted /
+    * deleted_by_date, dlx/marc/__init__.py:2345-2368): deleted ids via
+    * a search-string query over version records, their version counts,
+    * and membership in a deletion-date window. */
+  def q50HistoryOps(s: SparkSession, dir: String): DataFrame = {
+    val store = lifecycleStore(s, dir)
+    val del = store.findDeleted("bib", "245__a:*").select(col("_id").as("d_id"))
+    val inWin = store.deletedByDate("bib",
+        java.time.Instant.parse("2020-02-15T00:00:00Z"),
+        java.time.Instant.parse("2020-03-15T00:00:00Z"))
+      .select(col("_id").as("w_id"))
+    val counts = store.readHistory("bib").groupBy("_id")
+      .agg(count(lit(1)).as("n_versions"))
+    counts.join(del, col("_id") === col("d_id"), "inner")
+      .join(inWin, col("_id") === col("w_id"), "left")
+      .select(col("_id"), col("n_versions"), col("w_id").isNotNull.as("in_window"))
+      .orderBy("_id")
   }
 
   /** The File module's batch ingest under the oracle: derived binary
@@ -110,7 +154,9 @@ object StoreOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_store_commit" -> (q36StoreCommit _),
-    "q40_file_import" -> (q40FileImport _))
+    "q40_file_import" -> (q40FileImport _),
+    "q49_store_query" -> (q49StoreQuery _),
+    "q50_history_ops" -> (q50HistoryOps _))
 
   val oracle: Map[String, String] = Map(
     "q36_store_commit" ->
@@ -133,6 +179,14 @@ object StoreOps {
         |SELECT id AS _id, version_no, action, title, mod_user, created_user,
         |       updated_epoch, created_epoch, (id % 388 <> 0) AS live
         |FROM h ORDER BY _id, version_no""".stripMargin,
+    "q49_store_query" ->
+      """SELECT o_orderkey AS _id FROM orders
+        |WHERE o_orderkey % 194 = 0 AND o_orderkey % 388 <> 0
+        |ORDER BY _id""".stripMargin,
+    "q50_history_ops" ->
+      """SELECT o_orderkey AS _id, CAST(3 AS BIGINT) AS n_versions, true AS in_window
+        |FROM orders WHERE o_orderkey % 388 = 0
+        |ORDER BY _id""".stripMargin,
     "q40_file_import" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS id_value,
         |       md5('file-' || o_orderkey || '-' || o_orderpriority) AS checksum,

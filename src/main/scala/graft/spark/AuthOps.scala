@@ -118,6 +118,26 @@ object AuthOps {
 
   /** in_use count for one auth id (dlx/marc/__init__.py:2091-2141):
     * semi-join shaped existence scan. */
+  /** Typeahead over the heading dimension (reference partial_lookup,
+    * dlx/marc/__init__.py:1995-2041): case-insensitive containment on
+    * the source-tag heading subfield, capped at `limit`. The reference
+    * takes the first 25 in arbitrary collection order; at cluster
+    * scale that is non-deterministic, so this returns the first
+    * `limit` by (value, xref) — a TakeOrderedAndProject, no full sort.
+    * Returns (value, xref). */
+  def partialLookup(auths: DataFrame, recordType: String, tag: String, code: String,
+      needle: String, limit: Int = 25): DataFrame = {
+    val sourceTag = graft.config.DlxConfig.authoritySourceTag(recordType, tag, code)
+      .getOrElse(return auths.sparkSession.emptyDataFrame
+        .withColumn("value", lit("")).withColumn("xref", lit(0L)).limit(0))
+    MarcContext.authHeadings(auths)
+      .where(col("tag") === sourceTag && col("code") === code &&
+        contains(lower(col("value")), lit(needle.toLowerCase)))
+      .select(col("value"), col("xref"))
+      .orderBy(col("value"), col("xref"))
+      .limit(limit)
+  }
+
   def inUse(records: DataFrame, xref: Long): Long =
     records.where(exists(col("datafields"), f =>
       exists(f.getField("subfields"), s => s.getField("xref") === xref))).count()

@@ -89,11 +89,14 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     * form). zipWithIndex keeps ids dense max+1..max+n without routing
     * the batch through a single window task. */
   def assignIds(recs: Dataset[MarcRow]): Dataset[MarcRow] =
-    assignIds(recs, recs.head().record_type)
+    assignIds(recs, recs.head().record_type, needCount = -1L)
 
-  private def assignIds(recs: Dataset[MarcRow], rt: String): Dataset[MarcRow] = {
+  /** needCount: how many rows carry _id = -1 (from the commit stats
+    * aggregate); -1 = unknown, probe. */
+  private def assignIds(recs: Dataset[MarcRow], rt: String, needCount: Long): Dataset[MarcRow] = {
+    if (needCount == 0L) return recs
     val needIds = recs.filter(col("_id") === -1L)
-    if (needIds.isEmpty) return recs
+    if (needCount < 0L && needIds.isEmpty) return recs
     val start = maxId(rt)
     val assigned = spark.createDataset(
       needIds.rdd.zipWithIndex().map { case (r, i) => r.copy(_id = start + i + 1) })
@@ -141,12 +144,15 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   def commit(recs: Dataset[MarcRow], user: String,
       now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()),
       authCheck: Boolean = true, updateAttached: Boolean = true): Unit = {
-    // one job answers both "empty?" and "which record type?"
-    val first = recs.limit(1).collect()
-    if (first.isEmpty) return
-    val rt = first.head.record_type
+    // ONE job answers "empty?", "which record type?" and "how many
+    // rows need ids?" (each was its own action before)
+    val stats = recs.toDF().agg(count(lit(1)).as("n"),
+      first(col("record_type")).as("rt"),
+      count(when(col("_id") === -1L, lit(1))).as("need_ids")).head()
+    if (stats.getAs[Long]("n") == 0L) return
+    val rt = stats.getAs[String]("rt")
     if (authCheck) authValidate(recs, rt)
-    val incomingRaw = assignIds(recs, rt)
+    val incomingRaw = assignIds(recs, rt, stats.getAs[Long]("need_ids"))
 
     // audit columns: preserve created/created_user from previous state
     val prev = read(rt).select(col("_id").as("p_id"), col("created").as("p_created"),
@@ -161,8 +167,11 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       .select(canonicalCols.map(col): _*)
       .as[MarcRow]
       // cut lineage: the plan must not re-read the live table after
-      // the bucket overwrite below replaces its files
-      .localCheckpoint(true)
+      // the bucket overwrite below replaces its files. LAZY checkpoint:
+      // the first action (the touched-bucket collect, which scans every
+      // partition, or the heading collect on the auth path) materializes
+      // it — still strictly before the swap — without a dedicated pass.
+      .localCheckpoint(false)
 
     // heading state BEFORE the write, for the attached-record cascade
     val oldHeadings =
@@ -278,16 +287,17 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     val path = tablePath(recordType)
     val buckets = ids.map(id => math.floorMod(id, numBuckets.toLong)).distinct
     // stamp the deletion time on the history marker (reference records
-    // deleted.user/time, dlx/marc/__init__.py:1288-1308); checkpointed
-    // because it is read again for history AFTER the bucket swap
+    // deleted.user/time, dlx/marc/__init__.py:1288-1308). History is
+    // appended FIRST, while the live bucket files still exist — the
+    // marker plan reads them exactly once and no checkpoint is needed.
     val deleted = read(recordType).filter(col("_id").isin(ids: _*)).toDF()
-      .withColumn("updated", lit(now)).localCheckpoint(true)
+      .withColumn("updated", lit(now))
+    appendHistory(deleted, recordType, "deleted", now)
     val survivors = readRaw(recordType)
       .where(col("id_bucket").isin(buckets: _*) && !col("_id").isin(ids: _*))
     // a bucket whose rows were all deleted has no staging dir and
     // swapBuckets removes it outright
     swapBuckets(path, survivors, buckets)
-    appendHistory(deleted, recordType, "deleted", now)
   }
 
   /** Recreate the last history version of a deleted record
