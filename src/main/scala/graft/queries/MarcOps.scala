@@ -240,6 +240,35 @@ object MarcOps {
       .orderBy("_id")
   }
 
+  /** ISO-2709 binary MRC serialize -> parse roundtrip (to_mrc leader/
+    * directory byte math + from_mrc, the format the reference left
+    * unfinished). */
+  def q53MrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val rtUdf = udf((mrk: String) => {
+      implicit val auth: AuthLookup = AuthLookup.Empty
+      val rec = Serialization.fromMrk("bib", mrk, authControl = false)
+      val back = Serialization.fromMrc("bib", Serialization.toMrc(rec))
+      back.getValue("245", "a") + "|" + back.getValue("269", "a")
+    })
+    q28MarcMrk(s, dir)
+      .select(col("_id"), rtUdf(col("mrk")).as("mrc_roundtrip"))
+      .orderBy("_id")
+  }
+
+  /** MARC-in-JSON (MIJ) serialize -> parse roundtrip (to_mij/from_mij,
+    * stubbed upstream and completed here). */
+  def q54MijRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val rtUdf = udf((mrk: String) => {
+      implicit val auth: AuthLookup = AuthLookup.Empty
+      val rec = Serialization.fromMrk("bib", mrk, authControl = false)
+      val back = Serialization.fromMij("bib", Serialization.toMij(rec))
+      back.getValue("245", "a") + "|" + back.getValue("269", "a")
+    })
+    q28MarcMrk(s, dir)
+      .select(col("_id"), rtUdf(col("mrk")).as("mij_roundtrip"))
+      .orderBy("_id")
+  }
+
   /** to_csv -> from_csv roundtrip (RFC-4180 quoting + header
     * addressing survive, auth control off so $0 stays literal). */
   def q41CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -417,7 +446,9 @@ object MarcOps {
     "q47_table_export" -> (q47TableExport _),
     "q48_exists_not" -> (q48ExistsNot _),
     "q51_partial_lookup" -> (q51PartialLookup _),
-    "q52_merge" -> (q52Merge _))
+    "q52_merge" -> (q52Merge _),
+    "q53_mrc_roundtrip" -> (q53MrcRoundtrip _),
+    "q54_mij_roundtrip" -> (q54MijRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "q24_marc_build" ->
@@ -524,6 +555,14 @@ object MarcOps {
       """SELECT p_name AS value, CAST(p_partkey AS BIGINT) AS xref FROM part
         |WHERE contains(lower(p_name), 'gear')
         |ORDER BY value, xref LIMIT 25""".stripMargin,
+    "q53_mrc_roundtrip" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id, prio || '|' || odate AS mrc_roundtrip
+        |FROM bibs ORDER BY _id""".stripMargin,
+    "q54_mij_roundtrip" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id, prio || '|' || odate AS mij_roundtrip
+        |FROM bibs ORDER BY _id""".stripMargin,
     "q52_merge" ->
       """SELECT o_orderkey AS _id,
         |       o_orderpriority || '|' || o_orderstatus || '|1990-01-01|ALT|'

@@ -70,6 +70,13 @@ object StoreOps {
       store
     })
 
+  /** first 245$a of a history/live row. */
+  private def titleCol: Column =
+    try_element_at(flatten(transform(
+      filter(col("datafields"), f => f.getField("tag") === "245"),
+      f => transform(filter(f.getField("subfields"), sf => sf.getField("code") === "a"),
+        sf => sf.getField("value")))), lit(1))
+
   /** emit (history ⨝ live-presence) of the lifecycle store. */
   def q36StoreCommit(s: SparkSession, dir: String): DataFrame = {
     val store = lifecycleStore(s, dir)
@@ -121,6 +128,38 @@ object StoreOps {
       .orderBy("_id")
   }
 
+  /** restore + revert under the oracle (History.restore / Marc.revert,
+    * dlx/marc/__init__.py:581-590, 1349-1366, 2286-2300): a small
+    * FIXED-SIZE lifecycle (commit → delete the 3 lowest ids → restore
+    * 2 of them) so the job count does not scale with SF; emits the
+    * live rows with their committing user, version count and the
+    * version-1 title (revert-to-v1 content). */
+  def q55Restore(s: SparkSession, dir: String): DataFrame = {
+    import MarcSchema.marcRowEncoder
+    val base = java.nio.file.Files.createTempDirectory("graft_q55").toString
+    val store = new MarcStore(s, base)
+    store.commit(batch(s, dir, 1940L, "").as[MarcRow], user = "alice", now = ts1)
+    val ids = orders(s, dir).where(col("o_orderkey") % 1940 === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val delIds = ids.take(3)
+    store.delete("bib", delIds, now = ts2)
+    delIds.take(2).foreach(id => store.restore("bib", id, user = "carol"))
+    // revert() itself: version-1 state of one restored record
+    val reverted = store.revert("bib", delIds.head, 1)
+    val revTitle = graft.spark.MarcSchema.fromRow(reverted)
+      .getValue("245", "a")(graft.model.AuthLookup.Empty)
+    val hist = store.readHistory("bib")
+    val counts = hist.groupBy(col("_id").as("c_id")).agg(count(lit(1)).as("n_versions"))
+    val v1 = hist.where(col("version_no") === 1)
+      .select(col("_id").as("v_id"), titleCol.as("v1_title"))
+    store.read("bib").toDF().select(col("_id"), col("user").as("mod_user"))
+      .join(counts, col("_id") === col("c_id")).drop("c_id")
+      .join(v1, col("_id") === col("v_id")).drop("v_id")
+      .withColumn("revert_title",
+        when(col("_id") === delIds.head, lit(revTitle)).otherwise(lit(null).cast("string")))
+      .orderBy("_id")
+  }
+
   /** The File module's batch ingest under the oracle: derived binary
     * contents md5'd and deduped in the cluster, blobs written from the
     * executors (Hadoop-FS backend over file://), a second import of
@@ -156,7 +195,8 @@ object StoreOps {
     "q36_store_commit" -> (q36StoreCommit _),
     "q40_file_import" -> (q40FileImport _),
     "q49_store_query" -> (q49StoreQuery _),
-    "q50_history_ops" -> (q50HistoryOps _))
+    "q50_history_ops" -> (q50HistoryOps _),
+    "q55_restore" -> (q55Restore _))
 
   val oracle: Map[String, String] = Map(
     "q36_store_commit" ->
@@ -186,6 +226,19 @@ object StoreOps {
     "q50_history_ops" ->
       """SELECT o_orderkey AS _id, CAST(3 AS BIGINT) AS n_versions, true AS in_window
         |FROM orders WHERE o_orderkey % 388 = 0
+        |ORDER BY _id""".stripMargin,
+    "q55_restore" ->
+      """WITH s AS (
+        |  SELECT o_orderkey AS id, o_orderpriority AS prio FROM orders WHERE o_orderkey % 1940 = 0),
+        |d AS (SELECT id FROM s ORDER BY id LIMIT 3),
+        |r AS (SELECT id FROM d ORDER BY id LIMIT 2)
+        |SELECT s.id AS _id,
+        |       CASE WHEN s.id IN (SELECT id FROM r) THEN 'carol' ELSE 'alice' END AS mod_user,
+        |       CAST(CASE WHEN s.id IN (SELECT id FROM r) THEN 3 ELSE 1 END AS BIGINT) AS n_versions,
+        |       prio AS v1_title,
+        |       CASE WHEN s.id = (SELECT min(id) FROM s) THEN prio ELSE NULL END AS revert_title
+        |FROM s
+        |WHERE s.id NOT IN (SELECT id FROM d) OR s.id IN (SELECT id FROM r)
         |ORDER BY _id""".stripMargin,
     "q40_file_import" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS id_value,
