@@ -127,6 +127,50 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation — the corpus-level dedup step: pair generators
+    * (fingerprint/Jaccard/MinHash/SimHash above) yield EDGES, but a
+    * dedup pipeline keeps one representative per transitive CLUSTER.
+    *
+    * Scale design: each iteration is one shuffle-on-node-id join +
+    * min-aggregation (the standard large-graph CC / Pregel pattern —
+    * no driver-side graph); iteration count = component diameter
+    * (near-dup clusters are shallow); lineage is cut per iteration
+    * with an eager localCheckpoint; convergence is detected by the
+    * strictly-decreasing label sum (one scalar aggregate, no
+    * change-detection join). */
+  def connectedComponents(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var prevSum = Long.MinValue
+    var iter = 0
+    while (iter < maxIter) {
+      val viaNeighbors = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val updated = labels.union(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val s = updated.agg(sum("label")).head().getAs[Any](0) match {
+        case null => 0L
+        case l: Long => l
+        case other => other.toString.toLong
+      }
+      labels = updated
+      if (s == prevSum) iter = maxIter else { prevSum = s; iter += 1 }
+    }
+    labels
+  }
+
+  /** Dedup clusters: transitive closure of the verified Jaccard
+    * near-dup relation; cluster id = least member doc_id. */
+  def q56DedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(q18NgramJaccard(s, dir).select("doc_a", "doc_b"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+
   /** 64-bit SimHash near-dup: per-token 64-bit hash from md5 (two
     * 32-bit halves — `conv` stays in long range), bitwise ±1 voting as
     * 64 sum columns in ONE aggregation pass (no 64x row blowout),
@@ -201,6 +245,7 @@ object TextOps {
     "q16_dedup_exact" -> (q16DedupExact _),
     "q17_fingerprint" -> (q17Fingerprint _),
     "q18_ngram_jaccard" -> (q18NgramJaccard _),
+    "q56_dedup_clusters" -> (q56DedupClusters _),
     "q19_minhash_lsh" -> (q19MinhashLsh _),
     "q20_sessionize" -> (q20Sessionize _),
     "q43_simhash" -> (q43Simhash _))
@@ -268,6 +313,26 @@ object TextOps {
         |WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q56_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+        |         list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e.b AS node, w.label FROM walk w JOIN edges e ON e.a = w.node
+        |)
+        |SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk
+        |GROUP BY node ORDER BY doc_id""".stripMargin,
     "q19_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -315,4 +315,16 @@ class SparkMarcSpec extends AnyFunSuite {
     store.commit(bibsDs, user = "t")
     intercept[IllegalArgumentException] { store.delete("auth", Seq(1L)) }
   }
+
+  test("connected components: min-label propagation over pair edges") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), separate pair 10-11, pair 20-21
+    // linked to the chain via 21-4 — all one component with label 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 4L))
+      .toDF("doc_a", "doc_b")
+    val cc = graft.queries.TextOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      20L -> 1L, 21L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
