@@ -15,10 +15,19 @@ import Fixtures._
 class QueryParitySpec extends AnyFunSuite {
 
   lazy val spark = SparkTestSession.spark
-  lazy val bibsDf = graft.spark.MarcSchema.toDataset(spark, Seq(bib1, bib2)).toDF()
+  // audit-stamped copies so date/user conditions have ground truth
+  private lazy val pb1 = bib1.copy(
+    created = Some(java.time.Instant.parse("2020-01-10T08:00:00Z")),
+    updated = Some(java.time.Instant.parse("2020-02-10T12:00:00Z")),
+    user = Some("alice"), createdUser = Some("carol"))
+  private lazy val pb2 = bib2.copy(
+    created = Some(java.time.Instant.parse("2021-06-01T00:00:00Z")),
+    updated = Some(java.time.Instant.parse("2021-06-01T23:59:59Z")),
+    user = Some("bob"), createdUser = None)
+  lazy val bibsDf = graft.spark.MarcSchema.toDataset(spark, Seq(pb1, pb2)).toDF()
   lazy val authsDf = graft.spark.MarcSchema.toDataset(spark, Seq(auth1, auth2)).toDF()
   lazy val compiler = new SparkQueryCompiler(spark, bibsDf, authsDf)
-  lazy val rowEngine = new RowQueryEngine(Seq(bib1, bib2), Seq(auth1, auth2))
+  lazy val rowEngine = new RowQueryEngine(Seq(pb1, pb2), Seq(auth1, auth2))
 
   private val tagPool = Seq("245", "520", "650", "710", "999")
   private val codes = Seq("a", "b", "c")
@@ -41,7 +50,7 @@ class QueryParitySpec extends AnyFunSuite {
     val tag = tagPool(r.nextInt(tagPool.length))
     val code = codes(r.nextInt(codes.length))
     def field = logicalFields(r.nextInt(logicalFields.length))
-    r.nextInt(14) match {
+    r.nextInt(16) match {
       case 0 => FieldCond(tag, Seq(code -> genVal(r)),
         modifier = Seq(None, Some("not"), Some("exists"), Some("not_exists"))(r.nextInt(4)))
       case 1 => TagValue(tag, genVal(r), not = r.nextBoolean())
@@ -61,6 +70,16 @@ class QueryParitySpec extends AnyFunSuite {
         TextQuery.fielded(termPools(r.nextInt(termPools.length))), not = r.nextBoolean())
       case 12 => CtrlEquals(Seq("000", "008")(r.nextInt(2)),
         Seq("leader", "controlfield", "nope")(r.nextInt(3)))
+      case 13 => DateCompare(Seq("created", "updated")(r.nextInt(2)),
+        Seq(":", "<", ">")(r.nextInt(3)),
+        java.time.LocalDate.parse(Seq("2020-01-10", "2020-06-15", "2021-06-01",
+          "2021-06-02", "2019-01-01")(r.nextInt(5))))
+      case 14 => UserMatch(Seq("user", "created_user")(r.nextInt(2)), r.nextInt(4) match {
+        case 0 => Exact(Seq("alice", "bob", "carol", "nope")(r.nextInt(4)))
+        case 1 => TextMode(Seq("alice", "bob", "carol", "nope")(r.nextInt(4)))
+        case 2 => Rx(Seq("^a", "o", "b.b")(r.nextInt(3)), ci = r.nextBoolean())
+        case _ => Star
+      })
       case _ => FreeText(TextQuery.freeText(termPools(r.nextInt(termPools.length))))
     }
   }

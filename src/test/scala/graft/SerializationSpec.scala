@@ -227,6 +227,14 @@ class SerializationSpec extends AnyFunSuite {
     assert(back(1).id.contains(2L))
   }
 
+  test("table to_html golden (dlx/util.py:135-149: header row first, no escaping)") {
+    val table = new T.Table
+    table.set(1, "1.245$a", "title").set(1, "1.269$a", "date")
+    assert(table.toHtml ==
+      "<table><tr><td>1.245$a</td><td>1.269$a</td></tr>" +
+        "<tr><td>title</td><td>date</td></tr></table>")
+  }
+
   test("indicator columns set ind1/ind2 (tests/test_marcset.py:180-188)") {
     val table = new T.Table
     table.set(1, "1.245$a", "title").set(1, "1.245__", "98")
