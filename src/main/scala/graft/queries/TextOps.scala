@@ -56,6 +56,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF keyword extraction: top-3 terms per document. The idf is
+    * the RATIONAL variant (N/df, no logarithm) so scores are
+    * bit-identical across engines (IEEE division/multiplication are
+    * correctly rounded; `ln` is not guaranteed to be) — ranking is
+    * unchanged for a fixed tf since N/df is monotone in ln(N/df).
+    * Scale shape: explode → two keyed aggregations → per-doc window
+    * (doc_id cardinality = corpus size, so the window partitions
+    * evenly; no low-cardinality funnel). */
+  def q57TfIdf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksEx = documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = toksEx.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents(s, dir).count()
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score", col("tf").cast("double") *
+        (lit(n.toDouble) / col("df").cast("double")))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "score").orderBy("doc_id", "rank")
+  }
+
   /** Exact dedup: content-hash groups with representative id + count.
     * (dlx files module content-addressing analog, dlx/file/__init__.py:184-199.) */
   def q16DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -243,6 +266,7 @@ object TextOps {
     "q14_token_count" -> (q14TokenCount _),
     "q15_quality_score" -> (q15QualityScore _),
     "q16_dedup_exact" -> (q16DedupExact _),
+    "q57_tfidf" -> (q57TfIdf _),
     "q17_fingerprint" -> (q17Fingerprint _),
     "q18_ngram_jaccard" -> (q18NgramJaccard _),
     "q56_dedup_clusters" -> (q56DedupClusters _),
@@ -313,6 +337,19 @@ object TextOps {
         |WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q57_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |         CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, score,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM scored)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, score FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q56_dedup_clusters" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id,
