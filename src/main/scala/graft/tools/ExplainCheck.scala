@@ -69,6 +69,18 @@ object ExplainCheck {
     assert(!p45.contains("Window"), "q45: corpus flows through a window")
     println("q45 IVF bounded aggregates OK")
 
+    val q51 = graft.queries.MarcOps.q51PartialLookup(spark, sfDir)
+    val p51 = planOf(q51)
+    assert(p51.contains("TakeOrderedAndProject"),
+      "q51: partial lookup not a bounded TakeOrderedAndProject")
+    println("q51 typeahead top-k OK")
+
+    val q56 = graft.queries.TextOps.q56DedupClusters(spark, sfDir)
+    val p56 = planOf(q56)
+    assert(!p56.contains("CartesianProduct") && !p56.contains("BroadcastNestedLoop"),
+      "q56: label propagation must stay keyed equi-joins")
+    println("q56 CC keyed joins OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
