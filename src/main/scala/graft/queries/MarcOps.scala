@@ -391,6 +391,19 @@ object MarcOps {
       .orderBy("_id")
   }
 
+  /** `Raw` escape hatch (dlx/marc/query.py:769-777): the Spark analog
+    * of a raw Mongo filter is an arbitrary `Column` predicate ANDed
+    * into the compiled condition — same composability, but the raw
+    * leg stays optimizer-visible (pushdown/codegen) instead of being
+    * an opaque document. */
+  def q58RawPredicate(s: SparkSession, dir: String): DataFrame = {
+    val bibs = marcBibs(s, dir)
+    val compiler = new SparkQueryCompiler(s, bibs, marcAuths(s, dir))
+    val compiled = compiler.compile(graft.query.QueryParser.parse("650__a:*", "bib"))
+    bibs.where(compiled && col("_id") % 7 === 0)
+      .select("_id").orderBy("_id")
+  }
+
   /** Auth-use aggregation (calculate_auth_use): per-xref counts. */
   def q30MarcAuthUse(s: SparkSession, dir: String): DataFrame =
     MarcContext.authUseCounts(marcBibs(s, dir))
@@ -448,6 +461,7 @@ object MarcOps {
     "q51_partial_lookup" -> (q51PartialLookup _),
     "q52_merge" -> (q52Merge _),
     "q53_mrc_roundtrip" -> (q53MrcRoundtrip _),
+    "q58_raw_predicate" -> (q58RawPredicate _),
     "q54_mij_roundtrip" -> (q54MijRoundtrip _))
 
   val oracle: Map[String, String] = Map(
@@ -559,6 +573,11 @@ object MarcOps {
       s"""WITH $oracleBibs
         |SELECT id AS _id, prio || '|' || odate AS mrc_roundtrip
         |FROM bibs ORDER BY _id""".stripMargin,
+    "q58_raw_predicate" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id FROM bibs
+        |WHERE subject_key IS NOT NULL AND id % 7 = 0
+        |ORDER BY _id""".stripMargin,
     "q54_mij_roundtrip" ->
       s"""WITH $oracleBibs
         |SELECT id AS _id, prio || '|' || odate AS mij_roundtrip
