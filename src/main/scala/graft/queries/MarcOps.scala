@@ -404,6 +404,27 @@ object MarcOps {
       .select("_id").orderBy("_id")
   }
 
+  /** `MarcSet.from_ids` / `Marc.from_id` (dlx/marc/__init__.py:229-239):
+    * id-set selection — an `isin` over the id column, which partition-
+    * prunes on a bucketed store. Combined with an `id:` DSL query to
+    * gate IdEquals on the same plan. */
+  def q59FromIds(s: SparkSession, dir: String): DataFrame = {
+    val bibs = marcBibs(s, dir)
+    val ids = Seq(97L, 194L, 388L, 9999999L)
+    val compiler = new SparkQueryCompiler(s, bibs, marcAuths(s, dir))
+    bibs.where(col("_id").isin(ids: _*))
+      .unionByName(compiler.run("id:485", "bib"))
+      .select("_id").distinct().orderBy("_id")
+  }
+
+  /** `TagOnly` value search (`245:'1-urgent'` — any subfield of the
+    * tag matches the exact value under collation,
+    * dlx/marc/query.py:700-767). */
+  def q60TagValue(s: SparkSession, dir: String): DataFrame = {
+    val compiler = new SparkQueryCompiler(s, marcBibs(s, dir), marcAuths(s, dir))
+    compiler.run("245:'1-urgent'").select("_id").orderBy("_id")
+  }
+
   /** Auth-use aggregation (calculate_auth_use): per-xref counts. */
   def q30MarcAuthUse(s: SparkSession, dir: String): DataFrame =
     MarcContext.authUseCounts(marcBibs(s, dir))
@@ -462,7 +483,9 @@ object MarcOps {
     "q52_merge" -> (q52Merge _),
     "q53_mrc_roundtrip" -> (q53MrcRoundtrip _),
     "q58_raw_predicate" -> (q58RawPredicate _),
-    "q54_mij_roundtrip" -> (q54MijRoundtrip _))
+    "q54_mij_roundtrip" -> (q54MijRoundtrip _),
+    "q59_from_ids" -> (q59FromIds _),
+    "q60_tag_value" -> (q60TagValue _))
 
   val oracle: Map[String, String] = Map(
     "q24_marc_build" ->
@@ -577,6 +600,15 @@ object MarcOps {
       s"""WITH $oracleBibs
         |SELECT id AS _id FROM bibs
         |WHERE subject_key IS NOT NULL AND id % 7 = 0
+        |ORDER BY _id""".stripMargin,
+    "q59_from_ids" ->
+      """SELECT o_orderkey AS _id FROM orders
+        |WHERE o_orderkey IN (97, 194, 388, 9999999, 485)
+        |ORDER BY _id""".stripMargin,
+    "q60_tag_value" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id FROM bibs
+        |WHERE prio = '1-URGENT'
         |ORDER BY _id""".stripMargin,
     "q54_mij_roundtrip" ->
       s"""WITH $oracleBibs

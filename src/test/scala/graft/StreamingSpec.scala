@@ -35,6 +35,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(clicks.get.getAs[Long]("n") == 2L)
   }
 
+  test("streaming exact dedup keeps the first-seen doc per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = stream.toDF().toDF("doc_id", "ts", "text")
+    val out = graft.streaming.Streaming.dedupStream(docs, "10 minutes")
+    val query = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    stream.addData((1L, ts("2026-01-01T00:00:00Z"), "alpha"),
+      (2L, ts("2026-01-01T00:01:00Z"), "alpha"),
+      (3L, ts("2026-01-01T00:02:00Z"), "beta"))
+    query.processAllAvailable()
+    stream.addData((4L, ts("2026-01-01T00:03:00Z"), "beta"),
+      (5L, ts("2026-01-01T00:04:00Z"), "gamma"))
+    query.processAllAvailable()
+    val rows = spark.sql("SELECT doc_id FROM dedup").collect().map(_.getLong(0)).toSet
+    query.stop()
+    assert(rows == Set(1L, 3L, 5L)) // dup texts 2 and 4 dropped across batches
+  }
+
   test("incremental tag index maintenance via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
