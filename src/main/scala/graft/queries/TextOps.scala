@@ -194,6 +194,36 @@ object TextOps {
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** The full production dedup pipeline, composed for scale:
+    * exact-dedup FIRST (hash groups collapse to a min-id
+    * representative — a duplicate-heavy corpus would otherwise
+    * blow up the pair join quadratically in group size), near-dup
+    * pairs + connected components over REPRESENTATIVES only, then a
+    * broadcast-friendly join expands every document to its
+    * representative's cluster. Output: one (doc_id, cluster_id) row
+    * per document in the corpus. */
+  def q61DedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val hashed = documents(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val reps = hashed.groupBy("h").agg(min("doc_id").as("rep_id"))
+    val docRep = hashed.join(reps, "h").select(col("doc_id"), col("rep_id"))
+    val rd = documents(s, dir)
+      .join(reps.select(col("rep_id")), col("doc_id") === col("rep_id"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(toks(col("text")), 1, 8))).as("fp"),
+        array_distinct(toks(col("text"))).as("tokset"))
+    val a = rd.select(col("doc_id").as("doc_a"), col("fp"), col("tokset").as("set_a"))
+    val b = rd.select(col("doc_id").as("doc_b"), col("fp"), col("tokset").as("set_b"))
+    val pairs = a.join(b, "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .where((size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+        size(array_union(col("set_a"), col("set_b"))).cast("double")) >= 0.5)
+      .select("doc_a", "doc_b")
+    val cc = connectedComponents(pairs)
+    docRep.join(cc, docRep("rep_id") === cc("node"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("rep_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash near-dup: per-token 64-bit hash from md5 (two
     * 32-bit halves — `conv` stays in long range), bitwise ±1 voting as
     * 64 sum columns in ONE aggregation pass (no 64x row blowout),
@@ -270,6 +300,7 @@ object TextOps {
     "q17_fingerprint" -> (q17Fingerprint _),
     "q18_ngram_jaccard" -> (q18NgramJaccard _),
     "q56_dedup_clusters" -> (q56DedupClusters _),
+    "q61_dedup_pipeline" -> (q61DedupPipeline _),
     "q19_minhash_lsh" -> (q19MinhashLsh _),
     "q20_sessionize" -> (q20Sessionize _),
     "q43_simhash" -> (q43Simhash _))
@@ -370,6 +401,32 @@ object TextOps {
         |)
         |SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk
         |GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q61_dedup_pipeline" ->
+      """WITH RECURSIVE rep AS (
+        |  SELECT md5(text) AS h, MIN(doc_id) AS rep_id FROM documents GROUP BY 1),
+        |docrep AS (
+        |  SELECT d.doc_id, r.rep_id FROM documents d JOIN rep r ON md5(d.text) = r.h),
+        |rd AS (
+        |  SELECT d.doc_id,
+        |         md5(array_to_string(string_split(d.text, ' ')[1:8], ' ')) AS fp,
+        |         list_distinct(string_split(d.text, ' ')) AS tokset
+        |  FROM documents d JOIN rep r ON d.doc_id = r.rep_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM rd a JOIN rd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e.b AS node, w.label FROM walk w JOIN edges e ON e.a = w.node
+        |),
+        |cc AS (SELECT node, MIN(label) AS label FROM walk GROUP BY node)
+        |SELECT dr.doc_id, COALESCE(cc.label, dr.rep_id) AS cluster_id
+        |FROM docrep dr LEFT JOIN cc ON dr.rep_id = cc.node
+        |ORDER BY doc_id""".stripMargin,
     "q19_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
