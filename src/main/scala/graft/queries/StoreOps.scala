@@ -160,6 +160,58 @@ object StoreOps {
       .orderBy("_id")
   }
 
+  /** The commit-driven heading-change cascade under the oracle
+    * (update_attached_records, dlx/marc/__init__.py:1155-1232, the
+    * reference's commit default): commit an auth dimension, commit
+    * bibs whose 650 links one auth (xref only, value unresolved —
+    * commit-time auth validation passes on the live dimension), then
+    * re-commit that auth with a CHANGED heading value. The store must
+    * cascade: refresh the linked value on every attached bib and
+    * append a second history version for each. */
+  def q62Cascade(s: SparkSession, dir: String): DataFrame = {
+    import MarcSchema.marcRowEncoder
+    val base = java.nio.file.Files.createTempDirectory("graft_q62").toString
+    val store = new MarcStore(s, base)
+    def marcRow(rt: Column, id: Column, fields: Column): Column = struct(
+      rt.as("record_type"), id.as("_id"),
+      lit(null).cast("timestamp").as("created"), lit(null).cast("timestamp").as("updated"),
+      lit(null).cast("string").as("created_user"), lit(null).cast("string").as("user"),
+      lit(null).cast("string").as("basket"), lit("").as("leader"),
+      array().cast("array<struct<tag:string,value:string>>").as("controlfields"),
+      fields.as("datafields"),
+      lit(null).cast("string").as("text"), lit(null).cast("array<string>").as("words"),
+      lit(null).cast("map<string,array<string>>").as("logical"))
+    def authRow(id: Column, heading: Column) = marcRow(lit("auth"), id,
+      array(struct(lit("150").as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
+        array(struct(lit("a").as("code"), heading.as("value"),
+          lit(null).cast("long").as("xref"))).as("subfields"))))
+    val authDf = part(s, dir).where(col("p_partkey") % 500 === 0)
+      .select(authRow(col("p_partkey").cast("long"), col("p_name")).as("r")).select("r.*")
+    store.commit(authDf.as[MarcRow], user = "alice", now = ts1)
+    val bibDf = orders(s, dir).where(col("o_orderkey") % 97 === 0)
+      .select(marcRow(lit("bib"), col("o_orderkey"),
+        array(
+          struct(lit("245").as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
+            array(struct(lit("a").as("code"), col("o_orderpriority").as("value"),
+              lit(null).cast("long").as("xref"))).as("subfields")),
+          struct(lit("650").as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
+            array(struct(lit("a").as("code"), lit(null).cast("string").as("value"),
+              lit(500L).as("xref"))).as("subfields")))).as("r")).select("r.*")
+    store.commit(bibDf.as[MarcRow], user = "bob", now = ts2)
+    // heading change on auth 500 -> cascade to every attached bib
+    val changed = part(s, dir).where(col("p_partkey") === 500)
+      .select(authRow(lit(500L), lit("CHANGED")).as("r")).select("r.*")
+    store.commit(changed.as[MarcRow], user = "editor", now = ts3)
+    val counts = store.readHistory("bib").groupBy(col("_id").as("c_id"))
+      .agg(count(lit(1)).as("n_versions"))
+    val subject = try_element_at(flatten(transform(
+      filter(col("datafields"), f => f.getField("tag") === "650"),
+      f => transform(f.getField("subfields"), sf => sf.getField("value")))), lit(1))
+    store.read("bib").toDF().select(col("_id"), subject.as("subject"))
+      .join(counts, col("_id") === col("c_id")).drop("c_id")
+      .orderBy("_id")
+  }
+
   /** The File module's batch ingest under the oracle: derived binary
     * contents md5'd and deduped in the cluster, blobs written from the
     * executors (Hadoop-FS backend over file://), a second import of
@@ -196,9 +248,14 @@ object StoreOps {
     "q40_file_import" -> (q40FileImport _),
     "q49_store_query" -> (q49StoreQuery _),
     "q50_history_ops" -> (q50HistoryOps _),
-    "q55_restore" -> (q55Restore _))
+    "q55_restore" -> (q55Restore _),
+    "q62_cascade" -> (q62Cascade _))
 
   val oracle: Map[String, String] = Map(
+    "q62_cascade" ->
+      """SELECT o_orderkey AS _id, 'CHANGED' AS subject, CAST(2 AS BIGINT) AS n_versions
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY _id""".stripMargin,
     "q36_store_commit" ->
       """WITH s AS (
         |  SELECT o_orderkey AS id, o_orderpriority AS prio FROM orders WHERE o_orderkey % 97 = 0),
