@@ -79,15 +79,65 @@ final class HadoopBlobStore(baseUri: String) extends BlobStore {
     new org.apache.hadoop.fs.Path(baseUri, checksum).toString
 }
 
-final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore) {
+final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
+    numBuckets: Int = 64) {
   import spark.implicits._
 
   private val tablePath = s"$basePath/files"
 
-  def read(): DataFrame = {
-    if (!new java.io.File(tablePath).exists())
-      spark.emptyDataset[FileRecord].toDF()
+  private val canonicalCols = Seq("_id", "filename", "identifiers", "languages",
+    "mimetype", "size", "source", "timestamp", "uri", "user", "updated")
+
+  /** checksum-derived bucket: first 16 bits of the md5 hex, mod
+    * numBuckets — uniform by construction. */
+  private def bucketCol: org.apache.spark.sql.Column =
+    pmod(conv(substring(col("_id"), 1, 4), 16, 10).cast("long"), lit(numBuckets.toLong))
+
+  private def hasParquet(path: String): Boolean = {
+    def walk(f: java.io.File): Boolean =
+      if (f.isDirectory) { val fs = f.listFiles(); fs != null && fs.exists(walk) }
+      else f.getName.endsWith(".parquet")
+    val d = new java.io.File(path)
+    d.exists() && walk(d)
+  }
+
+  private def readRaw(): DataFrame =
+    if (!hasParquet(tablePath))
+      spark.emptyDataset[FileRecord].toDF().withColumn("id_bucket", lit(0L)).limit(0)
     else spark.read.parquet(tablePath)
+
+  def read(): DataFrame = readRaw().select(canonicalCols.map(col): _*)
+
+  /** Upsert metadata rows by checksum: rewrite ONLY the id buckets the
+    * batch touches (stage → swap, like MarcStore) — write cost is
+    * O(touched buckets), never O(table). */
+  private def upsert(meta: DataFrame): Unit = {
+    val withBucket = meta.select(canonicalCols.map(col): _*)
+      .withColumn("id_bucket", bucketCol)
+    val touched = withBucket.select("id_bucket").distinct().as[Long].collect()
+    val survivors = readRaw()
+      .where(col("id_bucket").isin(touched: _*))
+      .join(meta.select(col("_id").as("m_id")), col("_id") === col("m_id"), "left_anti")
+      .drop("m_id")
+    val staging = tablePath + "_staging"
+    rmDir(new java.io.File(staging))
+    survivors.unionByName(withBucket)
+      .repartition(math.max(touched.length, 1), col("id_bucket"))
+      .write.partitionBy("id_bucket").mode(SaveMode.Overwrite).parquet(staging)
+    new java.io.File(tablePath).mkdirs()
+    for (b <- touched) {
+      val dst = new java.io.File(s"$tablePath/id_bucket=$b")
+      rmDir(dst)
+      val src = new java.io.File(s"$staging/id_bucket=$b")
+      if (src.exists()) require(src.renameTo(dst), s"bucket swap failed: $src -> $dst")
+    }
+    rmDir(new java.io.File(staging))
+    spark.catalog.refreshByPath(tablePath)
+  }
+
+  private def rmDir(f: java.io.File): Unit = {
+    if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmDir) }
+    if (f.exists()) f.delete()
   }
 
   def md5Hex(data: Array[Byte]): String =
@@ -115,11 +165,7 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore) {
     val rec = FileRecord(checksum, filename, identifiers, languages, mimetype,
       data.length.toLong, source, java.sql.Timestamp.from(now), uri, user, null)
 
-    val existing = read()
-    val merged = existing.where(col("_id") =!= checksum)
-      .unionByName(Seq(rec).toDF(), allowMissingColumns = true)
-      .localCheckpoint(true)
-    writeTable(merged)
+    upsert(Seq(rec).toDF())
     rec
   }
 
@@ -217,41 +263,19 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore) {
       lit(ts).as("timestamp"),
       uriUdf(col("_id")).as("uri"),
       col("user"), lit(null).cast("timestamp").as("updated"))
-    val merged = read().join(meta.select(col("_id").as("m_id")),
-        col("_id") === col("m_id"), "left_anti")
-      .unionByName(meta, allowMissingColumns = true)
-      .localCheckpoint(true)
-    writeTable(merged)
+    upsert(meta)
     meta
   }
 
   /** Metadata update (File.commit, dlx/file/__init__.py:360-364). */
-  def commit(rec: FileRecord, now: java.time.Instant = java.time.Instant.now()): Unit = {
-    val updated = rec.copy(updated = java.sql.Timestamp.from(now))
-    val merged = read().where(col("_id") =!= rec._id)
-      .unionByName(Seq(updated).toDF(), allowMissingColumns = true)
-      .localCheckpoint(true)
-    writeTable(merged)
-  }
+  def commit(rec: FileRecord, now: java.time.Instant = java.time.Instant.now()): Unit =
+    upsert(Seq(rec.copy(updated = java.sql.Timestamp.from(now))).toDF())
 
   private def toRecords(df: DataFrame): Seq[FileRecord] = {
     import MarcEncoders._
     df.as[FileRecord](fileRecordEncoder).collect().toSeq
   }
 
-  private def writeTable(df: DataFrame): Unit = {
-    val tmp = tablePath + "_tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(tablePath)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-      }
-      rm(target)
-    }
-    new java.io.File(tmp).renameTo(target)
-    spark.catalog.refreshByPath(tablePath)
-  }
 }
 
 object MarcEncoders {
