@@ -425,6 +425,18 @@ object MarcOps {
     compiler.run("245:'1-urgent'").select("_id").orderBy("_id")
   }
 
+  /** to_str display rendering (Marc.to_str) under the oracle: the
+    * tag-sorted "tag / code: value" layout replayed byte-for-byte by
+    * DuckDB. */
+  def q63ToStr(s: SparkSession, dir: String): DataFrame = {
+    val strUdf = udf((mrk: String) => {
+      implicit val auth: AuthLookup = AuthLookup.Empty
+      Serialization.toStr(Serialization.fromMrk("bib", mrk, authControl = false))
+    })
+    q28MarcMrk(s, dir).select(col("_id"), strUdf(col("mrk")).as("str"))
+      .orderBy("_id")
+  }
+
   /** Auth-use aggregation (calculate_auth_use): per-xref counts. */
   def q30MarcAuthUse(s: SparkSession, dir: String): DataFrame =
     MarcContext.authUseCounts(marcBibs(s, dir))
@@ -485,6 +497,7 @@ object MarcOps {
     "q58_raw_predicate" -> (q58RawPredicate _),
     "q54_mij_roundtrip" -> (q54MijRoundtrip _),
     "q59_from_ids" -> (q59FromIds _),
+    "q63_to_str" -> (q63ToStr _),
     "q60_tag_value" -> (q60TagValue _))
 
   val oracle: Map[String, String] = Map(
@@ -601,6 +614,17 @@ object MarcOps {
         |SELECT id AS _id FROM bibs
         |WHERE subject_key IS NOT NULL AND id % 7 = 0
         |ORDER BY _id""".stripMargin,
+    "q63_to_str" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id,
+        |'000' || chr(10) || '   ****' || chr(10) ||
+        |'001' || chr(10) || '   ' || id || chr(10) ||
+        |'245' || chr(10) || '   a: ' || prio || chr(10) || '   b: ' || status || chr(10) ||
+        |'269' || chr(10) || '   a: ' || odate || chr(10) ||
+        |CASE WHEN subject_key IS NOT NULL
+        |     THEN '650' || chr(10) || '   a: ' || p_name || chr(10)
+        |     ELSE '' END AS str
+        |FROM bibs ORDER BY _id""".stripMargin,
     "q59_from_ids" ->
       """SELECT o_orderkey AS _id FROM orders
         |WHERE o_orderkey IN (97, 194, 388, 9999999, 485)

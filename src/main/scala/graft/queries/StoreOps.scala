@@ -217,24 +217,33 @@ object StoreOps {
     * executors (Hadoop-FS backend over file://), a second import of
     * the same batch proving checksum-dedup is a no-op. DuckDB replays
     * md5/length relationally. */
+  private val fileStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.files.FileStore]
+
+  private def importedFileStore(s: SparkSession, dir: String): graft.files.FileStore =
+    fileStoreCache.getOrElseUpdate(dir, {
+      import graft.files.{FileStore, HadoopBlobStore}
+      val base = java.nio.file.Files.createTempDirectory("graft_q40").toString
+      val store = new FileStore(s, base, new HadoopBlobStore(s"file://$base/blobs"))
+      val files = orders(s, dir).where(col("o_orderkey") % 485 === 0)
+        .select(
+          concat(lit("file-"), col("o_orderkey"), lit("-"), col("o_orderpriority"))
+            .cast("binary").as("content"),
+          concat(lit("f"), col("o_orderkey"), lit(".txt")).as("filename"),
+          array(struct(lit("isbn").as("idType"),
+            col("o_orderkey").cast("string").as("value"))).as("identifiers"),
+          array(lit("en")).as("languages"),
+          lit("text/plain").as("mimetype"),
+          lit("gate").as("source"),
+          lit("tester").as("user"))
+      store.importBatch(files, java.time.Instant.parse("2020-01-01T00:00:00Z"))
+      // identical batch again: checksum dedup must keep the table stable
+      store.importBatch(files, java.time.Instant.parse("2020-02-01T00:00:00Z"))
+      store
+    })
+
   def q40FileImport(s: SparkSession, dir: String): DataFrame = {
-    import graft.files.{FileStore, HadoopBlobStore}
-    val base = java.nio.file.Files.createTempDirectory("graft_q40").toString
-    val store = new FileStore(s, base, new HadoopBlobStore(s"file://$base/blobs"))
-    val files = orders(s, dir).where(col("o_orderkey") % 485 === 0)
-      .select(
-        concat(lit("file-"), col("o_orderkey"), lit("-"), col("o_orderpriority"))
-          .cast("binary").as("content"),
-        concat(lit("f"), col("o_orderkey"), lit(".txt")).as("filename"),
-        array(struct(lit("isbn").as("idType"),
-          col("o_orderkey").cast("string").as("value"))).as("identifiers"),
-        array(lit("en")).as("languages"),
-        lit("text/plain").as("mimetype"),
-        lit("gate").as("source"),
-        lit("tester").as("user"))
-    store.importBatch(files, java.time.Instant.parse("2020-01-01T00:00:00Z"))
-    // identical batch again: checksum dedup must keep the table stable
-    store.importBatch(files, java.time.Instant.parse("2020-02-01T00:00:00Z"))
+    val store = importedFileStore(s, dir)
     store.read()
       .select(explode(col("identifiers")).as("i"), col("_id"), col("size"),
         col("timestamp").cast("long").as("ts_epoch"))
@@ -243,15 +252,30 @@ object StoreOps {
       .orderBy("id_value")
   }
 
+  /** File.find surface at set scale (dlx/file/__init__.py:284-304 +
+    * Bib.files latest-per-identifier window): newest file per
+    * (identifier, language) over the imported store. */
+  def q64FileFind(s: SparkSession, dir: String): DataFrame =
+    importedFileStore(s, dir).latestPerIdentifierLanguage()
+      .select(col("id_value"), col("_id").as("checksum"), col("language"))
+      .orderBy("id_value")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_store_commit" -> (q36StoreCommit _),
     "q40_file_import" -> (q40FileImport _),
+    "q64_file_find" -> (q64FileFind _),
     "q49_store_query" -> (q49StoreQuery _),
     "q50_history_ops" -> (q50HistoryOps _),
     "q55_restore" -> (q55Restore _),
     "q62_cascade" -> (q62Cascade _))
 
   val oracle: Map[String, String] = Map(
+    "q64_file_find" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id_value,
+        |       md5('file-' || o_orderkey || '-' || o_orderpriority) AS checksum,
+        |       'en' AS language
+        |FROM orders WHERE o_orderkey % 485 = 0
+        |ORDER BY id_value""".stripMargin,
     "q62_cascade" ->
       """SELECT o_orderkey AS _id, 'CHANGED' AS subject, CAST(2 AS BIGINT) AS n_versions
         |FROM orders WHERE o_orderkey % 97 = 0
