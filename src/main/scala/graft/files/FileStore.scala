@@ -246,13 +246,6 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
       .dropDuplicates("_id")
       .join(read().select(col("_id")), Seq("_id"), "left_anti")
       .localCheckpoint(true)
-    val store = blobs
-    fresh.select("_id", "content", "mimetype").foreachPartition {
-      (rows: Iterator[org.apache.spark.sql.Row]) =>
-        rows.foreach { r =>
-          store.put(r.getString(0), r.getAs[Array[Byte]](1), r.getString(2))
-        }
-    }
     val ts = java.sql.Timestamp.from(now)
     // bind to a local so the closure ships the BlobStore, not `this`
     val uriStore = blobs
@@ -263,7 +256,17 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
       lit(ts).as("timestamp"),
       uriUdf(col("_id")).as("uri"),
       col("user"), lit(null).cast("timestamp").as("updated"))
-    upsert(meta)
+    // a fully-deduped batch writes nothing (cheap probe: fresh is
+    // already checkpointed)
+    if (!fresh.isEmpty) {
+      fresh.select("_id", "content", "mimetype").foreachPartition {
+        (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            uriStore.put(r.getString(0), r.getAs[Array[Byte]](1), r.getString(2))
+          }
+      }
+      upsert(meta)
+    }
     meta
   }
 
