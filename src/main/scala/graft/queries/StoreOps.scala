@@ -80,14 +80,9 @@ object StoreOps {
   /** emit (history ⨝ live-presence) of the lifecycle store. */
   def q36StoreCommit(s: SparkSession, dir: String): DataFrame = {
     val store = lifecycleStore(s, dir)
-
-    val title = try_element_at(flatten(transform(
-      filter(col("datafields"), f => f.getField("tag") === "245"),
-      f => transform(filter(f.getField("subfields"), sf => sf.getField("code") === "a"),
-        sf => sf.getField("value")))), lit(1))
     val live = store.read("bib").toDF().select(col("_id").as("l_id"))
     store.readHistory("bib")
-      .select(col("_id"), col("version_no"), col("action"), title.as("title"),
+      .select(col("_id"), col("version_no"), col("action"), titleCol.as("title"),
         col("user").as("mod_user"), col("created_user"),
         col("updated").cast("long").as("updated_epoch"),
         col("created").cast("long").as("created_epoch"))

@@ -316,6 +316,17 @@ class SparkMarcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { store.delete("auth", Seq(1L)) }
   }
 
+  test("connected components: empty pair set yields empty labels") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.queries.TextOps.connectedComponents(empty).count() == 0L)
+  }
+
+  test("partial lookup: unknown (tag, code) yields an empty frame") {
+    val out = graft.spark.AuthOps.partialLookup(authsDs.toDF(), "bib", "999", "z", "x")
+    assert(out.count() == 0L)
+  }
+
   test("connected components: min-label propagation over pair edges") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), separate pair 10-11, pair 20-21
