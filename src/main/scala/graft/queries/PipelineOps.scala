@@ -29,6 +29,19 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Resize plumbing: binary in/out with target dims recorded in the
+    * typed metadata map (the decode itself is the documented stub
+    * boundary — no media libs in this sandbox). */
+  def q65MediaResize(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromBinaryColumns(
+      documents(s, dir), "doc_id", "text", "image", "image/fake")
+    Multimodal.resize(media, 64, 48).toDF()
+      .select(col("media_id"),
+        col("meta")("resized_w").as("w"), col("meta")("resized_h").as("h"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .orderBy("media_id")
+  }
+
   /** Video frame sampling plumbing: text bytes as fake video content,
     * exploded to one row per sampled frame (every 2nd of 8 slices) —
     * the frame-table contract a real codec drops into. DuckDB replays
@@ -55,12 +68,17 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_multimodal" -> (q32Multimodal _),
     "q33_lang_id" -> (q33LangId _),
-    "q46_frame_sample" -> (q46FrameSample _))
+    "q46_frame_sample" -> (q46FrameSample _),
+    "q65_media_resize" -> (q65MediaResize _))
 
   private def markerList(lang: String): String =
     LanguageId.markers.toMap.apply(lang).toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q65_media_resize" ->
+      """SELECT doc_id AS media_id, '64' AS w, '48' AS h,
+        |CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q46_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, text, strlen(text) AS L,
