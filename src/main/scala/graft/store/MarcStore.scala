@@ -88,8 +88,11 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     * (reference _increment_ids, dlx/marc/__init__.py:457-472, batch
     * form). zipWithIndex keeps ids dense max+1..max+n without routing
     * the batch through a single window task. */
-  def assignIds(recs: Dataset[MarcRow]): Dataset[MarcRow] =
-    assignIds(recs, recs.head().record_type, needCount = -1L)
+  def assignIds(recs: Dataset[MarcRow]): Dataset[MarcRow] = {
+    val first = recs.limit(1).collect()
+    if (first.isEmpty) recs
+    else assignIds(recs, first.head.record_type, needCount = -1L)
+  }
 
   /** needCount: how many rows carry _id = -1 (from the commit stats
     * aggregate); -1 = unknown, probe. */

@@ -68,14 +68,16 @@ object Streaming {
   }
 
   /** Streaming exact dedup: first-seen document per content hash
-    * within the watermark horizon (`dropDuplicates` keeps streaming
-    * state per key; the watermark bounds that state — the streaming
-    * form of the batch q16 hash-group dedup). */
+    * within the watermark horizon — the streaming form of the batch
+    * q16 hash-group dedup. `dropDuplicatesWithinWatermark` (not plain
+    * `dropDuplicates`) so per-key state is actually EVICTED once the
+    * watermark passes; with a non-event-time key, plain dropDuplicates
+    * keeps state forever. */
   def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("content_hash", org.apache.spark.sql.functions.md5(col("text")))
       .withWatermark("ts", watermark)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 
   /** Watermarked tumbling-window event counts — the streaming form of
     * the batch q11 plan (same logical plan under readStream). */
