@@ -473,7 +473,49 @@ object MarcOps {
       .orderBy("_id")
   }
 
+  /** Enriched auth dimension for the multi-subfield lookups: heading
+    * 150 $a = p_brand, $b = p_size (stringified) — deliberately
+    * coarse so several parts share a heading (ambiguity) — plus an
+    * extra $z = p_type on every third part (independent of the
+    * heading key) so the heading-equality disambiguation branch has
+    * mixed groups to work on. */
+  def buildMarcAuthsMulti(s: SparkSession, dir: String): DataFrame = {
+    val bVal = col("p_size").cast("string")
+    val hz = struct(lit("150").as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
+      array(sub("a", col("p_brand")), sub("b", bVal),
+        sub("z", col("p_type"))).as("subfields"))
+    val h = field("150", sub("a", col("p_brand")), sub("b", bVal))
+    part(s, dir).select(
+      lit("auth").as("record_type"),
+      col("p_partkey").cast("long").as("_id"),
+      lit(null).cast("timestamp").as("created"),
+      lit(null).cast("timestamp").as("updated"),
+      lit(null).cast("string").as("created_user"),
+      lit(null).cast("string").as("user"),
+      lit(null).cast("string").as("basket"),
+      lit("").as("leader"),
+      array().cast("array<struct<tag:string,value:string>>").as("controlfields"),
+      array(when(col("p_partkey") % 3 === 0, hz).otherwise(h)).as("datafields"),
+      lit(null).cast("string").as("text"),
+      lit(null).cast("array<string>").as("words"),
+      lit(null).cast("map<string,array<string>>").as("logical"))
+  }
+
+  /** xlookup_multi + resolve_ambiguous as a set operator
+    * (dlx/marc/__init__.py:1941-1993): every 37th part's
+    * (brand, container) becomes a probe; each probe resolves against
+    * the enriched auth dimension — unique match wins, multi-match
+    * falls back to exact-heading equality (no $z), else unresolved. */
+  def q66ResolveAmbiguous(s: SparkSession, dir: String): DataFrame = {
+    val auths = cached("auths_multi", dir)(buildMarcAuthsMulti(s, dir))
+    val probes = part(s, dir).where(col("p_partkey") % 37 === 0)
+      .select(col("p_brand").as("a"), col("p_size").cast("string").as("b")).distinct()
+    AuthOps.resolveAmbiguousBatch(auths, "150", Seq("a", "b"), probes)
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_resolve_ambiguous" -> (q66ResolveAmbiguous _),
     "q24_marc_build" -> (q24MarcBuild _),
     "q25_marc_query_dsl" -> (q25MarcQueryDsl _),
     "q26_marc_auth_resolve" -> (q26MarcAuthResolve _),
@@ -501,6 +543,19 @@ object MarcOps {
     "q60_tag_value" -> (q60TagValue _))
 
   val oracle: Map[String, String] = Map(
+    "q66_resolve_ambiguous" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT p_brand AS a, CAST(p_size AS VARCHAR) AS b FROM part
+        |  WHERE p_partkey % 37 = 0),
+        |m AS (
+        |  SELECT pr.a, pr.b, p.p_partkey AS xref, (p.p_partkey % 3 = 0) AS has_z
+        |  FROM probes pr JOIN part p
+        |    ON p.p_brand = pr.a AND CAST(p.p_size AS VARCHAR) = pr.b)
+        |SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  CAST(CASE WHEN COUNT(*) = 1 THEN MIN(xref)
+        |       WHEN COUNT(*) FILTER (WHERE NOT has_z) = 1
+        |            THEN MIN(xref) FILTER (WHERE NOT has_z) END AS BIGINT) AS resolved_xref
+        |FROM m GROUP BY a, b ORDER BY a, b""".stripMargin,
     "q24_marc_build" ->
       s"""WITH $oracleBibs
         |SELECT id AS _id, prio AS title_a, odate AS pub_date,

@@ -138,6 +138,51 @@ object AuthOps {
       .limit(limit)
   }
 
+  /** Batch xlookup_multi (dlx/marc/__init__.py:1941-1965): for every
+    * probe row, all auth ids whose `sourceTag` heading field carries
+    * ALL the probe's (code, value) pairs. The probe table must have
+    * one column per code in `codes`. Row form is an all-pairs scan per
+    * call; the set form is one equi-join on the full value tuple —
+    * distributes on the heading values, probes broadcast when small.
+    * Returns the probe columns + `xref` + `n_heading_subs` (the
+    * matched field's subfield count, for heading-equality checks). */
+  def xlookupMultiBatch(auths: DataFrame, sourceTag: String, codes: Seq[String],
+      probes: DataFrame): DataFrame = {
+    val hf = auths.select(col("_id").as("xref"),
+      explode(filter(col("datafields"), f => f.getField("tag") === sourceTag)).as("f"))
+    val headings = codes.foldLeft(hf) { (df, c) =>
+      df.withColumn(s"h_$c",
+        try_element_at(transform(
+          filter(col("f.subfields"), s => s.getField("code") === c),
+          s => s.getField("value")), lit(1)))
+    }.withColumn("n_heading_subs", size(col("f.subfields"))).drop("f")
+    broadcast(probes).join(headings,
+        codes.map(c => probes(c) === headings(s"h_$c")).reduce(_ && _))
+      .select(probes.columns.map(probes(_)) :+ col("xref") :+ col("n_heading_subs"): _*)
+  }
+
+  /** Batch resolve_ambiguous (dlx/marc/__init__.py:1967-1993): per
+    * probe, the unique xlookup_multi match; when several match, the
+    * single auth whose FULL heading subfield list equals the probe's
+    * pairs (i.e. no extra subfields beyond `codes`); else unresolved.
+    * Returns probe columns + n_matches + resolved_xref (null when
+    * ambiguous or absent — probes with zero matches don't appear,
+    * exactly like the reference's empty xlookup). */
+  def resolveAmbiguousBatch(auths: DataFrame, sourceTag: String, codes: Seq[String],
+      probes: DataFrame): DataFrame = {
+    val matches = xlookupMultiBatch(auths, sourceTag, codes, probes)
+    val exact = col("n_heading_subs") === codes.size
+    matches.groupBy(probes.columns.map(col): _*)
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("xref")).as("min_xref"),
+        count(when(exact, 1)).as("n_exact"),
+        min(when(exact, col("xref"))).as("min_exact_xref"))
+      .withColumn("resolved_xref",
+        when(col("n_matches") === 1, col("min_xref"))
+          .when(col("n_exact") === 1, col("min_exact_xref")))
+      .drop("min_xref", "n_exact", "min_exact_xref")
+  }
+
   def inUse(records: DataFrame, xref: Long): Long =
     records.where(exists(col("datafields"), f =>
       exists(f.getField("subfields"), s => s.getField("xref") === xref))).count()
