@@ -79,6 +79,38 @@ object TextOps {
       .select("doc_id", "rank", "term", "score").orderBy("doc_id", "rank")
   }
 
+  /** Benchmark decontamination: flag training documents that share at
+    * least one 3-token n-gram with the held-out benchmark subset
+    * (doc_id % 50 == 0 stands in for the eval corpus; real pipelines
+    * use longer n-grams — 13 in the GPT-3/PaLM data cards — the
+    * n is a knob, 3 here so the synthetic corpus actually overlaps).
+    * The benchmark side is tiny relative to the 100 TB training
+    * corpus, so its distinct n-gram hashes BROADCAST and the training
+    * side never shuffles for the probe — the only shuffle is the
+    * per-doc count aggregation on doc_id (corpus-cardinality key,
+    * even distribution). */
+  def q67Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val shingles3 = array_distinct(slice(
+      transform(col("toks"), (x, i) => concat_ws(" ", x,
+        try_element_at(col("toks"), i + lit(2)), try_element_at(col("toks"), i + lit(3)))),
+      lit(1), greatest(size(col("toks")) - 2, lit(1))))
+    val grams = documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shingles3.as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_ngrams"),
+        explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("n_ngrams"), md5(col("g")).as("gh"))
+    val bench = grams.where(col("doc_id") % 50 === 0).select("gh").distinct()
+    grams.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), "gh")
+      .groupBy("doc_id", "n_ngrams")
+      .agg(countDistinct(col("gh")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_ngrams").cast("double"))
+          .as("contamination_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Exact dedup: content-hash groups with representative id + count.
     * (dlx files module content-addressing analog, dlx/file/__init__.py:184-199.) */
   def q16DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -303,9 +335,29 @@ object TextOps {
     "q61_dedup_pipeline" -> (q61DedupPipeline _),
     "q19_minhash_lsh" -> (q19MinhashLsh _),
     "q20_sessionize" -> (q20Sessionize _),
-    "q43_simhash" -> (q43Simhash _))
+    "q43_simhash" -> (q43Simhash _),
+    "q67_decontaminate" -> (q67Decontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q67_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, GREATEST(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(w[i:i+2], ' '))) AS gs
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, len(gs) AS n_ngrams, md5(unnest(gs)) AS gh FROM sh),
+        |bench AS (SELECT DISTINCT gh FROM e WHERE doc_id % 50 = 0)
+        |SELECT e.doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+        |  CAST(COUNT(DISTINCT e.gh) AS BIGINT) AS n_contaminated,
+        |  CAST(COUNT(DISTINCT e.gh) AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+        |    AS contamination_ratio
+        |FROM e JOIN bench ON e.gh = bench.gh
+        |WHERE e.doc_id % 50 <> 0
+        |GROUP BY e.doc_id, n_ngrams
+        |ORDER BY doc_id""".stripMargin,
     "q43_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |h AS (SELECT doc_id,
