@@ -111,6 +111,70 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII scrubbing: redact emails then phone numbers, counting each.
+    * Codegen'd regexp_count/regexp_replace — narrow map, no shuffle;
+    * the regex set is the knob (RE2-safe syntax so heterogeneous
+    * engines agree). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+
+  /** Gate: build a deterministic contact blurb per customer (the
+    * synthetic tables carry no real PII, so both engines construct
+    * the same one: every 5th customer has none), scrub it, report
+    * counts + scrubbed text. */
+  def q68PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(col("c_name"),
+      when(col("c_custkey") % 5 === 0, lit(""))
+        .otherwise(concat(lit(" contact: user"), col("c_custkey"),
+          lit("@example.org or +1-"), (lit(100) + col("c_custkey") % 900),
+          lit("-"), (lit(1000) + (col("c_custkey") * 7) % 9000))))
+    scrubPii(customer(s, dir).select(col("c_custkey"), contact.as("contact")), "contact")
+      .select("c_custkey", "n_emails", "n_phones", "scrubbed")
+      .orderBy("c_custkey")
+  }
+
+  /** Within-document repetition scoring: type-token ratio + top-token
+    * frequency share — the standard "is this doc degenerate/spammy"
+    * quality signals. Shape: explode → (doc, term) count → per-doc
+    * agg; both keys are corpus-cardinality, even distribution. */
+  def q69Repetition(s: SparkSession, dir: String): DataFrame = {
+    val tf = documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    tf.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_freq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        (col("top_freq").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_share"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split: md5-bucket each doc id into
+    * 100 buckets (80/10/10), stratified report per (lang, split).
+    * Hash-based assignment is reproducible under corpus growth and
+    * needs no shuffle beyond the report aggregation — the split
+    * itself is a narrow map any sink can consume. */
+  def q70SplitByHash(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100
+    documents(s, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang", "split")
+  }
+
   /** Exact dedup: content-hash groups with representative id + count.
     * (dlx files module content-addressing analog, dlx/file/__init__.py:184-199.) */
   def q16DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -336,9 +400,48 @@ object TextOps {
     "q19_minhash_lsh" -> (q19MinhashLsh _),
     "q20_sessionize" -> (q20Sessionize _),
     "q43_simhash" -> (q43Simhash _),
-    "q67_decontaminate" -> (q67Decontaminate _))
+    "q67_decontaminate" -> (q67Decontaminate _),
+    "q68_pii_scrub" -> (q68PiiScrub _),
+    "q69_repetition" -> (q69Repetition _),
+    "q70_split_by_hash" -> (q70SplitByHash _))
 
   val oracle: Map[String, String] = Map(
+    "q68_pii_scrub" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    c_name || CASE WHEN c_custkey % 5 = 0 THEN ''
+        |      ELSE ' contact: user' || c_custkey || '@example.org or +1-' ||
+        |           (100 + c_custkey % 900) || '-' || (1000 + (c_custkey * 7) % 9000)
+        |      END AS contact
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(contact, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(contact,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM c ORDER BY c_custkey""".stripMargin,
+    "q69_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_share
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q70_split_by_hash" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS UBIGINT) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q67_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
