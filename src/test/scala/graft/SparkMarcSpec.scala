@@ -327,6 +327,43 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(out.count() == 0L)
   }
 
+  test("scrubPii: counts and redacts multiple emails/phones; clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ask a.b@x.org or c%d@y.co.uk then +1-555-1234"),
+      (2L, "no pii here at all"),
+      (3L, "+12-000-0000 twice +1-111-2222")).toDF("id", "t")
+    val out = graft.queries.TextOps.scrubPii(df, "t")
+      .select("id", "n_emails", "n_phones", "scrubbed")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, "ask <EMAIL> or <EMAIL> then <PHONE>")))
+    assert(out(2L) == ((0L, 0L, "no pii here at all")))
+    assert(out(3L) == ((0L, 2L, "<PHONE> twice <PHONE>")))
+  }
+
+  test("resolveAmbiguousBatch: unique, exact-heading disambiguated, unresolvable") {
+    import spark.implicits._
+    def mkAuth(id: Long, subs: Seq[(String, String)]) =
+      MarcRecord(recordType = "auth", id = Some(id), fields = Vector(
+        DataField("150",
+          subfields = subs.map { case (c, v) => Subfield(c, Some(v)) }.toVector)))
+    val multiAuths = Seq(
+      mkAuth(1L, Seq("a" -> "u", "b" -> "1")),                 // unique for (u,1)
+      mkAuth(2L, Seq("a" -> "v", "b" -> "2")),                 // exact among two
+      mkAuth(3L, Seq("a" -> "v", "b" -> "2", "z" -> "extra")), // extra sub -> not exact
+      mkAuth(4L, Seq("a" -> "w", "b" -> "3")),                 // two exact -> unresolved
+      mkAuth(5L, Seq("a" -> "w", "b" -> "3")))
+    val authsDf = MarcSchema.toDataset(spark, multiAuths)(AuthLookup.Empty).toDF()
+    val probes = Seq(("u", "1"), ("v", "2"), ("w", "3"), ("none", "9")).toDF("a", "b")
+    val out = graft.spark.AuthOps.resolveAmbiguousBatch(authsDf, "150", Seq("a", "b"), probes)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(("u", "1")) == ((1L, Some(1L))))
+    assert(out(("v", "2")) == ((2L, Some(2L))))
+    assert(out(("w", "3")) == ((2L, None)))
+    assert(!out.contains(("none", "9")))
+  }
+
   test("connected components: min-label propagation over pair edges") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), separate pair 10-11, pair 20-21
