@@ -94,17 +94,31 @@ object TextOps {
       transform(col("toks"), (x, i) => concat_ws(" ", x,
         try_element_at(col("toks"), i + lit(2)), try_element_at(col("toks"), i + lit(3)))),
       lit(1), greatest(size(col("toks")) - 2, lit(1))))
+    // keep `gs` a named column through the Generate so the shingle
+    // array is computed ONCE per doc; size() then reads the carried
+    // array reference per exploded row instead of re-deriving it.
+    // Join on the raw n-gram: equality on md5(g) == equality on g, so
+    // hashing the 100 TB side is pure waste — at scale you'd md5 only
+    // the broadcast benchmark set if its raw n-grams were long.
     val grams = documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shingles3.as("gs"))
+      // explode_outer, not explode: plain explode lets Catalyst infer
+      // `size(gs)>0 AND isnotnull(gs)` and push them below the
+      // projections, re-inlining the whole shingle pipeline (with
+      // split(text) re-evaluated per lambda element) into a Filter.
+      // gs is never empty (greatest(...,1)), so outer is equivalent.
+      .select(col("doc_id"), col("gs"), explode_outer(col("gs")).as("g"))
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_ngrams"),
-        explode(col("gs")).as("g"))
-      .select(col("doc_id"), col("n_ngrams"), md5(col("g")).as("gh"))
+        col("g").as("gh"))
     val bench = grams.where(col("doc_id") % 50 === 0).select("gh").distinct()
+    // gh values are distinct within a doc (array_distinct precedes the
+    // explode), so plain count == count-distinct without the extra
+    // dedup exchange the latter costs.
     grams.where(col("doc_id") % 50 =!= 0)
       .join(broadcast(bench), "gh")
       .groupBy("doc_id", "n_ngrams")
-      .agg(countDistinct(col("gh")).as("n_contaminated"))
+      .agg(count(lit(1)).as("n_contaminated"))
       .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
         (col("n_contaminated").cast("double") / col("n_ngrams").cast("double"))
           .as("contamination_ratio"))
@@ -230,7 +244,12 @@ object TextOps {
       min(md5(concat(lit(s"$h|"), col("shingle")))).as(s"mh$h"))
     val sigs = documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(array_distinct(shingles)).as("shingle"))
+      // explode_outer: plain explode would let Catalyst infer
+      // size>0/isnotnull filters whose pushdown re-inlines the whole
+      // shingle lambda (with per-element split) into a Filter — the
+      // O(n^2) form this construction exists to avoid. Never empty
+      // (greatest(...,1)), so outer is equivalent.
+      .select(col("doc_id"), explode_outer(array_distinct(shingles)).as("shingle"))
       .groupBy("doc_id")
       .agg(mhCols.head, mhCols.tail: _*)
     // bands of 2 rows; band key = concat of the band's minhashes
