@@ -81,6 +81,30 @@ object ExplainCheck {
       "q56: label propagation must stay keyed equi-joins")
     println("q56 CC keyed joins OK")
 
+    val q66 = graft.queries.MarcOps.q66ResolveAmbiguous(spark, sfDir)
+    val p66 = planOf(q66)
+    assert(p66.contains("BroadcastHashJoin"), "q66: probe set not broadcast")
+    assert(!p66.contains("CartesianProduct") && !p66.contains("BroadcastNestedLoop"),
+      "q66: heading match must be an equi-join on the value tuple")
+    println("q66 broadcast probe equi-join OK")
+
+    val q67 = graft.queries.TextOps.q67Decontaminate(spark, sfDir)
+    val p67 = planOf(q67)
+    assert(p67.contains("BroadcastHashJoin"), "q67: benchmark n-gram set not broadcast")
+    // the inferred-filter pushdown pathology re-inlines the shingle
+    // lambda (with per-element split) into a Filter; explode_outer
+    // keeps it out — assert no split() call appears in any Filter
+    assert(!"Filter .*split\\(".r.findFirstIn(p67).isDefined,
+      "q67: shingle pipeline re-inlined into a Filter")
+    println("q67 broadcast decontamination probe OK")
+
+    val q70 = graft.queries.TextOps.q70SplitByHash(spark, sfDir)
+    val p70 = planOf(q70)
+    assert(p70.contains("HashAggregate"), "q70: split report not a hash aggregate")
+    assert(!p70.contains("Exchange hashpartitioning") ||
+      p70.contains("partial"), "q70: missing map-side partial aggregation")
+    println("q70 split-by-hash partial agg OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
