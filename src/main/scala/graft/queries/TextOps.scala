@@ -23,6 +23,17 @@ object TextOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Distinct k-token shingles of a token-array column, built WITHOUT
+    * re-evaluating the tokenization per element (the naive
+    * slice-per-index form is O(n²) — the token array must be a named
+    * column, not an inline split). Never empty: short docs yield one
+    * partial shingle (greatest(...,1)), which keeps `explode_outer`
+    * exactly equivalent to `explode` for consumers. */
+  def shingleArray(toksCol: Column, k: Int): Column = array_distinct(slice(
+    transform(toksCol, (x, i) => concat_ws(" ",
+      (Seq(x) ++ (2 to k).map(j => try_element_at(toksCol, i + lit(j)))): _*)),
+    lit(1), greatest(size(toksCol) - (k - 1), lit(1))))
+
   /** Corpus statistics per (lang, source): docs, chars, distinct texts. */
   def q13DocStats(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
@@ -90,10 +101,7 @@ object TextOps {
     * per-doc count aggregation on doc_id (corpus-cardinality key,
     * even distribution). */
   def q67Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val shingles3 = array_distinct(slice(
-      transform(col("toks"), (x, i) => concat_ws(" ", x,
-        try_element_at(col("toks"), i + lit(2)), try_element_at(col("toks"), i + lit(3)))),
-      lit(1), greatest(size(col("toks")) - 2, lit(1))))
+    val shingles3 = shingleArray(col("toks"), 3)
     // keep `gs` a named column through the Generate so the shingle
     // array is computed ONCE per doc; size() then reads the carried
     // array reference per exploded row instead of re-deriving it.
@@ -232,12 +240,7 @@ object TextOps {
     * docs agreeing on a 2-row band. */
   def q19MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val nHashes = 8
-    // materialize the token array once per row; the naive
-    // slice-per-index form re-evaluates split() per shingle = O(n^2)
-    val shingles = slice(
-      transform(col("toks"), (x, i) => concat_ws(" ", x,
-        try_element_at(col("toks"), i + lit(2)), try_element_at(col("toks"), i + lit(3)))),
-      lit(1), greatest(size(col("toks")) - 2, lit(1)))
+    val shingles = shingleArray(col("toks"), 3)
     // all 8 minhashes in ONE aggregation pass (no 8x row blowup, one
     // shuffle): min over shingles of md5(seed|shingle), per seed column
     val mhCols = (0 until nHashes).map(h =>
@@ -249,7 +252,7 @@ object TextOps {
       // shingle lambda (with per-element split) into a Filter — the
       // O(n^2) form this construction exists to avoid. Never empty
       // (greatest(...,1)), so outer is equivalent.
-      .select(col("doc_id"), explode_outer(array_distinct(shingles)).as("shingle"))
+      .select(col("doc_id"), explode_outer(shingles).as("shingle"))
       .groupBy("doc_id")
       .agg(mhCols.head, mhCols.tail: _*)
     // bands of 2 rows; band key = concat of the band's minhashes

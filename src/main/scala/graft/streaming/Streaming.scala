@@ -79,6 +79,24 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming benchmark decontamination — the streaming form of the
+    * batch q67: each arriving document's 3-token n-grams probe the
+    * STATIC benchmark n-gram table (stream-static equi-join, stateless,
+    * broadcast on the small static side); contaminated docs are
+    * emitted once, with per-doc dedup state bounded by the watermark.
+    * `benchGrams` must have a single `g` column of n-gram strings. */
+  def decontaminateStream(docs: DataFrame, benchGrams: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        explode_outer(graft.queries.TextOps.shingleArray(split(col("text"), " "), 3)).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select("doc_id", "ts")
+  }
+
   /** Watermarked tumbling-window event counts — the streaming form of
     * the batch q11 plan (same logical plan under readStream). */
   def eventWindowCounts(events: DataFrame, watermark: String = "1 hour",

@@ -57,6 +57,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(1L, 3L, 5L)) // dup texts 2 and 4 dropped across batches
   }
 
+  test("streaming decontamination flags docs sharing an n-gram with the static bench set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = stream.toDF().toDF("doc_id", "ts", "text")
+    val bench = Seq("the quick fox", "lazy dog naps").toDF("g")
+    val out = graft.streaming.Streaming.decontaminateStream(docs, bench, "10 minutes")
+    val query = out.writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    stream.addData(
+      (1L, ts("2026-01-01T00:00:00Z"), "see the quick fox jump"), // contaminated
+      (2L, ts("2026-01-01T00:01:00Z"), "nothing shared here at all"),
+      (3L, ts("2026-01-01T00:02:00Z"), "the quick fox and lazy dog naps")) // two hits, one row
+    query.processAllAvailable()
+    stream.addData((4L, ts("2026-01-01T00:03:00Z"), "lazy dog naps again")) // next batch
+    query.processAllAvailable()
+    val rows = spark.sql("SELECT doc_id FROM decon").collect().map(_.getLong(0))
+    query.stop()
+    assert(rows.sorted.toSeq == Seq(1L, 3L, 4L))
+    assert(rows.length == 3) // doc 3 emitted once despite two matching n-grams
+  }
+
   test("incremental tag index maintenance via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
