@@ -184,14 +184,49 @@ object VectorOps {
     "q22_ann_lsh" -> (q22AnnLsh _),
     "q23_knn_classify" -> (q23KnnClassify _),
     "q44_embed_neardup" -> (q44EmbedNearDup _),
-    "q45_ann_ivf" -> (q45AnnIvf _))
+    "q45_ann_ivf" -> (q45AnnIvf _),
+    "q71_kmeans_assign" -> (q71KmeansAssign _))
 
   private val cosSql =
     """ROUND(list_sum(list_transform(q.qv, (x,i) -> x * c.v[i])) /
       |(SQRT(list_sum(list_transform(q.qv, (x,i) -> x * q.qv[i]))) *
       | SQRT(list_sum(list_transform(c.v, (x,i) -> x * c.v[i])))), 4)""".stripMargin
 
+  /** K-means centroid assignment (the Lloyd assignment step): every
+    * vector goes to its max-cosine centroid among the 8 broadcast
+    * seeds (vec_id < 8). Same two-phase bounded-aggregate shape as
+    * q21 with k=1 — no window, the corpus streams once. The centroid
+    * UPDATE (dimension means) is deliberately not oracle-compared:
+    * distributed double sums are accumulation-order dependent;
+    * assignment is the deterministic, comparable step. */
+  def q71KmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+    val cents = broadcast(corpus.where(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv")))
+    val scored = corpus.crossJoin(cents)
+      .select(col("vec_id"), col("centroid_id"),
+        round(dot(col("cv"), col("v")) / (norm(col("cv")) * norm(col("v"))), 4).as("cos_sim"))
+    val grouped = scored.groupBy("vec_id")
+      .agg(topkUdaf(1)(col("cos_sim"), col("centroid_id"), lit("")).as("top"))
+    explodeRanked(grouped, Seq("vec_id"))
+      .select(col("vec_id"), col("c.id").as("centroid_id"), col("c.score").as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q71_kmeans_assign" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS centroid_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT c.vec_id, q.centroid_id, $cosSql AS cos_sim
+        |  FROM e c CROSS JOIN q),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id) AS rn
+        |  FROM scored)
+        |SELECT vec_id, centroid_id, cos_sim FROM ranked WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "q21_ann_brute" ->
       s"""WITH e AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
