@@ -132,6 +132,49 @@ object AuthMerge {
 
 /** clear-incrementers analog (dlx/scripts/clear_incrementers.py): a
   * no-op in batch (ids derive from max over live ∪ history). */
+/** excel_marc analog (dlx/scripts/excel_marc.py): xlsx -> records ->
+  * mrc|mrk|xml on stdout or a file. With a defaults workbook, its
+  * single record is zmerged into every row and the 008 is re-spliced
+  * from 049$a (pos 15-17) and 041$a (pos 35-37) before set_008 —
+  * the script's exact positional surgery (excel_marc.py:31-43).
+  * auth_control stays off, like the script. No Spark session: this is
+  * a pure serialization pass. */
+object ExcelMarc {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: ExcelMarc <file.xlsx> <bib|auth> <mrc|mrk|xml> [out] [defaults.xlsx]")
+    val (path, recordType, format) = (args(0), args(1), args(2))
+    implicit val auth: AuthLookup = AuthLookup.Empty
+    var records = graft.records.ExcelSerialization
+      .fromExcel(path, recordType, authControl = false)
+    args.lift(4).foreach { dp =>
+      val defaults = graft.records.ExcelSerialization
+        .fromExcel(dp, recordType, authControl = false).head
+      records = records.map { r0 =>
+        val r = r0.zmerge(defaults)
+        val base = r.getValue("008").padTo(40, '|').mkString
+        val spliced = base.substring(0, 15) +
+          r.getValue("049", "a").padTo(3, '|').mkString +
+          base.substring(18, 35) +
+          r.getValue("041", "a").take(3).padTo(3, '|').mkString +
+          base.substring(38, 40)
+        r.set("008", null, spliced).set008()
+      }
+    }
+    val rendered = format match {
+      case "mrc" => Serialization.setToMrc(records)
+      case "mrk" => Serialization.setToMrk(records)
+      case "xml" => Serialization.setToXml(records)
+      case other => sys.error(s"unknown format: $other")
+    }
+    args.lift(3) match {
+      case Some(out) => java.nio.file.Files.write(
+        java.nio.file.Paths.get(out), rendered.getBytes("UTF-8")); println(s"wrote $out")
+      case None => print(rendered)
+    }
+  }
+}
+
 object ClearIncrementers {
   def main(args: Array[String]): Unit =
     println("no persistent id counters in the Spark engine: ids derive from max(live ∪ history)")

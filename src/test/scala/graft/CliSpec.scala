@@ -49,4 +49,45 @@ class CliSpec extends AnyFunSuite {
     assert(xrefs == Set(1L))
     assert(store.read("auth").where(col("_id") === 2L).count() == 0)
   }
+
+  /** Minimal real xlsx: one sheet, all cells inline strings. */
+  private def writeXlsx(rows: Seq[Seq[String]]): String = {
+    val colRef = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        rows.zipWithIndex.map { case (cells, ri) =>
+          s"""<row r="${ri + 1}">""" + cells.zipWithIndex.map { case (v, ci) =>
+            s"""<c r="${colRef(ci)}${ri + 1}" t="inlineStr"><is><t xml:space="preserve">$v</t></is></c>"""
+          }.mkString + "</row>"
+        }.mkString + "</sheetData></worksheet>"
+    val path = java.nio.file.Files.createTempFile("graft_cli", ".xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(sheet.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    path
+  }
+
+  test("excel_marc analog: xlsx to mrk, defaults merge splices the 008") {
+    val data = writeXlsx(Seq(
+      Seq("1.245$a", "1.269$a"),
+      Seq("Resolution One", "1999-01-01")))
+    val out = java.nio.file.Files.createTempFile("graft_cli", ".mrk").toString
+    graft.cli.ExcelMarc.main(Array(data, "bib", "mrk", out))
+    val mrk = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8")
+    assert(mrk == "=000  ****\n=245  \\\\$aResolution One\n=269  \\\\$a1999-01-01\n")
+
+    // defaults workbook: 040 fills missing fields, 049/041 splice 008
+    val defaults = writeXlsx(Seq(
+      Seq("1.040$a", "1.049$a", "1.041$a"),
+      Seq("NNUN", "e1", "engfre")))
+    graft.cli.ExcelMarc.main(Array(data, "bib", "mrk", out, defaults))
+    val merged = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8")
+    assert(merged.contains("=040  \\\\$aNNUN")) // zmerged from defaults
+    val f008 = merged.linesIterator.find(_.startsWith("=008")).get.drop(6)
+    assert(f008.length == 40)
+    assert(f008.substring(7, 11) == "1999")  // pub year from 269$a (set_008)
+    assert(f008.substring(15, 18) == "e1|")  // 049$a ljust(3,'|')
+    assert(f008.substring(35, 38) == "eng")  // 041$a first 3
+  }
 }
