@@ -25,13 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object MarcContext {
 
-  val scrubUdf = udf((s: String) => if (s == null) "" else graft.text.Tokenizer.scrub(s))
-  val tokenizeUdf = udf((s: String) =>
-    if (s == null) Seq.empty[String] else graft.text.Tokenizer.tokenize(s))
+  // Column forms of the tokenizer, backed by the native codegen
+  // expressions in TextExprs (no UDF encoder round-trip). Registration
+  // is idempotent and happens at Column-construction time against the
+  // active session, so every entry point — compiler, index builds,
+  // streaming, tests — resolves without an explicit init call.
+  // coalesce keeps the historical UDF null semantics ("".../empty).
+  private def withRegistered(build: => Column): Column = {
+    SparkSession.getActiveSession.foreach(TextExprs.register)
+    build
+  }
+
+  def scrubUdf(c: Column): Column =
+    withRegistered(call_function("dlx_scrub", coalesce(c, lit(""))))
+
+  def tokenizeUdf(c: Column): Column =
+    withRegistered(call_function("dlx_tokenize", coalesce(c, lit(""))))
 
   def registerFunctions(spark: SparkSession): Unit = {
-    spark.udf.register("dlx_scrub", scrubUdf)
-    spark.udf.register("dlx_tokenize", tokenizeUdf)
+    TextExprs.register(spark)
     CollationNormalizeExpr.register(spark)
   }
 
