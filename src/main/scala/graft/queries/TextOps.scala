@@ -197,6 +197,59 @@ object TextOps {
       .orderBy("lang", "split")
   }
 
+  /** C4-style document filter: compose the quality signals into one
+    * keep/drop verdict with a reason code (first failing rule wins,
+    * like production cleaning passes): too_short (< 20 tokens),
+    * repetitive (top token > 12% of tokens), low_stopword (stopword
+    * mass < 2%) — else keep. One explode + two keyed aggs, then a
+    * narrow verdict map; thresholds are the knobs. */
+  def q72DocFilter(s: SparkSession, dir: String): DataFrame = {
+    val stop = typedLit(Seq("a", "the", "of", "to", "and", "in", "on", "by", "it", "at"))
+    val tf = documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    tf.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), max("c").as("top_freq"),
+        sum(when(array_contains(stop, col("t")), col("c")).otherwise(0L)).as("n_stop"))
+      .select(col("doc_id"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("top_freq").cast("double") > lit(0.12) * col("n_tokens").cast("double"),
+            "repetitive")
+          .when(col("n_stop").cast("double") < lit(0.02) * col("n_tokens").cast("double"),
+            "low_stopword")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic source-mixture sampling: given target weights per
+    * source, compute the per-source keep rate
+    * min(1, share_s * N / N_s) and keep docs whose md5 bucket falls
+    * under it — the domain-rebalancing step of a training-data mix.
+    * Shape: one stats agg (tiny, broadcast back) + a narrow hash
+    * filter; no shuffle of the corpus itself, and the hash sample is
+    * stable under corpus growth. Even-numbered sources get weight 1,
+    * odd get 3, so rates actually differ. */
+  def q73MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val weight = when(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 2 === 0,
+      lit(1.0)).otherwise(lit(3.0))
+    val docs = documents(s, dir).withColumn("w", weight)
+    val stats = docs.groupBy("source", "w").agg(count(lit(1)).as("n_before"))
+    val totals = stats.agg(sum("n_before").as("n_total"), sum("w").as("w_total"))
+    val rated = stats.crossJoin(broadcast(totals))
+      .withColumn("rate_pct",
+        floor(least(lit(1.0),
+          (col("w") / col("w_total")) * col("n_total") / col("n_before").cast("double"))
+          * 100).cast("int"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100
+    docs.withColumn("bucket", bucket)
+      .join(broadcast(rated), Seq("source"))
+      .where(col("bucket") < col("rate_pct"))
+      .groupBy("source", "n_before", "rate_pct")
+      .agg(count(lit(1)).as("n_after"))
+      .orderBy("source")
+  }
+
   /** Exact dedup: content-hash groups with representative id + count.
     * (dlx files module content-addressing analog, dlx/file/__init__.py:184-199.) */
   def q16DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -425,9 +478,43 @@ object TextOps {
     "q67_decontaminate" -> (q67Decontaminate _),
     "q68_pii_scrub" -> (q68PiiScrub _),
     "q69_repetition" -> (q69Repetition _),
-    "q70_split_by_hash" -> (q70SplitByHash _))
+    "q70_split_by_hash" -> (q70SplitByHash _),
+    "q72_doc_filter" -> (q72DocFilter _),
+    "q73_mixture_sample" -> (q73MixtureSample _))
 
   val oracle: Map[String, String] = Map(
+    "q72_doc_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_freq,
+        |    SUM(CASE WHEN t IN ('a','the','of','to','and','in','on','by','it','at')
+        |        THEN c ELSE 0 END) AS n_stop
+        |  FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  CASE WHEN n_tokens < 20 THEN 'too_short'
+        |       WHEN CAST(top_freq AS DOUBLE) > 0.12 * CAST(n_tokens AS DOUBLE) THEN 'repetitive'
+        |       WHEN CAST(n_stop AS DOUBLE) < 0.02 * CAST(n_tokens AS DOUBLE) THEN 'low_stopword'
+        |       ELSE 'keep' END AS verdict
+        |FROM sig ORDER BY doc_id""".stripMargin,
+    "q73_mixture_sample" ->
+      """WITH d AS (
+        |  SELECT *, CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
+        |            THEN 1.0 ELSE 3.0 END AS w,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS UBIGINT) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |stats AS (SELECT source, w, COUNT(*) AS n_before FROM d GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_before) AS BIGINT) AS n_total, SUM(w) AS w_total FROM stats),
+        |rated AS (
+        |  SELECT source, n_before,
+        |    CAST(FLOOR(LEAST(1.0, (w / w_total) * n_total / CAST(n_before AS DOUBLE)) * 100) AS INT) AS rate_pct
+        |  FROM stats CROSS JOIN tot)
+        |SELECT d.source, CAST(r.n_before AS BIGINT) AS n_before, r.rate_pct,
+        |  CAST(COUNT(*) AS BIGINT) AS n_after
+        |FROM d JOIN rated r ON d.source = r.source
+        |WHERE d.bucket < r.rate_pct
+        |GROUP BY 1, 2, 3 ORDER BY d.source""".stripMargin,
     "q68_pii_scrub" ->
       """WITH c AS (
         |  SELECT c_custkey,
