@@ -121,17 +121,23 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     val controlled = subs.where(col("ckey").isin(controlledKeys: _*))
     val uncontrolledWithXref = subs
       .where(!col("ckey").isin(controlledKeys: _*) && col("xref").isNotNull)
-    val missingXref = controlled.where(col("xref").isNull)
-    val headings = MarcContext.authHeadings(read("auth").toDF())
-      .select(col("xref").as("h_xref"), col("code").as("h_code"))
-    val badXref = controlled.where(col("xref").isNotNull)
-      .join(headings, controlled("xref") === headings("h_xref") &&
-        controlled("code") === headings("h_code"), "left_anti")
-    // one action for all three violation classes
-    val bad = uncontrolledWithXref.limit(1)
-      .unionByName(missingXref.limit(1))
-      .unionByName(badXref.limit(1))
-      .collect()
+    // no controlled tags for this record type (the auth config here)
+    // -> nothing can reference a heading, so skip the auth-store scan
+    // entirely; only the stray-xref rule can fire
+    val bad = if (controlledKeys.isEmpty) uncontrolledWithXref.limit(1).collect()
+    else {
+      val missingXref = controlled.where(col("xref").isNull)
+      val headings = MarcContext.authHeadings(read("auth").toDF())
+        .select(col("xref").as("h_xref"), col("code").as("h_code"))
+      val badXref = controlled.where(col("xref").isNotNull)
+        .join(headings, controlled("xref") === headings("h_xref") &&
+          controlled("code") === headings("h_code"), "left_anti")
+      // one action for all three violation classes
+      uncontrolledWithXref.limit(1)
+        .unionByName(missingXref.limit(1))
+        .unionByName(badXref.limit(1))
+        .collect()
+    }
     if (bad.nonEmpty) {
       val r = bad.head
       throw new IllegalArgumentException(

@@ -105,6 +105,12 @@ object ExplainCheck {
       p70.contains("partial"), "q70: missing map-side partial aggregation")
     println("q70 split-by-hash partial agg OK")
 
+    val q73 = graft.queries.TextOps.q73MixtureSample(spark, sfDir)
+    val p73 = planOf(q73)
+    assert(p73.contains("BroadcastHashJoin") || p73.contains("BroadcastNestedLoopJoin"),
+      "q73: per-source rates not broadcast back to the corpus scan")
+    println("q73 broadcast rate join OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
