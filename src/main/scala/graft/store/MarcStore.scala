@@ -162,7 +162,16 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     val rt = stats.getAs[String]("rt")
     if (authCheck) authValidate(recs, rt)
     val incomingRaw = assignIds(recs, rt, stats.getAs[Long]("need_ids"))
+    commitPrepared(incomingRaw, user, now, rt, updateAttached)
+  }
 
+  /** Write path for a batch whose record type is known, ids are
+    * assigned and validation (if any) has run — commit() proper, and
+    * the cascade's re-commit entry point (which would otherwise pay a
+    * full extra evaluation of the refresh pipeline just to recount the
+    * batch). */
+  private def commitPrepared(incomingRaw: Dataset[MarcRow], user: String,
+      now: java.sql.Timestamp, rt: String, updateAttached: Boolean): Unit = {
     // audit columns: preserve created/created_user from previous state
     val prev = read(rt).select(col("_id").as("p_id"), col("created").as("p_created"),
       col("created_user").as("p_created_user"))
@@ -182,20 +191,28 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       // it — still strictly before the swap — without a dedicated pass.
       .localCheckpoint(false)
 
-    // heading state BEFORE the write, for the attached-record cascade
-    val oldHeadings =
-      if (rt == "auth" && updateAttached) collectHeadings(
-        read("auth").toDF().join(incoming.select(col("_id").as("i_id")),
-          col("_id") === col("i_id"), "left_semi"))
-      else Map.empty[Long, (String, Seq[(String, String)])]
+    // heading state for the attached-record cascade: OLD (live rows the
+    // batch replaces) and NEW (the batch itself) in ONE collect, both
+    // read strictly before the write
+    val headings =
+      if (rt == "auth" && updateAttached) {
+        val old = MarcContext.authHeadings(
+          read("auth").toDF().join(incoming.select(col("_id").as("i_id")),
+            col("_id") === col("i_id"), "left_semi"))
+          .withColumn("which", lit("old"))
+        val neu = MarcContext.authHeadings(incoming.toDF()).withColumn("which", lit("new"))
+        old.unionByName(neu).select("which", "xref", "tag", "code", "value").collect()
+          .groupBy(_.getString(0))
+          .map { case (w, rows) => w -> groupHeadings(rows) }
+      } else Map.empty[String, Map[Long, (String, Seq[(String, String)])]]
 
     writeLiveBuckets(incoming.toDF(), rt)
     appendHistory(incoming.toDF(), rt, "commit", now)
 
-    if (rt == "auth" && updateAttached) {
-      val newHeadings = collectHeadings(incoming.toDF())
-      cascadeToAttached(oldHeadings, newHeadings, user, now)
-    }
+    if (rt == "auth" && updateAttached)
+      cascadeToAttached(
+        headings.getOrElse("old", Map.empty),
+        headings.getOrElse("new", Map.empty), user, now)
   }
 
   /** Rewrite ONLY the buckets the batch touches: each touched bucket =
@@ -242,14 +259,14 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     if (f.exists()) f.delete()
   }
 
-  /** (auth id -> (heading tag, heading (code, value) pairs)) for the
-    * cascade comparison — bounded by the commit batch size. */
-  private def collectHeadings(auths: DataFrame): Map[Long, (String, Seq[(String, String)])] =
-    MarcContext.authHeadings(auths)
-      .select("xref", "tag", "code", "value").collect()
-      .groupBy(_.getLong(0))
-      .map { case (id, rows) =>
-        id -> (rows.head.getString(1), rows.map(r => (r.getString(2), r.getString(3))).toSeq)
+  /** (auth id -> (heading tag, heading (code, value) pairs)) from
+    * collected (which, xref, tag, code, value) rows — bounded by the
+    * commit batch size. */
+  private def groupHeadings(rows: Array[org.apache.spark.sql.Row])
+      : Map[Long, (String, Seq[(String, String)])] =
+    rows.groupBy(_.getLong(1))
+      .map { case (id, rs) =>
+        id -> (rs.head.getString(2), rs.map(r => (r.getString(3), r.getString(4))).toSeq)
       }
 
   /** The reference's update_attached_records default
@@ -264,10 +281,12 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     val changed = newH.filter { case (id, h) => oldH.get(id).exists(_ != h) }
     if (changed.isEmpty) return
     val changedIds = changed.keys.toSeq
+    // no isEmpty pre-scan: an empty attached set costs nothing extra —
+    // the re-commit's touched-bucket collect sees zero buckets and the
+    // bucket swap + history append become no-ops
     val attached = read("bib").toDF()
       .where(exists(col("datafields"), f =>
         exists(f.getField("subfields"), s => s.getField("xref").isin(changedIds: _*))))
-    if (attached.isEmpty) return
     // structural cascade per changed auth (tag rename, code drop/add)
     val restructured = changed.foldLeft(attached) { case (df, (id, (newTag, newCodes))) =>
       val (oldTag, oldCodes) = oldH(id)
@@ -280,7 +299,11 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     val refreshed = AuthOps.refreshLinkedValuesTyped(
         restructured.select(canonicalCols.map(col): _*).as[MarcRow], read("auth").toDF())
       .map(r => MarcSchema.toRow(MarcSchema.fromRow(r))(graft.model.AuthLookup.Empty))
-    commit(refreshed, user, now, authCheck = false, updateAttached = false)
+    // attached ids are already assigned and validation is moot (only
+    // linked values changed) — go straight to the write path so the
+    // refresh pipeline is evaluated ONCE (by the checkpoint), not
+    // twice (stats agg + checkpoint)
+    commitPrepared(refreshed, user, now, "bib", updateAttached = false)
   }
 
   /** Delete ids; refuse when an auth is still referenced (AuthInUse
