@@ -111,6 +111,32 @@ object ExplainCheck {
       "q73: per-source rates not broadcast back to the corpus scan")
     println("q73 broadcast rate join OK")
 
+    val q74 = graft.queries.TextOps.q74SpanDedup(spark, sfDir)
+    val p74 = planOf(q74)
+    assert("windowspecdefinition\\(chunk".r.findFirstIn(p74).isDefined,
+      "q74: first-occurrence window must partition by the chunk text (corpus-cardinality key)")
+    assert(!p74.contains("CartesianProduct") && !p74.contains("BroadcastNestedLoop"),
+      "q74: span election must stay keyed")
+    assert(!"Filter .*split\\(".r.findFirstIn(p74).isDefined,
+      "q74: chunk pipeline re-inlined into a Filter (q67 pushdown pathology)")
+    println("q74 chunk-keyed window OK")
+
+    val q75 = graft.queries.TextOps.q75SeqPack(spark, sfDir)
+    val p75 = planOf(q75)
+    assert("windowspecdefinition\\(bucket".r.findFirstIn(p75).isDefined,
+      "q75: running sum must partition by the pack bucket")
+    assert(!p75.contains("CartesianProduct") && !p75.contains("BroadcastNestedLoop"),
+      "q75: packing must stay keyed")
+    println("q75 bucketed running-sum OK")
+
+    val q76 = graft.queries.TextOps.q76QuantileThreshold(spark, sfDir)
+    val p76 = planOf(q76)
+    assert(p76.contains("BroadcastHashJoin"),
+      "q76: per-language thresholds not broadcast back to the corpus scan")
+    assert("windowspecdefinition\\(lang".r.findFirstIn(p76).isDefined,
+      "q76: cumulative window must run over the histogram, keyed by lang")
+    println("q76 histogram-quantile broadcast OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
