@@ -451,10 +451,11 @@ object TextOps {
     * chunk text, a corpus-cardinality key that distributes evenly (no
     * low-cardinality funnel); reassembly is a second keyed shuffle on
     * doc_id. Nothing touches the driver. */
-  def q74SpanDedup(s: SparkSession, dir: String): DataFrame = {
+  def spanDedup(docs: DataFrame, chunkTokens: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nChunks = ceil(size(col("toks")).cast("double") / 8.0).cast("long")
-    val chunks = documents(s, dir)
+    val k = chunkTokens
+    val nChunks = ceil(size(col("toks")).cast("double") / k.toDouble).cast("long")
+    val chunks = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), nChunks.as("n_chunks"),
         // explode_outer for the same reason as q19/q67: plain explode
@@ -463,7 +464,7 @@ object TextOps {
         // (size(toks) >= 1 -> nChunks >= 1), so outer is equivalent.
         explode_outer(transform(sequence(lit(0L), nChunks - 1), i =>
           struct(i.as("idx"),
-            concat_ws(" ", slice(col("toks"), (i * 8 + 1).cast("int"), lit(8))).as("chunk")))).as("c"))
+            concat_ws(" ", slice(col("toks"), (i * k + 1).cast("int"), lit(k))).as("chunk")))).as("c"))
       .select(col("doc_id"), col("n_chunks"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
     val firstOcc = Window.partitionBy("chunk").orderBy("doc_id", "idx")
     val kept = chunks
@@ -472,15 +473,18 @@ object TextOps {
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
           x => x.getField("chunk")), " ").as("cleaned_text"))
-    documents(s, dir)
+    docs
       .select(col("doc_id"),
-        ceil(size(split(col("text"), " ")).cast("double") / 8.0).cast("long").as("n_chunks"))
+        ceil(size(split(col("text"), " ")).cast("double") / k.toDouble).cast("long").as("n_chunks"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
       .orderBy("doc_id")
   }
+
+  def q74SpanDedup(s: SparkSession, dir: String): DataFrame =
+    spanDedup(documents(s, dir).select("doc_id", "text"))
 
   /** Context-window sequence packing: assign documents to fixed
     * token-budget training sequences (512 tokens here). Documents are
@@ -497,22 +501,25 @@ object TextOps {
     * running sum stays a bounded single-partition sort — 16 here,
     * thousands at 100 TB). The report aggregation reuses the same
     * partitioning. */
-  def q75SeqPack(s: SparkSession, dir: String): DataFrame = {
+  def seqPack(docs: DataFrame, budget: Long = 512L, nBuckets: Long = 16L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-      .cast("long"), lit(16L))
+      .cast("long"), lit(nBuckets))
     val w = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(s, dir)
+    docs
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
       .withColumn("bucket", bucket)
       .withColumn("cum", sum("n_tokens").over(w))
-      .withColumn("seq_no", expr("(cum - n_tokens) div 512"))
+      .withColumn("seq_no", expr(s"(cum - n_tokens) div $budget"))
       .groupBy("bucket", "seq_no")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("bucket", "seq_no")
   }
+
+  def q75SeqPack(s: SparkSession, dir: String): DataFrame =
+    seqPack(documents(s, dir).select("doc_id", "text"))
 
   /** Per-language quantile thresholding: keep documents at or above
     * the exact P90 of n_chars within their language — the "top decile
@@ -524,23 +531,26 @@ object TextOps {
     * collapses the corpus to ~|langs|×|distinct values| rows, the
     * cumulative window runs over that tiny frame, and the per-language
     * thresholds broadcast back for a narrow filter join. */
-  def q76QuantileThreshold(s: SparkSession, dir: String): DataFrame = {
+  def quantileThreshold(docs: DataFrame, q: Double = 0.9): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = documents(s, dir).groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+    val hist = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
     val byLang = Window.partitionBy("lang")
     val cum = hist
       .withColumn("cum_c", sum("c").over(byLang.orderBy("n_chars")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("total", sum("c").over(byLang))
     val thr = cum
-      .where(col("cum_c").cast("double") >= lit(0.9) * col("total").cast("double"))
+      .where(col("cum_c").cast("double") >= lit(q) * col("total").cast("double"))
       .groupBy("lang").agg(min("n_chars").as("threshold"))
-    documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
       .join(broadcast(thr), Seq("lang"))
       .where(col("n_chars") >= col("threshold"))
       .select("doc_id", "lang", "n_chars", "threshold")
       .orderBy("doc_id")
   }
+
+  def q76QuantileThreshold(s: SparkSession, dir: String): DataFrame =
+    quantileThreshold(documents(s, dir).select("doc_id", "lang", "n_chars"))
 
   /** Gap-based sessionization over events: 30-min inactivity closes a
     * session (lag + running sum window — the streaming-state analog

@@ -375,4 +375,52 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       20L -> 1L, 21L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("spanDedup: first occurrence wins across and within docs; partial tail chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),       // chunks (k=2): "a b", "c d", "e" — all first
+      (2L, "a b x y"),         // "a b" loses to doc 1; "x y" survives
+      (3L, "c d c d"),         // both chunks lose to doc 1 idx 1
+      (4L, "e"),               // partial-only doc, loses to doc 1's tail
+      (5L, "p q p q p q")      // within-doc dups: only idx 0 survives
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextOps.spanDedup(docs, chunkTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 3L, "a b c d e")))
+    assert(out(2L) == ((2L, 1L, "x y")))
+    assert(out(3L) == ((2L, 0L, "")))
+    assert(out(4L) == ((1L, 0L, "")))
+    assert(out(5L) == ((3L, 1L, "p q")))
+  }
+
+  test("seqPack: boundary-overflow assignment by running start offset") {
+    import spark.implicits._
+    def words(n: Int) = Seq.fill(n)("t").mkString(" ")
+    // one bucket, budget 5: token counts 3,4,2,1,6 -> start offsets
+    // 0,3,7,9,10 -> seq_no 0,0,1,1,2
+    val docs = Seq(
+      (1L, words(3)), (2L, words(4)), (3L, words(2)), (4L, words(1)), (5L, words(6))
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextOps.seqPack(docs, budget = 5L, nBuckets = 1L)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L) == ((2L, 7L, 1L, 2L)))
+    assert(out(1L) == ((2L, 3L, 3L, 4L)))
+    assert(out(2L) == ((1L, 6L, 5L, 5L)))
+  }
+
+  test("quantileThreshold: exact per-language quantile from the histogram") {
+    import spark.implicits._
+    val docs = ((1 to 10).map(i => (i.toLong, "en", i)) ++
+      Seq((11L, "fr", 2), (12L, "fr", 4), (13L, "fr", 6))).toDF("doc_id", "lang", "n_chars")
+    val out = graft.queries.TextOps.quantileThreshold(docs, q = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    // en: P50 of 1..10 is the 5th value (cum 5 >= 0.5*10) -> threshold 5
+    assert(out.filter(_._2 == "en").map(_._1).toSeq == (5L to 10L).toSeq)
+    assert(out.filter(_._2 == "en").forall(_._4 == 5))
+    // fr: first cum >= 1.5 of {2,4,6} is the 2nd value -> threshold 4
+    assert(out.filter(_._2 == "fr").map(t => (t._1, t._4)).toSeq == Seq((12L, 4), (13L, 4)))
+  }
 }
