@@ -552,6 +552,65 @@ object TextOps {
   def q76QuantileThreshold(s: SparkSession, dir: String): DataFrame =
     quantileThreshold(documents(s, dir).select("doc_id", "lang", "n_chars"))
 
+  /** Bigram-coherence quality score: mean corpus frequency of a
+    * document's bigrams — a model-free fluency proxy (documents built
+    * from common word transitions score high; shuffled/garbled text
+    * scores near 1). All arithmetic is rational (integer counts, one
+    * IEEE division), so the DuckDB replay is bit-exact — no
+    * transcendentals (a log-prob variant would not cross-engine-hash).
+    *
+    * Scale shape: bigram extraction is a narrow map over the
+    * materialized token array; the frequency table is ONE keyed agg on
+    * the bigram text (corpus-cardinality key); the score join is a
+    * shuffle hash join on that same high-entropy key — deliberately
+    * NOT broadcast, the bigram dimension grows with the corpus; the
+    * per-doc rollup keys on doc_id. Map-side partials on every
+    * shuffle, nothing on the driver. */
+  def bigramCoherence(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      // explode_outer: see q19/q67 — plain explode invites the inferred
+      // size>0 pushdown that re-inlines the bigram lambda into a
+      // Filter. Never empty here (size >= 2 -> size-1 >= 1).
+      .select(col("doc_id"), explode_outer(slice(
+        transform(col("toks"), (x, i) =>
+          concat_ws(" ", x, try_element_at(col("toks"), i + lit(2)))),
+        lit(1), size(col("toks")) - 1)).as("bigram"))
+    val freq = bi.groupBy("bigram").agg(count(lit(1)).as("freq"))
+    bi.join(freq, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("freq").as("sum_freq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_freq").cast("double") / col("n_bigrams").cast("double")).as("coherence"))
+      .orderBy("doc_id")
+  }
+
+  def q77BigramCoherence(s: SparkSession, dir: String): DataFrame =
+    bigramCoherence(documents(s, dir).select("doc_id", "text"))
+
+  /** Per-source top-k curation: the k highest-quality documents within
+    * every source (n_chars as the quality signal here; any scored
+    * column slots in). Ranking is the bounded [[graft.spark.TopK]]
+    * typed Aggregator — the map-side partial keeps ≤k candidates per
+    * source per task, so the shuffle carries O(tasks × sources × k)
+    * structs instead of the whole corpus funneling through #sources
+    * reducers (the row_number-window anti-pattern at low group
+    * cardinality). Deterministic tiebreak: (score desc, doc_id asc). */
+  def topkPerSource(docs: DataFrame, k: Int = 3): DataFrame = {
+    val topk = udaf(new graft.spark.TopK(k))
+    val grouped = docs.groupBy("source")
+      .agg(topk(col("n_chars").cast("double"), col("doc_id"), lit("")).as("top"))
+    grouped
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "c")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("c.id").as("doc_id"), col("c.score").cast("long").as("n_chars"))
+      .orderBy("source", "rank")
+  }
+
+  def q78TopkPerSource(s: SparkSession, dir: String): DataFrame =
+    topkPerSource(documents(s, dir).select("source", "doc_id", "n_chars"))
+
   /** Gap-based sessionization over events: 30-min inactivity closes a
     * session (lag + running sum window — the streaming-state analog
     * expressed as batch windows). */
@@ -597,9 +656,32 @@ object TextOps {
     "q73_mixture_sample" -> (q73MixtureSample _),
     "q74_span_dedup" -> (q74SpanDedup _),
     "q75_seq_pack" -> (q75SeqPack _),
-    "q76_quantile_threshold" -> (q76QuantileThreshold _))
+    "q76_quantile_threshold" -> (q76QuantileThreshold _),
+    "q77_bigram_coherence" -> (q77BigramCoherence _),
+    "q78_topk_per_source" -> (q78TopkPerSource _))
 
   val oracle: Map[String, String] = Map(
+    "q77_bigram_coherence" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)])) AS bigram
+        |  FROM t),
+        |freq AS (SELECT bigram, COUNT(*) AS freq FROM bi GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coherence
+        |FROM bi JOIN freq USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q78_topk_per_source" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+        |  FROM documents)
+        |SELECT source, rank, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     "q74_span_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w,

@@ -137,6 +137,23 @@ object ExplainCheck {
       "q76: cumulative window must run over the histogram, keyed by lang")
     println("q76 histogram-quantile broadcast OK")
 
+    val q77 = graft.queries.TextOps.q77BigramCoherence(spark, sfDir)
+    val p77 = planOf(q77)
+    assert(!p77.contains("CartesianProduct") && !p77.contains("BroadcastNestedLoop"),
+      "q77: bigram frequency join must be a keyed equi-join")
+    // the pushed row filter (size(split(text)) >= 2) is fine — one
+    // split per ROW; the pathology is the per-ELEMENT bigram lambda
+    // (transform) landing in a Filter
+    assert(!"Filter .*transform\\(".r.findFirstIn(p77).isDefined,
+      "q77: bigram lambda re-inlined into a Filter (q67 pushdown pathology)")
+    println("q77 bigram keyed join OK")
+
+    val q78 = graft.queries.TextOps.q78TopkPerSource(spark, sfDir)
+    val p78 = planOf(q78)
+    assert(p78.contains("ObjectHashAggregate"), "q78: per-source top-k not a bounded aggregate")
+    assert(!p78.contains("Window"), "q78: corpus flows through a window")
+    println("q78 bounded per-source top-k OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
