@@ -302,22 +302,30 @@ object MarcOps {
     * its `place.tag$code` table cells (sorted header order), exploded
     * to (record, column, cell) rows — the to_table/to_csv operator
     * with a SQL replay. */
+  /** The deterministic gate record q34/q79 serialize — mirrors the
+    * corpus row construction of buildMarcBibs for one id. */
+  private def gateRecord(id: Long, prio: String, status: String, odate: String,
+      pname: String, pkey: java.lang.Long): MarcRecord = {
+    var rec = MarcRecord(recordType = "bib", id = Some(id))
+      .set("245", "a", prio).set("245", "b", status)
+      .set("269", "a", odate)
+    if (pkey != null) {
+      rec = rec.setXref("650", "a", pkey.longValue)
+      rec = rec.copy(fields = rec.fields.map {
+        case d: graft.model.DataField if d.tag == "650" =>
+          d.copy(subfields = d.subfields.map(sf => sf.copy(value = Some(pname))))
+        case f => f
+      })
+    }
+    rec
+  }
+
   def q34MarcTable(s: SparkSession, dir: String): DataFrame = {
     val cellsUdf = udf((id: Long, prio: String, status: String, odate: String,
         pname: String, pkey: java.lang.Long) => {
       implicit val auth: AuthLookup = AuthLookup.Empty
-      var rec = MarcRecord(recordType = "bib", id = Some(id))
-        .set("245", "a", prio).set("245", "b", status)
-        .set("269", "a", odate)
-      if (pkey != null) {
-        rec = rec.setXref("650", "a", pkey.longValue)
-        rec = rec.copy(fields = rec.fields.map {
-          case d: graft.model.DataField if d.tag == "650" =>
-            d.copy(subfields = d.subfields.map(sf => sf.copy(value = Some(pname))))
-          case f => f
-        })
-      }
-      val table = graft.records.TableSerialization.toTable(Seq(rec))
+      val table = graft.records.TableSerialization.toTable(
+        Seq(gateRecord(id, prio, status, odate, pname, pkey)))
       table.header.map(h => (h, table.get(1, h).getOrElse("")))
     })
     val o = orders(s, dir)
@@ -351,6 +359,28 @@ object MarcOps {
   def q47TableExport(s: SparkSession, dir: String): DataFrame =
     graft.spark.TableExport.cells(marcBibs(s, dir))
       .orderBy("_id", "col_name")
+
+  /** Table.to_html under the oracle (dlx/util.py:179-183): each bib's
+    * 1-record Table rendered to the `<table><tr><td>` string, replayed
+    * byte-for-byte by SQL concatenation. Closes the last §2.2 sink
+    * row that had no CORRECTNESS entry. */
+  def q79ToHtml(s: SparkSession, dir: String): DataFrame = {
+    val htmlUdf = udf((id: Long, prio: String, status: String, odate: String,
+        pname: String, pkey: java.lang.Long) => {
+      implicit val auth: AuthLookup = AuthLookup.Empty
+      graft.records.TableSerialization.toTable(
+        Seq(gateRecord(id, prio, status, odate, pname, pkey))).toHtml
+    })
+    val o = orders(s, dir)
+    val firstPart = lineitem(s, dir).groupBy("l_orderkey").agg(min("l_partkey").as("pk"))
+    val p = broadcast(part(s, dir).select(col("p_partkey"), col("p_name")))
+    o.join(firstPart, col("o_orderkey") === col("l_orderkey"), "left")
+      .join(p, col("pk") === col("p_partkey"), "left")
+      .select(col("o_orderkey").as("_id"),
+        htmlUdf(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"), col("p_name"), col("pk")).as("html"))
+      .orderBy("_id")
+  }
 
   /** Existence + negated-exact modifiers through the DSL
     * (`650__a:*` → SubfieldExists, `NOT 245__b:'F'` → negated exact
@@ -540,7 +570,8 @@ object MarcOps {
     "q54_mij_roundtrip" -> (q54MijRoundtrip _),
     "q59_from_ids" -> (q59FromIds _),
     "q63_to_str" -> (q63ToStr _),
-    "q60_tag_value" -> (q60TagValue _))
+    "q60_tag_value" -> (q60TagValue _),
+    "q79_to_html" -> (q79ToHtml _))
 
   val oracle: Map[String, String] = Map(
     "q66_resolve_ambiguous" ->
@@ -615,6 +646,19 @@ object MarcOps {
         |  UNION ALL SELECT id, '1.650__', '__' FROM bibs WHERE subject_key IS NOT NULL
         |  UNION ALL SELECT id, '1.650$$a', p_name FROM bibs WHERE subject_key IS NOT NULL
         |) t ORDER BY _id, col_name""".stripMargin,
+    "q79_to_html" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id,
+        |  '<table><tr><td>1.001</td><td>1.245__</td><td>1.245$$a</td><td>1.245$$b</td><td>1.269__</td><td>1.269$$a</td>' ||
+        |  CASE WHEN subject_key IS NOT NULL
+        |       THEN '<td>1.650$$0</td><td>1.650__</td><td>1.650$$a</td>' ELSE '' END ||
+        |  '</tr><tr><td>' || CAST(id AS VARCHAR) || '</td><td>__</td><td>' || prio ||
+        |  '</td><td>' || status || '</td><td>__</td><td>' || odate || '</td>' ||
+        |  CASE WHEN subject_key IS NOT NULL
+        |       THEN '<td>' || CAST(subject_key AS VARCHAR) || '</td><td>__</td><td>' || p_name || '</td>'
+        |       ELSE '' END ||
+        |  '</tr></table>' AS html
+        |FROM bibs ORDER BY _id""".stripMargin,
     "q30_marc_auth_use" ->
       """SELECT CAST(subject_key AS BIGINT) AS xref, COUNT(*) AS use_count
         |FROM (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp
