@@ -382,6 +382,41 @@ object MarcOps {
       .orderBy("_id")
   }
 
+  /** Logical-field DSL search (`subject:/anvil$/` → LogicalRx):
+    * the regex resolves against the browse index (capped in-list with
+    * direct-predicate fallback, dlx/marc/query.py:194-199) and matches
+    * the record's own logical map — the config-driven denormalized
+    * field family under the oracle end-to-end (parse → browse-index
+    * resolution → predicate). */
+  def q80LogicalSearch(s: SparkSession, dir: String): DataFrame = {
+    // single-field logical map (q27's rule: reading one logical field
+    // must not pay for the whole map — the full-map variant costs 6×
+    // here because browse-index build + final scan each materialize
+    // every configured field for every record)
+    def oneField(df: DataFrame, rt: String): DataFrame = {
+      val spec = graft.config.DlxConfig.logicalFields(rt).toMap.apply("subject")
+      df.withColumn("logical",
+        map(lit("subject"), LogicalFields.fieldValues("subject", spec)))
+    }
+    val compiler = new SparkQueryCompiler(s,
+      oneField(marcBibs(s, dir), "bib"), oneField(marcAuths(s, dir), "auth"))
+    compiler.run("subject:/anvil$/").select("_id").orderBy("_id")
+  }
+
+  /** Control-field DSL search (`008:value` → CtrlEquals,
+    * dlx/marc/query.py 00X handling): corpus bibs carry an 008 derived
+    * from the 269$a date; the query must hit exactly the records with
+    * that control value. */
+  def q81CtrlQuery(s: SparkSession, dir: String): DataFrame = {
+    val odate = try_element_at(flatten(transform(
+      filter(col("datafields"), f => f.getField("tag") === "269"),
+      f => transform(f.getField("subfields"), sf => sf.getField("value")))), lit(1))
+    val bibs = marcBibs(s, dir).withColumn("controlfields",
+      array(struct(lit("008").as("tag"), odate.as("value"))))
+    val compiler = new SparkQueryCompiler(s, bibs, marcAuths(s, dir))
+    compiler.run("008:1996-01-02").select("_id").orderBy("_id")
+  }
+
   /** Existence + negated-exact modifiers through the DSL
     * (`650__a:*` → SubfieldExists, `NOT 245__b:'F'` → negated exact
     * FieldCond — dlx/marc/query.py modifier semantics): subjects
@@ -571,7 +606,9 @@ object MarcOps {
     "q59_from_ids" -> (q59FromIds _),
     "q63_to_str" -> (q63ToStr _),
     "q60_tag_value" -> (q60TagValue _),
-    "q79_to_html" -> (q79ToHtml _))
+    "q79_to_html" -> (q79ToHtml _),
+    "q80_logical_search" -> (q80LogicalSearch _),
+    "q81_ctrl_query" -> (q81CtrlQuery _))
 
   val oracle: Map[String, String] = Map(
     "q66_resolve_ambiguous" ->
@@ -659,6 +696,17 @@ object MarcOps {
         |       ELSE '' END ||
         |  '</tr></table>' AS html
         |FROM bibs ORDER BY _id""".stripMargin,
+    "q80_logical_search" ->
+      """SELECT o_orderkey AS _id FROM orders
+        |JOIN (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp
+        |  ON o_orderkey = fp.l_orderkey
+        |JOIN part ON subject_key = p_partkey
+        |WHERE regexp_matches(p_name, 'anvil$')
+        |ORDER BY _id""".stripMargin,
+    "q81_ctrl_query" ->
+      """SELECT o_orderkey AS _id FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m-%d') = '1996-01-02'
+        |ORDER BY _id""".stripMargin,
     "q30_marc_auth_use" ->
       """SELECT CAST(subject_key AS BIGINT) AS xref, COUNT(*) AS use_count
         |FROM (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp
