@@ -417,6 +417,27 @@ object MarcOps {
     compiler.run("008:1996-01-02").select("_id").orderBy("_id")
   }
 
+  /** to_jmarcnx under the oracle (dlx/marc/__init__.py:1610-1626):
+    * JMARC with every linked subfield materialized as a literal (xref
+    * dropped) — the export format downstream consumers parse without
+    * an auth database. Replayed byte-for-byte by SQL concatenation. */
+  def q82JmarcNx(s: SparkSession, dir: String): DataFrame = {
+    val nxUdf = udf((id: Long, prio: String, status: String, odate: String,
+        pname: String, pkey: java.lang.Long) => {
+      implicit val auth: AuthLookup = AuthLookup.Empty
+      Serialization.toJmarcNx(gateRecord(id, prio, status, odate, pname, pkey))
+    })
+    val o = orders(s, dir)
+    val firstPart = lineitem(s, dir).groupBy("l_orderkey").agg(min("l_partkey").as("pk"))
+    val p = broadcast(part(s, dir).select(col("p_partkey"), col("p_name")))
+    o.join(firstPart, col("o_orderkey") === col("l_orderkey"), "left")
+      .join(p, col("pk") === col("p_partkey"), "left")
+      .select(col("o_orderkey").as("_id"),
+        nxUdf(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"), col("p_name"), col("pk")).as("jmarcnx"))
+      .orderBy("_id")
+  }
+
   /** Existence + negated-exact modifiers through the DSL
     * (`650__a:*` → SubfieldExists, `NOT 245__b:'F'` → negated exact
     * FieldCond — dlx/marc/query.py modifier semantics): subjects
@@ -608,7 +629,8 @@ object MarcOps {
     "q60_tag_value" -> (q60TagValue _),
     "q79_to_html" -> (q79ToHtml _),
     "q80_logical_search" -> (q80LogicalSearch _),
-    "q81_ctrl_query" -> (q81CtrlQuery _))
+    "q81_ctrl_query" -> (q81CtrlQuery _),
+    "q82_jmarcnx" -> (q82JmarcNx _))
 
   val oracle: Map[String, String] = Map(
     "q66_resolve_ambiguous" ->
@@ -707,6 +729,18 @@ object MarcOps {
       """SELECT o_orderkey AS _id FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m-%d') = '1996-01-02'
         |ORDER BY _id""".stripMargin,
+    "q82_jmarcnx" ->
+      s"""WITH $oracleBibs
+        |SELECT id AS _id,
+        |  '{"_id":' || CAST(id AS VARCHAR) ||
+        |  ',"245":[{"indicators":[" "," "],"subfields":[{"code":"a","value":"' || prio ||
+        |  '"},{"code":"b","value":"' || status || '"}]}]' ||
+        |  ',"269":[{"indicators":[" "," "],"subfields":[{"code":"a","value":"' || odate || '"}]}]' ||
+        |  CASE WHEN subject_key IS NOT NULL
+        |       THEN ',"650":[{"indicators":[" "," "],"subfields":[{"code":"a","value":"' || p_name || '"}]}]'
+        |       ELSE '' END ||
+        |  '}' AS jmarcnx
+        |FROM bibs ORDER BY _id""".stripMargin,
     "q30_marc_auth_use" ->
       """SELECT CAST(subject_key AS BIGINT) AS xref, COUNT(*) AS use_count
         |FROM (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp
