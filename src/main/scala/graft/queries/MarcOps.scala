@@ -417,6 +417,19 @@ object MarcOps {
     compiler.run("008:1996-01-02").select("_id").orderBy("_id")
   }
 
+  /** Structured Condition API (reference Condition,
+    * dlx/marc/query.py:588-686): a programmatic FieldCond with two
+    * (code -> Exact) pairs — $elemMatch semantics, both subfields
+    * matching within ONE field instance — run without the string
+    * parser. */
+  def q83StructuredCond(s: SparkSession, dir: String): DataFrame = {
+    import graft.query.{Cond, CondVal, QueryAst}
+    val compiler = new SparkQueryCompiler(s, marcBibs(s, dir), marcAuths(s, dir))
+    compiler.run(QueryAst(Seq(Cond.FieldCond("245",
+      Seq("a" -> CondVal.Exact("1-urgent"), "b" -> CondVal.Exact("F"))))))
+      .select("_id").orderBy("_id")
+  }
+
   /** to_jmarcnx under the oracle (dlx/marc/__init__.py:1610-1626):
     * JMARC with every linked subfield materialized as a literal (xref
     * dropped) — the export format downstream consumers parse without
@@ -630,7 +643,8 @@ object MarcOps {
     "q79_to_html" -> (q79ToHtml _),
     "q80_logical_search" -> (q80LogicalSearch _),
     "q81_ctrl_query" -> (q81CtrlQuery _),
-    "q82_jmarcnx" -> (q82JmarcNx _))
+    "q82_jmarcnx" -> (q82JmarcNx _),
+    "q83_structured_cond" -> (q83StructuredCond _))
 
   val oracle: Map[String, String] = Map(
     "q66_resolve_ambiguous" ->
@@ -741,6 +755,10 @@ object MarcOps {
         |       ELSE '' END ||
         |  '}' AS jmarcnx
         |FROM bibs ORDER BY _id""".stripMargin,
+    "q83_structured_cond" ->
+      """SELECT o_orderkey AS _id FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |ORDER BY _id""".stripMargin,
     "q30_marc_auth_use" ->
       """SELECT CAST(subject_key AS BIGINT) AS xref, COUNT(*) AS use_count
         |FROM (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp
