@@ -247,6 +247,27 @@ object StoreOps {
       .orderBy("id_value")
   }
 
+  /** File.commit — single-record metadata upsert (reference
+    * File.commit, dlx/file/__init__.py): re-source the two
+    * lexicographically-smallest checksums to 'edited' (fixed-size
+    * edit set — job count independent of SF), then read the table
+    * back. Only touches `source`/`updated`, which q40/q64 don't
+    * project, so the shared memoized store stays valid for them. */
+  def q84FileCommit(s: SparkSession, dir: String): DataFrame = {
+    val store = importedFileStore(s, dir)
+    val ts = java.time.Instant.parse("2020-03-01T00:00:00Z")
+    store.read().select("_id").orderBy("_id").limit(2)
+      .collect().map(_.getString(0))
+      .foreach { id =>
+        val rec = store.fromId(id).get
+        if (rec.source != "edited") store.commit(rec.copy(source = "edited"), ts)
+      }
+    store.read()
+      .select(explode(col("identifiers")).as("i"), col("_id"), col("source"))
+      .select(col("i.value").as("id_value"), col("_id").as("checksum"), col("source"))
+      .orderBy("id_value")
+  }
+
   /** File.find surface at set scale (dlx/file/__init__.py:284-304 +
     * Bib.files latest-per-identifier window): newest file per
     * (identifier, language) over the imported store. */
@@ -259,6 +280,7 @@ object StoreOps {
     "q36_store_commit" -> (q36StoreCommit _),
     "q40_file_import" -> (q40FileImport _),
     "q64_file_find" -> (q64FileFind _),
+    "q84_file_commit" -> (q84FileCommit _),
     "q49_store_query" -> (q49StoreQuery _),
     "q50_history_ops" -> (q50HistoryOps _),
     "q55_restore" -> (q55Restore _),
@@ -316,6 +338,16 @@ object StoreOps {
         |FROM s
         |WHERE s.id NOT IN (SELECT id FROM d) OR s.id IN (SELECT id FROM r)
         |ORDER BY _id""".stripMargin,
+    "q84_file_commit" ->
+      """WITH f AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS id_value,
+        |         md5('file-' || o_orderkey || '-' || o_orderpriority) AS checksum
+        |  FROM orders WHERE o_orderkey % 485 = 0),
+        |low AS (SELECT checksum FROM f ORDER BY checksum LIMIT 2)
+        |SELECT id_value, checksum,
+        |  CASE WHEN checksum IN (SELECT checksum FROM low)
+        |       THEN 'edited' ELSE 'gate' END AS source
+        |FROM f ORDER BY id_value""".stripMargin,
     "q40_file_import" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS id_value,
         |       md5('file-' || o_orderkey || '-' || o_orderpriority) AS checksum,
