@@ -56,6 +56,40 @@ object PipelineOps {
       .orderBy("media_id", "frame_no")
   }
 
+  private val streamSinkCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Structured Streaming under the oracle: the watermarked tumbling-
+    * window aggregation (`Streaming.eventWindowCounts`, the streaming
+    * form of q11) executed as a REAL streaming query — parquet
+    * readStream → Trigger.AvailableNow → memory sink — and compared
+    * against the same DuckDB SQL as the batch plan. Complete output
+    * mode drains every window at end-of-stream for the finite gate
+    * input; the production path is append mode + watermark-expired
+    * emission, identical logical plan. */
+  def q85StreamWindows(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // events.parquet is a single file and FileStreamSource anchors
+    // basePath at the source path — stream the directory and glob-
+    // filter to the one table instead
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // integer div, as in Tables.events: double division loses
+      // precision at 1e18 ns
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = graft.streaming.Streaming.eventWindowCounts(stream, "1 hour", "1 hour")
+    val sink = s"q85_sink_${streamSinkCounter.incrementAndGet()}"
+    val query = out.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sink)
+      .select(col("window_start").cast("long").as("window_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start_s", "event_type")
+  }
+
   /** Marker-word language ID vs the labeled lang column. */
   def q33LangId(s: SparkSession, dir: String): DataFrame = {
     val detect = udf((text: String) => LanguageId.detect(text))
@@ -69,12 +103,17 @@ object PipelineOps {
     "q32_multimodal" -> (q32Multimodal _),
     "q33_lang_id" -> (q33LangId _),
     "q46_frame_sample" -> (q46FrameSample _),
-    "q65_media_resize" -> (q65MediaResize _))
+    "q65_media_resize" -> (q65MediaResize _),
+    "q85_stream_windows" -> (q85StreamWindows _))
 
   private def markerList(lang: String): String =
     LanguageId.markers.toMap.apply(lang).toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q85_stream_windows" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start_s,
+        |event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_s, event_type""".stripMargin,
     "q65_media_resize" ->
       """SELECT doc_id AS media_id, '64' AS w, '48' AS h,
         |CAST(strlen(text) AS BIGINT) AS n_bytes

@@ -104,7 +104,10 @@ object Streaming {
     events
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // DECIMAL(20,2) accumulation: double sums are accumulation-order-
+      // dependent, which would make the q85 oracle comparison flaky
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** Gap sessionization with custom state (flatMapGroupsWithState
