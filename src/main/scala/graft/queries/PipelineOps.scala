@@ -90,6 +90,32 @@ object PipelineOps {
       .orderBy("window_start_s", "event_type")
   }
 
+  /** Streaming decontamination under the oracle: the stream-static
+    * n-gram probe (`Streaming.decontaminateStream`, streaming form of
+    * the batch q67) over a documents readStream — append mode works
+    * because dropDuplicatesWithinWatermark emits first-seen rows
+    * immediately (state eviction is the only watermark effect), and
+    * the CONTAMINATED-DOC SET is arrival-order-independent, so the
+    * DuckDB replay is exact. */
+  def q86StreamDecon(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val docs = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .where(col("doc_id") % 50 =!= 0)
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+    val bench = documents(s, dir).where(col("doc_id") % 50 === 0)
+      .select(explode(TextOps.shingleArray(split(col("text"), " "), 3)).as("g"))
+      .distinct()
+    val out = graft.streaming.Streaming.decontaminateStream(docs, bench)
+    val sink = s"q86_sink_${streamSinkCounter.incrementAndGet()}"
+    val query = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sink).select(col("doc_id")).orderBy("doc_id")
+  }
+
   /** Marker-word language ID vs the labeled lang column. */
   def q33LangId(s: SparkSession, dir: String): DataFrame = {
     val detect = udf((text: String) => LanguageId.detect(text))
@@ -104,12 +130,24 @@ object PipelineOps {
     "q33_lang_id" -> (q33LangId _),
     "q46_frame_sample" -> (q46FrameSample _),
     "q65_media_resize" -> (q65MediaResize _),
-    "q85_stream_windows" -> (q85StreamWindows _))
+    "q85_stream_windows" -> (q85StreamWindows _),
+    "q86_stream_decon" -> (q86StreamDecon _))
 
   private def markerList(lang: String): String =
     LanguageId.markers.toMap.apply(lang).toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q86_stream_decon" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, GREATEST(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(w[i:i+2], ' ')))) AS g
+        |  FROM t),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
+        |SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (g)
+        |WHERE sh.doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin,
     "q85_stream_windows" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start_s,
         |event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
