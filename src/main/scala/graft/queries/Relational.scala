@@ -150,6 +150,33 @@ object Relational {
     a.union(b).distinct().orderBy("key")
   }
 
+  /** As-of join: each purchase event matched to the latest click by the
+    * same user strictly before it (classic attribution). Spark has no
+    * native ASOF JOIN; the scale-correct composition is union-the-
+    * streams + one window pass — tag both sides, sort within user, and
+    * carry the last click forward with `last(_, ignoreNulls)` over
+    * `ROWS UNBOUNDED PRECEDING .. 1 PRECEDING`. ONE shuffle on
+    * user_id (corpus-cardinality key), no range-join pair explosion:
+    * a ts-band range join would be O(clicks × purchases) per band,
+    * this is O(n log n) per user. Whole-second math so the DuckDB
+    * oracle (ns timestamps) agrees exactly; ties broken by event_id. */
+  def q89AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isClick = col("event_type") === "click"
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts_s"),
+        col("event_type"))
+      .withColumn("click_id", last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts_s", last(when(isClick, col("ts_s")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" && col("click_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_s").as("purchase_ts_s"), col("click_id"), col("click_ts_s"),
+        (col("ts_s") - col("click_ts_s")).as("gap_s"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter" -> (q2Filter _),
@@ -162,7 +189,8 @@ object Relational {
     "q9_case_agg" -> (q9CaseAgg _),
     "q10_having" -> (q10Having _),
     "q11_event_windows" -> (q11EventWindows _),
-    "q12_union" -> (q12Union _))
+    "q12_union" -> (q12Union _),
+    "q89_asof_join" -> (q89AsofJoin _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -232,5 +260,22 @@ object Relational {
         |SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9900
         |UNION ALL
         |SELECT s_suppkey AS key FROM supplier WHERE s_acctbal > 9900)
-        |ORDER BY key""".stripMargin)
+        |ORDER BY key""".stripMargin,
+    "q89_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s, event_type
+        |  FROM events),
+        |t AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER win AS click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_s END IGNORE NULLS)
+        |      OVER win AS click_ts_s
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS purchase_id, user_id, ts_s AS purchase_ts_s,
+        |       click_id, click_ts_s, ts_s - click_ts_s AS gap_s
+        |FROM t WHERE event_type = 'purchase' AND click_id IS NOT NULL
+        |ORDER BY purchase_id""".stripMargin)
 }

@@ -90,6 +90,68 @@ object TextOps {
       .select("doc_id", "rank", "term", "score").orderBy("doc_id", "rank")
   }
 
+  /** BM25 retrieval: top-20 documents for a fixed 3-term query
+    * (k1 = 1.2, b = 0.75 — the Robertson/Sparck-Jones defaults). The
+    * idf is the RATIONAL variant ((N − df + 0.5)/(df + 0.5), no log)
+    * for the same bit-identical-across-engines reason as q57; ranking
+    * is unchanged since ln is monotone. Per-term scores are pivoted
+    * into fixed columns and summed in a FIXED left-to-right order so
+    * the FP total is order-independent across engines.
+    *
+    * Scale shape: the term filter lands before the tf aggregation, so
+    * the explode emits only query-term hits; df (3 rows) and the
+    * corpus stats (1 row: N, avgdl) BROADCAST; final top-k is
+    * orderBy+limit → TakeOrderedAndProject (per-partition heap, then
+    * global k on the driver) — no low-cardinality window funnel. */
+  def q87Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("hash", "join", "merge")
+    val docs = documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"), col("w"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (((col("n") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val tfNorm = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", idf * tfNorm)
+    val per = terms.map(t =>
+      sum(when(col("term") === t, col("tscore")).otherwise(lit(0.0))).as(s"s_$t"))
+    scored.groupBy("doc_id")
+      .agg(per.head, per.tail: _*)
+      .withColumn("score",
+        terms.map(t => col(s"s_$t")).reduceLeft(_ + _))
+      .select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  /** RAG-style chunking: overlapping fixed-size token windows (16
+    * tokens, stride 8) with character-free token offsets — the
+    * standard retrieval-corpus preparation step. Pure narrow work:
+    * one projection + one generator per doc, no shuffle at all except
+    * the output sort; at 100 TB this is a map-only job. The start
+    * sequence is computed once per row (cheap) and the token array is
+    * carried through the Generate as a named column so slice() reads
+    * the same array reference per emitted chunk. */
+  def q88Chunk(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1L), size(col("w")).cast("long"), lit(8L))).as("start_tok"))
+      .select(col("doc_id"), col("start_tok"),
+        size(slice(col("w"), col("start_tok").cast("int"), lit(16))).cast("long").as("n_toks"),
+        concat_ws(" ", slice(col("w"), col("start_tok").cast("int"), lit(16))).as("chunk_text"))
+      .orderBy("doc_id", "start_tok")
+
   /** Benchmark decontamination: flag training documents that share at
     * least one 3-token n-gram with the held-out benchmark subset
     * (doc_id % 50 == 0 stands in for the eval corpus; real pipelines
@@ -658,9 +720,48 @@ object TextOps {
     "q75_seq_pack" -> (q75SeqPack _),
     "q76_quantile_threshold" -> (q76QuantileThreshold _),
     "q77_bigram_coherence" -> (q77BigramCoherence _),
-    "q78_topk_per_source" -> (q78TopkPerSource _))
+    "q78_topk_per_source" -> (q78TopkPerSource _),
+    "q87_bm25" -> (q87Bm25 _),
+    "q88_chunk" -> (q88Chunk _))
 
   val oracle: Map[String, String] = Map(
+    "q87_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |docs AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM docs)
+        |  WHERE t IN ('hash', 'join', 'merge')
+        |  GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM docs),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |    ((CAST(tf AS DOUBLE) * 2.2) /
+        |     (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS tscore
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+        |pivoted AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN term = 'hash' THEN tscore ELSE CAST(0.0 AS DOUBLE) END) AS s_hash,
+        |    SUM(CASE WHEN term = 'join' THEN tscore ELSE CAST(0.0 AS DOUBLE) END) AS s_join,
+        |    SUM(CASE WHEN term = 'merge' THEN tscore ELSE CAST(0.0 AS DOUBLE) END) AS s_merge
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, (s_hash + s_join) + s_merge AS score
+        |FROM pivoted ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q88_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, s AS start_tok,
+        |       CAST(len(w[CAST(s AS INT):CAST(s AS INT) + 15]) AS BIGINT) AS n_toks,
+        |       array_to_string(w[CAST(s AS INT):CAST(s AS INT) + 15], ' ') AS chunk_text
+        |FROM d, unnest(range(1, len(w) + 1, 8)) AS t(s)
+        |ORDER BY doc_id, start_tok""".stripMargin,
     "q77_bigram_coherence" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
