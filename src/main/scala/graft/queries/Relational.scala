@@ -160,22 +160,27 @@ object Relational {
     * a ts-band range join would be O(clicks × purchases) per band,
     * this is O(n log n) per user. Whole-second math so the DuckDB
     * oracle (ns timestamps) agrees exactly; ties broken by event_id. */
-  def q89AsofJoin(s: SparkSession, dir: String): DataFrame = {
+  def asofLastBefore(ev: DataFrame, matchType: String, pickType: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val isClick = col("event_type") === "click"
-    events(s, dir)
-      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts_s"),
-        col("event_type"))
-      .withColumn("click_id", last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("click_ts_s", last(when(isClick, col("ts_s")), ignoreNulls = true).over(w))
-      .where(col("event_type") === "purchase" && col("click_id").isNotNull)
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts_s").as("purchase_ts_s"), col("click_id"), col("click_ts_s"),
-        (col("ts_s") - col("click_ts_s")).as("gap_s"))
-      .orderBy("purchase_id")
+    val isMatch = col("event_type") === matchType
+    ev
+      .withColumn("match_id", last(when(isMatch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("match_ts_s", last(when(isMatch, col("ts_s")), ignoreNulls = true).over(w))
+      .where(col("event_type") === pickType && col("match_id").isNotNull)
   }
+
+  def q89AsofJoin(s: SparkSession, dir: String): DataFrame =
+    asofLastBefore(
+      events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("ts_s"), col("event_type")),
+      matchType = "click", pickType = "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_s").as("purchase_ts_s"), col("match_id").as("click_id"),
+        col("match_ts_s").as("click_ts_s"),
+        (col("ts_s") - col("match_ts_s")).as("gap_s"))
+      .orderBy("purchase_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),

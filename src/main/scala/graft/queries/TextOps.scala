@@ -103,9 +103,9 @@ object TextOps {
     * corpus stats (1 row: N, avgdl) BROADCAST; final top-k is
     * orderBy+limit → TakeOrderedAndProject (per-partition heap, then
     * global k on the driver) — no low-cardinality window funnel. */
-  def q87Bm25(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("hash", "join", "merge")
-    val docs = documents(s, dir)
+  def bm25(docs0: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val docs = docs0
       .select(col("doc_id"), toks(col("text")).as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"), col("w"))
     val tf = docs
@@ -118,9 +118,9 @@ object TextOps {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = (((col("n") - col("df")).cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5)))
-    val tfNorm = (col("tf").cast("double") * lit(2.2)) /
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") +
-        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
     val scored = tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("tscore", idf * tfNorm)
@@ -131,8 +131,11 @@ object TextOps {
       .withColumn("score",
         terms.map(t => col(s"s_$t")).reduceLeft(_ + _))
       .select("doc_id", "score")
-      .orderBy(col("score").desc, col("doc_id")).limit(20)
   }
+
+  def q87Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25(documents(s, dir), Seq("hash", "join", "merge"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
 
   /** RAG-style chunking: overlapping fixed-size token windows (16
     * tokens, stride 8) with character-free token offsets — the
@@ -142,14 +145,17 @@ object TextOps {
     * sequence is computed once per row (cheap) and the token array is
     * carried through the Generate as a named column so slice() reads
     * the same array reference per emitted chunk. */
-  def q88Chunk(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
+  def chunk(docs: DataFrame, sizeToks: Int, stride: Int): DataFrame =
+    docs
       .select(col("doc_id"), toks(col("text")).as("w"))
       .select(col("doc_id"), col("w"),
-        explode(sequence(lit(1L), size(col("w")).cast("long"), lit(8L))).as("start_tok"))
+        explode(sequence(lit(1L), size(col("w")).cast("long"), lit(stride.toLong))).as("start_tok"))
       .select(col("doc_id"), col("start_tok"),
-        size(slice(col("w"), col("start_tok").cast("int"), lit(16))).cast("long").as("n_toks"),
-        concat_ws(" ", slice(col("w"), col("start_tok").cast("int"), lit(16))).as("chunk_text"))
+        size(slice(col("w"), col("start_tok").cast("int"), lit(sizeToks))).cast("long").as("n_toks"),
+        concat_ws(" ", slice(col("w"), col("start_tok").cast("int"), lit(sizeToks))).as("chunk_text"))
+
+  def q88Chunk(s: SparkSession, dir: String): DataFrame =
+    chunk(documents(s, dir), sizeToks = 16, stride = 8)
       .orderBy("doc_id", "start_tok")
 
   /** Benchmark decontamination: flag training documents that share at

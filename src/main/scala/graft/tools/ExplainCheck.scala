@@ -154,6 +154,29 @@ object ExplainCheck {
     assert(!p78.contains("Window"), "q78: corpus flows through a window")
     println("q78 bounded per-source top-k OK")
 
+    val q87 = graft.queries.TextOps.q87Bm25(spark, sfDir)
+    val p87 = planOf(q87)
+    assert(p87.contains("BroadcastHashJoin"), "q87: df/corpus stats not broadcast")
+    assert(p87.contains("TakeOrderedAndProject"), "q87: top-k not TakeOrderedAndProject")
+    assert(!p87.contains("Window"), "q87: scored docs flow through a window")
+    println("q87 BM25 broadcast stats + bounded top-k OK")
+
+    val q88 = graft.queries.TextOps.q88Chunk(spark, sfDir)
+    val p88 = planOf(q88)
+    assert(!p88.contains("Exchange hashpartitioning"),
+      "q88: chunking must be map-only (no hash shuffle)")
+    assert(!"Filter .*split\\(".r.findFirstIn(p88).isDefined,
+      "q88: token pipeline re-inlined into a Filter (q67 pushdown pathology)")
+    println("q88 map-only chunking OK")
+
+    val q89 = graft.queries.Relational.q89AsofJoin(spark, sfDir)
+    val p89 = planOf(q89)
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(p89).isDefined,
+      "q89: as-of carry-forward must be a window keyed by user_id")
+    assert(!p89.contains("CartesianProduct") && !p89.contains("BroadcastNestedLoop") &&
+      !p89.contains("SortMergeJoin"), "q89: as-of must be one window pass, not a join")
+    println("q89 as-of single window pass OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

@@ -423,4 +423,51 @@ class SparkMarcSpec extends AnyFunSuite {
     // fr: first cum >= 1.5 of {2,4,6} is the 2nd value -> threshold 4
     assert(out.filter(_._2 == "fr").map(t => (t._1, t._4)).toSeq == Seq((12L, 4), (13L, 4)))
   }
+
+  test("chunk: stride==size tiles every token exactly once; overlap repeats interior") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val tiled = graft.queries.TextOps.chunk(docs, sizeToks = 2, stride = 2)
+      .orderBy("start_tok").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(tiled.toSeq == Seq((1L, 2L, "a b"), (3L, 2L, "c d"), (5L, 1L, "e")))
+    // every token appears exactly once across tiles
+    assert(tiled.flatMap(_._3.split(" ")).sorted.toSeq == Seq("a", "b", "c", "d", "e"))
+    val overlapped = graft.queries.TextOps.chunk(docs, sizeToks = 4, stride = 2)
+      .orderBy("start_tok").collect().map(_.getString(3))
+    assert(overlapped.toSeq == Seq("a b c d", "c d e", "e"))
+  }
+
+  test("bm25: rare-term hits outrank common-term hits; shorter doc outranks longer at equal tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare x x x"),            // rare term: df=1
+      (2L, "common x x x"),          // common term: df=3
+      (3L, "common y y y y y y y"),  // same tf of common, longer doc
+      (4L, "common z"),
+      (5L, "x y z w")                // no query terms -> absent
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextOps.bm25(docs, Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(5L))
+    assert(out(1L) > out(2L), "idf: df=1 term must outscore df=3 term at equal tf/dl")
+    assert(out(2L) > out(3L), "length norm: same tf in a longer doc must score lower")
+  }
+
+  test("asofLastBefore: strictly-before match, per-user isolation, no-match dropped") {
+    import spark.implicits._
+    // (event_id, user_id, ts_s, event_type)
+    val ev = Seq(
+      (1L, 1L, 10L, "click"),
+      (2L, 1L, 20L, "click"),
+      (3L, 1L, 20L, "purchase"), // same ts as click 2: event_id 2 < 3 -> matches click 2
+      (4L, 1L, 30L, "purchase"), // latest click before -> 2
+      (5L, 2L, 5L, "purchase"),  // user 2 has no prior click -> dropped
+      (6L, 2L, 6L, "click"),     // click AFTER the purchase must not match
+      (7L, 3L, 50L, "purchase")  // user 3: clicks exist only for other users -> dropped
+    ).toDF("event_id", "user_id", "ts_s", "event_type")
+    val out = graft.queries.Relational.asofLastBefore(ev, "click", "purchase")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map(3L -> ((2L, 20L)), 4L -> ((2L, 20L))))
+  }
 }
