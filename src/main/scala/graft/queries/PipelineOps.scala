@@ -58,6 +58,19 @@ object PipelineOps {
 
   private val streamSinkCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Run a finite gate stream with a bounded state-partition count.
+    * Streaming state partitioning is pinned at first start from
+    * spark.sql.shuffle.partitions and every micro-batch pays one state
+    * store commit PER PARTITION — for the finite gate inputs 8 is
+    * plenty (a long-lived production stream sizes this to its key
+    * cardinality, not to the batch-side default). The session default
+    * is restored right after the query drains. */
+  private def withStreamPartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Structured Streaming under the oracle: the watermarked tumbling-
     * window aggregation (`Streaming.eventWindowCounts`, the streaming
     * form of q11) executed as a REAL streaming query — parquet
@@ -79,11 +92,13 @@ object PipelineOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val out = graft.streaming.Streaming.eventWindowCounts(stream, "1 hour", "1 hour")
     val sink = s"q85_sink_${streamSinkCounter.incrementAndGet()}"
-    val query = out.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withStreamPartitions(s, 8) {
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     s.table(sink)
       .select(col("window_start").cast("long").as("window_start_s"),
         col("event_type"), col("n"), col("sum_value"))
@@ -108,11 +123,13 @@ object PipelineOps {
       .distinct()
     val out = graft.streaming.Streaming.decontaminateStream(docs, bench)
     val sink = s"q86_sink_${streamSinkCounter.incrementAndGet()}"
-    val query = out.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withStreamPartitions(s, 8) {
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     s.table(sink).select(col("doc_id")).orderBy("doc_id")
   }
 

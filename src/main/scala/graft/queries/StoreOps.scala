@@ -18,6 +18,13 @@ import Tables._
   */
 object StoreOps {
 
+  /** Bucket count for the gate-query scratch stores. The bucket count
+    * is a table-sizing knob (SCALING.md): it should track expected
+    * table size so each bucket holds tens-to-hundreds of MB. The gate
+    * lifecycles hold O(1k) records, so the default 64 would be pure
+    * per-file overhead; a 100 TB deployment sizes it in the thousands. */
+  val gateBuckets = 16
+
   private val ts1 = java.sql.Timestamp.from(java.time.Instant.parse("2020-01-01T00:00:00Z"))
   private val ts2 = java.sql.Timestamp.from(java.time.Instant.parse("2020-02-01T00:00:00Z"))
   private val ts3 = java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T00:00:00Z"))
@@ -61,7 +68,7 @@ object StoreOps {
     storeCache.getOrElseUpdate(dir, {
       import MarcSchema.marcRowEncoder
       val base = java.nio.file.Files.createTempDirectory("graft_q36").toString
-      val store = new MarcStore(s, base)
+      val store = new MarcStore(s, base, numBuckets = gateBuckets)
       store.commit(batch(s, dir, 97L, "").as[MarcRow], user = "alice", now = ts1)
       store.commit(batch(s, dir, 194L, "X-").as[MarcRow], user = "bob", now = ts2)
       val delIds = orders(s, dir).where(col("o_orderkey") % 388 === 0)
@@ -132,7 +139,7 @@ object StoreOps {
   def q55Restore(s: SparkSession, dir: String): DataFrame = {
     import MarcSchema.marcRowEncoder
     val base = java.nio.file.Files.createTempDirectory("graft_q55").toString
-    val store = new MarcStore(s, base)
+    val store = new MarcStore(s, base, numBuckets = gateBuckets)
     store.commit(batch(s, dir, 1940L, "").as[MarcRow], user = "alice", now = ts1)
     val ids = orders(s, dir).where(col("o_orderkey") % 1940 === 0)
       .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
@@ -163,11 +170,7 @@ object StoreOps {
     * re-commit that auth with a CHANGED heading value. The store must
     * cascade: refresh the linked value on every attached bib and
     * append a second history version for each. */
-  def q62Cascade(s: SparkSession, dir: String): DataFrame = {
-    import MarcSchema.marcRowEncoder
-    val base = java.nio.file.Files.createTempDirectory("graft_q62").toString
-    val store = new MarcStore(s, base)
-    def marcRow(rt: Column, id: Column, fields: Column): Column = struct(
+  private def marcRowCol(rt: Column, id: Column, fields: Column): Column = struct(
       rt.as("record_type"), id.as("_id"),
       lit(null).cast("timestamp").as("created"), lit(null).cast("timestamp").as("updated"),
       lit(null).cast("string").as("created_user"), lit(null).cast("string").as("user"),
@@ -176,15 +179,20 @@ object StoreOps {
       fields.as("datafields"),
       lit(null).cast("string").as("text"), lit(null).cast("array<string>").as("words"),
       lit(null).cast("map<string,array<string>>").as("logical"))
-    def authRow(id: Column, heading: Column) = marcRow(lit("auth"), id,
-      array(struct(lit("150").as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
-        array(struct(lit("a").as("code"), heading.as("value"),
-          lit(null).cast("long").as("xref"))).as("subfields"))))
-    val authDf = part(s, dir).where(col("p_partkey") % 500 === 0)
-      .select(authRow(col("p_partkey").cast("long"), col("p_name")).as("r")).select("r.*")
-    store.commit(authDf.as[MarcRow], user = "alice", now = ts1)
-    val bibDf = orders(s, dir).where(col("o_orderkey") % 97 === 0)
-      .select(marcRow(lit("bib"), col("o_orderkey"),
+
+  private def authRowCol(id: Column, heading: Column) = marcRowCol(lit("auth"), id,
+    array(struct(lit("150").as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
+      array(struct(lit("a").as("code"), heading.as("value"),
+        lit(null).cast("long").as("xref"))).as("subfields"))))
+
+  /** q62's commit batches, exposed for tools.ProfileStore. */
+  def profAuthBatch(s: SparkSession, dir: String): DataFrame =
+    part(s, dir).where(col("p_partkey") % 500 === 0)
+      .select(authRowCol(col("p_partkey").cast("long"), col("p_name")).as("r")).select("r.*")
+
+  def profBibBatch(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).where(col("o_orderkey") % 97 === 0)
+      .select(marcRowCol(lit("bib"), col("o_orderkey"),
         array(
           struct(lit("245").as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
             array(struct(lit("a").as("code"), col("o_orderpriority").as("value"),
@@ -192,11 +200,19 @@ object StoreOps {
           struct(lit("650").as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
             array(struct(lit("a").as("code"), lit(null).cast("string").as("value"),
               lit(500L).as("xref"))).as("subfields")))).as("r")).select("r.*")
-    store.commit(bibDf.as[MarcRow], user = "bob", now = ts2)
+
+  def profChangedAuth(s: SparkSession, dir: String): DataFrame =
+    part(s, dir).where(col("p_partkey") === 500)
+      .select(authRowCol(lit(500L), lit("CHANGED")).as("r")).select("r.*")
+
+  def q62Cascade(s: SparkSession, dir: String): DataFrame = {
+    import MarcSchema.marcRowEncoder
+    val base = java.nio.file.Files.createTempDirectory("graft_q62").toString
+    val store = new MarcStore(s, base, numBuckets = gateBuckets)
+    store.commit(profAuthBatch(s, dir).as[MarcRow], user = "alice", now = ts1)
+    store.commit(profBibBatch(s, dir).as[MarcRow], user = "bob", now = ts2)
     // heading change on auth 500 -> cascade to every attached bib
-    val changed = part(s, dir).where(col("p_partkey") === 500)
-      .select(authRow(lit(500L), lit("CHANGED")).as("r")).select("r.*")
-    store.commit(changed.as[MarcRow], user = "editor", now = ts3)
+    store.commit(profChangedAuth(s, dir).as[MarcRow], user = "editor", now = ts3)
     val counts = store.readHistory("bib").groupBy(col("_id").as("c_id"))
       .agg(count(lit(1)).as("n_versions"))
     val subject = try_element_at(flatten(transform(

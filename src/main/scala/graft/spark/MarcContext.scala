@@ -138,11 +138,16 @@ object MarcContext {
     * round-trip for untouched columns, and unlike [[resolveLinked]] it
     * never shuffles. The fastest path while the dimension fits
     * executor memory. */
-  def resolveLinkedMapUdf(records: DataFrame, auths: DataFrame): DataFrame = {
+  def resolveLinkedMapUdf(records: DataFrame, auths: DataFrame): DataFrame =
+    resolveLinkedMapUdf(records,
+      authHeadings(auths).select("xref", "code", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap)
+
+  /** [[resolveLinkedMapUdf]] with the heading dimension already
+    * collected — lets callers that had to probe the dimension's size
+    * anyway reuse that collect instead of scanning it twice. */
+  def resolveLinkedMapUdf(records: DataFrame, dim: Map[(Long, String), String]): DataFrame = {
     val spark = records.sparkSession
-    val dim: Map[(Long, String), String] = authHeadings(auths)
-      .select("xref", "code", "value").collect()
-      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
     val bc = spark.sparkContext.broadcast(dim)
     val lookup = udf((xref: java.lang.Long, code: String) =>
       if (xref == null) null else bc.value.getOrElse((xref.longValue, code), null))
@@ -168,10 +173,17 @@ object MarcContext {
   def resolveLinkedAuto(records: org.apache.spark.sql.Dataset[MarcRow], auths: DataFrame,
       maxBroadcastHeadings: Long = 1L << 20): org.apache.spark.sql.Dataset[MarcRow] = {
     import MarcSchema.marcRowEncoder
-    val dimSize = authHeadings(auths).count()
     val cols = records.columns
-    if (dimSize <= maxBroadcastHeadings)
-      resolveLinkedMapUdf(records.toDF(), auths).select(cols.map(col): _*).as[MarcRow]
+    // size probe and dimension fetch fused into ONE bounded collect:
+    // take max+1 rows — if the limit was not hit, the dimension is
+    // already in hand for the broadcast map (no second scan); if it
+    // was, fall back to the shuffle-free broadcast-hash-join path.
+    val probe = authHeadings(auths).select("xref", "code", "value")
+      .limit(math.min(maxBroadcastHeadings + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length <= maxBroadcastHeadings)
+      resolveLinkedMapUdf(records.toDF(),
+          probe.map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap)
+        .select(cols.map(col): _*).as[MarcRow]
     else
       resolveLinked(records.toDF(), auths).select(cols.map(col): _*).as[MarcRow]
   }

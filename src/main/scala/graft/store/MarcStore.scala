@@ -36,6 +36,17 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   private def tablePath(recordType: String) = s"$basePath/${recordType}s"
   private def historyPath(recordType: String) = s"$basePath/${recordType}_history"
 
+  /** opt-in phase timing (GRAFT_STORE_PROFILE=1) for tools.ProfileStore. */
+  private val profile = sys.env.contains("GRAFT_STORE_PROFILE")
+  private def timed[A](label: String)(f: => A): A =
+    if (!profile) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"  STORE $label%-22s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   private val canonicalCols = Seq("record_type", "_id", "created", "updated",
     "created_user", "user", "basket", "leader", "controlfields", "datafields",
     "text", "words", "logical")
@@ -50,27 +61,52 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     d.exists() && walk(d)
   }
 
+  /** One DataFrame per table GENERATION: `spark.read.parquet` lists the
+    * directory tree eagerly at plan-creation time (a Spark job once the
+    * dir count passes parallelPartitionDiscovery.threshold — the
+    * 64-bucket live table does), so re-reading the same unchanged table
+    * several times inside one commit (prev-audit join, survivor scan,
+    * cascade attach scan) would re-list it each time. A cached plan
+    * stays valid until the table's next write; the generation counter
+    * lives in the companion so every MarcStore instance in the JVM on
+    * the same path sees the invalidation (writes from OUTSIDE the JVM
+    * are out of scope — the store is the table's writer). */
+  private val dfCache = scala.collection.mutable.Map.empty[String, (Long, DataFrame)]
+
+  private def cachedPlan(path: String)(empty: => DataFrame): DataFrame = synchronized {
+    val gen = MarcStore.generation(path)
+    dfCache.get(path) match {
+      case Some((g, df)) if g == gen => df
+      case _ =>
+        val df = if (!hasParquet(path)) empty else spark.read.parquet(path)
+        dfCache(path) = (gen, df)
+        df
+    }
+  }
+
+  private def invalidate(path: String): Unit = synchronized {
+    MarcStore.bumpGeneration(path)
+    dfCache.remove(path)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** live table with the physical id_bucket column (partition pruning
     * happens on filters against it). */
-  private def readRaw(recordType: String): DataFrame = {
-    val path = tablePath(recordType)
-    if (!hasParquet(path))
+  private def readRaw(recordType: String): DataFrame =
+    cachedPlan(tablePath(recordType)) {
       spark.emptyDataset[MarcRow].toDF().withColumn("id_bucket", lit(0L)).limit(0)
-    else spark.read.parquet(path)
-  }
+    }
 
   def read(recordType: String): Dataset[MarcRow] =
     readRaw(recordType).select(canonicalCols.map(col): _*).as[MarcRow]
 
-  def readHistory(recordType: String): DataFrame = {
-    val path = historyPath(recordType)
-    if (!hasParquet(path))
+  def readHistory(recordType: String): DataFrame =
+    cachedPlan(historyPath(recordType)) {
       spark.emptyDataset[MarcRow].toDF()
         .withColumn("version_no", lit(0L))
         .withColumn("action", lit(""))
         .limit(0)
-    else spark.read.parquet(path)
-  }
+    }
 
   /** max _id over live ∪ history (reference Marc.max_id,
     * dlx/marc/__init__.py:474-483). */
@@ -124,7 +160,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     // no controlled tags for this record type (the auth config here)
     // -> nothing can reference a heading, so skip the auth-store scan
     // entirely; only the stray-xref rule can fire
-    val bad = if (controlledKeys.isEmpty) uncontrolledWithXref.limit(1).collect()
+    val violations = if (controlledKeys.isEmpty) uncontrolledWithXref
     else {
       val missingXref = controlled.where(col("xref").isNull)
       val headings = MarcContext.authHeadings(read("auth").toDF())
@@ -132,14 +168,16 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       val badXref = controlled.where(col("xref").isNotNull)
         .join(headings, controlled("xref") === headings("h_xref") &&
           controlled("code") === headings("h_code"), "left_anti")
-      // one action for all three violation classes
-      uncontrolledWithXref.limit(1)
-        .unionByName(missingXref.limit(1))
-        .unionByName(badXref.limit(1))
-        .collect()
+      uncontrolledWithXref.unionByName(missingXref).unionByName(badXref)
     }
-    if (bad.nonEmpty) {
-      val r = bad.head
+    // ONE deterministic job for the (overwhelmingly common) all-valid
+    // case: a full count scans exactly what an early-exit limit(1)
+    // would have scanned when it finds nothing, without the limit's
+    // incremental partition waves (each wave = a job launch). The
+    // sample fetch for the error message only runs on the rare
+    // violation path.
+    if (violations.count() > 0L) {
+      val r = violations.limit(1).collect().head
       throw new IllegalArgumentException(
         s"Auth validation failed for $rt ${r.getAs[Long]("_id")} " +
           s"${r.getAs[String]("tag")}$$${r.getAs[String]("code")} xref=${r.getAs[Any]("xref")}")
@@ -155,13 +193,13 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       authCheck: Boolean = true, updateAttached: Boolean = true): Unit = {
     // ONE job answers "empty?", "which record type?" and "how many
     // rows need ids?" (each was its own action before)
-    val stats = recs.toDF().agg(count(lit(1)).as("n"),
+    val stats = timed("stats_agg") { recs.toDF().agg(count(lit(1)).as("n"),
       first(col("record_type")).as("rt"),
-      count(when(col("_id") === -1L, lit(1))).as("need_ids")).head()
+      count(when(col("_id") === -1L, lit(1))).as("need_ids")).head() }
     if (stats.getAs[Long]("n") == 0L) return
     val rt = stats.getAs[String]("rt")
-    if (authCheck) authValidate(recs, rt)
-    val incomingRaw = assignIds(recs, rt, stats.getAs[Long]("need_ids"))
+    if (authCheck) timed("auth_validate") { authValidate(recs, rt) }
+    val incomingRaw = timed("assign_ids") { assignIds(recs, rt, stats.getAs[Long]("need_ids")) }
     commitPrepared(incomingRaw, user, now, rt, updateAttached)
   }
 
@@ -201,13 +239,13 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
             col("_id") === col("i_id"), "left_semi"))
           .withColumn("which", lit("old"))
         val neu = MarcContext.authHeadings(incoming.toDF()).withColumn("which", lit("new"))
-        old.unionByName(neu).select("which", "xref", "tag", "code", "value").collect()
+        timed("headings_collect") { old.unionByName(neu).select("which", "xref", "tag", "code", "value").collect() }
           .groupBy(_.getString(0))
           .map { case (w, rows) => w -> groupHeadings(rows) }
       } else Map.empty[String, Map[Long, (String, Seq[(String, String)])]]
 
-    writeLiveBuckets(incoming.toDF(), rt)
-    appendHistory(incoming.toDF(), rt, "commit", now)
+    timed("write_live") { writeLiveBuckets(incoming.toDF(), rt) }
+    timed("append_history") { appendHistory(incoming.toDF(), rt, "commit", now) }
 
     if (rt == "auth" && updateAttached)
       cascadeToAttached(
@@ -225,7 +263,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   private def writeLiveBuckets(incoming: DataFrame, recordType: String): Unit = {
     val path = tablePath(recordType)
     val withBucket = incoming.withColumn("id_bucket", pmod(col("_id"), lit(numBuckets.toLong)))
-    val touched = withBucket.select("id_bucket").distinct().as[Long].collect()
+    val touched = timed("touched_collect") { withBucket.select("id_bucket").distinct().as[Long].collect() }
     val survivors = readRaw(recordType)
       .where(col("id_bucket").isin(touched: _*)) // partition-pruned scan
       .join(incoming.select(col("_id").as("i_id")), col("_id") === col("i_id"), "left_anti")
@@ -241,8 +279,8 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     // cluster rows by bucket before the write: ONE file per touched
     // bucket instead of one per shuffle task — without this, file
     // count grows ~taskCount per commit and reads degrade
-    replacement.repartition(math.max(touched.size, 1), col("id_bucket"))
-      .write.partitionBy("id_bucket").mode(SaveMode.Overwrite).parquet(staging)
+    timed("staging_write") { replacement.repartition(math.max(touched.size, 1), col("id_bucket"))
+      .write.partitionBy("id_bucket").mode(SaveMode.Overwrite).parquet(staging) }
     new java.io.File(path).mkdirs()
     for (b <- touched) {
       val dst = new java.io.File(s"$path/id_bucket=$b")
@@ -251,7 +289,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       if (src.exists()) require(src.renameTo(dst), s"bucket swap failed: $src -> $dst")
     }
     rmDir(new java.io.File(staging))
-    spark.catalog.refreshByPath(path)
+    invalidate(path)
   }
 
   private def rmDir(f: java.io.File): Unit = {
@@ -395,6 +433,22 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     // cap files per append (small-file hygiene; raise for huge batches)
     versioned.coalesce(historyPartitions)
       .write.mode(SaveMode.Append).parquet(historyPath(recordType))
-    spark.catalog.refreshByPath(historyPath(recordType))
+    invalidate(historyPath(recordType))
   }
+}
+
+object MarcStore {
+  /** JVM-wide table write generations: lets every MarcStore instance
+    * (tests and CLIs routinely open a second store on the same path)
+    * observe any instance's writes and drop its cached read plan. */
+  private val generations = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def generation(path: String): Long = {
+    val g = generations.get(path)
+    if (g == null) 0L else g.longValue
+  }
+
+  private def bumpGeneration(path: String): Unit =
+    generations.merge(path, java.lang.Long.valueOf(1L),
+      (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
 }
