@@ -703,7 +703,137 @@ object TextOps {
       .orderBy("user_id")
   }
 
+  /** Distinct 3-token shingles of the documents table, one exploded
+    * row per (doc_id, gram) — the shared front end of the
+    * decontamination operators. explode_outer for the same
+    * pushdown-defeating reason as q19/q67. */
+  private def gramRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode_outer(shingleArray(col("toks"), 3)).as("g"))
+
+  /** Bloom-prefiltered benchmark decontamination — the form of q67's
+    * probe that survives a LARGE eval suite. Broadcasting the exact
+    * benchmark n-gram set stops working when that set itself is GBs;
+    * a Bloom filter costs ~10 bits per gram at 1% fpp, so the
+    * prefilter rides a small broadcast and drops ~99% of the training
+    * side's grams in a narrow map (no shuffle). False positives then
+    * die in an exact confirm join whose probe side is only the
+    * prefilter survivors — the emitted answer EQUALS the exact-join
+    * answer (which is what the oracle replays); the bloom pass only
+    * bounds the volume that reaches the shuffle. At gate scale the
+    * confirm side still broadcasts; at 100 TB it becomes a keyed
+    * equi-join on the (already tiny) survivor set. */
+  def bloomDecon(docs: DataFrame, isBench: Column,
+      expectedGrams: Long = 1L << 18, fpp: Double = 0.01): DataFrame = {
+    val grams = gramRows(docs)
+    val bench = grams.where(isBench).select("g").distinct()
+    val bloom = bench.stat.bloomFilter("g", expectedGrams, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((g: String) => g != null && bc.value.mightContainString(g))
+    grams.where(!isBench)
+      .where(might(col("g"))) // prefilter: narrow, no shuffle
+      .join(broadcast(bench), "g") // exact confirm: kills false positives
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits")) // grams are distinct per doc
+      .orderBy("doc_id")
+  }
+
+  def q90BloomDecon(s: SparkSession, dir: String): DataFrame =
+    bloomDecon(documents(s, dir), col("doc_id") % 40 === 0)
+
+  /** Tokenizer-training vocabulary: token frequencies, rank, and
+    * cumulative corpus coverage of the top-K tokens — the corpus-stats
+    * pass that precedes BPE/unigram tokenizer training. The count is
+    * a map-side-combinable hash aggregation on the token key; top-K
+    * arrives via TakeOrderedAndProject (per-partition heads, never a
+    * full sort); the rank/cumulative window runs on K rows only, so
+    * its single-partition window is bounded by the knob, not the
+    * corpus; the grand total rides a one-row broadcast. */
+  def vocabBuild(docs: DataFrame, topK: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode_outer(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total_tokens"))
+    val byFreq = Window.orderBy(col("n").desc, col("token"))
+    counts.orderBy(col("n").desc, col("token")).limit(topK)
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("n"), col("cum_n"),
+        (col("cum_n").cast("double") / col("total_tokens").cast("double")).as("cum_share"))
+      .orderBy("rank")
+  }
+
+  def q91VocabBuild(s: SparkSession, dir: String): DataFrame =
+    vocabBuild(documents(s, dir))
+
+  /** Deterministic weight-proportional sampling: keep each document
+    * with probability min(weight, cap)/cap, decided by a salted md5 of
+    * its id — reproducible across runs/engines (the sampling analog of
+    * the q70 split). All-integer comparison, zero shuffle: the sampler
+    * is a pure narrow filter, so it composes under any downstream
+    * operator without a repartition. Weight here is n_chars (longer
+    * docs kept more often — inverse of length-bias correction;
+    * any scored column slots in). */
+  def weightedSample(docs: DataFrame, weight: Column, cap: Long, salt: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit(salt + "|"),
+      col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long") % 1000L
+    docs.where(u * cap < least(weight, lit(cap)) * 1000L)
+  }
+
+  def q92WeightedSample(s: SparkSession, dir: String): DataFrame =
+    weightedSample(documents(s, dir), col("n_chars"), cap = 2000L, salt = "ws")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** Incremental corpus dedup — the continuous-ingestion shape of
+    * q16+q19: flag each NEW document (the incoming batch) against the
+    * EXISTING corpus, without ever joining new×new. Exact duplicates
+    * via a semi-join on the content hash; near-duplicates by counting
+    * the batch doc's MinHash band keys (4 hashes, 2 bands of 2) that
+    * collide with any corpus band key. At 100 TB the corpus band/hash
+    * index is materialized once and bucketed by key, so a daily batch
+    * pays joins proportional to the BATCH, plus an O(batch) index
+    * append — never a corpus rescan. */
+  def incrementalDedup(docs: DataFrame, isNew: Column): DataFrame = {
+    val nHashes = 4
+    val mhCols = (0 until nHashes).map(h =>
+      min(md5(concat(lit(s"$h|"), col("shingle")))).as(s"mh$h"))
+    val sigs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode_outer(shingleArray(col("toks"), 3)).as("shingle"))
+      .groupBy("doc_id")
+      .agg(mhCols.head, mhCols.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until nHashes / 2).map(b =>
+        struct(lit(b).as("band"),
+          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val corpusBands = bands.where(!isNew).select("band", "band_key").distinct()
+    val bandHits = bands.where(isNew)
+      .join(corpusBands, Seq("band", "band_key"))
+      .groupBy(col("doc_id").as("h_id"))
+      .agg(count(lit(1)).as("hits"))
+    val corpusKeys = docs.where(!isNew).select(md5(col("text")).as("k")).distinct()
+    docs.where(isNew)
+      .select(col("doc_id"), md5(col("text")).as("k"))
+      .join(corpusKeys.withColumn("exact", lit(true)), Seq("k"), "left")
+      .join(bandHits, col("doc_id") === col("h_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact"), lit(false)).as("is_exact_dup"),
+        coalesce(col("hits"), lit(0L)).as("n_band_hits"))
+      .orderBy("doc_id")
+  }
+
+  def q93IncrementalDedup(s: SparkSession, dir: String): DataFrame =
+    incrementalDedup(documents(s, dir), col("doc_id") % 3 === 0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_bloom_decon" -> (q90BloomDecon _),
+    "q91_vocab_build" -> (q91VocabBuild _),
+    "q92_weighted_sample" -> (q92WeightedSample _),
+    "q93_incremental_dedup" -> (q93IncrementalDedup _),
     "q13_doc_stats" -> (q13DocStats _),
     "q14_token_count" -> (q14TokenCount _),
     "q15_quality_score" -> (q15QualityScore _),
@@ -731,6 +861,69 @@ object TextOps {
     "q88_chunk" -> (q88Chunk _))
 
   val oracle: Map[String, String] = Map(
+    "q90_bloom_decon" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    range(1, GREATEST(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(w[i:i+2], ' ')))) AS g
+        |  FROM t),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 40 = 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM sh JOIN bench USING (g)
+        |WHERE doc_id % 40 <> 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q91_vocab_build" ->
+      """WITH toks AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+        |total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM counts),
+        |top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 500),
+        |ranked AS (
+        |  SELECT token, n,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+        |    CAST(SUM(n) OVER (ORDER BY n DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |  FROM top)
+        |SELECT rank, token, n, cum_n,
+        |  CAST(cum_n AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS cum_share
+        |FROM ranked CROSS JOIN total ORDER BY rank""".stripMargin,
+    "q92_weighted_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE (CAST(CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 6)) AS UBIGINT) AS BIGINT) % 1000) * 2000
+        |      < LEAST(n_chars, 2000) * 1000
+        |ORDER BY doc_id""".stripMargin,
+    "q93_incremental_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    range(1, GREATEST(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM t),
+        |sig AS (
+        |  SELECT doc_id, h.range AS h,
+        |         MIN(md5(CAST(h.range AS VARCHAR) || '|' || shingle)) AS mh
+        |  FROM sh CROSS JOIN range(0, 4) h GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+        |         string_agg(mh, '' ORDER BY h) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |corpus_bands AS (
+        |  SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 3 <> 0),
+        |new_hits AS (
+        |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_band_hits
+        |  FROM bands b JOIN corpus_bands c USING (band, band_key)
+        |  WHERE b.doc_id % 3 = 0 GROUP BY 1),
+        |corpus_keys AS (
+        |  SELECT DISTINCT md5(text) AS k FROM t WHERE doc_id % 3 <> 0)
+        |SELECT t.doc_id,
+        |       (md5(t.text) IN (SELECT k FROM corpus_keys)) AS is_exact_dup,
+        |       COALESCE(n.n_band_hits, CAST(0 AS BIGINT)) AS n_band_hits
+        |FROM t LEFT JOIN new_hits n ON t.doc_id = n.doc_id
+        |WHERE t.doc_id % 3 = 0
+        |ORDER BY t.doc_id""".stripMargin,
     "q87_bm25" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -177,6 +177,36 @@ object ExplainCheck {
       !p89.contains("SortMergeJoin"), "q89: as-of must be one window pass, not a join")
     println("q89 as-of single window pass OK")
 
+    val q90 = graft.queries.TextOps.q90BloomDecon(spark, sfDir)
+    val p90 = planOf(q90)
+    assert(p90.contains("BroadcastHashJoin"), "q90: exact confirm join not broadcast")
+    // the bloom prefilter must run BEFORE the confirm join as a plain
+    // Filter over the gram stream — i.e. the UDF appears in a Filter
+    assert("Filter .*UDF".r.findFirstIn(p90).isDefined,
+      "q90: bloom prefilter not applied as a narrow pre-join filter")
+    println("q90 bloom prefilter + exact confirm OK")
+
+    val q91 = graft.queries.TextOps.q91VocabBuild(spark, sfDir)
+    val p91 = planOf(q91)
+    assert(p91.contains("TakeOrderedAndProject"), "q91: top-K vocab not TakeOrderedAndProject")
+    assert(p91.contains("partial_count") || p91.contains("HashAggregate"),
+      "q91: token counting not a partial hash aggregate")
+    println("q91 vocab top-K + partial agg OK")
+
+    val q92 = graft.queries.TextOps.q92WeightedSample(spark, sfDir)
+    val p92 = planOf(q92)
+    assert(!p92.contains("Exchange hashpartitioning"),
+      "q92: weighted sampling must be a map-only filter (no shuffle)")
+    println("q92 map-only weighted sample OK")
+
+    val q93 = graft.queries.TextOps.q93IncrementalDedup(spark, sfDir)
+    val p93 = planOf(q93)
+    assert(!p93.contains("CartesianProduct") && !p93.contains("BroadcastNestedLoop"),
+      "q93: batch-vs-corpus probes must stay keyed equi-joins")
+    assert(!"Filter .*split\\(".r.findFirstIn(p93).isDefined,
+      "q93: shingle pipeline re-inlined into a Filter (q67 pushdown pathology)")
+    println("q93 incremental dedup keyed probes OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

@@ -470,4 +470,66 @@ class SparkMarcSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
     assert(out == Map(3L -> ((2L, 20L)), 4L -> ((2L, 20L))))
   }
+
+  test("bloomDecon: equals the exact n-gram intersection; bench docs never emitted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (10L, "alpha beta gamma delta"),   // bench (id % 10 == 0)
+      (1L, "alpha beta gamma epsilon"),  // shares "alpha beta gamma" -> 1 hit
+      (2L, "beta gamma delta zeta"),     // shares "beta gamma delta" -> 1 hit
+      (3L, "zeta eta theta iota"),       // no shared gram -> absent
+      (20L, "zeta eta theta iota")       // bench: never emitted even if dirty
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextOps.bloomDecon(docs, col("doc_id") % 10 === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // doc 3 hits twice: doc 20 ("zeta eta theta iota") is ALSO bench,
+    // and both of doc 3's 3-grams appear there; bench ids never emit
+    assert(!out.contains(10L) && !out.contains(20L))
+  }
+
+  test("vocabBuild: frequency-desc rank, token tiebreak, cumulative coverage sums to 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a a c b a"), (2L, "c b")).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=2, total=8; tie a<b at n=3
+    val out = graft.queries.TextOps.vocabBuild(docs, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, "a", 3L, 3L, 3.0 / 8), (2L, "b", 3L, 6L, 6.0 / 8)))
+    val full = graft.queries.TextOps.vocabBuild(docs, topK = 10).collect()
+    assert(full.last.getDouble(4) == 1.0, "full vocab must cover the whole corpus")
+  }
+
+  test("weightedSample: zero weight never kept, cap weight always kept, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) 0L else 1000L)).toDF("doc_id", "w")
+    val kept = graft.queries.TextOps.weightedSample(docs, col("w"), cap = 1000L, salt = "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.forall(_ % 2 == 1), "weight 0 must never be sampled")
+    assert(kept == (1L to 200L by 2).toSet, "weight == cap must always be sampled")
+    val again = graft.queries.TextOps.weightedSample(docs, col("w"), cap = 1000L, salt = "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept, "same salt must reproduce the same sample")
+  }
+
+  test("incrementalDedup: exact dup flagged, near-dup counts bands, new x new ignored") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpusText = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, corpusText),                    // corpus
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8"),     // corpus
+      (3L, corpusText),                    // new: exact dup of 1 -> both bands hit too
+      (6L, "y1 y2 y3 y4 y5 y6 y7 y8"),     // new: nothing shared -> 0 hits
+      (9L, "y1 y2 y3 y4 y5 y6 y7 y8")      // new: same as 6 but new x new must NOT count
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextOps.incrementalDedup(docs, col("doc_id") % 3 === 0)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(3L, 6L, 9L), "only the new batch is emitted")
+    assert(out(3L) == ((true, 2L)), "identical text: exact dup + both bands collide")
+    assert(out(6L) == ((false, 0L)) && out(9L) == ((false, 0L)),
+      "new x new duplicates must not hit the corpus index")
+  }
 }
