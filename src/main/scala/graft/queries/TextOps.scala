@@ -829,11 +829,36 @@ object TextOps {
   def q93IncrementalDedup(s: SparkSession, dir: String): DataFrame =
     incrementalDedup(documents(s, dir), col("doc_id") % 3 === 0)
 
+  /** Deterministic fixed-k uniform sample per group — the reservoir
+    * counterpart of q92's Bernoulli sampler (exact quota per stratum
+    * instead of a probability). Rank rows by a salted md5 of the id
+    * (48 bits — exact in a double, so the TopK score ordering equals
+    * integer ordering) and keep each group's k highest via the bounded
+    * [[graft.spark.TopK]] aggregate: map-side partials carry ≤k rows
+    * per group per task, so the shuffle is O(tasks × groups × k) — the
+    * corpus never funnels through #groups reducers, and no window. */
+  def reservoirPerGroup(docs: DataFrame, groupCol: String, k: Int, salt: String): DataFrame = {
+    val r = conv(substring(md5(concat(lit(salt + "|"),
+      col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long")
+    val topk = udaf(new graft.spark.TopK(k))
+    docs.withColumn("r", r)
+      .groupBy(groupCol)
+      .agg(topk(col("r").cast("double"), col("doc_id"), lit("")).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "c")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rank"),
+        col("c.id").as("doc_id"))
+      .orderBy(groupCol, "rank")
+  }
+
+  def q94ReservoirSample(s: SparkSession, dir: String): DataFrame =
+    reservoirPerGroup(documents(s, dir), "lang", k = 5, salt = "rv")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_bloom_decon" -> (q90BloomDecon _),
     "q91_vocab_build" -> (q91VocabBuild _),
     "q92_weighted_sample" -> (q92WeightedSample _),
     "q93_incremental_dedup" -> (q93IncrementalDedup _),
+    "q94_reservoir_sample" -> (q94ReservoirSample _),
     "q13_doc_stats" -> (q13DocStats _),
     "q14_token_count" -> (q14TokenCount _),
     "q15_quality_score" -> (q15QualityScore _),
@@ -889,6 +914,17 @@ object TextOps {
         |SELECT rank, token, n, cum_n,
         |  CAST(cum_n AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS cum_share
         |FROM ranked CROSS JOIN total ORDER BY rank""".stripMargin,
+    "q94_reservoir_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(CAST(('0x' || substr(md5('rv|' || CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT) AS BIGINT) AS h
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) AS BIGINT) AS rank
+        |  FROM r)
+        |SELECT lang, rank, doc_id FROM ranked WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
     "q92_weighted_sample" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE (CAST(CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 6)) AS UBIGINT) AS BIGINT) % 1000) * 2000

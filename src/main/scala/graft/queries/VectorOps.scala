@@ -179,13 +179,43 @@ object VectorOps {
       .orderBy("query_id")
   }
 
+  /** K-means centroid UPDATE (the other half of a Lloyd iteration —
+    * q71 is the assignment step): dimension means of each cluster's
+    * members. Distributed double sums are accumulation-order
+    * dependent, which is why q71 left the update un-oracled; this
+    * operator makes the update itself deterministic by summing
+    * FIXED-POINT values — floor(x·10⁴) as long — so the shuffle-order-
+    * independent integer sum divides to the same double everywhere
+    * (quantized accumulation, standard practice for reproducible
+    * large-scale training). One posexplode + one hash agg on
+    * (centroid, dim): 8×64 result rows, no window, corpus streamed
+    * once past the assignment join. */
+  def kmeansUpdate(corpus: DataFrame, assign: DataFrame): DataFrame =
+    corpus.join(assign, Seq("vec_id"))
+      .select(col("centroid_id"),
+        posexplode(transform(col("v"), x => floor(x * 10000d).cast("long")))
+          .as(Seq("dim", "qx")))
+      .groupBy("centroid_id", "dim")
+      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
+      .select(col("centroid_id"), col("dim").cast("long").as("dim"),
+        (col("sq").cast("double") / col("n").cast("double") / lit(10000d)).as("mean"),
+        col("n"))
+      .orderBy("centroid_id", "dim")
+
+  def q95KmeansUpdate(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+    val assign = q71KmeansAssign(s, dir).select("vec_id", "centroid_id")
+    kmeansUpdate(corpus, assign)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_ann_brute" -> (q21AnnBrute _),
     "q22_ann_lsh" -> (q22AnnLsh _),
     "q23_knn_classify" -> (q23KnnClassify _),
     "q44_embed_neardup" -> (q44EmbedNearDup _),
     "q45_ann_ivf" -> (q45AnnIvf _),
-    "q71_kmeans_assign" -> (q71KmeansAssign _))
+    "q71_kmeans_assign" -> (q71KmeansAssign _),
+    "q95_kmeans_update" -> (q95KmeansUpdate _))
 
   private val cosSql =
     """ROUND(list_sum(list_transform(q.qv, (x,i) -> x * c.v[i])) /
@@ -214,6 +244,29 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q95_kmeans_update" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS centroid_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT c.vec_id, q.centroid_id, $cosSql AS cos_sim
+        |  FROM e c CROSS JOIN q),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id) AS rn
+        |  FROM scored),
+        |assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+        |qx AS (
+        |  SELECT a.centroid_id,
+        |    UNNEST(list_transform(e.v, (x, i) ->
+        |      {'dim': CAST(i - 1 AS BIGINT),
+        |       'qx': CAST(FLOOR(x * 10000) AS BIGINT)})) AS s
+        |  FROM e JOIN assign a USING (vec_id))
+        |SELECT centroid_id, s.dim AS dim,
+        |       CAST(SUM(s.qx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10000.0 AS mean,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM qx GROUP BY centroid_id, s.dim
+        |ORDER BY centroid_id, dim""".stripMargin,
     "q71_kmeans_assign" ->
       s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -207,6 +207,20 @@ object ExplainCheck {
       "q93: shingle pipeline re-inlined into a Filter (q67 pushdown pathology)")
     println("q93 incremental dedup keyed probes OK")
 
+    val q94 = graft.queries.TextOps.q94ReservoirSample(spark, sfDir)
+    val p94 = planOf(q94)
+    assert(p94.contains("ObjectHashAggregate"), "q94: per-group reservoir not a bounded aggregate")
+    assert(!p94.contains("Window"), "q94: corpus flows through a window")
+    println("q94 bounded per-group reservoir OK")
+
+    val q95 = graft.queries.VectorOps.q95KmeansUpdate(spark, sfDir)
+    val p95 = planOf(q95)
+    assert(p95.contains("partial_sum") || p95.contains("HashAggregate"),
+      "q95: centroid update not a partial hash aggregate")
+    assert(!p95.contains("CartesianProduct"),
+      "q95: assignment join must stay keyed (centroid broadcast is the only nested loop)")
+    println("q95 quantized centroid-update partial agg OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

@@ -514,6 +514,36 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(again == kept, "same salt must reproduce the same sample")
   }
 
+  test("reservoirPerGroup: exact quota per group, deterministic, small group kept whole") {
+    import spark.implicits._
+    val docs = ((1L to 50L).map(i => (i, "en")) ++ Seq((100L, "fr"), (101L, "fr")))
+      .toDF("doc_id", "lang")
+    val out = graft.queries.TextOps.reservoirPerGroup(docs, "lang", k = 5, salt = "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.count(_._1 == "en") == 5, "full group sampled down to exactly k")
+    assert(out.filter(_._1 == "fr").map(_._3).toSet == Set(100L, 101L),
+      "group smaller than k kept whole")
+    assert(out.filter(_._1 == "en").map(_._2).toSeq == (1L to 5L), "ranks are dense 1..k")
+    val again = graft.queries.TextOps.reservoirPerGroup(docs, "lang", k = 5, salt = "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq, "same salt reproduces the same sample")
+  }
+
+  test("kmeansUpdate: quantized dimension means per cluster, exact member counts") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.00005, 2.0)), // floor(10000.5)=10000 -> contributes 1.0
+      (2L, Seq(3.0, 4.0)),
+      (3L, Seq(10.0, 20.0))
+    ).toDF("vec_id", "v")
+    val assign = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("vec_id", "centroid_id")
+    val out = graft.queries.VectorOps.kmeansUpdate(corpus, assign)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3)))).toMap
+    assert(out((0L, 0L)) == ((2.0, 2L)), "mean of floor-quantized 1.00005 and 3.0 is exactly 2.0")
+    assert(out((0L, 1L)) == ((3.0, 2L)))
+    assert(out((1L, 0L)) == ((10.0, 1L)) && out((1L, 1L)) == ((20.0, 1L)))
+  }
+
   test("incrementalDedup: exact dup flagged, near-dup counts bands, new x new ignored") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
