@@ -101,10 +101,25 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
     d.exists() && walk(d)
   }
 
-  private def readRaw(): DataFrame =
-    if (!hasParquet(tablePath))
-      spark.emptyDataset[FileRecord].toDF().withColumn("id_bucket", lit(0L)).limit(0)
-    else spark.read.parquet(tablePath)
+  /** One read plan per table generation (same rationale as MarcStore:
+    * `spark.read.parquet` re-lists the bucketed dir tree on every
+    * call); invalidated by any same-JVM store's write via the shared
+    * [[graft.store.TableGenerations]]. */
+  private var cached: Option[(Long, DataFrame)] = None
+
+  private def readRaw(): DataFrame = synchronized {
+    val gen = graft.store.TableGenerations.generation(tablePath)
+    cached match {
+      case Some((g, df)) if g == gen => df
+      case _ =>
+        val df =
+          if (!hasParquet(tablePath))
+            spark.emptyDataset[FileRecord].toDF().withColumn("id_bucket", lit(0L)).limit(0)
+          else spark.read.parquet(tablePath)
+        cached = Some((gen, df))
+        df
+    }
+  }
 
   def read(): DataFrame = readRaw().select(canonicalCols.map(col): _*)
 
@@ -132,6 +147,7 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
       if (src.exists()) require(src.renameTo(dst), s"bucket swap failed: $src -> $dst")
     }
     rmDir(new java.io.File(staging))
+    graft.store.TableGenerations.bump(tablePath)
     spark.catalog.refreshByPath(tablePath)
   }
 

@@ -235,7 +235,8 @@ object StoreOps {
     fileStoreCache.getOrElseUpdate(dir, {
       import graft.files.{FileStore, HadoopBlobStore}
       val base = java.nio.file.Files.createTempDirectory("graft_q40").toString
-      val store = new FileStore(s, base, new HadoopBlobStore(s"file://$base/blobs"))
+      val store = new FileStore(s, base, new HadoopBlobStore(s"file://$base/blobs"),
+        numBuckets = gateBuckets)
       val files = orders(s, dir).where(col("o_orderkey") % 485 === 0)
         .select(
           concat(lit("file-"), col("o_orderkey"), lit("-"), col("o_orderpriority"))

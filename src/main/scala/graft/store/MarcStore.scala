@@ -438,17 +438,23 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
 }
 
 object MarcStore {
-  /** JVM-wide table write generations: lets every MarcStore instance
-    * (tests and CLIs routinely open a second store on the same path)
-    * observe any instance's writes and drop its cached read plan. */
+  private def generation(path: String): Long = TableGenerations.generation(path)
+  private def bumpGeneration(path: String): Unit = TableGenerations.bump(path)
+}
+
+/** JVM-wide table write generations: lets every store instance (tests
+  * and CLIs routinely open a second store on the same path) observe
+  * any instance's writes and drop its cached read plan. Shared by
+  * MarcStore and FileStore. */
+object TableGenerations {
   private val generations = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  private def generation(path: String): Long = {
+  def generation(path: String): Long = {
     val g = generations.get(path)
     if (g == null) 0L else g.longValue
   }
 
-  private def bumpGeneration(path: String): Unit =
+  def bump(path: String): Unit =
     generations.merge(path, java.lang.Long.valueOf(1L),
       (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
 }
