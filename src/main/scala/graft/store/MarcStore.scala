@@ -191,16 +191,24 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   def commit(recs: Dataset[MarcRow], user: String,
       now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()),
       authCheck: Boolean = true, updateAttached: Boolean = true): Unit = {
-    // ONE job answers "empty?", "which record type?" and "how many
-    // rows need ids?" (each was its own action before)
+    // ONE job answers "empty?", "which record type?", "how many rows
+    // need ids?" AND "which buckets does the batch touch?" (each was
+    // its own action before). The touched set is only authoritative
+    // when no row needs an id — fresh ids land in buckets this
+    // aggregate cannot see, so that path falls back to a post-
+    // assignment collect.
     val stats = timed("stats_agg") { recs.toDF().agg(count(lit(1)).as("n"),
       first(col("record_type")).as("rt"),
-      count(when(col("_id") === -1L, lit(1))).as("need_ids")).head() }
+      count(when(col("_id") === -1L, lit(1))).as("need_ids"),
+      collect_set(pmod(col("_id"), lit(numBuckets.toLong))).as("buckets")).head() }
     if (stats.getAs[Long]("n") == 0L) return
     val rt = stats.getAs[String]("rt")
     if (authCheck) timed("auth_validate") { authValidate(recs, rt) }
-    val incomingRaw = timed("assign_ids") { assignIds(recs, rt, stats.getAs[Long]("need_ids")) }
-    commitPrepared(incomingRaw, user, now, rt, updateAttached)
+    val needIds = stats.getAs[Long]("need_ids")
+    val incomingRaw = timed("assign_ids") { assignIds(recs, rt, needIds) }
+    val knownTouched =
+      if (needIds == 0L) Some(stats.getSeq[Long](3)) else None
+    commitPrepared(incomingRaw, user, now, rt, updateAttached, knownTouched)
   }
 
   /** Write path for a batch whose record type is known, ids are
@@ -209,7 +217,8 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     * full extra evaluation of the refresh pipeline just to recount the
     * batch). */
   private def commitPrepared(incomingRaw: Dataset[MarcRow], user: String,
-      now: java.sql.Timestamp, rt: String, updateAttached: Boolean): Unit = {
+      now: java.sql.Timestamp, rt: String, updateAttached: Boolean,
+      knownTouched: Option[Seq[Long]] = None): Unit = {
     // audit columns: preserve created/created_user from previous state
     val prev = read(rt).select(col("_id").as("p_id"), col("created").as("p_created"),
       col("created_user").as("p_created_user"))
@@ -224,8 +233,9 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       .as[MarcRow]
       // cut lineage: the plan must not re-read the live table after
       // the bucket overwrite below replaces its files. LAZY checkpoint:
-      // the first action (the touched-bucket collect, which scans every
-      // partition, or the heading collect on the auth path) materializes
+      // the first action (the heading collect on the auth path, the
+      // touched-bucket collect on the fallback path, or the staging
+      // write itself — which completes before any rename) materializes
       // it — still strictly before the swap — without a dedicated pass.
       .localCheckpoint(false)
 
@@ -244,7 +254,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
           .map { case (w, rows) => w -> groupHeadings(rows) }
       } else Map.empty[String, Map[Long, (String, Seq[(String, String)])]]
 
-    timed("write_live") { writeLiveBuckets(incoming.toDF(), rt) }
+    timed("write_live") { writeLiveBuckets(incoming.toDF(), rt, knownTouched) }
     timed("append_history") { appendHistory(incoming.toDF(), rt, "commit", now) }
 
     if (rt == "auth" && updateAttached)
@@ -260,10 +270,12 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     * old bucket files completes before any of them is replaced.
     * (On a rename-less object store, dynamic partition overwrite of a
     * localCheckpoint'd plan is the drop-in alternative.) */
-  private def writeLiveBuckets(incoming: DataFrame, recordType: String): Unit = {
+  private def writeLiveBuckets(incoming: DataFrame, recordType: String,
+      knownTouched: Option[Seq[Long]] = None): Unit = {
     val path = tablePath(recordType)
     val withBucket = incoming.withColumn("id_bucket", pmod(col("_id"), lit(numBuckets.toLong)))
-    val touched = timed("touched_collect") { withBucket.select("id_bucket").distinct().as[Long].collect() }
+    val touched = knownTouched.getOrElse(
+      timed("touched_collect") { withBucket.select("id_bucket").distinct().as[Long].collect().toSeq })
     val survivors = readRaw(recordType)
       .where(col("id_bucket").isin(touched: _*)) // partition-pruned scan
       .join(incoming.select(col("_id").as("i_id")), col("_id") === col("i_id"), "left_anti")
