@@ -613,7 +613,34 @@ object MarcOps {
       .orderBy("a", "b")
   }
 
+  /** Diff under the oracle (reference Diff a/b/c/e multiset semantics,
+    * dlx/marc/__init__.py Diff + tests/test_marc.py diff cases): a
+    * deterministic record pair per sampled order — B retitles 245 on
+    * every second pair — compared through the model's field-multiset
+    * Diff inside a UDF (the per-row model surface is the point, as in
+    * q34), replayed as plain CASE arithmetic. */
+  def q96Diff(s: SparkSession, dir: String): DataFrame = {
+    val diffUdf = udf((id: Long, prio: String, odate: String, retitle: Boolean) => {
+      implicit val auth: AuthLookup = AuthLookup.Empty
+      val a = MarcRecord(recordType = "bib", id = Some(id))
+        .set("245", "a", prio).set("269", "a", odate)
+      val b = MarcRecord(recordType = "bib", id = Some(id))
+        .set("245", "a", if (retitle) "X-" + prio else prio).set("269", "a", odate)
+      val d = graft.model.Diff(a, b)
+      (d.a.size.toLong, d.b.size.toLong, d.c.size.toLong, d.different)
+    })
+    orders(s, dir).where(col("o_orderkey") % 194 === 0)
+      .select(col("o_orderkey").as("_id"),
+        diffUdf(col("o_orderkey"), col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          col("o_orderkey") % 388 === 0).as("d"))
+      .select(col("_id"), col("d._1").as("n_a_only"), col("d._2").as("n_b_only"),
+        col("d._3").as("n_common"), col("d._4").as("different"))
+      .orderBy("_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_diff" -> (q96Diff _),
     "q66_resolve_ambiguous" -> (q66ResolveAmbiguous _),
     "q24_marc_build" -> (q24MarcBuild _),
     "q25_marc_query_dsl" -> (q25MarcQueryDsl _),
@@ -647,6 +674,14 @@ object MarcOps {
     "q83_structured_cond" -> (q83StructuredCond _))
 
   val oracle: Map[String, String] = Map(
+    "q96_diff" ->
+      """SELECT o_orderkey AS _id,
+        |  CAST(CASE WHEN o_orderkey % 388 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_a_only,
+        |  CAST(CASE WHEN o_orderkey % 388 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_b_only,
+        |  CAST(CASE WHEN o_orderkey % 388 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_common,
+        |  (o_orderkey % 388 = 0) AS different
+        |FROM orders WHERE o_orderkey % 194 = 0
+        |ORDER BY _id""".stripMargin,
     "q66_resolve_ambiguous" ->
       """WITH probes AS (
         |  SELECT DISTINCT p_brand AS a, CAST(p_size AS VARCHAR) AS b FROM part

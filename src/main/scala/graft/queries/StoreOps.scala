@@ -293,7 +293,30 @@ object StoreOps {
       .select(col("id_value"), col("_id").as("checksum"), col("language"))
       .orderBy("id_value")
 
+  /** Dense id assignment under the oracle (_increment_ids,
+    * dlx/marc/__init__.py:457-472, batch form): seed a store with
+    * id-carrying records, then commit a batch whose rows all carry
+    * _id = -1. assignIds must hand out EXACTLY max+1..max+n — dense,
+    * gap-free, collision-free — regardless of which record gets which
+    * id (the id→row pairing is partition-order dependent by design,
+    * so only the id SET is compared). */
+  def q97AssignIds(s: SparkSession, dir: String): DataFrame = {
+    import MarcSchema.marcRowEncoder
+    val base = java.nio.file.Files.createTempDirectory("graft_q97").toString
+    val store = new MarcStore(s, base, numBuckets = gateBuckets)
+    store.commit(batch(s, dir, 1940L, "").as[MarcRow], user = "alice", now = ts1)
+    val fresh = orders(s, dir)
+      .where(col("o_orderkey") % 970 === 0 && col("o_orderkey") % 1940 =!= 0)
+    store.commit(
+      batch(s, dir, 970L, "new-").as[MarcRow]
+        .join(fresh.select(col("o_orderkey").as("f_id")), col("_id") === col("f_id"), "left_semi")
+        .withColumn("_id", lit(-1L)).as[MarcRow],
+      user = "bob", now = ts2)
+    store.read("bib").toDF().select(col("_id")).orderBy("_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_assign_ids" -> (q97AssignIds _),
     "q36_store_commit" -> (q36StoreCommit _),
     "q40_file_import" -> (q40FileImport _),
     "q64_file_find" -> (q64FileFind _),
@@ -304,6 +327,17 @@ object StoreOps {
     "q62_cascade" -> (q62Cascade _))
 
   val oracle: Map[String, String] = Map(
+    "q97_assign_ids" ->
+      """WITH seed AS (
+        |  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 1940 = 0),
+        |fresh AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 970 = 0 AND o_orderkey % 1940 <> 0)
+        |SELECT id AS _id FROM seed
+        |UNION ALL
+        |SELECT (SELECT MAX(id) FROM seed) + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS _id
+        |FROM fresh
+        |ORDER BY _id""".stripMargin,
     "q64_file_find" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS id_value,
         |       md5('file-' || o_orderkey || '-' || o_orderpriority) AS checksum,
