@@ -458,7 +458,12 @@ object Serialization {
                     case _ => None
                   }
                   Subfield(code, value, xref)
-                }
+                }.filter(s =>
+                  // xref on a non-controlled (tag, code): config changed
+                  // since serialization — ignore the subfield (reference
+                  // Datafield.from_dict, dlx/marc/__init__.py:2458-2463)
+                  s.xref.isEmpty ||
+                    graft.config.DlxConfig.isAuthorityControlled(recordType, tag, s.code))
                 case _ => Nil
               }
               // skip fields with no value-or-xref subfields (parse filter,

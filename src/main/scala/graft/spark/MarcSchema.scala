@@ -74,8 +74,16 @@ object MarcSchema {
     val fields: Vector[Field] =
       row.controlfields.map(c => ControlField(c.tag, c.value)).toVector ++
         row.datafields.map { d =>
-          DataField(d.tag, d.ind1, d.ind2, d.subfields.map { s =>
-            Subfield(s.code, Option(s.value), Option(s.xref).map(_.longValue))
+          DataField(d.tag, d.ind1, d.ind2, d.subfields.flatMap { s =>
+            // a stored subfield carrying an xref whose (tag, code) is
+            // no longer authority-controlled is IGNORED on read — the
+            // auth config changed since the write (reference
+            // Datafield.from_dict, dlx/marc/__init__.py:2458-2463)
+            if (s.xref != null &&
+                !graft.config.DlxConfig.isAuthorityControlled(row.record_type, d.tag, s.code))
+              None
+            else
+              Some(Subfield(s.code, Option(s.value), Option(s.xref).map(_.longValue)))
           }.toVector)
         }.toVector
     MarcRecord(

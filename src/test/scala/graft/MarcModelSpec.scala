@@ -197,4 +197,27 @@ class MarcModelSpec extends AnyFunSuite {
     assert(lf("thesaurus") == Vector("Header"))
     assert(lf("_record_type") == Vector("default", "auth"))
   }
+
+  test("auth-control config change: stray linked subfields dropped on read") {
+    // reference test_auth_control_config_changed + Datafield.from_dict
+    // (dlx/marc/__init__.py:2458-2463): 710$a is controlled, 710$9 is
+    // not — a stored/serialized $9 carrying an xref is ignored on read
+    import graft.spark.{MarcSchema, MarcRow, DataFieldRow, SubfieldRow}
+    val row = MarcRow(record_type = "bib", _id = 1L,
+      created = null, updated = null, created_user = null, user = null,
+      basket = null, leader = "",
+      controlfields = Seq.empty,
+      datafields = Seq(DataFieldRow("710", " ", " ", Seq(
+        SubfieldRow("a", null, 1L), SubfieldRow("9", null, 1L)))),
+      text = null, words = null, logical = null)
+    val rec = MarcSchema.fromRow(row)
+    assert(rec.getField("710").get.asInstanceOf[graft.model.DataField]
+      .subfields.map(_.code) == Vector("a"))
+
+    val json = """{"_id": 1, "710": [{"indicators": [" ", " "], "subfields": [
+      {"code": "a", "xref": 1}, {"code": "9", "xref": 1}]}]}"""
+    val fromJson = graft.records.Serialization.fromJson("bib", json)
+    assert(fromJson.getField("710").get.asInstanceOf[graft.model.DataField]
+      .subfields.map(_.code) == Vector("a"))
+  }
 }
