@@ -197,11 +197,20 @@ final case class MarcRecord(
       subfieldPlace: Either[Int, String] = Left(0)): MarcRecord =
     setAny(tag, code, Left(newVal), ind1, ind2, fieldPlace, subfieldPlace)
 
+  /** Reference Datafield.set coercion (dlx/marc/__init__.py:2551-2574):
+    * an xref id lands as a linked subfield only when auth control is on
+    * AND the (record type, tag, code) is configured as authority
+    * controlled; otherwise the id is stored as a string literal. */
   def setXref(tag: String, code: String, xref: Long,
       ind1: Option[String] = None, ind2: Option[String] = None,
       fieldPlace: Either[Int, String] = Left(0),
-      subfieldPlace: Either[Int, String] = Left(0)): MarcRecord =
-    setAny(tag, code, Right(xref), ind1, ind2, fieldPlace, subfieldPlace)
+      subfieldPlace: Either[Int, String] = Left(0),
+      authControl: Boolean = true): MarcRecord = {
+    val v: Either[String, Long] =
+      if (authControl && DlxConfig.isAuthorityControlled(recordType, tag, code)) Right(xref)
+      else Left(xref.toString)
+    setAny(tag, code, v, ind1, ind2, fieldPlace, subfieldPlace)
+  }
 
   private def mkSub(code: String, v: Either[String, Long]): Subfield = v match {
     case Left(s) => Subfield(code, Some(s))

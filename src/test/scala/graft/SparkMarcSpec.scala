@@ -308,6 +308,56 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(b2.datafields.find(_.tag == "650").get.subfields.head.value == "Updated Header")
   }
 
+  test("setXref on a non-auth-controlled code stores a string literal") {
+    // reference Datafield.set coercion (dlx/marc/__init__.py:2551-2574):
+    // 710$z is not controlled for bibs, so an int lands as Literal('z','1')
+    val b = MarcRecord(recordType = "bib", id = Some(9L))
+      .setXref("710", "a", 1L).setXref("710", "z", 1L)
+    val f = b.fields.collectFirst { case d: DataField if d.tag == "710" => d }.get
+    assert(f.getXref("a").contains(1L))
+    assert(f.subfields.find(_.code == "z").get.xref.isEmpty)
+    assert(f.subfields.find(_.code == "z").get.value.contains("1"))
+    // explicit authControl=false forces the literal even on a controlled code
+    val off = MarcRecord(recordType = "bib").setXref("650", "a", 2L, authControl = false)
+    assert(off.getXref("650", "a").isEmpty)
+    assert(off.getValue("650", "a") == "2")
+  }
+
+  test("deleted heading subfield cascades off attached bibs (ref test_auth_deleted_subfield)") {
+    // reference tests/test_marc.py test_auth_deleted_subfield: the
+    // sequence auth(110$a,$z) -> bib(710$a,$z linked) -> delete $z from
+    // the heading -> commit -> re-commit bib must not error, and the
+    // remaining value must still be searchable
+    val dir = java.nio.file.Files.createTempDirectory("marcstore7").toString
+    val store = new graft.store.MarcStore(spark, dir)
+    val auth = MarcRecord(recordType = "auth", id = Some(10L), fields = Vector(
+      DataField("110", " ", " ", Vector(
+        Subfield("a", Some("will NOT be deleted")), Subfield("z", Some("will be deleted"))))))
+    val lk: graft.model.AuthLookup = new graft.auth.AuthIndex(Seq(auth))
+    store.commit(MarcSchema.toDataset(spark, Seq(auth))(lk), user = "t")
+    // setXref coercion: $a linked, $z literal "10" — like the reference
+    val bib = MarcRecord(recordType = "bib", id = Some(10L))
+      .setXref("710", "a", 10L).setXref("710", "z", 10L)
+    store.commit(MarcSchema.toDataset(spark, Seq(bib))(lk), user = "t")
+    // drop $z from the heading and commit: the cascade removes code z
+    // (linked or literal) from every attached field referencing auth 10
+    val authDel = auth.copy(fields = auth.fields.map {
+      case d: DataField if d.tag == "110" => d.deleteSubfield("z")
+      case f => f
+    })
+    store.commit(MarcSchema.toDataset(spark, Seq(authDel))(lk), user = "t2")
+    val b = MarcSchema.fromRow(store.read("bib").where(col("_id") === 10L).head())
+    val f710 = b.fields.collectFirst { case d: DataField if d.tag == "710" => d }.get
+    assert(f710.subfields.map(_.code) == Vector("a"))
+    assert(f710.subfields.head.value.contains("will NOT be deleted"))
+    // the formerly-failing step: committing the bib again works
+    store.commit(MarcSchema.toDataset(spark, Seq(b.set("999", "a", "updated")))(lk), user = "t3")
+    // and the remaining heading value still matches a fielded search
+    val c = new SparkQueryCompiler(spark, store.read("bib").toDF(), store.read("auth").toDF())
+    val hits = c.run("710:'will not be deleted'").select("_id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(10L))
+  }
+
   test("auth delete guard: in-use auths cannot be deleted") {
     val dir = java.nio.file.Files.createTempDirectory("marcstore2").toString
     val store = new graft.store.MarcStore(spark, dir)
