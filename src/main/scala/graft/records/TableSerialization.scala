@@ -60,6 +60,32 @@ object TableSerialization {
     }
   }
 
+  /** Build from raw rows (reference Table.__init__,
+    * dlx/util.py:108-130): trailing blank header cells are trimmed off,
+    * an interior blank header raises, and a non-empty data cell beyond
+    * the last header raises. */
+  def tableFromRows(rows: Seq[Seq[String]]): Table = {
+    require(rows.nonEmpty, "Empty table")
+    var header = rows.head.map(_.trim)
+    header.indexWhere(_.isEmpty) match {
+      case -1 =>
+      case i =>
+        if (header.drop(i).forall(_.isEmpty) || i == header.length - 1)
+          header = header.take(i)
+        else throw new IllegalArgumentException(
+          s"Blank column header in ${header.mkString("[", ", ", "]")}")
+    }
+    val table = new Table
+    table.header = header.toVector
+    for ((row, ri) <- rows.tail.zipWithIndex) {
+      if (row.drop(header.length).exists(_.nonEmpty))
+        throw new IllegalArgumentException(s"Extra data in row $ri")
+      for ((cell, ci) <- row.zipWithIndex if ci < header.length && cell.nonEmpty)
+        table.set(ri + 1, header(ci), cell)
+    }
+    table
+  }
+
   private val tagOfHeader: Regex = """\d+\.(\w{3})""".r
   private val placeOfHeader: Regex = """(\d+)\.""".r
   private val codeOfHeader: Regex = """\d+\.\d{3}\$?(\w)?""".r
@@ -121,7 +147,10 @@ object TableSerialization {
     * an auth-control validation pass using $0 xrefs or value lookup.
     * Repeated subfield codes are not supported. */
   def fromTable(table: Table, recordType: String, authControl: Boolean = true,
-      deleteSubfieldZero: Boolean = true)(implicit auth: AuthLookup): Seq[MarcRecord] = {
+      deleteSubfieldZero: Boolean = true,
+      fieldCheck: Option[String] = None,
+      valueExists: (String, String, String) => Boolean = (_, _, _) => false)
+      (implicit auth: AuthLookup): Seq[MarcRecord] = {
     val errors = mutable.Buffer.empty[String]
     val out = mutable.Buffer.empty[MarcRecord]
 
@@ -168,6 +197,12 @@ object TableSerialization {
           else {
             var subs = d.subfields.map(s =>
               if (s.value.contains("__null__")) s.copy(value = Some("")) else s)
+            // uniqueness check against existing records (reference
+            // field_check, dlx/marc/__init__.py:237-241)
+            for (fc <- fieldCheck; s <- subs
+                 if fc == d.tag + s.code && s.value.exists(_.nonEmpty)
+                    && valueExists(d.tag, s.code, s.value.get))
+              errors += s"""${d.tag}$$${s.code}: "${s.value.get}" is already in the system"""
             if (authControl) {
               subs = subs.map { s =>
                 if (s.value.exists(_.nonEmpty) &&
@@ -181,7 +216,21 @@ object TableSerialization {
                       auth.xlookup(srcTag, s.code, s.value.get) match {
                         case Seq(x) => Subfield(s.code, None, Some(x))
                         case Seq() => errors += s"Invalid auth value for ${d.tag}$$${s.code}: ${s.value.get}"; s
-                        case _ => errors += s"Ambiguous auth value for ${d.tag}$$${s.code}: ${s.value.get}"; s
+                        case _ =>
+                          // >1 candidate: match the field's full set of
+                          // auth-controlled subfields against a heading
+                          // (reference resolve_ambiguous fallback,
+                          // dlx/marc/__init__.py:264-270 — we link the
+                          // resolved xref rather than the reference's
+                          // xrefs.pop(), which ignores the resolution)
+                          val pairs = d.subfields
+                            .filter(x => DlxConfig.isAuthorityControlled(recordType, d.tag, x.code))
+                            .flatMap(x => x.value.filterNot(v => v.isEmpty || v == "__null__").map((x.code, _)))
+                          auth.resolveAmbiguous(recordType, d.tag, pairs) match {
+                            case Some(x) => Subfield(s.code, None, Some(x))
+                            case None =>
+                              errors += s"Ambiguous auth value for ${d.tag}$$${s.code}: ${s.value.get}"; s
+                          }
                       }
                   }
                 } else s
@@ -231,13 +280,6 @@ object TableSerialization {
       (implicit auth: AuthLookup): Seq[MarcRecord] = {
     val rows = parseCsv(csv).filter(_.exists(_.nonEmpty))
     require(rows.nonEmpty, "Empty CSV")
-    val header = rows.head.map(_.trim)
-    val table = new Table
-    for ((row, ri) <- rows.tail.zipWithIndex; (cell, ci) <- row.zipWithIndex
-         if ci < header.length && cell.nonEmpty)
-      table.set(ri + 1, header(ci), cell)
-    // ensure header order matches the file even for all-empty columns
-    table.header = header.toVector
-    fromTable(table, recordType, authControl)
+    fromTable(tableFromRows(rows), recordType, authControl)
   }
 }

@@ -212,6 +212,59 @@ class SerializationSpec extends AnyFunSuite {
     assert(bib.getXref("650", "a").contains(1L)) // auth-controlled lookup
   }
 
+  test("table construction guards (tests/test_marcset.py:134-149)") {
+    // trailing blank headers are trimmed; trailing empty cells allowed
+    val t = T.tableFromRows(Seq(
+      Seq("1.245$a", "1.245$b", "", ""),
+      Seq("title", "subtitle", "", "")))
+    assert(t.header == Vector("1.245$a", "1.245$b"))
+    // non-empty data beyond the last header raises
+    intercept[Exception] {
+      T.tableFromRows(Seq("100$a|100$b|||".split("\\|", -1).toSeq,
+        "cell1|cell2||extra|".split("\\|", -1).toSeq))
+    }
+    // interior/leading blank header raises
+    intercept[Exception] {
+      T.tableFromRows(Seq("|100$b|||".split("\\|", -1).toSeq,
+        "cell1|cell2||extra|".split("\\|", -1).toSeq))
+    }
+  }
+
+  test("from_table resolves ambiguous values via the full field (tests/test_marcset.py:152-172)") {
+    val amb1 = MarcRecord(recordType = "auth", id = Some(11L), fields = Vector(
+      DataField("100", " ", " ", Vector(
+        Subfield("a", Some("ambiguous")), Subfield("g", Some("unique 1"))))))
+    val amb2 = MarcRecord(recordType = "auth", id = Some(12L), fields = Vector(
+      DataField("100", " ", " ", Vector(
+        Subfield("a", Some("ambiguous")), Subfield("g", Some("unique 2"))))))
+    val lk = new graft.auth.AuthIndex(Seq(amb1, amb2))
+    // $a alone: two candidate headings -> error
+    intercept[Exception] {
+      T.fromTable(T.tableFromRows(Seq(Seq("1.700$a"), Seq("ambiguous"))), "bib")(lk)
+    }
+    // $a + $g matches exactly one heading -> linked
+    val bibs = T.fromTable(T.tableFromRows(Seq(
+      Seq("1.700$a", "1.700$g"), Seq("ambiguous", "unique 1"))), "bib")(lk)
+    assert(bibs.head.getXref("700", "a").contains(11L))
+    assert(bibs.head.getXref("700", "g").contains(11L))
+    // an unresolvable xref in $0 raises (tests/test_marcset.py:141-147)
+    intercept[Exception] {
+      T.fromTable(T.tableFromRows(Seq(
+        Seq("1.650$a", "1.650$0"), Seq("x", "3"))), "bib")(lk)
+    }
+  }
+
+  test("from_table field_check flags values already in the system") {
+    intercept[Exception] {
+      T.fromTable(T.tableFromRows(Seq(Seq("1.245$a"), Seq("This"))), "bib",
+        fieldCheck = Some("245a"),
+        valueExists = (tag, code, v) => tag == "245" && code == "a" && v == "This")
+    }
+    // same table passes when nothing matches
+    assert(T.fromTable(T.tableFromRows(Seq(Seq("1.245$a"), Seq("This"))), "bib",
+      fieldCheck = Some("245a")).nonEmpty)
+  }
+
   test("from_csv without auth control keeps literals") {
     val bib = T.fromCsv("1.245$a,1.269$a,1.650$a\nTitle,Date,Not validated", "bib",
       authControl = false).head
