@@ -229,6 +229,16 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
   def latestByIdentifierLanguage(identifier: Identifier, language: String): Option[FileRecord] =
     findByIdentifier(identifier, Some(language)).headOption
 
+  /** Files created or updated within [from, to) — `to` defaults to now
+    * (find_by_date, dlx/file/__init__.py:307-332). */
+  def findByDate(from: java.time.Instant,
+      to: Option[java.time.Instant] = None): Seq[FileRecord] = {
+    val lo = lit(java.sql.Timestamp.from(from))
+    val hi = lit(java.sql.Timestamp.from(to.getOrElse(java.time.Instant.now())))
+    def in(c: org.apache.spark.sql.Column) = c >= lo && c < hi
+    toRecords(read().where(in(col("timestamp")) || in(col("updated"))))
+  }
+
   /** Set-scale variant: latest file per (identifier value, language)
     * via window (SURVEY §2.6 latest-file row). */
   def latestPerIdentifierLanguage(): DataFrame = {

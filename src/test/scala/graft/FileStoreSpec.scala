@@ -81,6 +81,11 @@ class FileStoreSpec extends AnyFunSuite {
     val latest = store.latestByIdentifierLanguage(Identifier("symbol", "A/1"), "EN")
     assert(latest.map(_._id) == Some(store.md5Hex("v2".getBytes)))
     assert(store.latestPerIdentifierLanguage().count() == 2) // A/1 and a/1 spellings
+    // find_by_date: created-or-updated within [from, to), to defaults now
+    assert(store.findByDate(java.time.Instant.parse("1900-01-01T00:00:00Z")).length == 2)
+    assert(store.findByDate(t0, Some(t1)).map(_._id) ==
+      Seq(store.md5Hex("v1".getBytes))) // upper bound excludes t1
+    assert(store.findByDate(java.time.Instant.parse("2030-01-01T00:00:00Z")).isEmpty)
   }
 
   test("Bib.files linkage by 191 symbol + language") {

@@ -47,6 +47,14 @@ class SerializationSpec extends AnyFunSuite {
     assert(bib.getXref("650", "a").contains(1L))
   }
 
+  test("a $0 xref overrides the literal value (tests/test_marcset.py:199-204,246)") {
+    val bib = S.fromMrk("bib", "=650  \\\\$aWill be replaced because of xref$01\n")
+    assert(bib.getValue("650", "a") == "Header")
+    val rec = S.fromXml("bib",
+      """<record><datafield tag="650" ind1=" " ind2=" "><subfield code="a">head</subfield><subfield code="0">1</subfield></datafield></record>""")
+    assert(rec.getValue("650", "a") == "Header")
+  }
+
   test("set from_mrk splits on blank lines (tests/marc.mrk shape)") {
     val mrk =
       "=000  leader\n=008  controlfield\n=245  \\\\$aThis$bis the$ctitle\n=520  \\\\$aDescription\n" +
