@@ -56,7 +56,7 @@ object MarcOps {
     val o = orders(s, dir)
     val firstPart = lineitem(s, dir).groupBy("l_orderkey")
       .agg(min("l_partkey").as("subject_key"))
-    val p = broadcast(part(s, dir).select(col("p_partkey"), col("p_name")))
+    val p = part(s, dir).select(col("p_partkey"), col("p_name"))
     val joined = o
       .join(firstPart, col("o_orderkey") === col("l_orderkey"), "left")
       .join(p, col("subject_key") === col("p_partkey"), "left")
@@ -191,7 +191,7 @@ object MarcOps {
     })
     val o = orders(s, dir)
     val firstPart = lineitem(s, dir).groupBy("l_orderkey").agg(min("l_partkey").as("pk"))
-    val p = broadcast(part(s, dir).select(col("p_partkey"), col("p_name")))
+    val p = part(s, dir).select(col("p_partkey"), col("p_name"))
     o.join(firstPart, col("o_orderkey") === col("l_orderkey"), "left")
       .join(p, col("pk") === col("p_partkey"), "left")
       .select(col("o_orderkey").as("_id"),
@@ -330,7 +330,7 @@ object MarcOps {
     })
     val o = orders(s, dir)
     val firstPart = lineitem(s, dir).groupBy("l_orderkey").agg(min("l_partkey").as("pk"))
-    val p = broadcast(part(s, dir).select(col("p_partkey"), col("p_name")))
+    val p = part(s, dir).select(col("p_partkey"), col("p_name"))
     o.join(firstPart, col("o_orderkey") === col("l_orderkey"), "left")
       .join(p, col("pk") === col("p_partkey"), "left")
       .select(col("o_orderkey").as("_id"),
@@ -373,7 +373,7 @@ object MarcOps {
     })
     val o = orders(s, dir)
     val firstPart = lineitem(s, dir).groupBy("l_orderkey").agg(min("l_partkey").as("pk"))
-    val p = broadcast(part(s, dir).select(col("p_partkey"), col("p_name")))
+    val p = part(s, dir).select(col("p_partkey"), col("p_name"))
     o.join(firstPart, col("o_orderkey") === col("l_orderkey"), "left")
       .join(p, col("pk") === col("p_partkey"), "left")
       .select(col("o_orderkey").as("_id"),
@@ -442,7 +442,7 @@ object MarcOps {
     })
     val o = orders(s, dir)
     val firstPart = lineitem(s, dir).groupBy("l_orderkey").agg(min("l_partkey").as("pk"))
-    val p = broadcast(part(s, dir).select(col("p_partkey"), col("p_name")))
+    val p = part(s, dir).select(col("p_partkey"), col("p_name"))
     o.join(firstPart, col("o_orderkey") === col("l_orderkey"), "left")
       .join(p, col("pk") === col("p_partkey"), "left")
       .select(col("o_orderkey").as("_id"),
