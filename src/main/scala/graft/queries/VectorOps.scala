@@ -65,12 +65,17 @@ object VectorOps {
     * plane p (0..7), dim d (0..63): coeff = (hex2long(md5("p_d")[0,8)) % 1000)/1000 - 0.5
     * Computed driver-side (same md5 the oracle computes in SQL) so the
     * plan carries plain literals instead of 512 hash expressions. */
-  private def lshSignature: Column = {
+  /** nPlanes is the scale knob: bucket count = 2^nPlanes, and the
+    * within-bucket pairwise volume is ~N^2/2^nPlanes — hold N^2/2^nPlanes
+    * roughly constant (planes grow ~2·log2 of the corpus growth) to
+    * keep near-dup enumeration linear. 8 planes are the oracle-gated
+    * default for the test corpus. */
+  private def lshSignature(nPlanes: Int = 8): Column = {
     def md5hex8(s2: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
       java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
     }
-    val planes = (0 until 8).map { p =>
+    val planes = (0 until nPlanes).map { p =>
       val coeffs = array((0 until 64).map { d =>
         lit((md5hex8(s"${p}_$d") % 1000).toDouble / 1000.0 - 0.5)
       }: _*)
@@ -79,8 +84,8 @@ object VectorOps {
     concat(planes: _*)
   }
 
-  def q22AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val corpus = emb(s, dir).withColumn("bucket", lshSignature)
+  def q22AnnLsh(s: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
+    val corpus = emb(s, dir).withColumn("bucket", lshSignature(nPlanes))
     val queries = broadcast(corpus.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket")))
     val scored = corpus.join(queries, Seq("bucket"))
@@ -100,8 +105,8 @@ object VectorOps {
     * exact cosine verification. The 0.30 threshold is the knob — set
     * for the synthetic corpus, whose max pairwise cosine is ~0.44; a
     * real near-dup sweep runs the same plan at 0.9+. */
-  def q44EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
-    val corpus = emb(s, dir).withColumn("bucket", lshSignature)
+  def q44EmbedNearDup(s: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
+    val corpus = emb(s, dir).withColumn("bucket", lshSignature(nPlanes))
     val a = corpus.select(col("vec_id").as("doc_a"), col("v").as("va"), col("bucket"))
     val b = corpus.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -210,9 +215,9 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_ann_brute" -> (q21AnnBrute _),
-    "q22_ann_lsh" -> (q22AnnLsh _),
+    "q22_ann_lsh" -> ((s, d) => q22AnnLsh(s, d)),
     "q23_knn_classify" -> (q23KnnClassify _),
-    "q44_embed_neardup" -> (q44EmbedNearDup _),
+    "q44_embed_neardup" -> ((s, d) => q44EmbedNearDup(s, d)),
     "q45_ann_ivf" -> (q45AnnIvf _),
     "q71_kmeans_assign" -> (q71KmeansAssign _),
     "q95_kmeans_update" -> (q95KmeansUpdate _))

@@ -594,6 +594,19 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(out((1L, 0L)) == ((10.0, 1L)) && out((1L, 1L)) == ((20.0, 1L)))
   }
 
+  test("LSH plane count: more planes shrink candidate volume, survivors agree") {
+    // the q44/q22 scale knob: at 12 planes the per-bucket pair volume
+    // must not exceed the 8-plane volume, and every surviving near-dup
+    // pair (exact cosine >= threshold) found at 12 planes must also be
+    // found at 8 (coarser buckets are supersets of finer ones)
+    val dir = "/root/testdata/sf0.001"
+    def pairs(n: Int) = graft.queries.VectorOps.q44EmbedNearDup(spark, dir, nPlanes = n)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p8 = pairs(8)
+    val p12 = pairs(12)
+    assert(p12.subsetOf(p8), "12-plane buckets split 8-plane buckets")
+  }
+
   test("incrementalDedup: exact dup flagged, near-dup counts bands, new x new ignored") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
