@@ -51,6 +51,29 @@ object TextOps {
         col("n_chars"))
       .orderBy("doc_id")
 
+  /** GPT-2-family pre-tokenizer pattern, lookahead-free so the RE2
+    * oracle replays it byte-identically: contractions, letter runs,
+    * digit runs, punctuation runs, each with an optional leading
+    * space; whitespace itself is not a token. Codegen
+    * regexp_extract_all — no UDF on the hot path. */
+  private val bpeRe = "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Pre-tokenizer pieces of a text column (exposed for specs). */
+  def bpePieces(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("pieces", regexp_extract_all(text, lit(bpeRe), lit(0)))
+
+  /** BPE-ish token counting (the second half of the token-count
+    * mandate: whitespace + a BPE-ish regex): tokenizer-shaped counts
+    * per document — total pieces and distinct pieces. */
+  def q98BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val pieces = regexp_extract_all(col("text"), lit(bpeRe), lit(0))
+    documents(s, dir)
+      .select(col("doc_id"),
+        size(pieces).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(pieces)).cast("long").as("n_distinct_pieces"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: stopword ratio + mean token length + length band.
     * (dlx quality analog is its stopword list, dlx/marc/query.py:718-720.) */
   def q15QualityScore(s: SparkSession, dir: String): DataFrame = {
@@ -861,6 +884,7 @@ object TextOps {
     "q94_reservoir_sample" -> (q94ReservoirSample _),
     "q13_doc_stats" -> (q13DocStats _),
     "q14_token_count" -> (q14TokenCount _),
+    "q98_bpe_tokens" -> (q98BpeTokens _),
     "q15_quality_score" -> (q15QualityScore _),
     "q16_dedup_exact" -> (q16DedupExact _),
     "q57_tfidf" -> (q57TfIdf _),
@@ -1191,6 +1215,14 @@ object TextOps {
     "q14_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q98_bpe_tokens" -> {
+      val re = """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+      val sqlRe = re.replace("'", "''")
+      s"""SELECT doc_id,
+         |CAST(len(regexp_extract_all(text, '$sqlRe')) AS BIGINT) AS n_bpe_tokens,
+         |CAST(len(list_distinct(regexp_extract_all(text, '$sqlRe'))) AS BIGINT) AS n_distinct_pieces
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q15_quality_score" ->
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

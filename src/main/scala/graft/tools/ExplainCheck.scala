@@ -221,6 +221,14 @@ object ExplainCheck {
       "q95: assignment join must stay keyed (centroid broadcast is the only nested loop)")
     println("q95 quantized centroid-update partial agg OK")
 
+    val q98 = graft.queries.TextOps.q98BpeTokens(spark, sfDir)
+    val p98 = planOf(q98)
+    assert(p98.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "q98: scan not pruned to doc_id+text")
+    assert(!p98.contains("BatchEvalPython") && !p98.contains("ScalaUDF"),
+      "q98: tokenization fell off codegen into a UDF")
+    println("q98 pruned scan + codegen regex OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

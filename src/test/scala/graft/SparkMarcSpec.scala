@@ -594,6 +594,14 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(out((1L, 0L)) == ((10.0, 1L)) && out((1L, 1L)) == ((20.0, 1L)))
   }
 
+  test("BPE-ish pre-tokenizer splits contractions, digit runs, punct runs") {
+    import spark.implicits._
+    val out = graft.queries.TextOps.bpePieces(
+      Seq("I don't like 42 apples!!  ok?").toDF("text"), col("text"))
+    val pieces = out.select(explode(col("pieces"))).collect().map(_.getString(0)).toSeq
+    assert(pieces == Seq("I", " don", "'t", " like", " 42", " apples", "!!", " ok", "?"))
+  }
+
   test("LSH plane count: more planes shrink candidate volume, survivors agree") {
     // the q44/q22 scale knob: at 12 planes the per-bucket pair volume
     // must not exceed the 8-plane volume, and every surviving near-dup
