@@ -37,6 +37,32 @@ object VectorOps {
 
   private def topkUdaf(k: Int) = udaf(new graft.spark.TopK(k))
 
+  /** Corpus-driven LSH plane count — the scale rule the fixed default
+    * lacked: within-bucket pair volume is ~N²/2^planes, so holding
+    * N²/2^planes ≈ `targetPairsPerBucket` keeps near-dup enumeration
+    * linear in N. Exact integer ceil-log2 (no floating log) so Spark
+    * and the DuckDB oracle (LENGTH(bin(m-1)) over the same integer m)
+    * can never disagree by one ulp at a power-of-two boundary.
+    * n=500 (the sf0.01 gate corpus) ⇒ 8, the previously-hardwired
+    * default, so gate answers are unchanged; n=20k ⇒ 19; n=60k ⇒ 22.
+    * Clamped to 24 (16M buckets — plenty until N² overflows the
+    * pair-count anyway; coefficients stay driver-side literals). */
+  def planesFor(n: Long, targetPairsPerBucket: Long = 1024L): Int = {
+    val m = math.max(1L, n * n / targetPairsPerBucket)
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(24, math.max(1, ceilLog2))
+  }
+
+  /** Sentinel: derive the plane count from a corpus count(). */
+  val AutoPlanes: Int = 0
+
+  private def resolvePlanes(nPlanes: Int, corpus: => DataFrame): Int =
+    if (nPlanes > 0) nPlanes else planesFor(corpus.count())
+
+  /** SQL twin of [[planesFor]] as a one-row CTE body (column `np`). */
+  private val planesSql =
+    "SELECT GREATEST(1, LEAST(24, LENGTH(bin(GREATEST(1, (COUNT(*)*COUNT(*))//1024) - 1)))) AS np FROM embeddings"
+
   /** explode a TopK result column into (payload struct, 1-based rank). */
   private def explodeRanked(df: DataFrame, groupCols: Seq[String]): DataFrame =
     df.select(groupCols.map(col) :+ posexplode(col("top")).as(Seq("pos", "c")): _*)
@@ -66,11 +92,11 @@ object VectorOps {
     * Computed driver-side (same md5 the oracle computes in SQL) so the
     * plan carries plain literals instead of 512 hash expressions. */
   /** nPlanes is the scale knob: bucket count = 2^nPlanes, and the
-    * within-bucket pairwise volume is ~N^2/2^nPlanes — hold N^2/2^nPlanes
-    * roughly constant (planes grow ~2·log2 of the corpus growth) to
-    * keep near-dup enumeration linear. 8 planes are the oracle-gated
-    * default for the test corpus. */
-  private def lshSignature(nPlanes: Int = 8): Column = {
+    * within-bucket pairwise volume is ~N^2/2^nPlanes. Since round 3 the
+    * entry points default to [[AutoPlanes]] and derive the count from
+    * the corpus size via [[planesFor]] (the sf0.01 gate corpus of 500
+    * vectors resolves to the original 8). */
+  private def lshSignature(nPlanes: Int): Column = {
     def md5hex8(s2: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
       java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
@@ -84,8 +110,9 @@ object VectorOps {
     concat(planes: _*)
   }
 
-  def q22AnnLsh(s: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
-    val corpus = emb(s, dir).withColumn("bucket", lshSignature(nPlanes))
+  def q22AnnLsh(s: SparkSession, dir: String, nPlanes: Int = AutoPlanes): DataFrame = {
+    val np = resolvePlanes(nPlanes, embeddings(s, dir))
+    val corpus = emb(s, dir).withColumn("bucket", lshSignature(np))
     val queries = broadcast(corpus.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket")))
     val scored = corpus.join(queries, Seq("bucket"))
@@ -100,13 +127,22 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Bucket census at the active plane count — (vec_id, bucket) — for
+    * scale audits (ScaleBench asserts Σ C(bucket,2) tracks the true
+    * near-dup output instead of N²/2^8). */
+  def lshBuckets(s: SparkSession, dir: String, nPlanes: Int = AutoPlanes): DataFrame = {
+    val np = resolvePlanes(nPlanes, embeddings(s, dir))
+    emb(s, dir).select(col("vec_id"), lshSignature(np).as("bucket"))
+  }
+
   /** Embedding-cosine near-dup pairs: candidates restricted to one LSH
     * bucket (the pairwise work is per-bucket, never all-pairs), then
     * exact cosine verification. The 0.30 threshold is the knob — set
     * for the synthetic corpus, whose max pairwise cosine is ~0.44; a
     * real near-dup sweep runs the same plan at 0.9+. */
-  def q44EmbedNearDup(s: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
-    val corpus = emb(s, dir).withColumn("bucket", lshSignature(nPlanes))
+  def q44EmbedNearDup(s: SparkSession, dir: String, nPlanes: Int = AutoPlanes): DataFrame = {
+    val np = resolvePlanes(nPlanes, embeddings(s, dir))
+    val corpus = emb(s, dir).withColumn("bucket", lshSignature(np))
     val a = corpus.select(col("vec_id").as("doc_a"), col("v").as("va"), col("bucket"))
     val b = corpus.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -299,7 +335,8 @@ object VectorOps {
         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q22_ann_lsh" ->
-      s"""WITH e AS (
+      s"""WITH np AS ($planesSql),
+        |e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |sig AS (
@@ -308,7 +345,7 @@ object VectorOps {
         |       CASE WHEN list_sum(list_transform(v, (x,i) ->
         |         x * (CAST(CAST(('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_' || CAST(i-1 AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 AS DOUBLE)/1000 - 0.5)
         |       )) > 0 THEN '1' ELSE '0' END, '' ORDER BY p.range)
-        |     FROM range(0, 8) p) AS bucket
+        |     FROM range(0, 24) p WHERE p.range < (SELECT np FROM np)) AS bucket
         |  FROM e),
         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 10),
         |scored AS (
@@ -350,7 +387,8 @@ object VectorOps {
         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q44_embed_neardup" ->
-      s"""WITH e AS (
+      s"""WITH np AS ($planesSql),
+        |e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |sig AS (
@@ -359,7 +397,7 @@ object VectorOps {
         |       CASE WHEN list_sum(list_transform(v, (x,i) ->
         |         x * (CAST(CAST(('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_' || CAST(i-1 AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 AS DOUBLE)/1000 - 0.5)
         |       )) > 0 THEN '1' ELSE '0' END, '' ORDER BY p.range)
-        |     FROM range(0, 8) p) AS bucket
+        |     FROM range(0, 24) p WHERE p.range < (SELECT np FROM np)) AS bucket
         |  FROM e),
         |pairs AS (
         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,

@@ -99,7 +99,30 @@ object ScaleBench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$label-equivalent ($srcDir x$factor)"}"""
+
+    // LSH scale audit: the corpus-driven plane rule (VectorOps.planesFor)
+    // must keep candidate enumeration (Σ C(bucket_size, 2)) tracking the
+    // TRUE near-dup output volume — a fixed plane count degenerates to
+    // ~N²/2^planes candidates here and fails this assertion.
+    val lshJson = {
+      import graft.queries.VectorOps
+      val n = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+      val np = VectorOps.planesFor(n)
+      val census = VectorOps.lshBuckets(spark, outDir)
+        .groupBy("bucket").count()
+        .agg(count(lit(1)).as("buckets"), max("count").as("maxb"),
+          sum((col("count") * (col("count") - 1) / 2).cast("long")).as("cand"))
+        .head()
+      val (buckets, maxB, cand) = (census.getLong(0), census.getLong(1), census.getLong(2))
+      val outPairs = VectorOps.q44EmbedNearDup(spark, outDir).count()
+      assert(cand <= 4L * (outPairs + n),
+        s"LSH-SCALE FAIL: candidate pairs $cand exceed 4x(output $outPairs + N $n)")
+      println(s"LSH-SCALE OK: n=$n planes=$np buckets=$buckets maxBucket=$maxB " +
+        s"candidates=$cand outputPairs=$outPairs")
+      s""","lsh":{"n":$n,"planes":$np,"buckets":$buckets,"max_bucket":$maxB,"candidate_pairs":$cand,"output_pairs":$outPairs}"""
+    }
+
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$label-equivalent ($srcDir x$factor)"$lshJson}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"BENCH_$label.json"), json + "\n")
 

@@ -615,6 +615,22 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(p12.subsetOf(p8), "12-plane buckets split 8-plane buckets")
   }
 
+  test("planesFor: corpus-driven plane count holds N^2/2^p near the pair target") {
+    import graft.queries.VectorOps.planesFor
+    assert(planesFor(500) == 8, "sf0.01 gate corpus must resolve to the original 8")
+    assert(planesFor(2000) == 12, "sf0.1 bench corpus")
+    assert(planesFor(20000) == 19, "x10 scaled corpus")
+    assert(planesFor(60000) == 22, "x30 scaled corpus")
+    assert(planesFor(0) == 1 && planesFor(1) == 1, "floor clamp")
+    assert(planesFor(10000000L) == 24, "ceiling clamp (16M buckets)")
+    // un-clamped region invariant: 2^(p-1) < max(1, n^2/1024) <= 2^p,
+    // i.e. the expected per-bucket pair volume stays within 2x of target
+    for (n <- Seq(100L, 777L, 4096L, 50000L)) {
+      val p = planesFor(n); val m = math.max(1L, n * n / 1024L)
+      assert(m <= (1L << p) && (p == 1 || m > (1L << (p - 1))), s"n=$n p=$p m=$m")
+    }
+  }
+
   test("incrementalDedup: exact dup flagged, near-dup counts bands, new x new ignored") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
