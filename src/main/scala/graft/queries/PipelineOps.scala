@@ -63,12 +63,23 @@ object PipelineOps {
     * spark.sql.shuffle.partitions and every micro-batch pays one state
     * store commit PER PARTITION — for the finite gate inputs 8 is
     * plenty (a long-lived production stream sizes this to its key
-    * cardinality, not to the batch-side default). The session default
-    * is restored right after the query drains. */
-  private def withStreamPartitions[A](s: SparkSession, n: Int)(f: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    * cardinality, not to the batch-side default). The override lives
+    * in a CLONED session (inherits conf, shares the context), so a
+    * concurrent batch or stream query planned on `s` never observes
+    * the stream's partition count and there is no set/restore race
+    * on the shared session conf. The closure must build its stream
+    * (and read its memory sink — temp views are session-scoped) from
+    * the session it receives. */
+  private def withStreamSession[A](s: SparkSession, n: Int)(f: SparkSession => A): A = {
+    // newSession: same context/shared state, fresh conf + temp-view
+    // catalog (cloneSession is private[sql]); runtime conf the caller
+    // set on `s` is copied over, static conf set attempts skipped
+    val ss = s.newSession()
+    for ((k, v) <- s.conf.getAll)
+      try ss.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(ss)
   }
 
   /** Structured Streaming under the oracle: the watermarked tumbling-
@@ -81,28 +92,29 @@ object PipelineOps {
     * emission, identical logical plan. */
   def q85StreamWindows(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    // events.parquet is a single file and FileStreamSource anchors
-    // basePath at the source path — stream the directory and glob-
-    // filter to the one table instead
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      // integer div, as in Tables.events: double division loses
-      // precision at 1e18 ns
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val out = graft.streaming.Streaming.eventWindowCounts(stream, "1 hour", "1 hour")
     val sink = s"q85_sink_${streamSinkCounter.incrementAndGet()}"
-    withStreamPartitions(s, 8) {
+    withStreamSession(s, 8) { ss =>
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      // events.parquet is a single file and FileStreamSource anchors
+      // basePath at the source path — stream the directory and glob-
+      // filter to the one table instead
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        // integer div, as in Tables.events: double division loses
+        // precision at 1e18 ns
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val out = graft.streaming.Streaming.eventWindowCounts(stream, "1 hour", "1 hour")
       val query = out.writeStream.format("memory").queryName(sink)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
+      ss.table(sink)
+        .select(col("window_start").cast("long").as("window_start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start_s", "event_type")
     }
-    s.table(sink)
-      .select(col("window_start").cast("long").as("window_start_s"),
-        col("event_type"), col("n"), col("sum_value"))
-      .orderBy("window_start_s", "event_type")
   }
 
   /** Streaming decontamination under the oracle: the stream-static
@@ -113,24 +125,24 @@ object PipelineOps {
     * the CONTAMINATED-DOC SET is arrival-order-independent, so the
     * DuckDB replay is exact. */
   def q86StreamDecon(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val docs = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      .where(col("doc_id") % 50 =!= 0)
-      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
-    val bench = documents(s, dir).where(col("doc_id") % 50 === 0)
-      .select(explode(TextOps.shingleArray(split(col("text"), " "), 3)).as("g"))
-      .distinct()
-    val out = graft.streaming.Streaming.decontaminateStream(docs, bench)
     val sink = s"q86_sink_${streamSinkCounter.incrementAndGet()}"
-    withStreamPartitions(s, 8) {
+    withStreamSession(s, 8) { ss =>
+      val schema = ss.read.parquet(s"$dir/documents.parquet").schema
+      val docs = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(col("doc_id") % 50 =!= 0)
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      val bench = documents(ss, dir).where(col("doc_id") % 50 === 0)
+        .select(explode(TextOps.shingleArray(split(col("text"), " "), 3)).as("g"))
+        .distinct()
+      val out = graft.streaming.Streaming.decontaminateStream(docs, bench)
       val query = out.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
+      ss.table(sink).select(col("doc_id")).orderBy("doc_id")
     }
-    s.table(sink).select(col("doc_id")).orderBy("doc_id")
   }
 
   /** Marker-word language ID vs the labeled lang column. */

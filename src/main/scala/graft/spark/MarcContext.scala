@@ -178,9 +178,13 @@ object MarcContext {
     // take max+1 rows — if the limit was not hit, the dimension is
     // already in hand for the broadcast map (no second scan); if it
     // was, fall back to the shuffle-free broadcast-hash-join path.
+    // Clamp BEFORE the +1: a sentinel Long.MaxValue would wrap the
+    // limit negative, and any cap >= Int.MaxValue could mistake a
+    // truncated collect for the complete dimension.
+    val cap = math.max(0L, math.min(maxBroadcastHeadings, Int.MaxValue - 2L))
     val probe = authHeadings(auths).select("xref", "code", "value")
-      .limit(math.min(maxBroadcastHeadings + 1, Int.MaxValue.toLong).toInt).collect()
-    if (probe.length <= maxBroadcastHeadings)
+      .limit(cap.toInt + 1).collect()
+    if (probe.length <= cap)
       resolveLinkedMapUdf(records.toDF(),
           probe.map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap)
         .select(cols.map(col): _*).as[MarcRow]
