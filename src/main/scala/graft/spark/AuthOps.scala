@@ -84,6 +84,51 @@ object AuthOps {
       }))
   }
 
+  /** One auth's structural heading delta, pre-computed driver-side:
+    * `newSuffix` is Some(tag minus its first char) when the heading
+    * tag moved, `removed`/`added` are the code-set delta. */
+  final case class HeadingStructChange(newSuffix: Option[String],
+      removed: Set[String], added: Seq[String])
+
+  /** Structural cascade for a whole BATCH of heading changes in ONE
+    * typed pass: a broadcast hash dimension (xref → tag suffix / code
+    * drops / adds) keyed by each field's referenced xrefs. Replaces
+    * the per-auth projection fold, whose PLAN DEPTH grew linearly with
+    * the number of changed auths in a commit batch — a bulk retag
+    * (hundreds of changed headings, e.g. a taxonomy migration) hit
+    * Catalyst analysis/codegen blowup long before data size mattered.
+    * Here the plan is one MapElements regardless of batch size, and
+    * lookups are O(1) hash probes. A field referencing several changed
+    * auths applies them in ascending xref order (deterministic; the
+    * old fold applied Map iteration order). Same per-field effects as
+    * [[cascadeHeadingChange]]: retag when the heading tag moved, drop
+    * removed-code subfields, append added codes as unresolved linked
+    * subfields. */
+  def cascadeHeadingChangesBulk(records: org.apache.spark.sql.Dataset[MarcRow],
+      changes: Map[Long, HeadingStructChange]): org.apache.spark.sql.Dataset[MarcRow] = {
+    import MarcSchema.marcRowEncoder
+    if (changes.isEmpty) return records
+    val bc = records.sparkSession.sparkContext.broadcast(changes)
+    records.map { r =>
+      r.copy(datafields = r.datafields.map { f =>
+        val hit = f.subfields.flatMap(s => Option(s.xref)).map(_.longValue)
+          .distinct.filter(bc.value.contains).sorted
+        hit.foldLeft(f) { (fld, id) =>
+          val ch = bc.value(id)
+          val tag2 = ch.newSuffix.fold(fld.tag)(sfx => fld.tag.substring(0, 1) + sfx)
+          val afterDrop =
+            if (ch.removed.isEmpty) fld.subfields
+            else fld.subfields.filterNot(s => ch.removed.contains(s.code))
+          val afterAdd =
+            if (ch.added.isEmpty) afterDrop
+            else afterDrop ++ ch.added.map(c =>
+              SubfieldRow(c, null, java.lang.Long.valueOf(id)))
+          fld.copy(tag = tag2, subfields = afterAdd)
+        }
+      })
+    }
+  }
+
   /** null out the materialized values of linked subfields so a resolve
     * pass re-derives them from the current heading state. */
   def stripLinkedValues(records: DataFrame): DataFrame =

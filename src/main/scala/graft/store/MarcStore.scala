@@ -337,17 +337,22 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     val attached = read("bib").toDF()
       .where(exists(col("datafields"), f =>
         exists(f.getField("subfields"), s => s.getField("xref").isin(changedIds: _*))))
-    // structural cascade per changed auth (tag rename, code drop/add)
-    val restructured = changed.foldLeft(attached) { case (df, (id, (newTag, newCodes))) =>
+    // structural cascade for ALL changed auths in ONE keyed pass: the
+    // per-auth projection fold this replaces chained a plan node per
+    // changed heading (Catalyst blowup on bulk retag batches)
+    val structChanges = changed.flatMap { case (id, (newTag, newCodes)) =>
       val (oldTag, oldCodes) = oldH(id)
-      if (oldTag == newTag && oldCodes.map(_._1).sorted == newCodes.map(_._1).sorted) df
-      else AuthOps.cascadeHeadingChange(df, id, oldTag, oldCodes.map(_._1),
-        newTag, newCodes.map(_._1))
+      val removed = oldCodes.map(_._1).filterNot(newCodes.map(_._1).contains)
+      val added = newCodes.map(_._1).filterNot(oldCodes.map(_._1).contains)
+      if (oldTag == newTag && removed.isEmpty && added.isEmpty) None
+      else Some(id -> AuthOps.HeadingStructChange(
+        if (oldTag != newTag) Some(newTag.substring(1)) else None, removed.toSet, added))
     }
+    val restructured = AuthOps.cascadeHeadingChangesBulk(
+      attached.select(canonicalCols.map(col): _*).as[MarcRow], structChanges)
     // refresh materialized linked values against the NEW heading state,
     // then recompute the derived text/words/logical columns
-    val refreshed = AuthOps.refreshLinkedValuesTyped(
-        restructured.select(canonicalCols.map(col): _*).as[MarcRow], read("auth").toDF())
+    val refreshed = AuthOps.refreshLinkedValuesTyped(restructured, read("auth").toDF())
       .map(r => MarcSchema.toRow(MarcSchema.fromRow(r))(graft.model.AuthLookup.Empty))
     // attached ids are already assigned and validation is moot (only
     // linked values changed) — go straight to the write path so the
@@ -461,12 +466,21 @@ object MarcStore {
 object TableGenerations {
   private val generations = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Two spellings of one local directory (relative vs absolute,
+    * trailing slash, symlink) must share a generation counter, so
+    * scheme-less paths are canonicalized; URI paths (hdfs://, s3a://)
+    * are already absolute and pass through untouched. */
+  private def keyOf(path: String): String =
+    if (path.contains("://")) path
+    else try new java.io.File(path).getCanonicalPath
+    catch { case _: java.io.IOException => new java.io.File(path).getAbsolutePath }
+
   def generation(path: String): Long = {
-    val g = generations.get(path)
+    val g = generations.get(keyOf(path))
     if (g == null) 0L else g.longValue
   }
 
   def bump(path: String): Unit =
-    generations.merge(path, java.lang.Long.valueOf(1L),
+    generations.merge(keyOf(path), java.lang.Long.valueOf(1L),
       (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
 }

@@ -185,6 +185,56 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(tags.contains("710"))
   }
 
+  test("cascadeHeadingChangesBulk matches the single-auth cascade") {
+    import MarcSchema.marcRowEncoder
+    val single = AuthOps.cascadeHeadingChange(bibsDs.toDF(), authId = 1L,
+        oldHeadingTag = "150", oldCodes = Seq("a"),
+        newHeadingTag = "151", newCodes = Seq("z"))
+      .select(bibsDs.columns.map(col): _*).as[MarcRow]
+    val bulk = AuthOps.cascadeHeadingChangesBulk(bibsDs,
+      Map(1L -> AuthOps.HeadingStructChange(Some("51"), Set("a"), Seq("z"))))
+    val s = single.collect().map(r => r._id -> r.datafields).toMap
+    val b = bulk.collect().map(r => r._id -> r.datafields).toMap
+    assert(b == s)
+  }
+
+  test("bulk cascade plan depth is constant in the number of changed headings") {
+    // the old per-auth foldLeft chained one whole-array projection per
+    // changed auth — 500 changed headings meant a 500-deep plan and
+    // Catalyst analysis/codegen blowup before data size mattered
+    val changes = (1L to 500L)
+      .map(i => i -> AuthOps.HeadingStructChange(Some("51"), Set.empty[String], Nil)).toMap
+    val out = AuthOps.cascadeHeadingChangesBulk(bibsDs, changes)
+    val planLines = out.queryExecution.analyzed.toString.linesIterator.size
+    assert(planLines < 40, s"plan depth $planLines lines — per-auth chaining returned?")
+  }
+
+  test("bulk heading retag: 500 changed auths cascade in one commit batch") {
+    val dir = java.nio.file.Files.createTempDirectory("marcstore_bulk").toString
+    val store = new graft.store.MarcStore(spark, dir)
+    val n = 500
+    val auths = (1 to n).map(i =>
+      MarcRecord(recordType = "auth", id = Some(i.toLong)).set("150", "a", s"Heading $i"))
+    store.commit(MarcSchema.toDataset(spark, auths), user = "t")
+    val bibs = (1 to n).map(i =>
+      MarcRecord(recordType = "bib", id = Some(i.toLong))
+        .set("245", "a", s"Title $i").setXref("650", "a", i.toLong))
+    store.commit(MarcSchema.toDataset(spark, bibs), user = "t")
+    // taxonomy migration: EVERY heading moves 150 -> 151 in one batch
+    val moved = (1 to n).map(i =>
+      MarcRecord(recordType = "auth", id = Some(i.toLong)).set("151", "a", s"Heading $i"))
+    store.commit(MarcSchema.toDataset(spark, moved), user = "t2")
+    val tagCounts = store.read("bib").toDF()
+      .select(explode(col("datafields")).as("f")).groupBy("f.tag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tagCounts.get("651").contains(n.toLong), s"tags after cascade: $tagCounts")
+    assert(!tagCounts.contains("650"))
+    val b7 = store.read("bib").where(col("_id") === 7L).head()
+    assert(b7.datafields.find(_.tag == "651").get.subfields
+      .find(_.code == "a").get.value == "Heading 7")
+    assert(store.readHistory("bib").where(col("_id") === 7L).count() == 2L)
+  }
+
   test("auth use counts") {
     val counts = MarcContext.authUseCounts(bibsDs.toDF()).collect()
       .map(r => r.getAs[Long]("xref") -> r.getAs[Long]("use_count")).toMap
