@@ -73,7 +73,9 @@ object StoreOps {
       store.commit(batch(s, dir, 194L, "X-").as[MarcRow], user = "bob", now = ts2)
       val delIds = orders(s, dir).where(col("o_orderkey") % 388 === 0)
         .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
-      store.delete("bib", delIds, now = ts3)
+      // bob (the v2 committer) also deletes: the history marker now
+      // records the DELETING user, as the oracle asserts
+      store.delete("bib", delIds, user = "bob", now = ts3)
       store
     })
 
@@ -144,7 +146,7 @@ object StoreOps {
     val ids = orders(s, dir).where(col("o_orderkey") % 1940 === 0)
       .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
     val delIds = ids.take(3)
-    store.delete("bib", delIds, now = ts2)
+    store.delete("bib", delIds, user = "bob", now = ts2)
     delIds.take(2).foreach(id => store.restore("bib", id, user = "carol"))
     // revert() itself: version-1 state of one restored record
     val reverted = store.revert("bib", delIds.head, 1)
@@ -154,9 +156,21 @@ object StoreOps {
     val counts = hist.groupBy(col("_id").as("c_id")).agg(count(lit(1)).as("n_versions"))
     val v1 = hist.where(col("version_no") === 1)
       .select(col("_id").as("v_id"), titleCol.as("v1_title"))
+    // the reference's restored marker + actions audit
+    // (dlx/marc/__init__.py:2327-2332, 1301-1303): latest action and
+    // the restoring user off the history rows, the delete/restore
+    // event list (reference vocabulary) off actionsAudit
+    val marks = hist.groupBy(col("_id").as("m_id"))
+      .agg(max_by(col("action"), col("version_no")).as("last_action"),
+        max(when(col("action") === "restored", col("user"))).as("restored_user"))
+    val acts = store.actionsAudit("bib")
+      .select(col("_id").as("a_id"),
+        array_join(transform(col("actions"), a => a.getField("type")), ",").as("actions_csv"))
     store.read("bib").toDF().select(col("_id"), col("user").as("mod_user"))
       .join(counts, col("_id") === col("c_id")).drop("c_id")
       .join(v1, col("_id") === col("v_id")).drop("v_id")
+      .join(marks, col("_id") === col("m_id")).drop("m_id")
+      .join(acts, col("_id") === col("a_id"), "left").drop("a_id")
       .withColumn("revert_title",
         when(col("_id") === delIds.head, lit(revTitle)).otherwise(lit(null).cast("string")))
       .orderBy("_id")
@@ -385,6 +399,9 @@ object StoreOps {
         |       CASE WHEN s.id IN (SELECT id FROM r) THEN 'carol' ELSE 'alice' END AS mod_user,
         |       CAST(CASE WHEN s.id IN (SELECT id FROM r) THEN 3 ELSE 1 END AS BIGINT) AS n_versions,
         |       prio AS v1_title,
+        |       CASE WHEN s.id IN (SELECT id FROM r) THEN 'restored' ELSE 'commit' END AS last_action,
+        |       CASE WHEN s.id IN (SELECT id FROM r) THEN 'carol' ELSE NULL END AS restored_user,
+        |       CASE WHEN s.id IN (SELECT id FROM r) THEN 'delete,restore' ELSE NULL END AS actions_csv,
         |       CASE WHEN s.id = (SELECT min(id) FROM s) THEN prio ELSE NULL END AS revert_title
         |FROM s
         |WHERE s.id NOT IN (SELECT id FROM d) OR s.id IN (SELECT id FROM r)

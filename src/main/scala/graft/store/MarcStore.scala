@@ -190,7 +190,8 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     * update_attached on. */
   def commit(recs: Dataset[MarcRow], user: String,
       now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()),
-      authCheck: Boolean = true, updateAttached: Boolean = true): Unit = {
+      authCheck: Boolean = true, updateAttached: Boolean = true,
+      action: String = "commit"): Unit = {
     // ONE job answers "empty?", "which record type?", "how many rows
     // need ids?" AND "which buckets does the batch touch?" (each was
     // its own action before). The touched set is only authoritative
@@ -208,7 +209,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     val incomingRaw = timed("assign_ids") { assignIds(recs, rt, needIds) }
     val knownTouched =
       if (needIds == 0L) Some(stats.getSeq[Long](3)) else None
-    commitPrepared(incomingRaw, user, now, rt, updateAttached, knownTouched)
+    commitPrepared(incomingRaw, user, now, rt, updateAttached, knownTouched, action)
   }
 
   /** Write path for a batch whose record type is known, ids are
@@ -218,7 +219,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     * batch). */
   private def commitPrepared(incomingRaw: Dataset[MarcRow], user: String,
       now: java.sql.Timestamp, rt: String, updateAttached: Boolean,
-      knownTouched: Option[Seq[Long]] = None): Unit = {
+      knownTouched: Option[Seq[Long]] = None, action: String = "commit"): Unit = {
     // audit columns: preserve created/created_user from previous state
     val prev = read(rt).select(col("_id").as("p_id"), col("created").as("p_created"),
       col("created_user").as("p_created_user"))
@@ -255,7 +256,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       } else Map.empty[String, Map[Long, (String, Seq[(String, String)])]]
 
     timed("write_live") { writeLiveBuckets(incoming.toDF(), rt, knownTouched) }
-    timed("append_history") { appendHistory(incoming.toDF(), rt, "commit", now) }
+    timed("append_history") { appendHistory(incoming.toDF(), rt, action, now) }
 
     if (rt == "auth" && updateAttached)
       cascadeToAttached(
@@ -363,7 +364,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
 
   /** Delete ids; refuse when an auth is still referenced (AuthInUse
     * guard, dlx/marc/__init__.py:1243-1252). */
-  def delete(recordType: String, ids: Seq[Long],
+  def delete(recordType: String, ids: Seq[Long], user: String = "admin",
       now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now())): Unit = {
     if (recordType == "auth") {
       val inUse = MarcContext.authUseCounts(read("bib").toDF().unionByName(read("auth").toDF()))
@@ -379,6 +380,9 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     // marker plan reads them exactly once and no checkpoint is needed.
     val deleted = read(recordType).filter(col("_id").isin(ids: _*)).toDF()
       .withColumn("updated", lit(now))
+      // the DELETING user, not the last committer (reference stamps
+      // deleted.user, dlx/marc/__init__.py:1236,1300)
+      .withColumn("user", lit(user))
     appendHistory(deleted, recordType, "deleted", now)
     val survivors = readRaw(recordType)
       .where(col("id_bucket").isin(buckets: _*) && !col("_id").isin(ids: _*))
@@ -388,15 +392,33 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   }
 
   /** Recreate the last history version of a deleted record
-    * (Marc.restore, dlx/marc/__init__.py:581-590). */
+    * (Marc.restore, dlx/marc/__init__.py:581-590). The history row the
+    * re-commit appends is stamped action='restored' with the RESTORING
+    * user — the reference's `restored: {user, time}` marker plus its
+    * `actions` 'restore' entry (dlx/marc/__init__.py:2327-2332), both
+    * of which the row-per-version history carries in one row. */
   def restore(recordType: String, id: Long, user: String): Unit = {
     val hist = readHistory(recordType).where(col("_id") === id)
       .orderBy(col("version_no").desc).limit(1)
       .drop("version_no", "action")
       .localCheckpoint(true)
     require(!hist.isEmpty, s"History for $recordType $id not found")
-    commit(hist.as[MarcRow], user, authCheck = false)
+    commit(hist.as[MarcRow], user, authCheck = false, action = "restored")
   }
+
+  /** Reference `actions` audit list (dlx/marc/__init__.py:1301-1303,
+    * 2327-2332): per record, the delete/restore events in version
+    * order, under the reference's type vocabulary. Derived view — the
+    * row-per-version history IS the append-only audit log. */
+  def actionsAudit(recordType: String): DataFrame =
+    readHistory(recordType)
+      .withColumn("type",
+        when(col("action") === "deleted", lit("delete"))
+          .when(col("action") === "restored", lit("restore")))
+      .where(col("type").isNotNull)
+      .groupBy("_id")
+      .agg(sort_array(collect_list(struct(col("version_no"), col("type"),
+        col("user"), col("updated").as("time")))).as("actions"))
 
   /** History.from_query analog (dlx/marc/__init__.py:2345-2354): run
     * a search-string query against the version records. */

@@ -321,6 +321,25 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(store.read("bib").where(col("_id") === id).count() == 1)
   }
 
+  test("restore stamps the restored marker and actions audit (ref parity)") {
+    // dlx/marc/__init__.py:2327-2332 (restored marker), 1301-1303 /
+    // 1236 (actions list, deleting user)
+    val dir = java.nio.file.Files.createTempDirectory("marcstore_restored").toString
+    val store = new graft.store.MarcStore(spark, dir)
+    store.commit(authsDs, user = "t")
+    store.commit(bibsDs, user = "t")
+    store.delete("bib", Seq(1L), user = "deleter")
+    store.restore("bib", 1L, user = "restorer")
+    val h = store.readHistory("bib").where(col("_id") === 1L)
+      .orderBy("version_no").select("action", "user").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(h == Seq(("commit", "t"), ("deleted", "deleter"), ("restored", "restorer")))
+    val acts = store.actionsAudit("bib").where(col("_id") === 1L).head()
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("actions")
+      .map(r => (r.getAs[String]("type"), r.getAs[String]("user"))).toSeq
+    assert(acts == Seq(("delete", "deleter"), ("restore", "restorer")))
+  }
+
   test("history files are append-only across commits") {
     val dir = java.nio.file.Files.createTempDirectory("marcstore5").toString
     val store = new graft.store.MarcStore(spark, dir)
