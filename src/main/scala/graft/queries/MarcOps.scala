@@ -284,6 +284,38 @@ object MarcOps {
       .orderBy("_id")
   }
 
+  /** from_excel under the oracle — the last §2.1 source without a
+    * correctness gate: each partition renders its slice of a
+    * deterministic orders-derived table to REAL xlsx bytes (toXlsx),
+    * parses them back through the from_excel path (fromExcelBytes →
+    * Table → records, id via the 1.001 column) and emits the record
+    * content. Executor-side bytes, no driver files; DuckDB replays
+    * the expected content straight from orders. */
+  def q99FromExcel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = orders(s, dir).where(col("o_orderkey") % 971 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .as[(Long, String, String, String)]
+    src.repartition(4).mapPartitions { it =>
+      val rows = it.toSeq
+      if (rows.isEmpty) Iterator.empty
+      else {
+        implicit val auth: AuthLookup = AuthLookup.Empty
+        val header = Seq("1.001", "1.245$a", "1.245$b", "1.269$a")
+        val data = rows.map { case (id, prio, status, odate) =>
+          Seq(id.toString, prio, status, odate) }
+        val bytes = graft.records.ExcelSerialization.toXlsx(header +: data)
+        val recs = graft.records.ExcelSerialization
+          .fromExcelBytes(bytes, "bib", authControl = false)
+        recs.iterator.map { r =>
+          (r.id.get, r.getValue("245", "a"), r.getValue("245", "b"),
+            r.getValue("269", "a"))
+        }
+      }
+    }.toDF("_id", "title", "status", "odate").orderBy("_id")
+  }
+
   /** Whole-record free-text search (`Text` / bare-term queries) over a
     * corpus with commit-time text/words columns derived in-plan. */
   def q42FreeText(s: SparkSession, dir: String): DataFrame = {
@@ -657,6 +689,7 @@ object MarcOps {
     "q39_json_roundtrip" -> (q39JsonRoundtrip _),
     "q41_csv_roundtrip" -> (q41CsvRoundtrip _),
     "q42_free_text" -> (q42FreeText _),
+    "q99_from_excel" -> (q99FromExcel _),
     "q47_table_export" -> (q47TableExport _),
     "q48_exists_not" -> (q48ExistsNot _),
     "q51_partial_lookup" -> (q51PartialLookup _),
@@ -823,6 +856,11 @@ object MarcOps {
       s"""WITH $oracleBibs
         |SELECT id AS _id, prio || '|' || odate AS csv_roundtrip
         |FROM bibs ORDER BY _id""".stripMargin,
+    "q99_from_excel" ->
+      """SELECT o_orderkey AS _id, o_orderpriority AS title,
+        |       o_orderstatus AS status,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS odate
+        |FROM orders WHERE o_orderkey % 971 = 0 ORDER BY _id""".stripMargin,
     "q42_free_text" ->
       """SELECT o_orderkey AS _id FROM orders
         |JOIN (SELECT l_orderkey, MIN(l_partkey) AS subject_key FROM lineitem GROUP BY 1) fp

@@ -140,8 +140,18 @@ object ExcelSerialization {
 
   /** from_excel → records, through the same Table path as from_csv. */
   def fromExcel(path: String, recordType: String, authControl: Boolean = true)
-      (implicit auth: AuthLookup): Seq[MarcRecord] = {
-    val rows = readXlsxRows(path).filter(_.exists(_.nonEmpty))
+      (implicit auth: AuthLookup): Seq[MarcRecord] =
+    rowsToRecords(readXlsxRows(path), recordType, authControl)
+
+  /** [[fromExcel]] over in-memory bytes — the executor-side entry
+    * point (no local file needed on a cluster worker). */
+  def fromExcelBytes(bytes: Array[Byte], recordType: String, authControl: Boolean = true)
+      (implicit auth: AuthLookup): Seq[MarcRecord] =
+    rowsToRecords(readXlsxRows(bytes), recordType, authControl)
+
+  private def rowsToRecords(all: Seq[Seq[String]], recordType: String,
+      authControl: Boolean)(implicit auth: AuthLookup): Seq[MarcRecord] = {
+    val rows = all.filter(_.exists(_.nonEmpty))
     require(rows.nonEmpty, "Empty sheet")
     val header = rows.head.map(_.trim)
     val table = new TableSerialization.Table
@@ -150,5 +160,79 @@ object ExcelSerialization {
       table.set(ri + 1, header(ci), cell)
     table.header = header.toVector
     TableSerialization.fromTable(table, recordType, authControl)
+  }
+
+  /** sheet-1 rows from in-memory xlsx bytes (ZipInputStream; entry
+    * order in the archive is not guaranteed, so parts are collected
+    * first). */
+  def readXlsxRows(bytes: Array[Byte]): Seq[Seq[String]] = {
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    val parts = mutable.Map.empty[String, Array[Byte]]
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        parts(e.getName) = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings).getOrElse(Vector.empty)
+    val sheetName = parts.keys
+      .filter(n => n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml"))
+      .toSeq.sorted.headOption
+      .getOrElse(throw new IllegalArgumentException("No worksheet in xlsx bytes"))
+    parseSheet(parts(sheetName), shared)
+  }
+
+  /** Minimal xlsx writer (the export dual of the reader): one sheet,
+    * every cell an inline string — JDK zip + hand-built XML, zero new
+    * dependencies. Round-trips through [[readXlsxRows]] and opens in
+    * spreadsheet apps. */
+  def toXlsx(rows: Seq[Seq[String]]): Array[Byte] = {
+    def esc(s: String) =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sheet = new StringBuilder(
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    for (row <- rows) {
+      sheet.append("<row>")
+      for (cell <- row)
+        sheet.append(s"""<c t="inlineStr"><is><t>${esc(cell)}</t></is></c>""")
+      sheet.append("</row>")
+    }
+    sheet.append("</sheetData></worksheet>")
+    val parts = Seq(
+      "[Content_Types].xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+         """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+         """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+         """<Default Extension="xml" ContentType="application/xml"/>""" +
+         """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+         """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+         """</Types>"""),
+      "_rels/.rels" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+         """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+         """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+         """</Relationships>"""),
+      "xl/workbook.xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+         """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
+         """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+         """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+      "xl/_rels/workbook.xml.rels" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+         """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+         """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+         """</Relationships>"""),
+      "xl/worksheets/sheet1.xml" -> sheet.result())
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    for ((name, content) <- parts) {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
   }
 }

@@ -220,6 +220,23 @@ class SerializationSpec extends AnyFunSuite {
     assert(bib.getXref("650", "a").contains(1L)) // auth-controlled lookup
   }
 
+  test("toXlsx round-trips through the bytes reader and from_excel") {
+    val E = graft.records.ExcelSerialization
+    val rows = Seq(
+      Seq("1.001", "1.245$a", "1.269$a"),
+      Seq("7", "Héllo & <everyone>", "1999-12-31"),
+      Seq("8", "Trailing  ", "2000-01-01"))
+    val back = E.readXlsxRows(E.toXlsx(rows))
+    assert(back == Seq(
+      Seq("1.001", "1.245$a", "1.269$a"),
+      Seq("7", "Héllo & <everyone>", "1999-12-31"),
+      Seq("8", "Trailing", "2000-01-01"))) // rstrip parity with xlrd
+    val recs = E.fromExcelBytes(E.toXlsx(rows), "bib", authControl = false)(
+      graft.model.AuthLookup.Empty)
+    assert(recs.map(_.id.get).sorted == Seq(7L, 8L))
+    assert(recs.find(_.id.contains(7L)).get.getValue("245", "a") == "Héllo & <everyone>")
+  }
+
   test("table construction guards (tests/test_marcset.py:134-149)") {
     // trailing blank headers are trimmed; trailing empty cells allowed
     val t = T.tableFromRows(Seq(
