@@ -329,7 +329,56 @@ object StoreOps {
     store.read("bib").toDF().select(col("_id")).orderBy("_id")
   }
 
+  /** Browse-index eviction under the oracle (the reference's
+    * _index_<field> DeleteOne maintenance, dlx/marc/__init__.py:
+    * 985-1013, 1253-1277): commit bibs whose logical values are partly
+    * UNIQUE per record (main_title 'T-<id>') and partly SHARED across
+    * the parity split (notes EVEN/ODD), delete every even record, and
+    * rebuild the browse index from the live table. Unique values of
+    * deleted records and the shared value whose last holder died must
+    * both be evicted; the shared value with survivors stays. Recompute
+    * semantics — the rebuilt index simply cannot contain a value no
+    * live record carries, which is exactly the reference's
+    * bibcount+authcount==0 DeleteOne outcome. */
+  def q100BrowseEviction(s: SparkSession, dir: String): DataFrame = {
+    import MarcSchema.marcRowEncoder
+    val base = java.nio.file.Files.createTempDirectory("graft_q100").toString
+    val store = new MarcStore(s, base, numBuckets = gateBuckets)
+    val raw = orders(s, dir).where(col("o_orderkey") % 1940 === 0)
+      .select(
+        lit("bib").as("record_type"),
+        col("o_orderkey").as("_id"),
+        lit(null).cast("timestamp").as("created"),
+        lit(null).cast("timestamp").as("updated"),
+        lit(null).cast("string").as("created_user"),
+        lit(null).cast("string").as("user"),
+        lit(null).cast("string").as("basket"),
+        lit("").as("leader"),
+        array().cast("array<struct<tag:string,value:string>>").as("controlfields"),
+        array(
+          field("245", sub("a", concat(lit("T-"), col("o_orderkey")))),
+          field("500", sub("a",
+            when(col("o_orderkey") % 3880 === 0, lit("EVEN")).otherwise(lit("ODD")))))
+          .as("datafields"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("array<string>").as("words"),
+        lit(null).cast("map<string,array<string>>").as("logical"))
+    // derive text/words/logical in-plan (executor-side), the same
+    // idiom the cascade's re-commit uses
+    val recs = raw.as[MarcRow]
+      .map(r => MarcSchema.toRow(MarcSchema.fromRow(r))(graft.model.AuthLookup.Empty))
+    store.commit(recs, user = "alice", now = ts1)
+    val delIds = orders(s, dir).where(col("o_orderkey") % 3880 === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    store.delete("bib", delIds, user = "bob", now = ts2)
+    graft.spark.MarcContext.browseIndex(store.read("bib").toDF())
+      .where(col("field").isin("main_title", "notes"))
+      .select(col("field"), col("value"))
+      .orderBy("field", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_browse_eviction" -> (q100BrowseEviction _),
     "q97_assign_ids" -> (q97AssignIds _),
     "q36_store_commit" -> (q36StoreCommit _),
     "q40_file_import" -> (q40FileImport _),
@@ -341,6 +390,14 @@ object StoreOps {
     "q62_cascade" -> (q62Cascade _))
 
   val oracle: Map[String, String] = Map(
+    "q100_browse_eviction" ->
+      """WITH s AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 1940 = 0),
+        |live AS (SELECT k FROM s WHERE k % 3880 <> 0)
+        |SELECT field, value FROM (
+        |  SELECT 'main_title' AS field, 'T-' || CAST(k AS VARCHAR) AS value FROM live
+        |  UNION ALL
+        |  SELECT DISTINCT 'notes' AS field, 'ODD' AS value FROM live)
+        |ORDER BY field, value""".stripMargin,
     "q97_assign_ids" ->
       """WITH seed AS (
         |  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 1940 = 0),
