@@ -30,19 +30,40 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // untimed: let ContextCleaner drop dead checkpoint/broadcast
-      // blocks so one query's residue doesn't skew the next
-      System.gc()
-      name -> dt
+    // n=1 bench numbers on this rig vary ±30% on heavy queries —
+    // enough to fake a regression (or an improvement). Run the WHOLE
+    // battery `reps` times (pass-level repetition keeps within-pass
+    // cache semantics identical to a single driver run; gate caches
+    // are dropped between passes so every pass is equally cold) and
+    // report the per-query MEDIAN, with min/max spread alongside.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val battery = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes: Seq[Map[String, Double]] = (1 to reps).map { p =>
+      if (p > 1) {
+        graft.queries.MarcOps.clearGateCaches()
+        graft.queries.StoreOps.clearGateCaches()
+      }
+      battery.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // untimed: let ContextCleaner drop dead checkpoint/broadcast
+        // blocks so one query's residue doesn't skew the next
+        System.gc()
+        name -> dt
+      }.toMap
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    val names = battery.map(_._1)
+    val med = names.map(n => n -> median(passes.map(_(n))))
+    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = names.map { n =>
+      val xs = passes.map(_(n))
+      s"\"$n\":{\"min\":${xs.min},\"max\":${xs.max}}"
+    }.mkString("{", ",", "}")
+    val total = if (med.nonEmpty) med.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

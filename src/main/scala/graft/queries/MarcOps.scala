@@ -44,6 +44,14 @@ object MarcOps {
   private def cached(kind: String, dir: String)(build: => DataFrame): DataFrame =
     corpusCache.getOrElseUpdate((kind, dir), build.persist())
 
+  /** Drop the memoized corpora (Bench calls this between repetition
+    * passes so every pass pays the same construction cost as a fresh
+    * driver run — medians stay comparable round-over-round). */
+  def clearGateCaches(): Unit = {
+    corpusCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    corpusCache.clear()
+  }
+
   def marcBibs(s: SparkSession, dir: String): DataFrame =
     cached("bibs", dir)(buildMarcBibs(s, dir))
 

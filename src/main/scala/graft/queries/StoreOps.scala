@@ -377,6 +377,12 @@ object StoreOps {
       .orderBy("field", "value")
   }
 
+  /** Drop the memoized lifecycle stores (Bench repetition passes). */
+  def clearGateCaches(): Unit = {
+    storeCache.clear()
+    fileStoreCache.clear()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_browse_eviction" -> (q100BrowseEviction _),
     "q97_assign_ids" -> (q97AssignIds _),
