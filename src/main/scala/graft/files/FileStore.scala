@@ -80,7 +80,7 @@ final class HadoopBlobStore(baseUri: String) extends BlobStore {
 }
 
 final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
-    numBuckets: Int = 64) {
+    numBuckets: Int = 64, lockWaitMs: Long = 600000L) {
   import spark.implicits._
 
   private val tablePath = s"$basePath/files"
@@ -126,7 +126,8 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
   /** Upsert metadata rows by checksum: rewrite ONLY the id buckets the
     * batch touches (stage → swap, like MarcStore) — write cost is
     * O(touched buckets), never O(table). */
-  private def upsert(meta: DataFrame): Unit = {
+  private def upsert(meta: DataFrame): Unit =
+      graft.store.StoreLock.withLock(basePath, lockWaitMs) {
     val withBucket = meta.select(canonicalCols.map(col): _*)
       .withColumn("id_bucket", bucketCol)
     val touched = withBucket.select("id_bucket").distinct().as[Long].collect()

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   *      exactly the reference's update_attached_records default.
   */
 final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 64,
-    historyPartitions: Int = 8) {
+    historyPartitions: Int = 8, lockWaitMs: Long = 600000L) {
   import spark.implicits._
   import MarcSchema.marcRowEncoder
 
@@ -191,7 +191,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   def commit(recs: Dataset[MarcRow], user: String,
       now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()),
       authCheck: Boolean = true, updateAttached: Boolean = true,
-      action: String = "commit"): Unit = {
+      action: String = "commit"): Unit = StoreLock.withLock(basePath, lockWaitMs) {
     // ONE job answers "empty?", "which record type?", "how many rows
     // need ids?" AND "which buckets does the batch touch?" (each was
     // its own action before). The touched set is only authoritative
@@ -365,7 +365,8 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   /** Delete ids; refuse when an auth is still referenced (AuthInUse
     * guard, dlx/marc/__init__.py:1243-1252). */
   def delete(recordType: String, ids: Seq[Long], user: String = "admin",
-      now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now())): Unit = {
+      now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()))
+      : Unit = StoreLock.withLock(basePath, lockWaitMs) {
     if (recordType == "auth") {
       val inUse = MarcContext.authUseCounts(read("bib").toDF().unionByName(read("auth").toDF()))
         .where(col("xref").isin(ids: _*))
@@ -397,7 +398,11 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     * user — the reference's `restored: {user, time}` marker plus its
     * `actions` 'restore' entry (dlx/marc/__init__.py:2327-2332), both
     * of which the row-per-version history carries in one row. */
-  def restore(recordType: String, id: Long, user: String): Unit = {
+  def restore(recordType: String, id: Long, user: String): Unit =
+      StoreLock.withLock(basePath, lockWaitMs) {
+    // lock held across read-history + re-commit (re-entrant for the
+    // inner commit), so the version it restores cannot be swapped out
+    // from under it
     val hist = readHistory(recordType).where(col("_id") === id)
       .orderBy(col("version_no").desc).limit(1)
       .drop("version_no", "action")
@@ -479,6 +484,66 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
 object MarcStore {
   private def generation(path: String): Long = TableGenerations.generation(path)
   private def bumpGeneration(path: String): Unit = TableGenerations.bump(path)
+}
+
+/** Cross-writer exclusion for one store path. The staging-dir swap
+  * assumes a single writer: two concurrent writers on one path could
+  * interleave `_staging` writes and lose rows silently. Every write
+  * entry point (MarcStore.commit/delete/restore, FileStore.upsert)
+  * therefore holds an exclusive lock for its whole read-modify-swap
+  * critical section:
+  *   - in-process: a per-canonical-path ReentrantLock with a bounded
+  *     wait (re-entrant, so restore's inner commit nests cleanly);
+  *   - cross-process: an OS file lock on `<base>/.graft_lock`
+  *     (FileChannel.tryLock) acquired with bounded retry.
+  * A writer that cannot acquire within `waitMs` throws
+  * IllegalStateException — loud, never corrupt. URI-scheme paths
+  * (hdfs://, s3a://) serialize in-process only; a multi-driver cluster
+  * deployment must fence through its own coordination service
+  * (documented limitation — OS file locks do not exist there). */
+object StoreLock {
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  private def keyOf(path: String): String =
+    if (path.contains("://")) path
+    else try new java.io.File(path).getCanonicalPath
+    catch { case _: java.io.IOException => new java.io.File(path).getAbsolutePath }
+
+  def withLock[A](basePath: String, waitMs: Long)(f: => A): A = {
+    val key = keyOf(basePath)
+    val jvm = jvmLocks.computeIfAbsent(key,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    if (!jvm.tryLock(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw new IllegalStateException(
+        s"Another writer holds the store lock for $key (waited $waitMs ms)")
+    try {
+      if (jvm.getHoldCount > 1 || key.contains("://")) f
+      else {
+        new java.io.File(key).mkdirs()
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(key, ".graft_lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val deadline = System.nanoTime() + waitMs * 1000000L
+          var lock: java.nio.channels.FileLock = null
+          var waited = false
+          while (lock == null) {
+            if (waited) Thread.sleep(50L)
+            waited = true
+            lock =
+              try ch.tryLock()
+              catch { case _: java.nio.channels.OverlappingFileLockException => null }
+            if (lock == null && System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                s"Another process holds the store lock for $key (waited $waitMs ms)")
+          }
+          try f finally lock.release()
+        } finally ch.close()
+      }
+    } finally jvm.unlock()
+  }
 }
 
 /** JVM-wide table write generations: lets every store instance (tests

@@ -321,6 +321,53 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(store.read("bib").where(col("_id") === id).count() == 1)
   }
 
+  test("concurrent commits to one store path serialize, no lost rows") {
+    // two store instances, two threads, disjoint batches into the SAME
+    // buckets: without the store lock the _staging interleave loses one
+    // writer's rows silently
+    val dir = java.nio.file.Files.createTempDirectory("marcstore_mw").toString
+    val a = new graft.store.MarcStore(spark, dir)
+    val b = new graft.store.MarcStore(spark, dir)
+    def mkBatch(ids: Range) = MarcSchema.toDataset(spark,
+      ids.map(i => MarcRecord(recordType = "bib", id = Some(i.toLong))
+        .set("245", "a", s"Title $i")))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(a -> (1 to 40), b -> (41 to 80)).map { case (st, ids) =>
+      new Thread(() =>
+        try st.commit(mkBatch(ids), user = "w")
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent commit failed: ${errs.peek()}")
+    assert(a.read("bib").count() == 80L, "a writer's rows were lost")
+    assert(b.readHistory("bib").count() == 80L)
+    assert(a.read("bib").toDF().groupBy("_id").count()
+      .where(col("count") > 1).count() == 0L)
+  }
+
+  test("a held store lock makes a second writer fail loudly, not corrupt") {
+    val dir = java.nio.file.Files.createTempDirectory("marcstore_lock").toString
+    val store = new graft.store.MarcStore(spark, dir, lockWaitMs = 300L)
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(dir, ".graft_lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      val e = intercept[IllegalStateException] {
+        store.commit(MarcSchema.toDataset(spark,
+          Seq(MarcRecord(recordType = "bib", id = Some(1L)).set("245", "a", "T"))),
+          user = "w")
+      }
+      assert(e.getMessage.contains("store lock"))
+    } finally { lock.release(); ch.close() }
+    // lock released: the same commit now succeeds
+    store.commit(MarcSchema.toDataset(spark,
+      Seq(MarcRecord(recordType = "bib", id = Some(1L)).set("245", "a", "T"))),
+      user = "w")
+    assert(store.read("bib").count() == 1L)
+  }
+
   test("restore stamps the restored marker and actions audit (ref parity)") {
     // dlx/marc/__init__.py:2327-2332 (restored marker), 1301-1303 /
     // 1236 (actions list, deleting user)
