@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * resources (decoders, models) initialize once per partition — the
   * Scala analog of `mapInPandas` batch processing.
   *
-  * The actual media decoding is STUBBED (this container has no
-  * image/audio libraries): [[MediaDecoder.Stub]] produces
+  * Image decode is REAL via [[MediaDecoder.JdkImageIO]] (the JDK's
+  * bundled `javax.imageio` readers — PNG/JPEG/BMP/GIF, no external
+  * libs); audio/video decode remains the documented
+  * [[MediaDecoder.Stub]] boundary (no codecs in this container), with
   * deterministic fake dimensions/frames from the bytes. The Spark
   * plumbing — schema, binary transport, partition-wise batch shape,
-  * UDF signatures — is real and tested, and a real decoder drops in
-  * behind the same trait.
+  * UDF signatures — is identical for both.
   */
 final case class MediaRow(
     media_id: Long,
@@ -48,6 +49,90 @@ object MediaDecoder {
       content.length.toFloat,
       (content.headOption.getOrElse(0: Byte) & 0xff).toFloat,
       (content.lastOption.getOrElse(0: Byte) & 0xff).toFloat)
+  }
+
+  /** Real decoder on the JDK's bundled image readers (PNG/JPEG/BMP/GIF
+    * via `javax.imageio` — no external libs). `embed` is a 4-dim
+    * quadrant-gray-sum signature: integer sums of the luminance plane
+    * over the four (w/2, h/2) quadrants, exact and replayable. */
+  object JdkImageIO extends MediaDecoder {
+    def decodeDims(content: Array[Byte]): (Int, Int) = {
+      val img = ImageCodec.decode(content)
+      (img.getWidth, img.getHeight)
+    }
+    def embed(content: Array[Byte]): Array[Float] = {
+      val img = ImageCodec.decode(content)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (hw, hh) = (w / 2, h / 2)
+      val sums = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val q = (if (x >= hw) 1 else 0) + (if (y >= hh) 2 else 0)
+          sums(q) += ImageCodec.gray(img, x, y)
+          x += 1
+        }
+        y += 1
+      }
+      sums.map(_.toFloat)
+    }
+  }
+}
+
+/** JDK-only pixel codec used by [[MediaDecoder.JdkImageIO]] and
+  * [[Multimodal.resizePixels]]. All operations are bit-exact: PNG is
+  * lossless, resize is manual nearest-neighbor (`src = dst * srcDim /
+  * dstDim`, integer floor — no AWT rendering-hint ambiguity), gray is
+  * the blue channel of the packed RGB (callers write r=g=b). */
+object ImageCodec {
+  import java.awt.image.BufferedImage
+
+  def decode(content: Array[Byte]): BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, s"undecodable image bytes (${content.length} bytes)")
+    img
+  }
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def gray(img: BufferedImage, x: Int, y: Int): Int = img.getRGB(x, y) & 0xff
+
+  /** Grayscale image from a pixel function; pixel (x,y) gets
+    * r=g=b=f(x,y)&0xff. */
+  def grayImage(w: Int, h: Int)(f: (Int, Int) => Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  def resizeNearest(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val sy = y * sh / h
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * sw / w, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 }
 
@@ -90,6 +175,21 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaRow] =
     media.map(m => m.copy(meta = m.meta ++ Map(
       "resized_w" -> width.toString, "resized_h" -> height.toString)))
+
+  /** REAL pixel resize for decodable images: decode with the JDK
+    * codec, nearest-neighbor remap, re-encode PNG. Map-only (no
+    * shuffle); the source dims are preserved in `meta` so downstream
+    * stages don't need a join back to the originals. */
+  def resizePixels(media: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaRow] =
+    media.map { m =>
+      val img = ImageCodec.decode(m.content)
+      val out = ImageCodec.resizeNearest(img, width, height)
+      m.copy(
+        content = ImageCodec.encodePng(out),
+        mimetype = "image/png",
+        meta = m.meta ++ Map(
+          "orig_w" -> img.getWidth.toString, "orig_h" -> img.getHeight.toString))
+    }
 
   /** Frame sampling stub for video: emits every k-th "frame" as a
     * byte slice — the exploded one-row-per-frame shape is the real

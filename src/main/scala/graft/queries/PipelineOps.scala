@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 import Tables._
 
 /** Multimodal + language-ID pipeline operators through the gate.
-  * Media content is synthesized from document text bytes (no media in
-  * the testdata); the decode layer is the documented stub, and the
-  * outputs are chosen so DuckDB replays them exactly.
+  * Media content is synthesized (no media in the testdata): q32/q46/
+  * q65 drive the stub decode boundary over document text bytes, and
+  * q101 drives the REAL JDK image codec over generated PNGs whose
+  * pixels are integer functions of doc_id, so DuckDB replays every
+  * output exactly.
   */
 object PipelineOps {
 
@@ -54,6 +56,40 @@ object PipelineOps {
         md5(col("frame_bytes")).as("frame_md5"),
         length(col("frame_bytes")).cast("long").as("n_bytes"))
       .orderBy("media_id", "frame_no")
+  }
+
+  /** REAL image decode under the oracle: synthesize a deterministic
+    * grayscale PNG per document (dims and pixels are integer functions
+    * of doc_id), then run the genuine pixel path — ImageIO decode →
+    * nearest-neighbor resize to 16x12 → PNG re-encode → re-decode →
+    * quadrant-gray-sum embedding. Every output value is exact integer
+    * math DuckDB replays from doc_id alone, so the gate proves the
+    * codec round-trip (encode/decode/resize) bit-for-bit, not just
+    * plumbing. Map-only until the final sort. */
+  def q101ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          // 16..32 x 12..24 px; gray(x,y) = (id*31 + x*7 + y*13) % 256
+          val w = 16 + (id % 17).toInt
+          val h = 12 + (id % 13).toInt
+          val img = graft.multimodal.ImageCodec.grayImage(w, h) { (x, y) =>
+            ((id * 31 + x * 7 + y * 13) % 256).toInt
+          }
+          graft.multimodal.MediaRow(id, "image",
+            graft.multimodal.ImageCodec.encodePng(img), "image/png", Map.empty)
+        }
+      }
+    val resized = graft.multimodal.Multimodal.resizePixels(media, 16, 12)
+    resized.map { m =>
+      val (rw, rh) = graft.multimodal.MediaDecoder.JdkImageIO.decodeDims(m.content)
+      val e = graft.multimodal.MediaDecoder.JdkImageIO.embed(m.content).map(_.toLong)
+      (m.media_id, m.meta("orig_w").toInt, m.meta("orig_h").toInt, rw, rh,
+        e(0), e(1), e(2), e(3), e.sum)
+    }.toDF("media_id", "width", "height", "rw", "rh",
+        "q00", "q10", "q01", "q11", "gray_sum")
+      .orderBy("media_id")
   }
 
   private val streamSinkCounter = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -159,6 +195,7 @@ object PipelineOps {
     "q33_lang_id" -> (q33LangId _),
     "q46_frame_sample" -> (q46FrameSample _),
     "q65_media_resize" -> (q65MediaResize _),
+    "q101_image_decode" -> (q101ImageDecode _),
     "q85_stream_windows" -> (q85StreamWindows _),
     "q86_stream_decon" -> (q86StreamDecon _))
 
@@ -166,6 +203,28 @@ object PipelineOps {
     LanguageId.markers.toMap.apply(lang).toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // replays synth (gray = (id*31 + x*7 + y*13) % 256 at 16+id%17 x
+    // 12+id%13) + nearest-neighbor (src = dst*srcDim//dstDim) + the
+    // 16x12 quadrant split — all integer math, so a codec round-trip
+    // error of even one pixel level fails the hash
+    "q101_image_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         CAST(rx.range AS INT) AS x, CAST(ry.range AS INT) AS y,
+        |         (doc_id * 31
+        |          + ((CAST(rx.range AS BIGINT) * (16 + doc_id % 17)) // 16) * 7
+        |          + ((CAST(ry.range AS BIGINT) * (12 + doc_id % 13)) // 12) * 13) % 256 AS g
+        |  FROM documents CROSS JOIN range(0, 16) rx CROSS JOIN range(0, 12) ry)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 17 AS INT) AS width,
+        |  CAST(12 + doc_id % 13 AS INT) AS height,
+        |  16 AS rw, 12 AS rh,
+        |  CAST(SUM(CASE WHEN x < 8 AND y < 6 THEN g ELSE 0 END) AS BIGINT) AS q00,
+        |  CAST(SUM(CASE WHEN x >= 8 AND y < 6 THEN g ELSE 0 END) AS BIGINT) AS q10,
+        |  CAST(SUM(CASE WHEN x < 8 AND y >= 6 THEN g ELSE 0 END) AS BIGINT) AS q01,
+        |  CAST(SUM(CASE WHEN x >= 8 AND y >= 6 THEN g ELSE 0 END) AS BIGINT) AS q11,
+        |  CAST(SUM(g) AS BIGINT) AS gray_sum
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "q86_stream_decon" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

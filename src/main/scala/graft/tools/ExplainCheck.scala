@@ -229,6 +229,15 @@ object ExplainCheck {
       "q98: tokenization fell off codegen into a UDF")
     println("q98 pruned scan + codegen regex OK")
 
+    val q101 = graft.queries.PipelineOps.q101ImageDecode(spark, sfDir)
+    val p101 = planOf(q101)
+    assert(!p101.contains("Exchange hashpartitioning") && !p101.contains("SortMergeJoin"),
+      "q101: codec pipeline must be map-only (encode/decode/resize fuse per row; " +
+        "only the final sort repartitions)")
+    assert(p101.contains("ReadSchema: struct<doc_id:bigint>"),
+      "q101: scan not pruned to doc_id")
+    println("q101 map-only image codec pipeline OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

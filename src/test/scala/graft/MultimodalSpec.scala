@@ -1,0 +1,68 @@
+package graft
+
+import graft.multimodal.{ImageCodec, MediaDecoder, MediaRow, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The JDK image codec is bit-exact: PNG round-trips losslessly,
+  * nearest-neighbor resize uses the integer-floor mapping the q101
+  * oracle replays, and the decoder trait surfaces real dims/pixels. */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def gradient(w: Int, h: Int) =
+    ImageCodec.grayImage(w, h)((x, y) => (x * 7 + y * 13) % 256)
+
+  test("PNG encode/decode round-trips every pixel") {
+    val img = gradient(23, 17)
+    val back = ImageCodec.decode(ImageCodec.encodePng(img))
+    assert(back.getWidth == 23 && back.getHeight == 17)
+    for (y <- 0 until 17; x <- 0 until 23)
+      assert(ImageCodec.gray(back, x, y) == (x * 7 + y * 13) % 256)
+  }
+
+  test("resizeNearest maps dst pixel to src floor(dst*srcDim/dstDim)") {
+    val img = gradient(31, 19)
+    val out = ImageCodec.resizeNearest(img, 16, 12)
+    assert(out.getWidth == 16 && out.getHeight == 12)
+    for (y <- 0 until 12; x <- 0 until 16) {
+      val (sx, sy) = (x * 31 / 16, y * 19 / 12)
+      assert(ImageCodec.gray(out, x, y) == (sx * 7 + sy * 13) % 256)
+    }
+  }
+
+  test("JdkImageIO decodes real dims and quadrant-gray-sum embedding") {
+    val png = ImageCodec.encodePng(gradient(10, 8))
+    assert(MediaDecoder.JdkImageIO.decodeDims(png) == ((10, 8)))
+    val e = MediaDecoder.JdkImageIO.embed(png)
+    assert(e.length == 4)
+    // quadrant split at (5, 4); recompute independently
+    val expect = new Array[Long](4)
+    for (y <- 0 until 8; x <- 0 until 10)
+      expect((if (x >= 5) 1 else 0) + (if (y >= 4) 2 else 0)) += (x * 7 + y * 13) % 256
+    assert(e.map(_.toLong).toSeq == expect.toSeq)
+  }
+
+  test("JdkImageIO rejects undecodable bytes") {
+    intercept[IllegalArgumentException] {
+      MediaDecoder.JdkImageIO.decodeDims("not an image".getBytes)
+    }
+  }
+
+  test("resizePixels re-encodes resized content and keeps source dims in meta") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val media = (0L until 3L).map { id =>
+      MediaRow(id, "image", ImageCodec.encodePng(gradient(20 + id.toInt, 15)),
+        "image/png", Map("k" -> "v"))
+    }.toDS()
+    val out = Multimodal.resizePixels(media, 8, 6).collect().sortBy(_.media_id)
+    for (m <- out) {
+      assert(m.meta("orig_w") == (20 + m.media_id).toString && m.meta("orig_h") == "15")
+      assert(m.meta("k") == "v") // pre-existing metadata preserved
+      val img = ImageCodec.decode(m.content)
+      assert(img.getWidth == 8 && img.getHeight == 6)
+      val sw = 20 + m.media_id.toInt
+      for (y <- 0 until 6; x <- 0 until 8)
+        assert(ImageCodec.gray(img, x, y) == ((x * sw / 8) * 7 + (y * 15 / 6) * 13) % 256)
+    }
+  }
+}
