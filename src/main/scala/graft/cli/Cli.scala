@@ -110,7 +110,8 @@ object MarcImport {
 }
 
 /** auth-merge analog (dlx/scripts/auth_merge.py): rewrite xrefs from
-  * losing -> gaining across bibs and auths, delete the losing auth. */
+  * losing -> gaining across bibs and auths, delete the losing auth,
+  * stamp the losing/gaining pair into merge_log. */
 object AuthMerge {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: AuthMerge <base> <gaining> <losing>")
@@ -118,13 +119,7 @@ object AuthMerge {
     val (gaining, losing) = (gainingS.toLong, losingS.toLong)
     val (spark, preExisting) = Cli.obtainSession()
     val store = new MarcStore(spark, base)
-    import MarcSchema.marcRowEncoder
-    for (rt <- Seq("bib", "auth")) {
-      val rewritten = AuthOps.mergeAuthXrefs(store.read(rt).toDF(), losing, gaining)
-        .as[graft.spark.MarcRow]
-      store.commit(rewritten, user = "auth-merge")
-    }
-    store.delete("auth", Seq(losing))
+    store.merge(gaining, losing, user = "auth-merge")
     println(s"merged auth $losing into $gaining")
     Cli.release(spark, preExisting)
   }

@@ -28,6 +28,7 @@ object StoreOps {
   private val ts1 = java.sql.Timestamp.from(java.time.Instant.parse("2020-01-01T00:00:00Z"))
   private val ts2 = java.sql.Timestamp.from(java.time.Instant.parse("2020-02-01T00:00:00Z"))
   private val ts3 = java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T00:00:00Z"))
+  private val ts4 = java.sql.Timestamp.from(java.time.Instant.parse("2020-04-01T00:00:00Z"))
 
   private def sub(code: String, value: Column): Column =
     struct(lit(code).as("code"), value.as("value"), lit(null).cast("long").as("xref"))
@@ -377,6 +378,38 @@ object StoreOps {
       .orderBy("field", "value")
   }
 
+  /** The reference's debug audit logs under the oracle (merge_log +
+    * auth_linked_update_log, dlx/marc/__init__.py:2148-2149, 1205):
+    * replay the q62 cascade scenario (heading change on auth 500 with
+    * every bib attached), then Auth.merge auth 500 into auth 1000.
+    * The cascade must log one 'updated' row per attached bib
+    * (triggered_by = 500); the merge must log the losing/gaining pair
+    * and leave the losing auth deleted with every xref rewritten —
+    * asserted via the merged-xref count column. */
+  def q102MergeAudit(s: SparkSession, dir: String): DataFrame = {
+    import MarcSchema.marcRowEncoder
+    val base = java.nio.file.Files.createTempDirectory("graft_q102").toString
+    val store = new MarcStore(s, base, numBuckets = gateBuckets)
+    store.commit(profAuthBatch(s, dir).as[MarcRow], user = "alice", now = ts1)
+    store.commit(profBibBatch(s, dir).as[MarcRow], user = "bob", now = ts2)
+    store.commit(profChangedAuth(s, dir).as[MarcRow], user = "editor", now = ts3)
+    store.merge(gaining = 1000L, losing = 500L, user = "editor2", now = ts4)
+    val gainingRefs = store.read("bib").toDF()
+      .select(sum(size(filter(flatten(transform(col("datafields"),
+        f => transform(f.getField("subfields"), sf => sf.getField("xref")))),
+        x => x === 1000L))).as("n"))
+      .head().getLong(0)
+    val ml = store.mergeLog.select(lit("merge").as("log_name"), col("record_id"),
+      col("action"), lit(null).cast("long").as("triggered_by"),
+      col("time").cast("long").as("time_s"), col("user").as("log_user"))
+    val al = store.authLinkedUpdateLog.select(lit("cascade").as("log_name"),
+      col("record_id"), col("action"), col("triggered_by"),
+      col("time").cast("long").as("time_s"), lit(null).cast("string").as("log_user"))
+    ml.unionByName(al)
+      .withColumn("n_gaining_refs", lit(gainingRefs))
+      .orderBy("log_name", "record_id")
+  }
+
   /** Drop the memoized lifecycle stores (Bench repetition passes). */
   def clearGateCaches(): Unit = {
     storeCache.clear()
@@ -385,6 +418,7 @@ object StoreOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_browse_eviction" -> (q100BrowseEviction _),
+    "q102_merge_audit" -> (q102MergeAudit _),
     "q97_assign_ids" -> (q97AssignIds _),
     "q36_store_commit" -> (q36StoreCommit _),
     "q40_file_import" -> (q40FileImport _),
@@ -396,6 +430,24 @@ object StoreOps {
     "q62_cascade" -> (q62Cascade _))
 
   val oracle: Map[String, String] = Map(
+    "q102_merge_audit" ->
+      """WITH cascade AS (
+        |  SELECT 'cascade' AS log_name, o_orderkey AS record_id, 'updated' AS action,
+        |         CAST(500 AS BIGINT) AS triggered_by,
+        |         CAST(1583020800 AS BIGINT) AS time_s,
+        |         CAST(NULL AS VARCHAR) AS log_user
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |m AS (
+        |  SELECT 'merge' AS log_name, CAST(t.id AS BIGINT) AS record_id, t.action,
+        |         CAST(NULL AS BIGINT) AS triggered_by,
+        |         CAST(1585699200 AS BIGINT) AS time_s,
+        |         'editor2' AS log_user
+        |  FROM (VALUES (500, 'losing'), (1000, 'gaining')) AS t(id, action))
+        |SELECT log_name, record_id, action, triggered_by, time_s, log_user,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 97 = 0)
+        |         AS n_gaining_refs
+        |FROM (SELECT * FROM cascade UNION ALL SELECT * FROM m)
+        |ORDER BY log_name, record_id""".stripMargin,
     "q100_browse_eviction" ->
       """WITH s AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 1940 = 0),
         |live AS (SELECT k FROM s WHERE k % 3880 <> 0)

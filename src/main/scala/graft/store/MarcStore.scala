@@ -349,6 +349,18 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       else Some(id -> AuthOps.HeadingStructChange(
         if (oldTag != newTag) Some(newTag.substring(1)) else None, removed.toSet, added))
     }
+    // the reference's auth_linked_update_log debug rows
+    // (dlx/marc/__init__.py:1205): one row per (attached record,
+    // triggering auth) pair. Appended BEFORE the re-commit so the scan
+    // reads the same pre-swap files the cascade plan references.
+    appendLog("auth_linked_update_log",
+      attached.select(col("_id").as("record_id"),
+          explode(array_distinct(flatten(transform(col("datafields"), f =>
+            filter(transform(f.getField("subfields"), sf => sf.getField("xref")),
+              x => x.isin(changedIds: _*)))))).as("triggered_by"))
+        .distinct()
+        .select(lit("bib").as("record_type"), col("record_id"),
+          lit("updated").as("action"), col("triggered_by"), lit(now).as("time")))
     val restructured = AuthOps.cascadeHeadingChangesBulk(
       attached.select(canonicalCols.map(col): _*).as[MarcRow], structChanges)
     // refresh materialized linked values against the NEW heading state,
@@ -360,6 +372,49 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     // refresh pipeline is evaluated ONCE (by the checkpoint), not
     // twice (stats agg + checkpoint)
     commitPrepared(refreshed, user, now, "bib", updateAttached = false)
+  }
+
+  /** Append-only debug logs — the reference's `merge_log` and
+    * `auth_linked_update_log` collections (dlx/marc/__init__.py:
+    * 2148-2149, 1205). Plain parquet appends: no swap, O(rows
+    * appended) per write, and the readers below union all appends. */
+  private def appendLog(name: String, rows: DataFrame): Unit = {
+    // coalesce bounds files-per-append without forcing a single-task
+    // funnel: the two-row merge stamp stays one file, a bulk cascade
+    // append (O(attached records)) still writes in parallel
+    rows.coalesce(8).write.mode(SaveMode.Append).parquet(s"$basePath/$name")
+    invalidate(s"$basePath/$name")
+  }
+
+  def mergeLog: DataFrame = cachedPlan(s"$basePath/merge_log") {
+    Seq.empty[(String, Long, String, java.sql.Timestamp, String)]
+      .toDF("record_type", "record_id", "action", "time", "user")
+  }
+
+  def authLinkedUpdateLog: DataFrame = cachedPlan(s"$basePath/auth_linked_update_log") {
+    Seq.empty[(String, Long, String, Long, java.sql.Timestamp)]
+      .toDF("record_type", "record_id", "action", "triggered_by", "time")
+  }
+
+  /** Auth.merge (dlx/marc/__init__.py:2143-2233): stamp the losing/
+    * gaining pair into merge_log, rewrite losing -> gaining xrefs
+    * across every record type, then delete the losing auth (the
+    * rewrite cleared every reference, so the AuthInUse guard passes).
+    * Only records that actually reference the losing auth are
+    * re-committed — O(attached), never O(table). */
+  def merge(gaining: Long, losing: Long, user: String = "admin",
+      now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now())): Unit = {
+    appendLog("merge_log",
+      Seq(("auth", losing, "losing"), ("auth", gaining, "gaining"))
+        .toDF("record_type", "record_id", "action")
+        .withColumn("time", lit(now)).withColumn("user", lit(user)))
+    for (rt <- Seq("bib", "auth")) {
+      val referencing = read(rt).toDF().where(exists(col("datafields"), f =>
+        exists(f.getField("subfields"), sf => sf.getField("xref") === losing)))
+      commit(AuthOps.mergeAuthXrefs(referencing, losing, gaining).as[MarcRow],
+        user = user, now = now)
+    }
+    delete("auth", Seq(losing), user, now)
   }
 
   /** Delete ids; refuse when an auth is still referenced (AuthInUse

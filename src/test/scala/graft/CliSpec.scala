@@ -48,6 +48,29 @@ class CliSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(xrefs == Set(1L))
     assert(store.read("auth").where(col("_id") === 2L).count() == 0)
+    // merge_log stamped the losing/gaining pair with the acting user
+    val ml = store.mergeLog.select("record_id", "action", "user")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ml == Set((2L, "losing", "auth-merge"), (1L, "gaining", "auth-merge")))
+  }
+
+  test("heading-change cascade appends auth_linked_update_log rows") {
+    val dir = java.nio.file.Files.createTempDirectory("clilog").toString
+    val store = new graft.store.MarcStore(spark, dir)
+    store.commit(MarcSchema.toDataset(spark, Seq(auth1, auth2)), user = "t")
+    store.commit(MarcSchema.toDataset(spark, Seq(bib1, bib2)), user = "t")
+    // change auth 1's heading value -> cascade refreshes attached bibs
+    val changed = auth1.set("150", "a", "Renamed heading")
+    store.commit(MarcSchema.toDataset(spark, Seq(changed)), user = "editor")
+    val log = store.authLinkedUpdateLog
+      .select("record_id", "action", "triggered_by")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val attachedIds = store.read("bib").toDF()
+      .where(exists(col("datafields"), f => exists(f.getField("subfields"),
+        sf => sf.getField("xref") === 1L)))
+      .select("_id").collect().map(_.getLong(0)).toSet
+    assert(attachedIds.nonEmpty)
+    assert(log == attachedIds.map(id => (id, "updated", 1L)))
   }
 
   /** Minimal real xlsx: one sheet, all cells inline strings. */
