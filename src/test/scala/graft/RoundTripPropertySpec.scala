@@ -99,6 +99,28 @@ class RoundTripPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("alpha [A-Z]{3} tags round-trip through JMARC / XML / MRC") {
+    // the reference accepts 3-letter alpha tags in its dict parse
+    // (dlx/marc/__init__.py:630) and serializes them like any
+    // datafield; its mrk parser crashes on them (int(tag), :1661), so
+    // mrk is excluded here by parity
+    val alphaRecordGen = for {
+      id <- Gen.chooseNum(1L, 9999L)
+      digit <- dataFieldGen
+      alphaTag <- Gen.oneOf("EML", "URL", "XYZ")
+      alpha <- subfieldGen.map(s => DataField(alphaTag, " ", " ", Vector(s)))
+    } yield MarcRecord(recordType = "bib", id = Some(id),
+      fields = Vector(digit, alpha).sortBy(_.tag))
+    forAll(alphaRecordGen) { rec =>
+      val viaJson = S.fromJson("bib", S.toJson(rec))
+      assert(contentKey(viaJson) == contentKey(rec))
+      val viaXml = S.fromXml("bib", S.toXml(rec), authControl = false)
+      assert(contentKey(viaXml.deleteFields("001")) == contentKey(rec))
+      val viaMrc = S.fromMrc("bib", S.toMrc(rec))
+      assert(contentKey(viaMrc.deleteFields("000", "001")) == contentKey(rec))
+    }
+  }
+
   test("table round-trip for records without repeated codes in a field") {
     val simpleField = for {
       tag <- dataTagGen

@@ -333,6 +333,20 @@ class SerializationSpec extends AnyFunSuite {
     assert(back.getXref("650", "a").contains(1L))
   }
 
+  test("jmarc parse accepts [A-Z]{3} tags as datafields, skips non-tag keys") {
+    // reference parse() rule (dlx/marc/__init__.py:630): keys matching
+    // \d{3}|[A-Z]{3} become fields; anything else is ignored
+    val json = """{"_id": 7, "000": ["leader"],
+      "EML": [{"indicators": [" ", " "], "subfields": [{"code": "a", "value": "x@un.org"}]}],
+      "not_a_tag": ["ignored"], "updated": {"$date": "2020-01-01"}}"""
+    val rec = S.fromJson("bib", json)
+    assert(rec.getValue("EML", "a") == "x@un.org")
+    assert(rec.getTags == Vector("000", "EML"))
+    // model mutators treat alpha tags as ordinary datafields
+    val set = rec.set("EML", "a", "y@un.org")
+    assert(set.getValue("EML", "a") == "y@un.org")
+  }
+
   test("to_jmarcnx materializes linked values") {
     val nx = S.toJmarcNx(bib1)
     assert(nx.contains(""""650":[{"indicators":[" "," "],"subfields":[{"code":"a","value":"Header"}]}]"""))
