@@ -205,14 +205,9 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
     }
   }
 
-  /** Filename encoding with the reference's char translation
-    * `' /[]*:;'` -> `'__^^!#%'` (dlx/file/__init__.py:252-264). */
-  def encodeFn(identifiers: Seq[String], languages: Seq[String], extension: String): String = {
-    languages.foreach(l => require(ISO6391.codes.contains(l.toLowerCase)))
-    val table = Map(' ' -> '_', '/' -> '_', '[' -> '^', ']' -> '^', '*' -> '!', ':' -> '#', ';' -> '%')
-    val ids = identifiers.map(_.map(c => table.getOrElse(c, c)).mkString)
-    s"${ids.mkString("&")}-${languages.map(_.toUpperCase).mkString("-")}.$extension"
-  }
+  /** Filename encoding — see [[FileStore.encodeFn]]. */
+  def encodeFn(identifiers: Seq[String], languages: Seq[String], extension: String): String =
+    FileStore.encodeFn(identifiers, languages, extension)
 
   def fromId(checksum: String): Option[FileRecord] = toRecords(
     read().where(col("_id") === checksum)).headOption
@@ -306,6 +301,18 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
     df.as[FileRecord](fileRecordEncoder).collect().toSeq
   }
 
+}
+
+object FileStore {
+  /** Filename encoding with the reference's char translation
+    * `' /[]*:;'` -> `'__^^!#%'` (dlx/file/__init__.py:252-264);
+    * stateless, so usable from executors (q103). */
+  def encodeFn(identifiers: Seq[String], languages: Seq[String], extension: String): String = {
+    languages.foreach(l => require(ISO6391.codes.contains(l.toLowerCase)))
+    val table = Map(' ' -> '_', '/' -> '_', '[' -> '^', ']' -> '^', '*' -> '!', ':' -> '#', ';' -> '%')
+    val ids = identifiers.map(_.map(c => table.getOrElse(c, c)).mkString)
+    s"${ids.mkString("&")}-${languages.map(_.toUpperCase).mkString("-")}.$extension"
+  }
 }
 
 object MarcEncoders {

@@ -88,6 +88,13 @@ object MediaDecoder {
 object ImageCodec {
   import java.awt.image.BufferedImage
 
+  // ImageIO defaults to a disk-backed stream cache: every read/write
+  // on a raw Byte stream creates (and deletes) a temp FILE. At
+  // corpus scale that is millions of file creates competing for the
+  // tmp dir — measured super-linear on the x30 bench. The codec works
+  // on small in-memory buffers; force the heap cache once per JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decode(content: Array[Byte]): BufferedImage = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
     require(img != null, s"undecodable image bytes (${content.length} bytes)")

@@ -410,6 +410,30 @@ object StoreOps {
       .orderBy("log_name", "record_id")
   }
 
+  /** File.encode_fn + the ISO 639-1 language table under the oracle
+    * (dlx/file/__init__.py:252-264, dlx/util.py:185-375): encode a
+    * filename per order from identifiers that exercise every char in
+    * the reference's translation table (' /[]*:;' -> '__^^!#%'),
+    * uppercased language suffixes, and the ISO code->name lookup.
+    * DuckDB replays the translation with translate(). Map-only:
+    * a pure projection, no shuffle before the output sort. */
+  def q103EncodeFn(s: SparkSession, dir: String): DataFrame = {
+    val encode = udf((id1: String, id2: String, bilingual: Boolean) =>
+      graft.files.FileStore.encodeFn(
+        Seq(id1, id2), if (bilingual) Seq("en", "fr") else Seq("en"), "pdf"))
+    val named = udf((bilingual: Boolean) =>
+      (if (bilingual) Seq("en", "fr") else Seq("en"))
+        .map(graft.files.ISO6391.codes).mkString("|"))
+    val bilingual = col("o_orderkey") % 2 === 0
+    orders(s, dir).where(col("o_orderkey") % 193 === 0)
+      .select(col("o_orderkey").as("record_id"),
+        encode(concat(lit("S/"), col("o_orderkey").cast("string")),
+          concat(lit("R:["), col("o_custkey").cast("string"), lit("]* ;x")),
+          bilingual).as("fn"),
+        named(bilingual).as("langs_named"))
+      .orderBy("record_id")
+  }
+
   /** Drop the memoized lifecycle stores (Bench repetition passes). */
   def clearGateCaches(): Unit = {
     storeCache.clear()
@@ -419,6 +443,7 @@ object StoreOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_browse_eviction" -> (q100BrowseEviction _),
     "q102_merge_audit" -> (q102MergeAudit _),
+    "q103_encode_fn" -> (q103EncodeFn _),
     "q97_assign_ids" -> (q97AssignIds _),
     "q36_store_commit" -> (q36StoreCommit _),
     "q40_file_import" -> (q40FileImport _),
@@ -430,6 +455,14 @@ object StoreOps {
     "q62_cascade" -> (q62Cascade _))
 
   val oracle: Map[String, String] = Map(
+    "q103_encode_fn" ->
+      """SELECT o_orderkey AS record_id,
+        |  translate('S/' || o_orderkey, ' /[]*:;', '__^^!#%') || '&' ||
+        |  translate('R:[' || o_custkey || ']* ;x', ' /[]*:;', '__^^!#%') ||
+        |  '-EN' || CASE WHEN o_orderkey % 2 = 0 THEN '-FR' ELSE '' END || '.pdf' AS fn,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'English|French' ELSE 'English' END AS langs_named
+        |FROM orders WHERE o_orderkey % 193 = 0
+        |ORDER BY record_id""".stripMargin,
     "q102_merge_audit" ->
       """WITH cascade AS (
         |  SELECT 'cascade' AS log_name, o_orderkey AS record_id, 'updated' AS action,

@@ -169,6 +169,14 @@ object ExplainCheck {
       "q88: token pipeline re-inlined into a Filter (q67 pushdown pathology)")
     println("q88 map-only chunking OK")
 
+    val q103 = graft.queries.StoreOps.q103EncodeFn(spark, sfDir)
+    val p103 = planOf(q103)
+    assert(!p103.contains("Exchange hashpartitioning"),
+      "q103: filename encoding must be map-only (no hash shuffle)")
+    assert("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>".r.findFirstIn(p103).isDefined,
+      "q103: orders scan not pruned to the two key columns")
+    println("q103 map-only filename encoding OK")
+
     val q89 = graft.queries.Relational.q89AsofJoin(spark, sfDir)
     val p89 = planOf(q89)
     assert("windowspecdefinition\\(user_id".r.findFirstIn(p89).isDefined,
