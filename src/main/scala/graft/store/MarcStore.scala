@@ -403,7 +403,11 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     * Only records that actually reference the losing auth are
     * re-committed — O(attached), never O(table). */
   def merge(gaining: Long, losing: Long, user: String = "admin",
-      now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now())): Unit = {
+      now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()))
+      : Unit = StoreLock.withLock(basePath, lockWaitMs) {
+    // the lock spans the whole stamp -> rewrite -> delete sequence
+    // (re-entrant for the inner commits), so a concurrent writer can
+    // never observe a half-merged store
     appendLog("merge_log",
       Seq(("auth", losing, "losing"), ("auth", gaining, "gaining"))
         .toDF("record_type", "record_id", "action")

@@ -27,6 +27,13 @@ object ScaleBench {
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val outDir = args.lift(2).getOrElse(s"/tmp/graft_scaled_x$factor")
     val label = args.lift(3).getOrElse("sf1")
+    // optional comma-separated subsets: queries to run / tables to
+    // materialize (e.g. the dedup family at x100 needs only
+    // documents+embeddings, not a 60M-row lineitem)
+    val queryFilter = args.lift(4)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
+    val tableFilter = args.lift(5)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,24 +58,21 @@ object ScaleBench {
         }
       }.reduce(_ unionByName _)
 
-    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
-      println(s"materializing ${factor}x of $srcDir at $outDir ...")
-      val ordSpan = span(src("orders"), "o_orderkey")
-      val evSpan = span(src("events"), "event_id")
-      val userSpan = span(src("events"), "user_id")
-      val docSpan = span(src("documents"), "doc_id")
-      val vecSpan = span(src("embeddings"), "vec_id")
-      val jobs: Seq[(String, DataFrame)] = Seq(
-        "orders" -> replicate(src("orders"), "o_orderkey" -> ordSpan),
-        "lineitem" -> replicate(src("lineitem"), "l_orderkey" -> ordSpan),
-        "events" -> replicate(src("events"), "event_id" -> evSpan, "user_id" -> userSpan),
-        "documents" -> replicate(src("documents"), "doc_id" -> docSpan),
-        "embeddings" -> replicate(src("embeddings"), "vec_id" -> vecSpan),
-        "customer" -> src("customer"), "supplier" -> src("supplier"),
-        "part" -> src("part"), "nation" -> src("nation"), "region" -> src("region"))
-      for ((name, df) <- jobs)
-        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println("materialized.")
+    val jobs: Seq[(String, () => DataFrame)] = Seq(
+      "orders" -> (() => replicate(src("orders"), "o_orderkey" -> span(src("orders"), "o_orderkey"))),
+      "lineitem" -> (() => replicate(src("lineitem"), "l_orderkey" -> span(src("orders"), "o_orderkey"))),
+      "events" -> (() => replicate(src("events"),
+        "event_id" -> span(src("events"), "event_id"), "user_id" -> span(src("events"), "user_id"))),
+      "documents" -> (() => replicate(src("documents"), "doc_id" -> span(src("documents"), "doc_id"))),
+      "embeddings" -> (() => replicate(src("embeddings"), "vec_id" -> span(src("embeddings"), "vec_id"))),
+      "customer" -> (() => src("customer")), "supplier" -> (() => src("supplier")),
+      "part" -> (() => src("part")), "nation" -> (() => src("nation")),
+      "region" -> (() => src("region")))
+    for ((name, mk) <- jobs
+         if tableFilter.forall(_.contains(name))
+         && !new java.io.File(s"$outDir/$name.parquet").exists()) {
+      println(s"materializing ${factor}x $name at $outDir ...")
+      mk().write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
 
     // warmup like Bench
@@ -79,7 +83,9 @@ object ScaleBench {
       catch { case _: Throwable => }
 
     val plans = scala.collection.mutable.Map.empty[String, String]
-    val results = SparkEntry_queries.map { case (name, fn) =>
+    val battery = SparkEntry_queries.filter { case (name, _) =>
+      queryFilter.forall(_.contains(name)) }
+    val results = battery.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val secs = try {
         val df = fn(spark, outDir)
@@ -104,7 +110,7 @@ object ScaleBench {
     // must keep candidate enumeration (Σ C(bucket_size, 2)) tracking the
     // TRUE near-dup output volume — a fixed plane count degenerates to
     // ~N²/2^planes candidates here and fails this assertion.
-    val lshJson = {
+    val lshJson = if (!battery.exists(_._1.startsWith("q44"))) "" else {
       import graft.queries.VectorOps
       val n = spark.read.parquet(s"$outDir/embeddings.parquet").count()
       val np = VectorOps.planesFor(n)
