@@ -730,6 +730,160 @@ object TextOps {
     * row per (doc_id, gram) — the shared front end of the
     * decontamination operators. explode_outer for the same
     * pushdown-defeating reason as q19/q67. */
+  /** CCNet-style perplexity filter (Wenzek et al. 2020,
+    * arXiv:1911.00359): score every document by its mean token
+    * surprisal under a reference language model trained on a target
+    * domain (the paper uses a Wikipedia KenLM; here an add-one-
+    * smoothed unigram LM over the `isRef` docs), then split each
+    * language into head/middle/tail perplexity terciles — the paper's
+    * quality strata. Per-token NLLs are computed ONCE per vocabulary
+    * entry and quantized to fixed-point longs, so per-doc sums are
+    * shuffle-order independent; the mean and the tercile cutoffs use
+    * integer division and integer cross-multiplication only.
+    *
+    * 100 TB shape: the LM dimension is bounded by the REFERENCE
+    * vocabulary (not the corpus) and joins as a plain equi-join (AQE
+    * picks broadcast when it fits); per-doc scoring is one keyed hash
+    * agg; tercile cutoffs come from a BUCKETED histogram (≤ ~1.5k
+    * buckets per language, windowed over the histogram, never the
+    * corpus) and broadcast back. */
+  def perplexityTerciles(docs: DataFrame, isRef: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), col("lang"), isRef.as("is_ref"),
+      explode_outer(split(col("text"), " ")).as("tk"))
+    val ref = tok.where(col("is_ref")).groupBy("tk").agg(count(lit(1)).as("c"))
+    val stats = ref.agg(sum("c").as("tref"), count(lit(1)).as("v"))
+    val vocab = ref.crossJoin(broadcast(stats))
+      .select(col("tk"),
+        floor(log((col("tref") + col("v")).cast("double")
+          / (col("c") + 1).cast("double")) * lit(10000d)).cast("long").as("nll_q"))
+    val scored = tok.join(vocab, Seq("tk"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("nll_q"),
+          floor(log((col("tref") + col("v")).cast("double")) * lit(10000d))
+            .cast("long")).as("nq"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("nq").as("s"), count(lit(1)).as("n"))
+      .select(col("doc_id"), col("lang"), expr("s div n").as("mean_nll_q"))
+    val bucketed = scored.withColumn("b", expr("mean_nll_q div 100"))
+    val hist = bucketed.groupBy("lang", "b").agg(count(lit(1)).as("c"))
+    val byLang = Window.partitionBy("lang")
+    val cum = hist
+      .withColumn("cum", sum("c").over(byLang.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("c").over(byLang))
+    val b1 = cum.where(col("cum") * 3 >= col("total"))
+      .groupBy("lang").agg(min("b").as("b1"))
+    val b2 = cum.where(col("cum") * 3 >= col("total") * 2)
+      .groupBy("lang").agg(min("b").as("b2"))
+    bucketed.join(broadcast(b1), "lang").join(broadcast(b2), "lang")
+      .select(col("doc_id"), col("lang"), col("mean_nll_q"),
+        when(col("b") <= col("b1"), "head")
+          .when(col("b") <= col("b2"), "middle")
+          .otherwise("tail").as("tercile"))
+      .orderBy("doc_id")
+  }
+
+  /** Gate: the src0/src1 docs are the reference domain (as in q105). */
+  def q107Perplexity(s: SparkSession, dir: String): DataFrame =
+    perplexityTerciles(documents(s, dir), col("source").isin("src0", "src1"))
+
+  /** Gopher-style quality rules (Rae et al. 2021, arXiv:2112.11446
+    * A1.1) — the rule family C4 (q72) doesn't cover: word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio, bullet /
+    * ellipsis line shares, alphabetic-word share, and a minimum
+    * stop-word vocabulary hit. Every ratio test is cross-multiplied
+    * into INTEGER arithmetic (3·n ≤ Σlen ≤ 10·n instead of a double
+    * mean), so the verdict is bit-exact across engines and immune to
+    * rounding drift. Map-only: one pass, no shuffle until the final
+    * sort; at 100 TB this is a narrow projection over the scan. */
+  def q106GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val lines = split(col("text"), "\n")
+    val stops = typedLit(Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+    val nWords = size(w).cast("long")
+    val sumLen = aggregate(transform(w, x => length(x).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val nSym = (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))).cast("long") +
+      ((length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, x =>
+      x.startsWith("- ") || x.startsWith("* ") || x.startsWith("•"))).cast("long")
+    val nEllip = size(filter(lines, x => x.endsWith("..."))).cast("long")
+    val nAlpha = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+    val nStops = size(array_intersect(array_distinct(w), stops)).cast("long")
+    documents(s, dir)
+      .select(col("doc_id"), nWords.as("n_words"),
+        when(nWords < 50 || nWords > 100000, "word_count")
+          .when(sumLen < nWords * 3 || sumLen > nWords * 10, "mean_word_length")
+          .when(nSym * 10 > nWords, "symbol_ratio")
+          .when(nBullet * 10 > nLines * 9 || nEllip * 10 > nLines * 3, "bullet_ellipsis")
+          .when(nAlpha * 5 < nWords * 4, "alpha_words")
+          .when(nStops < 2, "stop_words")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * importance resampling over HASHED N-GRAM features. Word bigrams
+    * hash into `nBuckets` feature buckets (portable md5 bucket — the
+    * paper's hashed feature space); a doc's importance weight is the
+    * log-likelihood ratio of its feature counts under the TARGET
+    * distribution (docs matching `isTarget`) vs the RAW corpus, with
+    * add-one smoothing. Per-feature LLR is quantized to fixed-point
+    * (floor·10⁴, the q95 idiom) so the per-doc sum is an integer —
+    * shuffle-order independent and exactly replayable by the oracle;
+    * ranking ties break on doc_id.
+    *
+    * 100 TB shape: two corpus passes fused into narrow aggs — the
+    * feature dimension is AT MOST `nBuckets` rows (512 default, the
+    * paper uses 10k), so weights ride a broadcast; doc scores are one
+    * keyed hash agg; the final top-N is TakeOrderedAndProject, never
+    * a corpus sort. */
+  def dsirSelect(docs: DataFrame, isTarget: Column, nBuckets: Int = 512,
+      topN: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col("text"), " ")
+    val bigrams = slice(
+      transform(w, (x, i) => concat_ws(" ", x, try_element_at(w, i + lit(2)))),
+      lit(1), greatest(size(w) - 1, lit(1)))
+    val grams = docs
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode_outer(bigrams).as("g"))
+      .where(col("g").isNotNull)
+      .select(col("doc_id"), col("is_target"),
+        (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long")
+          % nBuckets).as("f"))
+    val docfeat = grams.groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+    val raw = grams.groupBy("f").agg(count(lit(1)).as("cr"))
+    val tgt = grams.where(col("is_target")).groupBy("f").agg(count(lit(1)).as("ct"))
+    val totals = grams.agg(count(lit(1)).as("tr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tt"))
+    val weights = raw.join(tgt, Seq("f"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("f"),
+        floor(log(
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            * (col("tr") + nBuckets).cast("double")) /
+          ((col("cr") + 1).cast("double")
+            * (col("tt") + nBuckets).cast("double"))) * lit(10000d))
+          .cast("long").as("llr_q"))
+    val scores = docfeat.join(broadcast(weights), "f")
+      .groupBy("doc_id").agg(sum(col("c") * col("llr_q")).as("score"))
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .join(scores, "doc_id")
+      .orderBy(col("score").desc, col("doc_id")).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .orderBy("rank")
+  }
+
+  /** Gate: select the 50 docs most target-like under the src0/src1
+    * target domain. */
+  def q105Dsir(s: SparkSession, dir: String): DataFrame =
+    dsirSelect(documents(s, dir), col("source").isin("src0", "src1"))
+
   private def gramRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode_outer(shingleArray(col("toks"), 3)).as("g"))
@@ -907,9 +1061,109 @@ object TextOps {
     "q77_bigram_coherence" -> (q77BigramCoherence _),
     "q78_topk_per_source" -> (q78TopkPerSource _),
     "q87_bm25" -> (q87Bm25 _),
-    "q88_chunk" -> (q88Chunk _))
+    "q88_chunk" -> (q88Chunk _),
+    "q105_dsir" -> (q105Dsir _),
+    "q106_gopher_rules" -> (q106GopherRules _),
+    "q107_perplexity" -> (q107Perplexity _))
 
   val oracle: Map[String, String] = Map(
+    "q107_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source IN ('src0', 'src1') AS is_ref,
+        |         UNNEST(string_split(text, ' ')) AS tk
+        |  FROM documents),
+        |ref AS (SELECT tk, COUNT(*) AS c FROM tok WHERE is_ref GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS tref, CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM ref),
+        |vocab AS (
+        |  SELECT tk, CAST(FLOOR(LN(CAST(tref + v AS DOUBLE) / CAST(c + 1 AS DOUBLE))
+        |    * 10000) AS BIGINT) AS nll_q
+        |  FROM ref CROSS JOIN stats),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(SUM(COALESCE(nll_q,
+        |      (SELECT CAST(FLOOR(LN(CAST(tref + v AS DOUBLE)) * 10000) AS BIGINT)
+        |       FROM stats))) AS BIGINT) // COUNT(*) AS mean_nll_q
+        |  FROM tok LEFT JOIN vocab USING (tk) GROUP BY 1, 2),
+        |bucketed AS (SELECT *, mean_nll_q // 100 AS b FROM scored),
+        |hist AS (SELECT lang, b, COUNT(*) AS c FROM bucketed GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, b,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS total
+        |  FROM hist),
+        |b1 AS (SELECT lang, MIN(b) AS b1 FROM cum WHERE cum * 3 >= total GROUP BY 1),
+        |b2 AS (SELECT lang, MIN(b) AS b2 FROM cum WHERE cum * 3 >= total * 2 GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.mean_nll_q,
+        |  CASE WHEN d.b <= b1.b1 THEN 'head'
+        |       WHEN d.b <= b2.b2 THEN 'middle'
+        |       ELSE 'tail' END AS tercile
+        |FROM bucketed d JOIN b1 USING (lang) JOIN b2 USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q106_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         string_split(text, ' ') AS w,
+        |         string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_len,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, x ->
+        |      x LIKE '- %' OR x LIKE '* %' OR x LIKE '•%')) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(lines, x -> x LIKE '%...')) AS BIGINT) AS n_ellip,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stops
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+        |       WHEN sum_len < 3 * n_words OR sum_len > 10 * n_words THEN 'mean_word_length'
+        |       WHEN n_sym * 10 > n_words THEN 'symbol_ratio'
+        |       WHEN n_bullet * 10 > n_lines * 9 OR n_ellip * 10 > n_lines * 3 THEN 'bullet_ellipsis'
+        |       WHEN n_alpha * 5 < n_words * 4 THEN 'alpha_words'
+        |       WHEN n_stops < 2 THEN 'stop_words'
+        |       ELSE 'keep' END AS verdict
+        |FROM sig ORDER BY doc_id""".stripMargin,
+    "q105_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang, source IN ('src0', 'src1') AS is_target,
+        |         string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, is_target,
+        |    CAST(CAST(('0x' || substr(md5(gg), 1, 6)) AS UBIGINT) % 512 AS BIGINT) AS f
+        |  FROM (
+        |    SELECT doc_id, is_target,
+        |      UNNEST(list_transform(range(1, GREATEST(len(w) - 1, 1) + 1),
+        |        i -> array_to_string(w[i:i+1], ' '))) AS gg
+        |    FROM t)),
+        |docfeat AS (SELECT doc_id, f, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |raw AS (SELECT f, COUNT(*) AS cr FROM g GROUP BY 1),
+        |tgt AS (SELECT f, COUNT(*) AS ct FROM g WHERE is_target GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS tr, COUNT(*) FILTER (WHERE is_target) AS tt FROM g),
+        |wts AS (
+        |  SELECT r.f,
+        |    CAST(FLOOR(LN(
+        |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(tr + 512 AS DOUBLE)) /
+        |      (CAST(cr + 1 AS DOUBLE) * CAST(tt + 512 AS DOUBLE))
+        |    ) * 10000) AS BIGINT) AS llr_q
+        |  FROM raw r LEFT JOIN tgt USING (f) CROSS JOIN tot),
+        |scores AS (
+        |  SELECT doc_id, CAST(SUM(c * llr_q) AS BIGINT) AS score
+        |  FROM docfeat JOIN wts USING (f) GROUP BY 1),
+        |ranked AS (
+        |  SELECT d.doc_id, d.source, d.lang, s.score,
+        |    ROW_NUMBER() OVER (ORDER BY s.score DESC, d.doc_id) AS rank
+        |  FROM t d JOIN scores s USING (doc_id))
+        |SELECT doc_id, source, lang, score, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "q90_bloom_decon" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -249,6 +249,60 @@ object VectorOps {
     kmeansUpdate(corpus, assign)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * scoped to k-means clusters. Every vector is assigned to its
+    * max-cosine centroid (the q71 Lloyd step — broadcast seeds,
+    * bounded top-1); near-dup EDGES are enumerated only between
+    * members of the same (cluster, LSH-bucket) — the bucket key is the
+    * scale bound (planesFor keeps pair volume ~linear in N; the
+    * cluster key adds the paper's semantic scoping); edges become
+    * components via min-label propagation, and each component elects
+    * ONE keeper — the member with the LOWEST cosine to its centroid
+    * (the paper's election: keep the least prototypical example,
+    * tiebreak vec_id). Output is a per-document verdict, not just the
+    * pair list q44 emits.
+    *
+    * 100 TB shape: one broadcast assignment pass (N·k cosines, k
+    * fixed), one equi-join on (centroid, bucket) — never all-pairs —
+    * bounded CC iterations on the (tiny) edge set, one hash agg for
+    * the election. No windows over the corpus. */
+  def q104SemDedup(s: SparkSession, dir: String, tau: Double = 0.30,
+      nPlanes: Int = AutoPlanes): DataFrame = {
+    val np = resolvePlanes(nPlanes, embeddings(s, dir))
+    val corpus = emb(s, dir).withColumn("bucket", lshSignature(np))
+    val cents = broadcast(corpus.where(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv")))
+    val assigned = corpus.crossJoin(cents)
+      .select(col("vec_id"), col("centroid_id"),
+        round(dot(col("cv"), col("v")) / (norm(col("cv")) * norm(col("v"))), 4).as("cos_c"))
+      .groupBy("vec_id")
+      .agg(topkUdaf(1)(col("cos_c"), col("centroid_id"), lit("")).as("top"))
+      .select(col("vec_id"),
+        element_at(col("top"), 1).getField("id").as("centroid_id"),
+        element_at(col("top"), 1).getField("score").as("cos_centroid"))
+    val g = corpus.join(assigned, "vec_id")
+      .select("vec_id", "v", "bucket", "centroid_id", "cos_centroid")
+    val a = g.select(col("vec_id").as("doc_a"), col("v").as("va"),
+      col("bucket"), col("centroid_id"))
+    val b = g.select(col("vec_id").as("doc_b"), col("v").as("vb"),
+      col("bucket"), col("centroid_id"))
+    val edges = a.join(b, Seq("centroid_id", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 4) >= tau)
+      .select("doc_a", "doc_b")
+    val comp = TextOps.connectedComponents(edges)
+    val labelled = g.join(comp, g("vec_id") === comp("node"), "left")
+      .select(g("vec_id"), col("centroid_id"), col("cos_centroid"),
+        coalesce(col("label"), g("vec_id")).as("component"))
+    val keepers = labelled.groupBy("component")
+      .agg(min(struct(col("cos_centroid"), col("vec_id"))).as("m"))
+      .select(col("component"), col("m.vec_id").as("keep_id"))
+    labelled.join(keepers, "component")
+      .select(col("vec_id"), col("centroid_id"), col("cos_centroid"), col("component"),
+        when(col("vec_id") === col("keep_id"), "keep").otherwise("drop").as("verdict"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_ann_brute" -> (q21AnnBrute _),
     "q22_ann_lsh" -> ((s, d) => q22AnnLsh(s, d)),
@@ -256,7 +310,8 @@ object VectorOps {
     "q44_embed_neardup" -> ((s, d) => q44EmbedNearDup(s, d)),
     "q45_ann_ivf" -> (q45AnnIvf _),
     "q71_kmeans_assign" -> (q71KmeansAssign _),
-    "q95_kmeans_update" -> (q95KmeansUpdate _))
+    "q95_kmeans_update" -> (q95KmeansUpdate _),
+    "q104_semdedup" -> ((s, d) => q104SemDedup(s, d)))
 
   private val cosSql =
     """ROUND(list_sum(list_transform(q.qv, (x,i) -> x * c.v[i])) /
@@ -285,6 +340,60 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q104_semdedup" ->
+      s"""WITH RECURSIVE np AS ($planesSql),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |    (SELECT string_agg(
+        |       CASE WHEN list_sum(list_transform(v, (x,i) ->
+        |         x * (CAST(CAST(('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_' || CAST(i-1 AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 AS DOUBLE)/1000 - 0.5)
+        |       )) > 0 THEN '1' ELSE '0' END, '' ORDER BY p.range)
+        |     FROM range(0, 24) p WHERE p.range < (SELECT np FROM np)) AS bucket
+        |  FROM e),
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        |centcos AS (
+        |  SELECT c.vec_id, q.centroid_id,
+        |    ROUND(list_sum(list_transform(q.cv, (x,i) -> x * c.v[i])) /
+        |      (SQRT(list_sum(list_transform(q.cv, (x,i) -> x * q.cv[i]))) *
+        |       SQRT(list_sum(list_transform(c.v, (x,i) -> x * c.v[i])))), 4) AS cos_c
+        |  FROM e c CROSS JOIN cents q),
+        |asg AS (
+        |  SELECT vec_id, centroid_id, cos_c AS cos_centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, centroid_id) AS rn
+        |    FROM centcos) WHERE rn = 1),
+        |g AS (
+        |  SELECT s.vec_id, s.v, s.bucket, a.centroid_id, a.cos_centroid
+        |  FROM sig s JOIN asg a USING (vec_id)),
+        |pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM g a JOIN g b
+        |    ON a.centroid_id = b.centroid_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) /
+        |      (SQRT(list_sum(list_transform(a.v, (x,i) -> x * a.v[i]))) *
+        |       SQRT(list_sum(list_transform(b.v, (x,i) -> x * b.v[i])))), 4) >= 0.30),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e2.b AS node, w.label FROM walk w JOIN edges e2 ON e2.a = w.node),
+        |comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+        |lab AS (
+        |  SELECT g.vec_id, g.centroid_id, g.cos_centroid,
+        |         COALESCE(c.component, g.vec_id) AS component
+        |  FROM g LEFT JOIN comp c ON c.node = g.vec_id),
+        |keeper AS (
+        |  SELECT component, vec_id AS keep_id FROM (
+        |    SELECT component, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY component ORDER BY cos_centroid, vec_id) AS rn
+        |    FROM lab) WHERE rn = 1)
+        |SELECT l.vec_id, l.centroid_id, l.cos_centroid, l.component,
+        |       CASE WHEN l.vec_id = k.keep_id THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM lab l JOIN keeper k USING (component)
+        |ORDER BY l.vec_id""".stripMargin,
     "q95_kmeans_update" ->
       s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -246,6 +246,45 @@ object ExplainCheck {
       "q101: scan not pruned to doc_id")
     println("q101 map-only image codec pipeline OK")
 
+    val q104 = graft.queries.VectorOps.q104SemDedup(spark, sfDir)
+    val p104 = planOf(q104)
+    assert(!p104.contains("CartesianProduct"),
+      "q104: edge enumeration must stay a (centroid,bucket) equi-join " +
+        "(the k=8 centroid broadcast is the only nested loop)")
+    assert(p104.contains("ObjectHashAggregate"),
+      "q104: centroid assignment top-1 not a bounded aggregate")
+    assert(!p104.contains("Window"),
+      "q104: keeper election must be a hash agg, not a corpus window")
+    println("q104 SemDeDup keyed edges + agg election OK")
+
+    val q105 = graft.queries.TextOps.q105Dsir(spark, sfDir)
+    val p105 = planOf(q105)
+    assert(p105.contains("TakeOrderedAndProject"),
+      "q105: top-N selection must be TakeOrderedAndProject, not a corpus sort")
+    assert(p105.contains("BroadcastHashJoin") || p105.contains("BroadcastNestedLoop"),
+      "q105: the <=512-row feature-weight dimension must broadcast")
+    assert(!p105.matches("(?s).*Filter [^\\n]*split\\(.*"),
+      "q105: bigram lambda re-inlined into a pushed filter (O(tokens^2) pathology)")
+    println("q105 DSIR broadcast weights + bounded top-N OK")
+
+    val q106 = graft.queries.TextOps.q106GopherRules(spark, sfDir)
+    val p106 = planOf(q106)
+    assert(!p106.contains("Exchange hashpartitioning") && !p106.contains("SortMergeJoin"),
+      "q106: quality rules must be map-only (only the final sort repartitions)")
+    assert(p106.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "q106: scan not pruned to doc_id+text")
+    println("q106 Gopher rules map-only OK")
+
+    val q107 = graft.queries.TextOps.q107Perplexity(spark, sfDir)
+    val p107 = planOf(q107)
+    assert(p107.contains("BroadcastHashJoin") || p107.contains("BroadcastNestedLoop"),
+      "q107: the reference-vocabulary LM dimension and tercile cutoffs must broadcast")
+    assert(!p107.contains("CartesianProduct"),
+      "q107: only the 1-row stats broadcast may nest; no corpus cartesian")
+    assert(!p107.matches("(?s).*Filter [^\\n]*split\\(.*"),
+      "q107: token lambda re-inlined into a pushed filter (O(tokens^2) pathology)")
+    println("q107 perplexity-tercile broadcast LM OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

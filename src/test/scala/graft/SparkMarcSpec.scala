@@ -731,6 +731,93 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(p12.subsetOf(p8), "12-plane buckets split 8-plane buckets")
   }
 
+  test("Gopher rules: each rule fires on its crafted document, in precedence order") {
+    import spark.implicits._
+    val good = (("the cat sat of mat and dog ran with joy " * 6).trim + " end").split(" ")
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val docs = Seq(
+      (1L, doc(good.toSeq), "keep"),
+      (2L, "too short", "word_count"),
+      (3L, doc(Seq.fill(60)("a")), "mean_word_length"),
+      (4L, doc(good.toSeq ++ Seq.fill(8)("#######")), "symbol_ratio"),
+      (5L, (1 to 10).map(_ => "- alpha bravo charlie delta echo").mkString("\n"), "bullet_ellipsis"),
+      (6L, doc(good.take(40).toSeq ++ Seq.fill(20)("12345")), "alpha_words"),
+      (7L, doc((1 to 60).map(i => s"word$i")), "stop_words")
+    ).toDF("doc_id", "text", "expected")
+    val outDir = java.nio.file.Files.createTempDirectory("gopher").toString
+    docs.select("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val out = graft.queries.TextOps.q106GopherRules(spark, outDir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expected = docs.select("doc_id", "expected")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    expected.foreach { case (id, v) =>
+      assert(out(id) == v, s"doc $id: expected $v got ${out(id)}")
+    }
+  }
+
+  test("DSIR: docs sharing the target domain's n-grams outrank off-domain docs") {
+    import spark.implicits._
+    val docs = (
+      (1L to 4L).map(i => (i, "alpha beta alpha beta gamma", "tgt", "en")) ++
+      (5L to 8L).map(i => (i, "delta epsilon zeta delta epsilon", "other", "en")) ++
+      Seq((9L, "alpha beta alpha beta gamma", "held", "en"),
+          (10L, "delta epsilon zeta delta epsilon", "held", "en"))
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = graft.queries.TextOps.dsirSelect(docs, col("source") === "tgt", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getInt(4)))
+    assert(out.length == 10, "topN covers the whole corpus here")
+    val score = out.map(r => r._1 -> r._3).toMap
+    assert(score(9L) > score(10L),
+      "held-out doc written in the target's n-gram distribution must outscore the off-domain one")
+    assert(score(9L) == score(1L), "identical text implies identical hashed-feature score")
+    val ranks = out.map(_._4).sorted.toSeq
+    assert(ranks == (1 to 10).toSeq, "ranks dense, ties broken deterministically")
+  }
+
+  test("perplexity terciles: surprisal strata map to head/middle/tail per language") {
+    import spark.implicits._
+    // ref LM (lang 'ref', ignored for assertions): c(aa)=27, c(bb)=3,
+    // tref=30, v=2 -> nll(aa)=ln(32/28), nll(bb)=ln(8), OOV=ln(32).
+    // Nine 'en' docs in three identical-text strata must split exactly
+    // into the three terciles by mean surprisal.
+    val ref = (1L to 3L).map(i => (i, ("aa " * 9).trim + " bb", "ref", "src0"))
+    val en = (4L to 6L).map(i => (i, "aa aa aa aa", "en", "web")) ++
+      (7L to 9L).map(i => (i, "bb bb bb bb", "en", "web")) ++
+      (10L to 12L).map(i => (i, "zz zz zz zz", "en", "web"))
+    val outDir = java.nio.file.Files.createTempDirectory("ppl").toString
+    (ref ++ en).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val out = graft.queries.TextOps.q107Perplexity(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val byId = out.map(r => r._1 -> r._4).toMap
+    (4L to 6L).foreach(i => assert(byId(i) == "head", s"doc $i low-surprisal"))
+    (7L to 9L).foreach(i => assert(byId(i) == "middle", s"doc $i mid-surprisal"))
+    (10L to 12L).foreach(i => assert(byId(i) == "tail", s"doc $i OOV"))
+    val qs = out.filter(_._2 == "en").groupBy(r => r._4).view.mapValues(_.map(_._3).distinct)
+    assert(qs.values.forall(_.size == 1), "identical text => identical quantized mean NLL")
+  }
+
+  test("SemDeDup: one keeper per component, elected by lowest cosine-to-centroid") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.VectorOps.q104SemDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+    val n = graft.queries.Tables.embeddings(spark, dir).count()
+    assert(rows.length == n, "verdict covers every document exactly once")
+    rows.groupBy(_._4).foreach { case (compId, members) =>
+      val keepers = members.filter(_._5 == "keep")
+      assert(keepers.length == 1, s"component $compId elects exactly one keeper")
+      val expected = members.minBy(m => (m._3, m._1))
+      assert(keepers.head._1 == expected._1,
+        s"component $compId keeper is the least-prototypical member (lowest cos_centroid)")
+    }
+    val singletons = rows.groupBy(_._4).filter(_._2.length == 1)
+    assert(singletons.nonEmpty && singletons.values.forall(_.head._5 == "keep"),
+      "docs with no semantic duplicate are always kept")
+  }
+
   test("planesFor: corpus-driven plane count holds N^2/2^p near the pair target") {
     import graft.queries.VectorOps.planesFor
     assert(planesFor(500) == 8, "sf0.01 gate corpus must resolve to the original 8")
