@@ -303,6 +303,79 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998; the
+    * standard retrieval diversifier in RAG stacks): greedily select
+    * `outK` of the `poolK` most relevant candidates, each pick
+    * maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s). λ is passed as
+    * a RATIONAL (num/den) and the objective is cross-multiplied into
+    * integer arithmetic over the quantized (×10⁴) cosines —
+    * den·score = num·rel_q − (den−num)·max_sim_q — so the greedy
+    * trajectory is bit-reproducible on any engine (ties break on
+    * cand_id). The gate runs λ = 1/2.
+    *
+    * 100 TB shape: the corpus is touched ONCE, by the same two-phase
+    * bounded TopK as q21 (map-side ≤poolK candidates per query per
+    * task); everything after operates on queries × poolK rows —
+    * pairwise sims are poolK²/2 per query via a query-keyed equi-join,
+    * and the greedy runs per query row over arrays of ≤poolK structs.
+    * No window, no corpus sort, no cartesian. */
+  private def mmrGreedy(outK: Int, num: Long, den: Long) =
+    udf((cands: Seq[org.apache.spark.sql.Row], pairs: Seq[org.apache.spark.sql.Row]) => {
+      val rel = cands.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      pairs.foreach { r =>
+        val (a, b, sq) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        sim((a, b)) = sq; sim((b, a)) = sq
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val remaining = scala.collection.mutable.SortedSet(rel.keys.toSeq: _*)
+      while (selected.size < outK && remaining.nonEmpty) {
+        val scoredRem = remaining.toSeq.map { c =>
+          val s =
+            if (selected.isEmpty) num * rel(c)
+            else num * rel(c) -
+              (den - num) * selected.map(p => sim.getOrElse((c, p._1), 0L)).max
+          (c, s)
+        }
+        val pick = scoredRem.minBy { case (c, s) => (-s, c) }
+        selected += pick
+        remaining -= pick._1
+      }
+      selected.zipWithIndex.map { case ((c, s), i) => (i + 1, c, rel(c), s) }
+    })
+
+  def q108MmrRerank(s: SparkSession, dir: String, poolK: Int = 12, outK: Int = 5,
+      lambdaNum: Long = 1L, lambdaDen: Long = 2L): DataFrame = {
+    val corpus = emb(s, dir)
+    val queries = broadcast(corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 4).as("rel"))
+    val pool = scored.groupBy("query_id")
+      .agg(topkUdaf(poolK)(col("rel"), col("cand_id"), lit("")).as("top"))
+    val cand = explodeRanked(pool, Seq("query_id"))
+      .select(col("query_id"), col("c.id").as("cand_id"),
+        round(col("c.score") * 10000d).cast("long").as("rel_q"))
+    val pv = cand.join(corpus.select(col("vec_id").as("cand_id"), col("v")), "cand_id")
+    val a = pv.select(col("query_id"), col("cand_id").as("a_id"), col("v").as("va"))
+    val b = pv.select(col("query_id"), col("cand_id").as("b_id"), col("v").as("vb"))
+    val sims = a.join(b, Seq("query_id")).where(col("a_id") < col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        round(round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 4)
+          * 10000d).cast("long").as("sim_q"))
+    val cagg = pv.groupBy("query_id")
+      .agg(collect_list(struct(col("cand_id"), col("rel_q"))).as("cands"))
+    val pagg = sims.groupBy("query_id")
+      .agg(collect_list(struct(col("a_id"), col("b_id"), col("sim_q"))).as("pairs"))
+    cagg.join(pagg, "query_id")
+      .select(col("query_id"),
+        explode(mmrGreedy(outK, lambdaNum, lambdaDen)(col("cands"), col("pairs"))).as("r"))
+      .select(col("query_id"), col("r._1").as("rank"), col("r._2").as("cand_id"),
+        col("r._3").as("rel_q"), col("r._4").as("mmr_q"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_ann_brute" -> (q21AnnBrute _),
     "q22_ann_lsh" -> ((s, d) => q22AnnLsh(s, d)),
@@ -311,7 +384,8 @@ object VectorOps {
     "q45_ann_ivf" -> (q45AnnIvf _),
     "q71_kmeans_assign" -> (q71KmeansAssign _),
     "q95_kmeans_update" -> (q95KmeansUpdate _),
-    "q104_semdedup" -> ((s, d) => q104SemDedup(s, d)))
+    "q104_semdedup" -> ((s, d) => q104SemDedup(s, d)),
+    "q108_mmr_rerank" -> ((s, d) => q108MmrRerank(s, d)))
 
   private val cosSql =
     """ROUND(list_sum(list_transform(q.qv, (x,i) -> x * c.v[i])) /
@@ -340,6 +414,94 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // λ = 1/2 cross-multiplied: mmr_q = rel_q − max sim_q (first pick
+    // = rel_q). Greedy unrolled to the gate's outK = 5 steps; every
+    // comparison is integer, ties break on cand_id — the exact
+    // trajectory the Spark-side greedy walks.
+    "q108_mmr_rerank" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS cand_id, $cosSql AS rel
+        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |pool AS (
+        |  SELECT query_id, cand_id, CAST(ROUND(rel * 10000) AS BIGINT) AS rel_q FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+        |    FROM scored) WHERE rn <= 12),
+        |pv AS (SELECT p.query_id, p.cand_id, p.rel_q, e.v
+        |       FROM pool p JOIN e ON e.vec_id = p.cand_id),
+        |pr AS (
+        |  SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+        |    CAST(ROUND(ROUND(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) /
+        |      (SQRT(list_sum(list_transform(a.v, (x,i) -> x * a.v[i]))) *
+        |       SQRT(list_sum(list_transform(b.v, (x,i) -> x * b.v[i])))), 4) * 10000)
+        |      AS BIGINT) AS sim_q
+        |  FROM pv a JOIN pv b ON a.query_id = b.query_id AND a.cand_id < b.cand_id),
+        |simf AS (SELECT query_id, a_id, b_id, sim_q FROM pr
+        |         UNION ALL SELECT query_id, b_id, a_id, sim_q FROM pr),
+        |sel1 AS (
+        |  SELECT query_id, cand_id, rel_q, rel_q AS mmr_q FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel_q DESC, cand_id) AS rn
+        |    FROM pv) WHERE rn = 1),
+        |prev2 AS (SELECT query_id, cand_id FROM sel1),
+        |r2 AS (
+        |  SELECT p.query_id, p.cand_id, p.rel_q, p.rel_q - MAX(f.sim_q) AS mmr_q
+        |  FROM pv p
+        |  JOIN simf f ON f.query_id = p.query_id AND f.a_id = p.cand_id
+        |  JOIN prev2 s ON s.query_id = p.query_id AND s.cand_id = f.b_id
+        |  LEFT JOIN prev2 x ON x.query_id = p.query_id AND x.cand_id = p.cand_id
+        |  WHERE x.cand_id IS NULL
+        |  GROUP BY p.query_id, p.cand_id, p.rel_q),
+        |sel2 AS (SELECT query_id, cand_id, rel_q, mmr_q FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr_q DESC, cand_id) AS rn
+        |  FROM r2) WHERE rn = 1),
+        |prev3 AS (SELECT query_id, cand_id FROM sel1
+        |          UNION ALL SELECT query_id, cand_id FROM sel2),
+        |r3 AS (
+        |  SELECT p.query_id, p.cand_id, p.rel_q, p.rel_q - MAX(f.sim_q) AS mmr_q
+        |  FROM pv p
+        |  JOIN simf f ON f.query_id = p.query_id AND f.a_id = p.cand_id
+        |  JOIN prev3 s ON s.query_id = p.query_id AND s.cand_id = f.b_id
+        |  LEFT JOIN prev3 x ON x.query_id = p.query_id AND x.cand_id = p.cand_id
+        |  WHERE x.cand_id IS NULL
+        |  GROUP BY p.query_id, p.cand_id, p.rel_q),
+        |sel3 AS (SELECT query_id, cand_id, rel_q, mmr_q FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr_q DESC, cand_id) AS rn
+        |  FROM r3) WHERE rn = 1),
+        |prev4 AS (SELECT query_id, cand_id FROM prev3
+        |          UNION ALL SELECT query_id, cand_id FROM sel3),
+        |r4 AS (
+        |  SELECT p.query_id, p.cand_id, p.rel_q, p.rel_q - MAX(f.sim_q) AS mmr_q
+        |  FROM pv p
+        |  JOIN simf f ON f.query_id = p.query_id AND f.a_id = p.cand_id
+        |  JOIN prev4 s ON s.query_id = p.query_id AND s.cand_id = f.b_id
+        |  LEFT JOIN prev4 x ON x.query_id = p.query_id AND x.cand_id = p.cand_id
+        |  WHERE x.cand_id IS NULL
+        |  GROUP BY p.query_id, p.cand_id, p.rel_q),
+        |sel4 AS (SELECT query_id, cand_id, rel_q, mmr_q FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr_q DESC, cand_id) AS rn
+        |  FROM r4) WHERE rn = 1),
+        |prev5 AS (SELECT query_id, cand_id FROM prev4
+        |          UNION ALL SELECT query_id, cand_id FROM sel4),
+        |r5 AS (
+        |  SELECT p.query_id, p.cand_id, p.rel_q, p.rel_q - MAX(f.sim_q) AS mmr_q
+        |  FROM pv p
+        |  JOIN simf f ON f.query_id = p.query_id AND f.a_id = p.cand_id
+        |  JOIN prev5 s ON s.query_id = p.query_id AND s.cand_id = f.b_id
+        |  LEFT JOIN prev5 x ON x.query_id = p.query_id AND x.cand_id = p.cand_id
+        |  WHERE x.cand_id IS NULL
+        |  GROUP BY p.query_id, p.cand_id, p.rel_q),
+        |sel5 AS (SELECT query_id, cand_id, rel_q, mmr_q FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr_q DESC, cand_id) AS rn
+        |  FROM r5) WHERE rn = 1)
+        |SELECT query_id, CAST(1 AS INT) AS rank, cand_id, rel_q, mmr_q FROM sel1
+        |UNION ALL SELECT query_id, CAST(2 AS INT), cand_id, rel_q, mmr_q FROM sel2
+        |UNION ALL SELECT query_id, CAST(3 AS INT), cand_id, rel_q, mmr_q FROM sel3
+        |UNION ALL SELECT query_id, CAST(4 AS INT), cand_id, rel_q, mmr_q FROM sel4
+        |UNION ALL SELECT query_id, CAST(5 AS INT), cand_id, rel_q, mmr_q FROM sel5
+        |ORDER BY query_id, rank""".stripMargin,
     "q104_semdedup" ->
       s"""WITH RECURSIVE np AS ($planesSql),
         |e AS (

@@ -285,6 +285,16 @@ object ExplainCheck {
       "q107: token lambda re-inlined into a pushed filter (O(tokens^2) pathology)")
     println("q107 perplexity-tercile broadcast LM OK")
 
+    val q108 = graft.queries.VectorOps.q108MmrRerank(spark, sfDir)
+    val p108 = planOf(q108)
+    assert(p108.contains("ObjectHashAggregate"),
+      "q108: candidate pool must come from the bounded two-phase TopK")
+    assert(!p108.contains("Window"),
+      "q108: no corpus window — pool + greedy operate on queries x poolK rows")
+    assert(!p108.contains("CartesianProduct"),
+      "q108: pairwise sims must stay a query-keyed equi-join over the pool")
+    println("q108 MMR bounded pool + keyed pool pairs OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

@@ -800,6 +800,26 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(qs.values.forall(_.size == 1), "identical text => identical quantized mean NLL")
   }
 
+  test("MMR rerank: near-duplicate of the top pick is demoted below the diverse candidate") {
+    import spark.implicits._
+    // query 0 = (1,1,0,0); candidates: 11 ~ (1,.01) most relevant,
+    // 10 = (1,0) its near-duplicate, 12 = (0,1) equally relevant as 10
+    // but orthogonal to 11. Pure relevance ranks 11,10,12; MMR (λ=1/2)
+    // must demote the near-duplicate: 11,12,10.
+    val rows = Seq(
+      (0L, "q", Seq(1f, 1f, 0f, 0f)),
+      (10L, "a", Seq(1f, 0f, 0f, 0f)),
+      (11L, "b", Seq(1f, 0.01f, 0f, 0f)),
+      (12L, "c", Seq(0f, 1f, 0f, 0f)))
+    val dir = java.nio.file.Files.createTempDirectory("mmr").toString
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.VectorOps.q108MmrRerank(spark, dir)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 11L), (2, 12L), (3, 10L)),
+      s"MMR must pick the diverse candidate before the near-duplicate; got ${out.toSeq}")
+  }
+
   test("SemDeDup: one keeper per component, elected by lowest cosine-to-centroid") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.queries.VectorOps.q104SemDedup(spark, dir)
