@@ -884,6 +884,80 @@ object TextOps {
   def q105Dsir(s: SparkSession, dir: String): DataFrame =
     dsirSelect(documents(s, dir), col("source").isin("src0", "src1"))
 
+  /** BPE merge learning (Sennrich et al. 2016, arXiv:1508.07909):
+    * learn the first `nMerges` byte-pair merges from the corpus. ONE
+    * corpus pass builds the word-frequency dictionary; every merge
+    * iteration then runs on that BOUNDED dictionary (segmentations are
+    * space-joined symbol strings; applying a merge is a
+    * non-overlapping left-to-right string replace — identical
+    * semantics in Spark and DuckDB). Pair counts are integer sums and
+    * the per-step argmax tiebreaks on the pair string, so the learned
+    * merge table is engine-exact (the oracle unrolls the same steps).
+    *
+    * 100 TB shape: the corpus contributes exactly one word-count
+    * shuffle; the dictionary is language-bounded (not corpus-bounded)
+    * and is persisted once, so each merge step is a pair-count agg
+    * plus a ONE-ROW argmax collected to the driver (the same bounded
+    * convergence-scalar idiom as connectedComponents). Plan depth is
+    * fixed by `nMerges`, never by data. */
+  /** The one corpus-cardinality pass of [[bpeTrain]]: word frequencies
+    * with the initial per-character segmentation. Segmentations carry
+    * each symbol as `|sym ` (sentinel prefix + space suffix): the
+    * sentinel never occurs inside a symbol, so applying a merge as a
+    * plain string replace of `|x |y ` can never match across symbol
+    * boundaries (a bare space-joined form would merge the tail of one
+    * symbol with the head of the next — e.g. pair "a b" inside the
+    * two-symbol seg "aa b"), while left-to-right non-overlapping
+    * replacement still walks the exact BPE merge order. */
+  def bpeDict(docs: DataFrame): DataFrame = docs
+    .select(explode_outer(toks(col("text"))).as("w"))
+    .where(col("w") =!= "")
+    .groupBy("w").agg(count(lit(1)).as("freq"))
+    .select(col("freq"),
+      array_join(transform(regexp_extract_all(col("w"), lit("."), lit(0)),
+        c => concat(lit("|"), c, lit(" "))), "").as("seg"))
+
+  def bpeTrain(docs: DataFrame, nMerges: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val dict = bpeDict(docs).persist()
+    def pairsOf(seg: Column): Column = {
+      val t = regexp_extract_all(seg, lit("\\|([^ ]+) "), lit(1))
+      slice(transform(t, (x, i) => concat(x, lit(" "), try_element_at(t, i + lit(2)))),
+        lit(1), greatest(size(t) - 1, lit(0)))
+    }
+    var vocab = dict
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      // one-row argmax — the bounded convergence-scalar idiom
+      val bestOpt = vocab
+        .select(col("freq"), explode_outer(pairsOf(col("seg"))).as("pair"))
+        .where(col("pair").isNotNull)
+        .groupBy("pair").agg(sum("freq").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair")).limit(1)
+        .collect().headOption
+      bestOpt match {
+        case None => exhausted = true // every word fused to one symbol
+        case Some(best) =>
+          val (pair, cnt) = (best.getString(0), best.getLong(1))
+          val Array(x, y) = pair.split(" ", 2)
+          val token = x + y
+          vocab = vocab.select(col("freq"),
+            replace(col("seg"), lit(s"|$x |$y "), lit(s"|$token ")).as("seg"))
+          merges += ((merges.size + 1, pair, token, cnt))
+      }
+    }
+    dict.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("step", "pair", "token", "pair_count")
+      .select(col("step").cast("int").as("step"), col("pair"), col("token"),
+        col("pair_count"))
+      .orderBy("step")
+  }
+
+  def q109BpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(documents(s, dir).select("text"))
+
   private def gramRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode_outer(shingleArray(col("toks"), 3)).as("g"))
@@ -1063,10 +1137,45 @@ object TextOps {
     "q87_bm25" -> (q87Bm25 _),
     "q88_chunk" -> (q88Chunk _),
     "q105_dsir" -> (q105Dsir _),
+    "q109_bpe_train" -> (q109BpeTrain _),
     "q106_gopher_rules" -> (q106GopherRules _),
     "q107_perplexity" -> (q107Perplexity _))
 
+  /** The q109 oracle, unrolled to 5 merge steps. Each step is a
+    * pair-count agg over the bounded word dictionary, an argmax
+    * (count desc, pair asc), and a left-to-right non-overlapping
+    * replace of the winning pair's SENTINEL form (`|x |y ` -> `|xy `,
+    * the same boundary-safe encoding the Spark side walks). */
+  private val bpeOracleSql: String = {
+    def step(k: Int): String = {
+      val bp = s"(SELECT pair FROM b$k)"
+      s"""p$k AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+         |    SELECT freq, UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+         |    FROM (SELECT freq, regexp_extract_all(seg, '\\|([^ ]+) ', 1) AS t FROM s${k - 1}))
+         |  GROUP BY pair),
+         |b$k AS (SELECT pair, pair_count FROM p$k ORDER BY pair_count DESC, pair LIMIT 1),
+         |s$k AS (SELECT freq, replace(seg,
+         |         '|' || split_part($bp, ' ', 1) || ' |' || split_part($bp, ' ', 2) || ' ',
+         |         '|' || replace($bp, ' ', '') || ' ') AS seg FROM s${k - 1})""".stripMargin
+    }
+    val finals = (1 to 5).map { k =>
+      s"SELECT CAST($k AS INT) AS step, pair, replace(pair, ' ', '') AS token, pair_count FROM b$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH v0 AS (
+       |  SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |s0 AS (SELECT freq,
+       |  array_to_string(list_transform(regexp_extract_all(w, '.'), c -> '|' || c || ' '), '') AS seg
+       |  FROM v0),
+       |${(1 to 5).map(step).mkString(",\n")}
+       |$finals
+       |ORDER BY step""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q109_bpe_train" -> bpeOracleSql,
     "q107_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, source IN ('src0', 'src1') AS is_ref,

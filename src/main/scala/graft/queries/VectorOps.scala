@@ -268,11 +268,26 @@ object VectorOps {
     * the election. No windows over the corpus. */
   def q104SemDedup(s: SparkSession, dir: String, tau: Double = 0.30,
       nPlanes: Int = AutoPlanes): DataFrame = {
+    // exact-first collapse below relies on cos(x, x) = 1.0 >= tau
+    require(tau <= 1.0, s"tau=$tau: exact duplicates must qualify as near-dups")
     val np = resolvePlanes(nPlanes, embeddings(s, dir))
-    val corpus = emb(s, dir).withColumn("bucket", lshSignature(np))
-    val cents = broadcast(corpus.where(col("vec_id") < 8)
+    val all = emb(s, dir)
+    // Exact-first collapse — the q61 idiom lifted to vectors: identical
+    // embeddings share bucket, centroid cosine, and (cos = 1.0 >= tau)
+    // always one component, whose min-id member is the group's own min
+    // vec_id. So enumerating pairs over ONE representative per distinct
+    // vector preserves components, labels, and the keeper election
+    // bit-for-bit, while a duplicate-heavy corpus (the realistic case)
+    // stops paying C(groupSize, 2) pair edges per group: the x100
+    // probe corpus (100 exact copies of each vector) collapses from
+    // 9.9M intra-group edges to zero before the band join even runs.
+    val repOf = all.groupBy(col("v")).agg(min(col("vec_id")).as("rep_id"))
+    val members = all.join(repOf, Seq("v")).select(col("vec_id"), col("rep_id"))
+    val reps = repOf.select(col("rep_id").as("vec_id"), col("v"))
+      .withColumn("bucket", lshSignature(np))
+    val cents = broadcast(all.where(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv")))
-    val assigned = corpus.crossJoin(cents)
+    val assigned = reps.crossJoin(cents)
       .select(col("vec_id"), col("centroid_id"),
         round(dot(col("cv"), col("v")) / (norm(col("cv")) * norm(col("v"))), 4).as("cos_c"))
       .groupBy("vec_id")
@@ -280,7 +295,7 @@ object VectorOps {
       .select(col("vec_id"),
         element_at(col("top"), 1).getField("id").as("centroid_id"),
         element_at(col("top"), 1).getField("score").as("cos_centroid"))
-    val g = corpus.join(assigned, "vec_id")
+    val g = reps.join(assigned, "vec_id")
       .select("vec_id", "v", "bucket", "centroid_id", "cos_centroid")
     val a = g.select(col("vec_id").as("doc_a"), col("v").as("va"),
       col("bucket"), col("centroid_id"))
@@ -291,9 +306,11 @@ object VectorOps {
       .where(round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 4) >= tau)
       .select("doc_a", "doc_b")
     val comp = TextOps.connectedComponents(edges)
-    val labelled = g.join(comp, g("vec_id") === comp("node"), "left")
-      .select(g("vec_id"), col("centroid_id"), col("cos_centroid"),
+    val repLab = g.join(comp, g("vec_id") === comp("node"), "left")
+      .select(g("vec_id").as("rep_id"), col("centroid_id"), col("cos_centroid"),
         coalesce(col("label"), g("vec_id")).as("component"))
+    val labelled = members.join(repLab, "rep_id")
+      .select(col("vec_id"), col("centroid_id"), col("cos_centroid"), col("component"))
     val keepers = labelled.groupBy("component")
       .agg(min(struct(col("cos_centroid"), col("vec_id"))).as("m"))
       .select(col("component"), col("m.vec_id").as("keep_id"))

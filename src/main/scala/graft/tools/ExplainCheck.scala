@@ -295,6 +295,19 @@ object ExplainCheck {
       "q108: pairwise sims must stay a query-keyed equi-join over the pool")
     println("q108 MMR bounded pool + keyed pool pairs OK")
 
+    // q109's driver loop precludes asserting its (literal) output plan;
+    // assert the one corpus-cardinality pass instead — the word dict
+    // must be a single hash agg over a text-pruned scan.
+    val d109 = graft.queries.TextOps.bpeDict(
+      graft.queries.Tables.documents(spark, sfDir).select("text"))
+    val p109 = planOf(d109)
+    assert(p109.contains("HashAggregate"), "q109: word dict must hash-aggregate")
+    assert(p109.contains("ReadSchema: struct<text:string>"),
+      "q109: dict scan not pruned to text")
+    assert(!p109.matches("(?s).*Filter [^\\n]*split\\(.*"),
+      "q109: token lambda re-inlined into a pushed filter (O(tokens^2) pathology)")
+    println("q109 BPE dict single-pass pruned agg OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

@@ -820,6 +820,50 @@ class SparkMarcSpec extends AnyFunSuite {
       s"MMR must pick the diverse candidate before the near-duplicate; got ${out.toSeq}")
   }
 
+  test("BPE training: hand-computed merge sequence, overlap counting, early exhaustion") {
+    import spark.implicits._
+    // corpus 'aaab aaab aab': dict aaab:2 ('a a a b'), aab:1 ('a a b').
+    // step1 counts (a,a) at every adjacent position: 2*2 + 1 = 5.
+    // After 4 merges every word is one symbol, so a 5-merge request
+    // must return only 4 rows (exhaustion, not an error).
+    val docs = Seq("aaab aaab aab").toDF("text")
+    val out = graft.queries.TextOps.bpeTrain(docs, nMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val expected = Seq(
+      (1, "a a", "aa", 5L),
+      (2, "a b", "ab", 2L),
+      (3, "aa ab", "aaab", 2L),
+      (4, "aa b", "aab", 1L))
+    assert(out.toSeq == expected, s"got ${out.toSeq}")
+  }
+
+  test("SemDeDup exact-first collapse: duplicate vectors share component and one keeper") {
+    import spark.implicits._
+    // 3 exact copies of vector A, 2 of vector B. The seeds are corpus
+    // members too, so every cross-cosine (A/B vs seeds, A vs B) is
+    // kept below tau=0.30: copies of A form ONE component keyed by
+    // the min id with exactly one keeper; B's copies likewise.
+    val rows = Seq(
+      (0L, "s", Seq(1f, 0f, 0f, 0f)), // centroid seed
+      (1L, "s", Seq(0f, 1f, 0f, 0f)), // centroid seed
+      (10L, "a", Seq(0.2f, 0.2f, 1f, 0f)), (11L, "a", Seq(0.2f, 0.2f, 1f, 0f)),
+      (12L, "a", Seq(0.2f, 0.2f, 1f, 0f)),
+      (20L, "b", Seq(0f, 0f, 0.2f, -1f)), (21L, "b", Seq(0f, 0f, 0.2f, -1f)))
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.VectorOps.q104SemDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(out.size == 7, "verdict covers every vector")
+    assert(Seq(10L, 11L, 12L).map(out(_)._1).distinct == Seq(10L),
+      "exact copies of A collapse into the min-id component")
+    assert(Seq(20L, 21L).map(out(_)._1).distinct == Seq(20L),
+      "exact copies of B collapse into the min-id component")
+    assert(Seq(10L, 11L, 12L).count(out(_)._2 == "keep") == 1 &&
+      Seq(20L, 21L).count(out(_)._2 == "keep") == 1,
+      "one keeper per duplicate group")
+  }
+
   test("SemDeDup: one keeper per component, elected by lowest cosine-to-centroid") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.queries.VectorOps.q104SemDedup(spark, dir)
