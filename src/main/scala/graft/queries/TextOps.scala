@@ -917,8 +917,10 @@ object TextOps {
       array_join(transform(regexp_extract_all(col("w"), lit("."), lit(0)),
         c => concat(lit("|"), c, lit(" "))), "").as("seg"))
 
-  def bpeTrain(docs: DataFrame, nMerges: Int = 5): DataFrame = {
-    val spark = docs.sparkSession
+  /** The merge-learning loop shared by q109 (emit the merge table) and
+    * q110 (apply the merges): returns (step, pair, token, pair_count)
+    * in learned order. */
+  def bpeMergesList(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
     val dict = bpeDict(docs).persist()
     def pairsOf(seg: Column): Column = {
       val t = regexp_extract_all(seg, lit("\\|([^ ]+) "), lit(1))
@@ -948,12 +950,45 @@ object TextOps {
       }
     }
     dict.unpersist()
+    merges.toSeq
+  }
+
+  def bpeTrain(docs: DataFrame, nMerges: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    merges.toSeq.toDF("step", "pair", "token", "pair_count")
+    bpeMergesList(docs, nMerges).toDF("step", "pair", "token", "pair_count")
       .select(col("step").cast("int").as("step"), col("pair"), col("token"),
         col("pair_count"))
       .orderBy("step")
   }
+
+  /** Apply the learned merges: tokenize every document with the q109
+    * vocabulary and count its BPE tokens. Each word becomes its
+    * sentinel segmentation; words are joined with a U+0001 separator
+    * (which can never match a `|x |y ` merge pattern, so merges stay
+    * word-internal exactly as in training); the learned merges apply
+    * as `nMerges` chained string replaces and the token count is the
+    * number of surviving `|` sentinels. After the (driver-collected,
+    * bounded) merge table is learned, encoding is a MAP-ONLY
+    * projection — one narrow pass at any corpus size, no shuffle
+    * until the output sort. */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 5): DataFrame = {
+    val merges = bpeMergesList(docs.select(col("text")), nMerges)
+    val seg0 = array_join(transform(toks(col("text")), w =>
+      array_join(transform(regexp_extract_all(w, lit("."), lit(0)),
+        c => concat(lit("|"), c, lit(" "))), "")), "\u0001")
+    val segN = merges.foldLeft(seg0) { case (c, (_, pair, token, _)) =>
+      val Array(x, y) = pair.split(" ", 2)
+      replace(c, lit(s"|$x |$y "), lit(s"|$token "))
+    }
+    docs.select(col("doc_id"),
+      (length(segN) - length(replace(segN, lit("|"), lit("")))).cast("long")
+        .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def q110BpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncode(documents(s, dir).select(col("doc_id"), col("text")))
 
   def q109BpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrain(documents(s, dir).select("text"))
@@ -1138,6 +1173,7 @@ object TextOps {
     "q88_chunk" -> (q88Chunk _),
     "q105_dsir" -> (q105Dsir _),
     "q109_bpe_train" -> (q109BpeTrain _),
+    "q110_bpe_encode" -> (q110BpeEncode _),
     "q106_gopher_rules" -> (q106GopherRules _),
     "q107_perplexity" -> (q107Perplexity _))
 
@@ -1146,7 +1182,7 @@ object TextOps {
     * (count desc, pair asc), and a left-to-right non-overlapping
     * replace of the winning pair's SENTINEL form (`|x |y ` -> `|xy `,
     * the same boundary-safe encoding the Spark side walks). */
-  private val bpeOracleSql: String = {
+  private val bpeCtes: String = {
     def step(k: Int): String = {
       val bp = s"(SELECT pair FROM b$k)"
       s"""p$k AS (
@@ -1159,23 +1195,48 @@ object TextOps {
          |         '|' || split_part($bp, ' ', 1) || ' |' || split_part($bp, ' ', 2) || ' ',
          |         '|' || replace($bp, ' ', '') || ' ') AS seg FROM s${k - 1})""".stripMargin
     }
-    val finals = (1 to 5).map { k =>
-      s"SELECT CAST($k AS INT) AS step, pair, replace(pair, ' ', '') AS token, pair_count FROM b$k"
-    }.mkString("\nUNION ALL ")
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT w, COUNT(*) AS freq FROM (
        |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
        |  WHERE w <> '' GROUP BY w),
        |s0 AS (SELECT freq,
        |  array_to_string(list_transform(regexp_extract_all(w, '.'), c -> '|' || c || ' '), '') AS seg
        |  FROM v0),
-       |${(1 to 5).map(step).mkString(",\n")}
-       |$finals
-       |ORDER BY step""".stripMargin
+       |${(1 to 5).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeOracleSql: String = {
+    val finals = (1 to 5).map { k =>
+      s"SELECT CAST($k AS INT) AS step, pair, replace(pair, ' ', '') AS token, pair_count FROM b$k"
+    }.mkString("\nUNION ALL ")
+    s"WITH $bpeCtes\n$finals\nORDER BY step"
+  }
+
+  /** q110: encode every document with the q109 merges (null-safe when
+    * fewer than 5 merges were learnable — a chr(2) pattern never
+    * matches). */
+  private val bpeEncodeOracleSql: String = {
+    val segExpr = (1 to 5).foldLeft("seg") { (inner, k) =>
+      val bp = s"(SELECT pair FROM b$k)"
+      s"""replace($inner,
+         |  COALESCE('|' || split_part($bp, ' ', 1) || ' |' || split_part($bp, ' ', 2) || ' ', chr(2)),
+         |  COALESCE('|' || replace($bp, ' ', '') || ' ', chr(2)))""".stripMargin
+    }
+    s"""WITH $bpeCtes,
+       |enc0 AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(string_split(text, ' '), w ->
+       |      array_to_string(list_transform(regexp_extract_all(w, '.'), c -> '|' || c || ' '), '')),
+       |      chr(1)) AS seg
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len($segExpr) - len(replace($segExpr, '|', '')) AS BIGINT) AS n_bpe_tokens
+       |FROM enc0 ORDER BY doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
     "q109_bpe_train" -> bpeOracleSql,
+    "q110_bpe_encode" -> bpeEncodeOracleSql,
     "q107_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, source IN ('src0', 'src1') AS is_ref,

@@ -308,6 +308,17 @@ object ExplainCheck {
       "q109: token lambda re-inlined into a pushed filter (O(tokens^2) pathology)")
     println("q109 BPE dict single-pass pruned agg OK")
 
+    // after the (bounded) merge table is learned, encoding must be a
+    // map-only projection — chained string replaces, no shuffle until
+    // the output sort
+    val q110 = graft.queries.TextOps.q110BpeEncode(spark, sfDir)
+    val p110 = planOf(q110)
+    assert(!p110.contains("Exchange hashpartitioning") && !p110.contains("SortMergeJoin"),
+      "q110: BPE encoding must be map-only (only the final sort repartitions)")
+    assert(p110.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "q110: scan not pruned to doc_id+text")
+    println("q110 BPE encode map-only OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

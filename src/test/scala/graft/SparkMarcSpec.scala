@@ -837,6 +837,21 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(out.toSeq == expected, s"got ${out.toSeq}")
   }
 
+  test("BPE encode: learned merges tokenize each word, unseen chars stay atomic") {
+    import spark.implicits._
+    // merges learned from these docs: steps 1-4 fuse aaab and aab to
+    // single tokens; step 5 hits the (x,y)/(z,w) tie and the pair
+    // tiebreak merges 'x y' — so xy is 1 token while zw stays 2
+    // atomic symbols. Merges must not cross word boundaries.
+    val docs = Seq(
+      (1L, "aaab aaab aab"),
+      (2L, "aaab"),
+      (3L, "xy zw aab")).toDF("doc_id", "text")
+    val out = graft.queries.TextOps.bpeEncode(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 4L), s"got $out")
+  }
+
   test("SemDeDup exact-first collapse: duplicate vectors share component and one keeper") {
     import spark.implicits._
     // 3 exact copies of vector A, 2 of vector B. The seeds are corpus
