@@ -425,14 +425,15 @@ object TextOps {
     * strictly-decreasing label sum (one scalar aggregate, no
     * change-detection join). */
   def connectedComponents(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 64): DataFrame = {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     var prevSum = Long.MinValue
     var iter = 0
-    while (iter < maxIter) {
+    var converged = false
+    while (iter < maxIter && !converged) {
       val viaNeighbors = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
       val updated = labels.union(viaNeighbors)
@@ -444,8 +445,13 @@ object TextOps {
         case other => other.toString.toLong
       }
       labels = updated
-      if (s == prevSum) iter = maxIter else { prevSum = s; iter += 1 }
+      if (s == prevSum) converged = true else { prevSum = s; iter += 1 }
     }
+    // a silent cap would return WRONG labels for components deeper than
+    // maxIter hops (the DuckDB oracle's recursive closure is exact) —
+    // fail loudly instead
+    require(converged,
+      s"connectedComponents: min-label propagation did not converge in $maxIter iterations")
     labels
   }
 
@@ -751,6 +757,9 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col("doc_id"), col("lang"), isRef.as("is_ref"),
       explode_outer(split(col("text"), " ")).as("tk"))
+      // a NULL text explodes to one null-token row in Spark but zero
+      // rows under the oracle's UNNEST — drop it to keep parity
+      .where(col("tk").isNotNull)
     val ref = tok.where(col("is_ref")).groupBy("tk").agg(count(lit(1)).as("c"))
     val stats = ref.agg(sum("c").as("tref"), count(lit(1)).as("v"))
     val vocab = ref.crossJoin(broadcast(stats))
@@ -855,11 +864,17 @@ object TextOps {
       .select(col("doc_id"), col("is_target"),
         (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long")
           % nBuckets).as("f"))
-    val docfeat = grams.groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
-    val raw = grams.groupBy("f").agg(count(lit(1)).as("cr"))
-    val tgt = grams.where(col("is_target")).groupBy("f").agg(count(lit(1)).as("ct"))
-    val totals = grams.agg(count(lit(1)).as("tr"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("tt"))
+    // ONE corpus-cardinality shuffle: every downstream dimension (raw,
+    // tgt, totals) folds off the per-doc feature counts, so the bigram
+    // explode + md5 run once and the (doc,f) exchange is reused by
+    // Catalyst for all four consumers instead of re-scanning the corpus
+    val docfeat0 = grams.groupBy("doc_id", "is_target", "f")
+      .agg(count(lit(1)).as("c"))
+    val docfeat = docfeat0.select(col("doc_id"), col("f"), col("c"))
+    val raw = docfeat0.groupBy("f").agg(sum("c").as("cr"))
+    val tgt = docfeat0.where(col("is_target")).groupBy("f").agg(sum("c").as("ct"))
+    val totals = raw.agg(coalesce(sum("cr"), lit(0L)).as("tr"))
+      .crossJoin(tgt.agg(coalesce(sum("ct"), lit(0L)).as("tt")))
     val weights = raw.join(tgt, Seq("f"), "left")
       .crossJoin(broadcast(totals))
       .select(col("f"),
@@ -902,20 +917,24 @@ object TextOps {
     * fixed by `nMerges`, never by data. */
   /** The one corpus-cardinality pass of [[bpeTrain]]: word frequencies
     * with the initial per-character segmentation. Segmentations carry
-    * each symbol as `|sym ` (sentinel prefix + space suffix): the
-    * sentinel never occurs inside a symbol, so applying a merge as a
-    * plain string replace of `|x |y ` can never match across symbol
+    * each symbol as `<U+0002>sym ` (sentinel prefix + space suffix):
+    * the control-char sentinel cannot occur inside a symbol (unlike a
+    * printable like '|', which corpus text could contain), so applying
+    * a merge as a plain string replace can never match across symbol
     * boundaries (a bare space-joined form would merge the tail of one
     * symbol with the head of the next — e.g. pair "a b" inside the
     * two-symbol seg "aa b"), while left-to-right non-overlapping
-    * replacement still walks the exact BPE merge order. */
+    * replacement still walks the exact BPE merge order. Characters
+    * split on `[^\n]` rather than `.` — Java's dot also excludes
+    * \r/U+0085/U+2028/U+2029 while RE2's excludes only \n, so the
+    * explicit class is the only form both engines read identically. */
   def bpeDict(docs: DataFrame): DataFrame = docs
     .select(explode_outer(toks(col("text"))).as("w"))
     .where(col("w") =!= "")
     .groupBy("w").agg(count(lit(1)).as("freq"))
     .select(col("freq"),
-      array_join(transform(regexp_extract_all(col("w"), lit("."), lit(0)),
-        c => concat(lit("|"), c, lit(" "))), "").as("seg"))
+      array_join(transform(regexp_extract_all(col("w"), lit("[^\\n]"), lit(0)),
+        c => concat(lit("\u0002"), c, lit(" "))), "").as("seg"))
 
   /** The merge-learning loop shared by q109 (emit the merge table) and
     * q110 (apply the merges): returns (step, pair, token, pair_count)
@@ -923,7 +942,7 @@ object TextOps {
   def bpeMergesList(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
     val dict = bpeDict(docs).persist()
     def pairsOf(seg: Column): Column = {
-      val t = regexp_extract_all(seg, lit("\\|([^ ]+) "), lit(1))
+      val t = regexp_extract_all(seg, lit("\u0002([^ ]+) "), lit(1))
       slice(transform(t, (x, i) => concat(x, lit(" "), try_element_at(t, i + lit(2)))),
         lit(1), greatest(size(t) - 1, lit(0)))
     }
@@ -945,7 +964,8 @@ object TextOps {
           val Array(x, y) = pair.split(" ", 2)
           val token = x + y
           vocab = vocab.select(col("freq"),
-            replace(col("seg"), lit(s"|$x |$y "), lit(s"|$token ")).as("seg"))
+            replace(col("seg"), lit(s"\u0002$x \u0002$y "), lit(s"\u0002$token "))
+              .as("seg"))
           merges += ((merges.size + 1, pair, token, cnt))
       }
     }
@@ -968,21 +988,21 @@ object TextOps {
     * (which can never match a `|x |y ` merge pattern, so merges stay
     * word-internal exactly as in training); the learned merges apply
     * as `nMerges` chained string replaces and the token count is the
-    * number of surviving `|` sentinels. After the (driver-collected,
+    * number of surviving U+0002 sentinels. After the (driver-collected,
     * bounded) merge table is learned, encoding is a MAP-ONLY
     * projection — one narrow pass at any corpus size, no shuffle
     * until the output sort. */
   def bpeEncode(docs: DataFrame, nMerges: Int = 5): DataFrame = {
     val merges = bpeMergesList(docs.select(col("text")), nMerges)
     val seg0 = array_join(transform(toks(col("text")), w =>
-      array_join(transform(regexp_extract_all(w, lit("."), lit(0)),
-        c => concat(lit("|"), c, lit(" "))), "")), "\u0001")
+      array_join(transform(regexp_extract_all(w, lit("[^\\n]"), lit(0)),
+        c => concat(lit("\u0002"), c, lit(" "))), "")), "\u0001")
     val segN = merges.foldLeft(seg0) { case (c, (_, pair, token, _)) =>
       val Array(x, y) = pair.split(" ", 2)
-      replace(c, lit(s"|$x |$y "), lit(s"|$token "))
+      replace(c, lit(s"\u0002$x \u0002$y "), lit(s"\u0002$token "))
     }
     docs.select(col("doc_id"),
-      (length(segN) - length(replace(segN, lit("|"), lit("")))).cast("long")
+      (length(segN) - length(replace(segN, lit("\u0002"), lit("")))).cast("long")
         .as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
@@ -1188,19 +1208,19 @@ object TextOps {
       s"""p$k AS (
          |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
          |    SELECT freq, UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
-         |    FROM (SELECT freq, regexp_extract_all(seg, '\\|([^ ]+) ', 1) AS t FROM s${k - 1}))
+         |    FROM (SELECT freq, regexp_extract_all(seg, chr(2) || '([^ ]+) ', 1) AS t FROM s${k - 1}))
          |  GROUP BY pair),
          |b$k AS (SELECT pair, pair_count FROM p$k ORDER BY pair_count DESC, pair LIMIT 1),
          |s$k AS (SELECT freq, replace(seg,
-         |         '|' || split_part($bp, ' ', 1) || ' |' || split_part($bp, ' ', 2) || ' ',
-         |         '|' || replace($bp, ' ', '') || ' ') AS seg FROM s${k - 1})""".stripMargin
+         |         chr(2) || split_part($bp, ' ', 1) || ' ' || chr(2) || split_part($bp, ' ', 2) || ' ',
+         |         chr(2) || replace($bp, ' ', '') || ' ') AS seg FROM s${k - 1})""".stripMargin
     }
     s"""v0 AS (
        |  SELECT w, COUNT(*) AS freq FROM (
        |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
        |  WHERE w <> '' GROUP BY w),
        |s0 AS (SELECT freq,
-       |  array_to_string(list_transform(regexp_extract_all(w, '.'), c -> '|' || c || ' '), '') AS seg
+       |  array_to_string(list_transform(regexp_extract_all(w, '[^\n]'), c -> chr(2) || c || ' '), '') AS seg
        |  FROM v0),
        |${(1 to 5).map(step).mkString(",\n")}""".stripMargin
   }
@@ -1213,24 +1233,24 @@ object TextOps {
   }
 
   /** q110: encode every document with the q109 merges (null-safe when
-    * fewer than 5 merges were learnable — a chr(2) pattern never
+    * fewer than 5 merges were learnable — a chr(3) pattern never
     * matches). */
   private val bpeEncodeOracleSql: String = {
     val segExpr = (1 to 5).foldLeft("seg") { (inner, k) =>
       val bp = s"(SELECT pair FROM b$k)"
       s"""replace($inner,
-         |  COALESCE('|' || split_part($bp, ' ', 1) || ' |' || split_part($bp, ' ', 2) || ' ', chr(2)),
-         |  COALESCE('|' || replace($bp, ' ', '') || ' ', chr(2)))""".stripMargin
+         |  COALESCE(chr(2) || split_part($bp, ' ', 1) || ' ' || chr(2) || split_part($bp, ' ', 2) || ' ', chr(3)),
+         |  COALESCE(chr(2) || replace($bp, ' ', '') || ' ', chr(3)))""".stripMargin
     }
     s"""WITH $bpeCtes,
        |enc0 AS (
        |  SELECT doc_id,
        |    array_to_string(list_transform(string_split(text, ' '), w ->
-       |      array_to_string(list_transform(regexp_extract_all(w, '.'), c -> '|' || c || ' '), '')),
+       |      array_to_string(list_transform(regexp_extract_all(w, '[^\n]'), c -> chr(2) || c || ' '), '')),
        |      chr(1)) AS seg
        |  FROM documents)
        |SELECT doc_id,
-       |  CAST(len($segExpr) - len(replace($segExpr, '|', '')) AS BIGINT) AS n_bpe_tokens
+       |  CAST(len($segExpr) - len(replace($segExpr, chr(2), '')) AS BIGINT) AS n_bpe_tokens
        |FROM enc0 ORDER BY doc_id""".stripMargin
   }
 

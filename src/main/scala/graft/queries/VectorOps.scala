@@ -31,6 +31,13 @@ object VectorOps {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** The cross-engine determinism contract for every cosine in this
+    * file: round to 4 decimals BEFORE ranking/thresholding, so
+    * double-accumulation-order differences can never flip a
+    * comparison. The oracle mirrors it as ROUND(...,4). */
+  private def cosSim(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 4)
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -75,7 +82,7 @@ object VectorOps {
       .select(col("vec_id").as("query_id"), col("v").as("qv")))
     val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 4).as("cos_sim"))
+        cosSim(col("qv"), col("v")).as("cos_sim"))
     val grouped = scored.groupBy("query_id")
       .agg(topkUdaf(5)(col("cos_sim"), col("neighbor_id"), lit("")).as("top"))
     explodeRanked(grouped, Seq("query_id"))
@@ -118,7 +125,7 @@ object VectorOps {
     val scored = corpus.join(queries, Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
-        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 4).as("cos_sim"))
+        cosSim(col("qv"), col("v")).as("cos_sim"))
     val grouped = scored.groupBy("query_id", "bucket")
       .agg(topkUdaf(3)(col("cos_sim"), col("neighbor_id"), lit("")).as("top"))
     explodeRanked(grouped, Seq("query_id", "bucket"))
@@ -148,7 +155,7 @@ object VectorOps {
     a.join(b, Seq("bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 4).as("cos_sim"))
+        cosSim(col("va"), col("vb")).as("cos_sim"))
       .where(col("cos_sim") >= 0.30)
       .orderBy("doc_a", "doc_b")
   }
@@ -203,7 +210,7 @@ object VectorOps {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("true_label")))
     val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("true_label"), col("label"),
-        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 4).as("cos_sim"),
+        cosSim(col("qv"), col("v")).as("cos_sim"),
         col("vec_id"))
     // bounded top-5 per query (two-phase; label rides in the tag slot),
     // then vote over the ≤5 survivors — the vote window's input is
@@ -289,7 +296,7 @@ object VectorOps {
       .select(col("vec_id").as("centroid_id"), col("v").as("cv")))
     val assigned = reps.crossJoin(cents)
       .select(col("vec_id"), col("centroid_id"),
-        round(dot(col("cv"), col("v")) / (norm(col("cv")) * norm(col("v"))), 4).as("cos_c"))
+        cosSim(col("cv"), col("v")).as("cos_c"))
       .groupBy("vec_id")
       .agg(topkUdaf(1)(col("cos_c"), col("centroid_id"), lit("")).as("top"))
       .select(col("vec_id"),
@@ -303,7 +310,7 @@ object VectorOps {
       col("bucket"), col("centroid_id"))
     val edges = a.join(b, Seq("centroid_id", "bucket"))
       .where(col("doc_a") < col("doc_b"))
-      .where(round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 4) >= tau)
+      .where(cosSim(col("va"), col("vb")) >= tau)
       .select("doc_a", "doc_b")
     val comp = TextOps.connectedComponents(edges)
     val repLab = g.join(comp, g("vec_id") === comp("node"), "left")
@@ -337,8 +344,10 @@ object VectorOps {
     * and the greedy runs per query row over arrays of ≤poolK structs.
     * No window, no corpus sort, no cartesian. */
   private def mmrGreedy(outK: Int, num: Long, den: Long) =
-    udf((cands: Seq[org.apache.spark.sql.Row], pairs: Seq[org.apache.spark.sql.Row]) => {
+    udf((cands: Seq[org.apache.spark.sql.Row], pairsIn: Seq[org.apache.spark.sql.Row]) => {
       val rel = cands.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // null when the pool has a single member (no pairwise-sim rows)
+      val pairs = Option(pairsIn).getOrElse(Seq.empty)
       val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
       pairs.foreach { r =>
         val (a, b, sq) = (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -368,7 +377,7 @@ object VectorOps {
       .select(col("vec_id").as("query_id"), col("v").as("qv")))
     val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
-        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 4).as("rel"))
+        cosSim(col("qv"), col("v")).as("rel"))
     val pool = scored.groupBy("query_id")
       .agg(topkUdaf(poolK)(col("rel"), col("cand_id"), lit("")).as("top"))
     val cand = explodeRanked(pool, Seq("query_id"))
@@ -379,13 +388,13 @@ object VectorOps {
     val b = pv.select(col("query_id"), col("cand_id").as("b_id"), col("v").as("vb"))
     val sims = a.join(b, Seq("query_id")).where(col("a_id") < col("b_id"))
       .select(col("query_id"), col("a_id"), col("b_id"),
-        round(round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 4)
+        round(cosSim(col("va"), col("vb"))
           * 10000d).cast("long").as("sim_q"))
     val cagg = pv.groupBy("query_id")
       .agg(collect_list(struct(col("cand_id"), col("rel_q"))).as("cands"))
     val pagg = sims.groupBy("query_id")
       .agg(collect_list(struct(col("a_id"), col("b_id"), col("sim_q"))).as("pairs"))
-    cagg.join(pagg, "query_id")
+    cagg.join(pagg, Seq("query_id"), "left")
       .select(col("query_id"),
         explode(mmrGreedy(outK, lambdaNum, lambdaDen)(col("cands"), col("pairs"))).as("r"))
       .select(col("query_id"), col("r._1").as("rank"), col("r._2").as("cand_id"),
@@ -422,7 +431,7 @@ object VectorOps {
       .select(col("vec_id").as("centroid_id"), col("v").as("cv")))
     val scored = corpus.crossJoin(cents)
       .select(col("vec_id"), col("centroid_id"),
-        round(dot(col("cv"), col("v")) / (norm(col("cv")) * norm(col("v"))), 4).as("cos_sim"))
+        cosSim(col("cv"), col("v")).as("cos_sim"))
     val grouped = scored.groupBy("vec_id")
       .agg(topkUdaf(1)(col("cos_sim"), col("centroid_id"), lit("")).as("top"))
     explodeRanked(grouped, Seq("vec_id"))
