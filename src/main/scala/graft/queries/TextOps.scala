@@ -1159,6 +1159,48 @@ object TextOps {
   def q94ReservoirSample(s: SparkSession, dir: String): DataFrame =
     reservoirPerGroup(documents(s, dir), "lang", k = 5, salt = "rv")
 
+  /** All adjacent-token bigrams of the corpus, one row per OCCURRENCE
+    * (frequency counting — deliberately not `shingleArray`, which
+    * dedups within a doc). */
+  private def bigramOccurrences(docs: DataFrame): DataFrame = {
+    val tk = toks(col("text"))
+    docs.select(explode(slice(
+      transform(tk, (x, i) => concat_ws(" ", x, try_element_at(tk, i + lit(2)))),
+      lit(1), greatest(size(tk) - 1, lit(0)))).as("gram"))
+  }
+
+  /** Corpus heavy hitters — EXACT counts of every bigram with
+    * frequency ≥ floor(N/(k+1)) + 1, found without ever shuffling the
+    * full distinct-gram cardinality. Two passes: (1) a single global
+    * [[graft.spark.MisraGries]] sketch aggregate (ObjectHashAggregate;
+    * each map task contributes ≤ k counters, so the shuffle carries
+    * O(tasks × k) entries — at 100 TB the distinct-n-gram space is
+    * billions of keys and THIS is what makes "top n-grams over the
+    * corpus" feasible), whose surviving key set provably contains
+    * every gram above the threshold; (2) an exact re-count restricted
+    * to those ≤ k candidates (map-side `isin` filter, tiny shuffle).
+    * The sketch's candidate set depends on partition order, but the
+    * OUTPUT does not: completeness above the bound is guaranteed, and
+    * the exact pass discards sub-threshold survivors. The driver-side
+    * candidate collect is bounded by construction (≤ k strings). */
+  def heavyHitters(docs: DataFrame, k: Int = 768): DataFrame = {
+    val grams = bigramOccurrences(docs)
+    val mg = udaf(new graft.spark.MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+    val summary = grams.agg(mg(col("gram")).as("s"))
+      .select(col("s.grams").as("cands"), col("s.n").as("n"))
+      .head()
+    val cands = summary.getSeq[String](0)
+    val theta = summary.getLong(1) / (k + 1) + 1
+    grams.where(col("gram").isin(cands: _*))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= theta)
+      .withColumn("threshold", lit(theta))
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+
+  def q111HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHitters(documents(s, dir).select("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_bloom_decon" -> (q90BloomDecon _),
     "q91_vocab_build" -> (q91VocabBuild _),
@@ -1195,7 +1237,8 @@ object TextOps {
     "q109_bpe_train" -> (q109BpeTrain _),
     "q110_bpe_encode" -> (q110BpeEncode _),
     "q106_gopher_rules" -> (q106GopherRules _),
-    "q107_perplexity" -> (q107Perplexity _))
+    "q107_perplexity" -> (q107Perplexity _),
+    "q111_heavy_hitters" -> (q111HeavyHitters _))
 
   /** The q109 oracle, unrolled to 5 merge steps. Each step is a
     * pair-count agg over the bounded word dictionary, an argmax
@@ -1257,6 +1300,15 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q109_bpe_train" -> bpeOracleSql,
     "q110_bpe_encode" -> bpeEncodeOracleSql,
+    "q111_heavy_hitters" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT UNNEST(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i + 1])) AS gram FROM tok),
+        |c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) // 769 + 1 AS BIGINT) AS theta FROM c)
+        |SELECT gram, cnt, (SELECT theta FROM t) AS threshold
+        |FROM c WHERE cnt >= (SELECT theta FROM t)
+        |ORDER BY cnt DESC, gram""".stripMargin,
     "q107_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, source IN ('src0', 'src1') AS is_ref,

@@ -319,6 +319,19 @@ object ExplainCheck {
       "q110: scan not pruned to doc_id+text")
     println("q110 BPE encode map-only OK")
 
+    // the sketch pass must be a bounded typed aggregate (each map
+    // task ships ≤ k counters), and the exact pass must re-count only
+    // the candidate keys — a plain hash aggregate behind a map-side
+    // In-filter, with no window and no join anywhere
+    val q111 = graft.queries.TextOps.q111HeavyHitters(spark, sfDir)
+    val p111 = planOf(q111)
+    assert(p111.contains("HashAggregate"), "q111: exact re-count not a hash aggregate")
+    assert(p111.contains("INSET") || p111.contains(" IN "),
+      "q111: candidate set not applied as a map-side In-filter")
+    assert(!p111.contains("Window") && !p111.contains("Join"),
+      "q111: heavy hitters must not window or join")
+    println("q111 sketch + exact re-count OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
