@@ -1201,6 +1201,49 @@ object TextOps {
   def q111HeavyHitters(s: SparkSession, dir: String): DataFrame =
     heavyHitters(documents(s, dir).select("text"))
 
+  /** Duplicated-span REPORTING (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): for every document,
+    * the maximal token ranges covered by k-token windows that occur
+    * more than once ANYWHERE in the corpus — the sliding-window
+    * analytic the suffix-array pass of that paper produces, where q74
+    * is the coarser fixed-chunk REMOVAL. Shape: posexplode the k-gram
+    * windows (only full windows; docs shorter than k contribute none),
+    * one keyed aggregation finds duplicated grams, an equi-join marks
+    * duplicated positions (fan-out bounded by duplicate multiplicity),
+    * and a per-doc window merges overlapping/adjacent [p, p+k-1]
+    * intervals (gaps-and-islands; break when pos > prev + k). The
+    * window partitions on doc_id — corpus-cardinality, no funnel. */
+  def dupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = toks(col("text"))
+    val grams = docs
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), posexplode(slice(
+        transform(col("w"), (x, i) => concat_ws(" ",
+          (Seq(x) ++ (2 to k).map(j => try_element_at(col("w"), i + lit(j)))): _*)),
+        lit(1), greatest(size(col("w")) - (k - 1), lit(0)))).as(Seq("pos", "gram")))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("c")).where(col("c") > 1)
+      .select("gram")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val cum = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grams.join(dup, "gram")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      .withColumn("prev", lag("pos", 1).over(win))
+      .withColumn("brk", when(col("prev").isNull || col("pos") > col("prev") + k, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(cum))
+      .groupBy("doc_id", "island")
+      .agg(
+        min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"),
+        (max("pos") + (k - 1) - min("pos") + 1).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
+      .orderBy("doc_id", "span_start")
+  }
+
+  def q112DupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpans(documents(s, dir).select("doc_id", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_bloom_decon" -> (q90BloomDecon _),
     "q91_vocab_build" -> (q91VocabBuild _),
@@ -1238,7 +1281,8 @@ object TextOps {
     "q110_bpe_encode" -> (q110BpeEncode _),
     "q106_gopher_rules" -> (q106GopherRules _),
     "q107_perplexity" -> (q107Perplexity _),
-    "q111_heavy_hitters" -> (q111HeavyHitters _))
+    "q111_heavy_hitters" -> (q111HeavyHitters _),
+    "q112_dup_spans" -> (q112DupSpans _))
 
   /** The q109 oracle, unrolled to 5 merge steps. Each step is a
     * pair-count agg over the bounded word dictionary, an argmax
@@ -1309,6 +1353,27 @@ object TextOps {
         |SELECT gram, cnt, (SELECT theta FROM t) AS threshold
         |FROM c WHERE cnt >= (SELECT theta FROM t)
         |ORDER BY cnt DESC, gram""".stripMargin,
+    "q112_dup_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |        array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+        |      FROM tok, UNNEST(range(1, len(w) - 6)) AS t(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+        |p AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |m AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM p),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM m)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+        |  MAX(pos) + 7 - MIN(pos) + 1 AS span_len,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "q107_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, source IN ('src0', 'src1') AS is_ref,

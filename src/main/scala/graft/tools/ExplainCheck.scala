@@ -332,6 +332,17 @@ object ExplainCheck {
       "q111: heavy hitters must not window or join")
     println("q111 sketch + exact re-count OK")
 
+    // duplicated-position marking must be a keyed equi-join (fan-out
+    // bounded by duplicate multiplicity, never a cartesian), and the
+    // island merge must window on doc_id — the corpus-cardinality key
+    val q112 = graft.queries.TextOps.q112DupSpans(spark, sfDir)
+    val p112 = planOf(q112)
+    assert(!p112.contains("Cartesian") && !p112.contains("BroadcastNestedLoop"),
+      "q112: dup-position join degenerated to a cross product")
+    assert(p112.contains("Window [") && p112.contains("windowspecdefinition(doc_id"),
+      "q112: island merge not windowed on doc_id")
+    println("q112 keyed dup-span merge OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
