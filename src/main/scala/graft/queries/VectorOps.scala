@@ -402,7 +402,89 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011): compress each
+    * 64-d vector to m=4 sub-codes from per-subspace codebooks, then
+    * answer top-k by asymmetric distance (query-to-centroid lookup
+    * tables) — the memory-bound scale path for 100 TB embedding
+    * stores, where the corpus is scanned as 4-byte codes instead of
+    * 256-byte vectors. Determinism: all arithmetic is fixed-point
+    * (floor(x·10⁴) longs, exact in both engines); codebooks are the
+    * sub-vectors of the `codes` lowest vec_ids (the deterministic
+    * seeding q71/q95 use); argmin ties break on code id.
+    *
+    * Scale shape: the codebook (codes × 64 quantized values) and the
+    * per-query ADC tables (queries × m × codes longs) are BOUNDED BY
+    * CONSTRUCTION, so both ride to executors as literals — encoding
+    * and scoring are MAP-ONLY over the corpus (the plan has no join
+    * and no corpus-wide shuffle), and the only exchange is the
+    * bounded two-phase TopK per query, exactly q21's shape. */
+  def pqAnn(embDf: DataFrame, m: Int = 4, codes: Int = 16,
+            nQueries: Int = 10, k: Int = 5, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val qv = transform(col("embedding"), x => floor(x.cast("double") * 10000).cast("long"))
+    val base = embDf.select(col("vec_id"), qv.as("qv"))
+
+    // codebook: [subspace][code][dim] — bounded collect (codes rows)
+    val cbVecs: Seq[(Long, Seq[Long])] = base.where(col("vec_id") < codes)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    val cb: Seq[Seq[Seq[Long]]] =
+      (0 until m).map(j => cbVecs.map(_._2.slice(j * sub, j * sub + sub)))
+    val cbLit = typedLit(cb)
+
+    def sqdist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+    // encode: nearest sub-centroid per subspace, ties to lowest code
+    val codeCols = (0 until m).map { j =>
+      val sv = slice(col("qv"), j * sub + 1, sub)
+      array_min(transform(sequence(lit(0), lit(codes - 1)), c =>
+        struct(
+          sqdist(sv, element_at(element_at(cbLit, j + 1), c + 1)).as("dist"),
+          c.as("code")))).getField("code")
+    }
+    val encoded = base.select(col("vec_id"), array(codeCols: _*).as("codes"))
+
+    // ADC tables: per query, per subspace, distance to each centroid —
+    // bounded collect (nQueries × m × codes longs), shipped as a literal
+    val queryRows = base.where(col("vec_id") < nQueries).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    val qids: Seq[Long] = queryRows.map(_._1)
+    val tab: Seq[Seq[Seq[Long]]] = queryRows.map { case (_, v) =>
+      (0 until m).map { j =>
+        val qsv = v.slice(j * sub, j * sub + sub)
+        cb(j).map(cent => qsv.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+    }
+    val tabLit = typedLit(tab)
+    val qidLit = typedLit(qids)
+
+    // score map-only: explode the bounded query axis, sum m lookups
+    val adc = (0 until m)
+      .map(j => element_at(element_at(element_at(tabLit, col("qi") + 1), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val topk = topkUdaf(k)
+    encoded
+      .select(col("vec_id"), col("codes"),
+        explode(sequence(lit(0), lit(nQueries - 1))).as("qi"))
+      .select(col("vec_id"), element_at(qidLit, col("qi") + 1).as("query_id"),
+        adc.as("pq_dist"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(topk((-col("pq_dist")).cast("double"), col("vec_id"), lit("")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.id").as("neighbor_id"),
+        (-col("c.score")).cast("long").as("pq_dist"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  def q113PqAnn(s: SparkSession, dir: String): DataFrame =
+    pqAnn(embeddings(s, dir).select("vec_id", "embedding"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_pq_ann" -> ((s, d) => q113PqAnn(s, d)),
     "q21_ann_brute" -> (q21AnnBrute _),
     "q22_ann_lsh" -> ((s, d) => q22AnnLsh(s, d)),
     "q23_knn_classify" -> (q23KnnClassify _),
@@ -440,6 +522,43 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // fixed-point PQ replay: same floor(x·10⁴) quantization, same
+    // first-16 codebook, same argmin tie-break (dist, code), same
+    // ADC sum — all integer, so the hash matches exactly
+    "q113_pq_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, CAST(j AS BIGINT) AS j,
+        |         qv[CAST(j * 16 + 1 AS INT):CAST(j * 16 + 16 AS INT)] AS sv
+        |  FROM e, UNNEST(range(0, 4)) AS t(j)),
+        |cbsub AS (SELECT vec_id AS code, j, sv AS cv FROM sub WHERE vec_id < 16),
+        |enc0 AS (
+        |  SELECT s.vec_id, s.j, c.code,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      d -> (s.sv[d] - c.cv[d]) * (s.sv[d] - c.cv[d]))) AS BIGINT) AS dist
+        |  FROM sub s JOIN cbsub c ON s.j = c.j),
+        |enc AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+        |    FROM enc0) WHERE rn = 1),
+        |tab AS (
+        |  SELECT q.vec_id AS query_id, q.j, c.code,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      d -> (q.sv[d] - c.cv[d]) * (q.sv[d] - c.cv[d]))) AS BIGINT) AS pdist
+        |  FROM sub q JOIN cbsub c ON q.j = c.j WHERE q.vec_id < 10),
+        |adc AS (
+        |  SELECT t.query_id, x.vec_id AS neighbor_id,
+        |    CAST(SUM(t.pdist) AS BIGINT) AS pq_dist
+        |  FROM enc x JOIN tab t ON x.j = t.j AND x.code = t.code
+        |  WHERE x.vec_id <> t.query_id GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY pq_dist, neighbor_id) AS rank FROM adc)
+        |SELECT query_id, neighbor_id, pq_dist, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // λ = 1/2 cross-multiplied: mmr_q = rel_q − max sim_q (first pick
     // = rel_q). Greedy unrolled to the gate's outK = 5 steps; every
     // comparison is integer, ties break on cand_id — the exact

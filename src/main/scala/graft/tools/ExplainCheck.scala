@@ -343,6 +343,16 @@ object ExplainCheck {
       "q112: island merge not windowed on doc_id")
     println("q112 keyed dup-span merge OK")
 
+    // PQ encode + ADC scoring must be map-only (codebook and lookup
+    // tables ride as literals): no join anywhere, no window, and the
+    // only aggregation is the bounded two-phase TopK per query
+    val q113 = graft.queries.VectorOps.q113PqAnn(spark, sfDir)
+    val p113 = planOf(q113)
+    assert(!p113.contains("Join"), "q113: ADC scoring must not join")
+    assert(!p113.contains("Window"), "q113: scored corpus flows through a window")
+    assert(p113.contains("ObjectHashAggregate"), "q113: top-k not a bounded aggregate")
+    println("q113 map-only PQ scoring OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
