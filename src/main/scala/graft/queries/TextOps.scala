@@ -1244,6 +1244,60 @@ object TextOps {
   def q112DupSpans(s: SparkSession, dir: String): DataFrame =
     dupSpans(documents(s, dir).select("doc_id", "text"))
 
+  /** FUZZY benchmark decontamination — the near-duplicate counterpart
+    * of q67's exact n-gram probe (GPT-3/PaLM-style "13-gram overlap"
+    * catches verbatim leakage; paraphrased or lightly-edited eval
+    * items need set similarity). Training docs are flagged when their
+    * 3-shingle set is Jaccard ≥ τ against ANY held-out doc
+    * (doc_id % 10 == 0 stands in for the benchmark).
+    *
+    * Scale shape: MinHash band keys (q19's one-pass 8-hash signature)
+    * on both sides; the BENCHMARK side is tiny so its band keys
+    * broadcast — the 100 TB training side never shuffles for the
+    * probe. Candidates (bounded by band-collision volume) verify with
+    * an exact Jaccard on the carried shingle sets; the eval shingle
+    * sets broadcast too. Banding bounds recall exactly as in q19 — the
+    * oracle replays the same bands, so the gate is hash-exact. */
+  def fuzzyDecon(docs: DataFrame, evalPred: Column, tau: Double = 0.5): DataFrame = {
+    val nHashes = 8
+    val withSets = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shingleArray(col("toks"), 3).as("gs"))
+    val mhCols = (0 until nHashes).map(h =>
+      min(md5(concat(lit(s"$h|"), col("g")))).as(s"mh$h"))
+    val sigs = withSets
+      // explode_outer for the same pushdown-pathology reason as q19
+      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until nHashes / 2).map(b =>
+        struct(lit(b).as("band"),
+          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val evalBands = bands.where(evalPred)
+      .select(col("doc_id").as("eval_doc"), col("band"), col("band_key"))
+    val cands = bands.where(!evalPred)
+      .select(col("doc_id").as("train_doc"), col("band"), col("band_key"))
+      .join(broadcast(evalBands), Seq("band", "band_key"))
+      .select("train_doc", "eval_doc").distinct()
+    val trainSets = withSets.select(col("doc_id").as("train_doc"), col("gs").as("set_a"))
+    val evalSets = withSets.where(evalPred)
+      .select(col("doc_id").as("eval_doc"), col("gs").as("set_b"))
+    cands
+      .join(trainSets, "train_doc")
+      .join(broadcast(evalSets), "eval_doc")
+      .select(col("train_doc"), col("eval_doc"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("n_inter"),
+        size(array_union(col("set_a"), col("set_b"))).cast("long").as("n_union"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+      .where(col("jaccard") >= tau)
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  def q114FuzzyDecon(s: SparkSession, dir: String): DataFrame =
+    fuzzyDecon(documents(s, dir).select("doc_id", "text"), col("doc_id") % 10 === 0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_bloom_decon" -> (q90BloomDecon _),
     "q91_vocab_build" -> (q91VocabBuild _),
@@ -1282,7 +1336,8 @@ object TextOps {
     "q106_gopher_rules" -> (q106GopherRules _),
     "q107_perplexity" -> (q107Perplexity _),
     "q111_heavy_hitters" -> (q111HeavyHitters _),
-    "q112_dup_spans" -> (q112DupSpans _))
+    "q112_dup_spans" -> (q112DupSpans _),
+    "q114_fuzzy_decon" -> (q114FuzzyDecon _))
 
   /** The q109 oracle, unrolled to 5 merge steps. Each step is a
     * pair-count agg over the bounded word dictionary, an argmax
@@ -1374,6 +1429,39 @@ object TextOps {
         |  CAST(COUNT(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    "q114_fuzzy_decon" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, GREATEST(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(w[i:i+2], ' '))) AS gs
+        |  FROM t),
+        |sh AS (SELECT doc_id, UNNEST(gs) AS shingle FROM shl),
+        |sig AS (
+        |  SELECT doc_id, h.range AS h,
+        |         MIN(md5(CAST(h.range AS VARCHAR) || '|' || shingle)) AS mh
+        |  FROM sh CROSS JOIN range(0, 8) h GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+        |         string_agg(mh, '' ORDER BY h) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cands AS (
+        |  SELECT DISTINCT tr.doc_id AS train_doc, ev.doc_id AS eval_doc
+        |  FROM bands tr JOIN bands ev
+        |    ON tr.band = ev.band AND tr.band_key = ev.band_key
+        |  WHERE tr.doc_id % 10 <> 0 AND ev.doc_id % 10 = 0)
+        |SELECT c.train_doc, c.eval_doc,
+        |  CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS BIGINT) AS n_union,
+        |  CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) AS jaccard
+        |FROM cands c
+        |JOIN shl a ON a.doc_id = c.train_doc
+        |JOIN shl b ON b.doc_id = c.eval_doc
+        |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) >= 0.5
+        |ORDER BY train_doc, eval_doc""".stripMargin,
     "q107_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, source IN ('src0', 'src1') AS is_ref,

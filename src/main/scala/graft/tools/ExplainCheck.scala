@@ -353,6 +353,16 @@ object ExplainCheck {
     assert(p113.contains("ObjectHashAggregate"), "q113: top-k not a bounded aggregate")
     println("q113 map-only PQ scoring OK")
 
+    // the benchmark side (band keys AND shingle sets) must broadcast:
+    // the training corpus never shuffles for the probe, and no join
+    // degenerates to a cross product
+    val q114 = graft.queries.TextOps.q114FuzzyDecon(spark, sfDir)
+    val p114 = planOf(q114)
+    assert(p114.contains("BroadcastHashJoin"), "q114: eval side not broadcast")
+    assert(!p114.contains("Cartesian") && !p114.contains("BroadcastNestedLoop"),
+      "q114: probe degenerated to a cross product")
+    println("q114 broadcast fuzzy-decon probe OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
