@@ -135,11 +135,11 @@ object PipelineOps {
       // events.parquet is a single file and FileStreamSource anchors
       // basePath at the source path — stream the directory and glob-
       // filter to the one table instead
-      val stream = ss.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        // integer div, as in Tables.events: double division loses
-        // precision at 1e18 ns
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.normalizeEventTs(
+        // ts decode branches on the type the reader produced (nanos-
+        // as-long vs micros NTZ), exactly as in Tables.events
+        ss.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
       val out = graft.streaming.Streaming.eventWindowCounts(stream, "1 hour", "1 hour")
       val query = out.writeStream.format("memory").queryName(sink)
         .outputMode("complete")

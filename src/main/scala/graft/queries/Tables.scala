@@ -22,15 +22,30 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = t(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame = t(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = t(s, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and convert to a micros
-    * timestamp column ourselves. */
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader only loads as INT64 under the legacy nanosAsLong flag —
+    * and plain TIMESTAMP(micros, NTZ). Branch on the type the reader
+    * actually produced rather than assuming either. */
   def events(s: SparkSession, dir: String): DataFrame = {
+    // harmless when the data is already micros; required for nanos
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(t(s, dir, "events"))
+  }
+
+  /** Normalize the `ts` column of an events frame to TimestampType.
+    * LongType → the value is epoch NANOS (legacy nanosAsLong read);
+    * integer-div to micros (double division would lose precision at
+    * 1e18 ns). TIMESTAMP_NTZ → cast; the session timezone is pinned
+    * to UTC everywhere, so the cast is an identity relabel. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    t(s, dir, "events")
-      // integer div: double division would lose precision at 1e18 ns
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
