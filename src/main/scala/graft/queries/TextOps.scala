@@ -1162,17 +1162,19 @@ object TextOps {
   /** All adjacent-token bigrams of the corpus, one row per OCCURRENCE
     * (frequency counting — deliberately not `shingleArray`, which
     * dedups within a doc). */
-  private def bigramOccurrences(docs: DataFrame): DataFrame = {
-    val tk = toks(col("text"))
-    docs.select(explode(slice(
-      transform(tk, (x, i) => concat_ws(" ", x, try_element_at(tk, i + lit(2)))),
-      lit(1), greatest(size(tk) - 1, lit(0)))).as("gram"))
-  }
+  private def bigramOccurrences(docs: DataFrame): DataFrame =
+    // token array MUST be a named column before entering the lambda:
+    // an inline `toks(...)` inside try_element_at re-splits the text
+    // per array element — O(tokens²) per doc (see shingleArray note)
+    docs.select(toks(col("text")).as("w"))
+      .select(explode(slice(
+        transform(col("w"), (x, i) => concat_ws(" ", x, try_element_at(col("w"), i + lit(2)))),
+        lit(1), greatest(size(col("w")) - 1, lit(0)))).as("gram"))
 
   /** Corpus heavy hitters — EXACT counts of every bigram with
     * frequency ≥ floor(N/(k+1)) + 1, found without ever shuffling the
     * full distinct-gram cardinality. Two passes: (1) a single global
-    * [[graft.spark.MisraGries]] sketch aggregate (ObjectHashAggregate;
+    * [[graft.spark.MisraGriesAgg]] sketch aggregate (ObjectHashAggregate;
     * each map task contributes ≤ k counters, so the shuffle carries
     * O(tasks × k) entries — at 100 TB the distinct-n-gram space is
     * billions of keys and THIS is what makes "top n-grams over the
@@ -1185,8 +1187,9 @@ object TextOps {
     * candidate collect is bounded by construction (≤ k strings). */
   def heavyHitters(docs: DataFrame, k: Int = 768): DataFrame = {
     val grams = bigramOccurrences(docs)
-    val mg = udaf(new graft.spark.MisraGries(k), org.apache.spark.sql.Encoders.STRING)
-    val summary = grams.agg(mg(col("gram")).as("s"))
+    graft.spark.MisraGriesAgg.register(docs.sparkSession)
+    val summary = grams
+      .agg(call_function("dlx_mg_sketch", col("gram"), lit(k)).as("s"))
       .select(col("s.grams").as("cands"), col("s.n").as("n"))
       .head()
     val cands = summary.getSeq[String](0)

@@ -2,10 +2,10 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
-import graft.spark.{MGSummary, MisraGries}
+import graft.spark.{MGBuffer, MisraGriesAgg}
 
 /** The Misra-Gries contract heavyHitters (q111) relies on: after any
-  * partitioning of the stream into per-partition reduces followed by
+  * partitioning of the stream into per-partition updates followed by
   * arbitrary-order merges, the summary's key set contains EVERY item
   * with true count > n/(k+1). Counter values are lower bounds only. */
 class MisraGriesSpec extends AnyFunSuite {
@@ -19,9 +19,13 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
-  private def sketch(k: Int, parts: Seq[Seq[String]]): MGSummary = {
-    val mg = new MisraGries(k)
-    parts.map(_.foldLeft(mg.zero)(mg.reduce)).foldLeft(mg.zero)(mg.merge)
+  private def sketch(k: Int, parts: Seq[Seq[String]]): MGBuffer = {
+    val partials = parts.map { p =>
+      val b = new MGBuffer(k); p.foreach(b.add); b
+    }
+    val out = new MGBuffer(k)
+    partials.foreach(out.mergeIn)
+    out
   }
 
   test("key set is complete above n/(k+1) for any split and any skew") {
@@ -36,31 +40,36 @@ class MisraGriesSpec extends AnyFunSuite {
     } yield (s, k, nParts)
     forAll(genCase) { case (stream, k, nParts) =>
       val parts = stream.grouped(math.max(1, stream.size / nParts + 1)).toSeq
-      val mg = new MisraGries(k)
-      val out = mg.finish(sketch(k, parts))
+      val out = sketch(k, parts)
       val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
       val n = stream.size.toLong
       val theta = n / (k + 1) + 1
       val heavy = exact.filter(_._2 >= theta).keys.toSet
       assert(out.n == n)
-      assert(heavy.subsetOf(out.grams.toSet),
-        s"missing heavy hitters: ${heavy.diff(out.grams.toSet)} (k=$k, n=$n)")
+      assert(heavy.subsetOf(out.keysSorted.toSet),
+        s"missing heavy hitters: ${heavy.diff(out.keysSorted.toSet)} (k=$k, n=$n)")
     }
   }
 
   test("bounded: summary never exceeds k counters") {
     val stream = (0 until 500).map(i => s"t${i % 37}")
-    val mg = new MisraGries(5)
-    val buf = stream.foldLeft(mg.zero)(mg.reduce)
-    assert(buf.grams.size <= 5)
-    val merged = mg.merge(buf, stream.reverse.foldLeft(mg.zero)(mg.reduce))
-    assert(merged.grams.size <= 5)
-    assert(merged.n == 1000L)
+    val buf = new MGBuffer(5)
+    stream.foreach(buf.add)
+    assert(buf.counts.size <= 5)
+    val rev = new MGBuffer(5)
+    stream.reverse.foreach(rev.add)
+    buf.mergeIn(rev)
+    assert(buf.counts.size <= 5)
+    assert(buf.n == 1000L)
   }
 
-  test("in-band counter encoding survives grams containing spaces") {
-    val mg = new MisraGries(4)
-    val buf = Seq("a b", "a b", "c d").foldLeft(mg.zero)(mg.reduce)
-    assert(mg.finish(buf).grams == Vector("a b", "c d"))
+  test("shuffle serialization round-trips grams containing spaces") {
+    val agg = MisraGriesAgg(org.apache.spark.sql.catalyst.expressions.Literal("x"), 4)
+    val b = new MGBuffer(4)
+    Seq("a b", "a b", "c d").foreach(b.add)
+    val rt = agg.deserialize(agg.serialize(b))
+    assert(rt.n == 3L)
+    assert(rt.keysSorted == Vector("a b", "c d"))
+    assert(rt.counts.get("a b") == 2L)
   }
 }
