@@ -426,8 +426,14 @@ object TextOps {
     * change-detection join). */
   def connectedComponents(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
       maxIter: Int = 64): DataFrame = {
+    // materialize ONCE: the propagation loop joins edges every
+    // iteration, and re-evaluating the caller's edge lineage (band
+    // joins, cosine verification) per iteration multiplies its cost
+    // by the component diameter. Edges are bounded — they are the
+    // actual duplicate pairs, not the corpus.
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     var prevSum = Long.MinValue

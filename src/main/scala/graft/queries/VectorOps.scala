@@ -25,18 +25,17 @@ import Tables._
   */
 object VectorOps {
 
-  /** dot(a, b) over array<double> as an explicit left fold. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
   /** The cross-engine determinism contract for every cosine in this
     * file: round to 4 decimals BEFORE ranking/thresholding, so
     * double-accumulation-order differences can never flip a
-    * comparison. The oracle mirrors it as ROUND(...,4). */
-  private def cosSim(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 4)
+    * comparison. The oracle mirrors it as ROUND(...,4). Implemented
+    * by the codegen'd [[graft.spark.CosSimExpr]] (bit-identical
+    * arithmetic to the interpreted HOF composition it replaced —
+    * same fold order, same BigDecimal HALF_UP round). */
+  private def cosSim(a: Column, b: Column): Column = {
+    graft.spark.CosSimExpr.register(SparkSession.active)
+    call_function("dlx_cos4", a, b)
+  }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).select(col("vec_id"), col("label"),
@@ -44,31 +43,119 @@ object VectorOps {
 
   private def topkUdaf(k: Int) = udaf(new graft.spark.TopK(k))
 
-  /** Corpus-driven LSH plane count — the scale rule the fixed default
-    * lacked: within-bucket pair volume is ~N²/2^planes, so holding
-    * N²/2^planes ≈ `targetPairsPerBucket` keeps near-dup enumeration
-    * linear in N. Exact integer ceil-log2 (no floating log) so Spark
-    * and the DuckDB oracle (LENGTH(bin(m-1)) over the same integer m)
-    * can never disagree by one ulp at a power-of-two boundary.
-    * n=500 (the sf0.01 gate corpus) ⇒ 8, the previously-hardwired
-    * default, so gate answers are unchanged; n=20k ⇒ 19; n=60k ⇒ 22.
-    * Clamped to 24 (16M buckets — plenty until N² overflows the
-    * pair-count anyway; coefficients stay driver-side literals). */
-  def planesFor(n: Long, targetPairsPerBucket: Long = 1024L): Int = {
-    val m = math.max(1L, n * n / targetPairsPerBucket)
-    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
-    math.min(24, math.max(1, ceilLog2))
+  /** Collision probability of one random hyperplane for a pair at
+    * cosine `tau`: 1 − θ/π (Goemans–Williamson). */
+  def collisionProb(tau: Double): Double = 1.0 - math.acos(tau) / math.Pi
+
+  /** Banded-LSH calibration — (r planes per band, b bands), the
+    * round-3 single-band design's replacement. A single concatenated
+    * signature has per-pair collision p^planes, which silently
+    * discards at-threshold recall as planes grow; banding restores
+    * it: candidate recall = 1 − (1 − p^r)^b.
+    *
+    * Rule: r is the LARGEST band width whose recall-target band count
+    * b(r) = ceil(ln(1/(1−recall)) / p^r) stays ≤ bMax, and b is that
+    * count. Larger r always shrinks per-band background collisions
+    * (factor (2p)^-r of all pairs), so maximizing r under the band
+    * budget is the cost-optimal point; bMax bounds the shuffle/
+    * signature multiplier (b·N rows).
+    *
+    * τ=0.30 (the synthetic gate's knob) ⇒ (r=6, b=51): at this weak
+    * threshold random-hyperplane LSH is honestly near brute-force
+    * over DISTINCT vectors (background pairs at cos≈0.1–0.5 collide
+    * in some band with high probability) — the scale load is carried
+    * by the exact-first collapse, which keeps the pair enumeration
+    * over corpus-distinct representatives. τ=0.9 (a realistic
+    * near-dup sweep) ⇒ (r=21, b=60): 2M buckets per band, background
+    * collision ~0.54²¹ ≈ 2e-6 — candidates track true near-dups and
+    * the whole pipeline is ~linear. Recall holds at ≥`recall` for
+    * pairs AT τ by construction, higher above it. */
+  def bandsFor(tau: Double, recall: Double = 0.9, bMax: Int = 64): (Int, Int) = {
+    require(tau > 0.0 && tau < 1.0, s"tau=$tau out of (0,1)")
+    val p = collisionProb(tau)
+    val need = math.log(1.0 / (1.0 - recall))
+    val r = (24 to 1 by -1).find(r => math.ceil(need / math.pow(p, r)) <= bMax)
+      .getOrElse(1)
+    val b = math.max(1, math.ceil(need / math.pow(p, r)).toInt)
+    (r, b)
   }
 
-  /** Sentinel: derive the plane count from a corpus count(). */
-  val AutoPlanes: Int = 0
+  /** Theoretical candidate recall of [[bandsFor]]'s (r, b) for a pair
+    * at cosine `tau`: 1 − (1 − p^r)^b. */
+  def bandedRecallAt(tau: Double, r: Int, b: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(collisionProb(tau), r), b)
 
-  private def resolvePlanes(nPlanes: Int, corpus: => DataFrame): Int =
-    if (nPlanes > 0) nPlanes else planesFor(corpus.count())
+  /** (vec_id [, extraKeys], band, sig) — one row per (vector, band).
+    * Signatures come from the codegen'd [[graft.spark.LshBandSigsExpr]]
+    * (deterministic md5 coefficients, global plane index band*r+k, dot
+    * folded in array order — bit-identical to the oracle SQL). */
+  def bandExplode(vecs: DataFrame, tau: Double, extraKeys: Seq[String] = Nil): DataFrame = {
+    graft.spark.LshBandSigsExpr.register(vecs.sparkSession)
+    val (r, b) = bandsFor(tau)
+    vecs.select((extraKeys :+ "vec_id").map(col) :+
+      posexplode(call_function("dlx_lsh_bands", col("v"), lit(b), lit(r)))
+        .as(Seq("band", "sig")): _*)
+  }
 
-  /** SQL twin of [[planesFor]] as a one-row CTE body (column `np`). */
-  private val planesSql =
-    "SELECT GREATEST(1, LEAST(24, LENGTH(bin(GREATEST(1, (COUNT(*)*COUNT(*))//1024) - 1)))) AS np FROM embeddings"
+  /** Distinct candidate pairs (ra < rb) whose vectors share at least
+    * one band signature (and all `extraKeys`) — union over bands,
+    * deduped BEFORE any cosine verification so each candidate is
+    * verified exactly once regardless of how many bands it collides
+    * in. Input must carry (vec_id, v [, extraKeys]). */
+  def bandCandidates(vecs: DataFrame, tau: Double, extraKeys: Seq[String] = Nil): DataFrame = {
+    val bands = bandExplode(vecs, tau, extraKeys)
+    val keys = extraKeys ++ Seq("band", "sig")
+    bands.as("x").join(bands.as("y"),
+        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ra"), col("y.vec_id").as("rb"))
+      .distinct()
+  }
+
+  /** Deterministic planted near-pairs for recall audits: `k` pairs
+    * (2k unit vectors, ids idFrom+2i / idFrom+2i+1), pair i at cosine
+    * spread evenly across [lo, hi] — the at-threshold band the
+    * single-band design provably missed. Construction: u from md5
+    * doubles, w = cosθ·u + sinθ·(orthonormalized second hash vector),
+    * so cos(u, w) = cosθ up to fp. Driver-side rows (2k ≤ hundreds). */
+  def plantedPairs(s: SparkSession, idFrom: Long, k: Int,
+      lo: Double = 0.31, hi: Double = 0.49, dims: Int = 64,
+      seed: String = "p"): DataFrame = {
+    def md5hex8(str: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(str.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def hashVec(seed: String): Array[Double] =
+      Array.tabulate(dims)(d => (md5hex8(s"${seed}_$d") % 1000).toDouble / 1000.0 - 0.5)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until k).flatMap { i =>
+      val c = if (k == 1) lo else lo + (hi - lo) * i / (k - 1)
+      val u = unit(hashVec(s"${seed}a_$i"))
+      val x = hashVec(s"${seed}b_$i")
+      val proj = u.lazyZip(x).map(_ * _).sum
+      val o = unit(x.lazyZip(u).map((xi, ui) => xi - proj * ui).toArray)
+      val w = u.lazyZip(o).map((ui, oi) => c * ui + math.sqrt(1 - c * c) * oi).toSeq
+      Seq((idFrom + 2L * i, u.toSeq), (idFrom + 2L * i + 1, w.toSeq))
+    }
+    import s.implicits._
+    rows.toDF("vec_id", "v")
+  }
+
+  /** Exact-first collapse: one representative per distinct vector
+    * value. Identical vectors share every band signature and cos 1.0,
+    * so enumerating pairs over representatives and expanding through
+    * the membership preserves the pair set exactly while a duplicate-
+    * heavy corpus stops paying C(group, 2) band-join edges per group.
+    * Returns (members: vec_id→rep_id, reps: rep vec_id + v). */
+  def repCollapse(all: DataFrame): (DataFrame, DataFrame) = {
+    val repOf = all.groupBy(col("v")).agg(min(col("vec_id")).as("rep_id"))
+    val members = all.join(repOf, Seq("v")).select(col("vec_id"), col("rep_id"))
+    val reps = repOf.select(col("rep_id").as("vec_id"), col("v"))
+    (members, reps)
+  }
 
   /** explode a TopK result column into (payload struct, 1-based rank). */
   private def explodeRanked(df: DataFrame, groupCols: Seq[String]): DataFrame =
@@ -91,73 +178,66 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN: 8 deterministic hyperplanes (md5-derived
-    * coefficients in [-0.5, 0.5)); signature = sign bits; neighbors
-    * ranked within the query's bucket only. */
-  /** 8 deterministic md5-derived hyperplanes -> sign-bit signature.
-    * plane p (0..7), dim d (0..63): coeff = (hex2long(md5("p_d")[0,8)) % 1000)/1000 - 0.5
-    * Computed driver-side (same md5 the oracle computes in SQL) so the
-    * plan carries plain literals instead of 512 hash expressions. */
-  /** nPlanes is the scale knob: bucket count = 2^nPlanes, and the
-    * within-bucket pairwise volume is ~N^2/2^nPlanes. Since round 3 the
-    * entry points default to [[AutoPlanes]] and derive the count from
-    * the corpus size via [[planesFor]] (the sf0.01 gate corpus of 500
-    * vectors resolves to the original 8). */
-  private def lshSignature(nPlanes: Int): Column = {
-    def md5hex8(s2: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
-    }
-    val planes = (0 until nPlanes).map { p =>
-      val coeffs = array((0 until 64).map { d =>
-        lit((md5hex8(s"${p}_$d") % 1000).toDouble / 1000.0 - 0.5)
-      }: _*)
-      when(dot(col("v"), coeffs) > 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(planes: _*)
-  }
-
-  def q22AnnLsh(s: SparkSession, dir: String, nPlanes: Int = AutoPlanes): DataFrame = {
-    val np = resolvePlanes(nPlanes, embeddings(s, dir))
-    val corpus = emb(s, dir).withColumn("bucket", lshSignature(np))
-    val queries = broadcast(corpus.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket")))
-    val scored = corpus.join(queries, Seq("bucket"))
+  /** Banded-LSH ANN: the 10 query vectors' band signatures are tiny
+    * (10·b rows) and BROADCAST, so the corpus streams past them with
+    * no shuffle of its own; candidates = union over bands, deduped,
+    * then exact cosine + bounded top-3. Calibrated at τ=0.40 (the
+    * synthetic corpus' true-neighbor range tops out ~0.44). */
+  def q22AnnLsh(s: SparkSession, dir: String, tau: Double = 0.40): DataFrame = {
+    val corpus = emb(s, dir)
+    val corpusBands = bandExplode(corpus, tau)
+    val queryBands = broadcast(
+      bandExplode(corpus.where(col("vec_id") < 10), tau)
+        .select(col("vec_id").as("query_id"), col("band"), col("sig")))
+    val cands = corpusBands.join(queryBands, Seq("band", "sig"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
-        cosSim(col("qv"), col("v")).as("cos_sim"))
-    val grouped = scored.groupBy("query_id", "bucket")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val queries = broadcast(corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val scored = cands
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(queries, "query_id")
+      .select(col("query_id"), col("neighbor_id"), cosSim(col("qv"), col("v")).as("cos_sim"))
+    val grouped = scored.groupBy("query_id")
       .agg(topkUdaf(3)(col("cos_sim"), col("neighbor_id"), lit("")).as("top"))
-    explodeRanked(grouped, Seq("query_id", "bucket"))
-      .select(col("query_id"), col("c.id").as("neighbor_id"), col("bucket"),
+    explodeRanked(grouped, Seq("query_id"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"),
         col("c.score").as("cos_sim"), col("rank"))
       .orderBy("query_id", "rank")
   }
 
-  /** Bucket census at the active plane count — (vec_id, bucket) — for
-    * scale audits (ScaleBench asserts Σ C(bucket,2) tracks the true
-    * near-dup output instead of N²/2^8). */
-  def lshBuckets(s: SparkSession, dir: String, nPlanes: Int = AutoPlanes): DataFrame = {
-    val np = resolvePlanes(nPlanes, embeddings(s, dir))
-    emb(s, dir).select(col("vec_id"), lshSignature(np).as("bucket"))
-  }
-
-  /** Embedding-cosine near-dup pairs: candidates restricted to one LSH
-    * bucket (the pairwise work is per-bucket, never all-pairs), then
-    * exact cosine verification. The 0.30 threshold is the knob — set
-    * for the synthetic corpus, whose max pairwise cosine is ~0.44; a
-    * real near-dup sweep runs the same plan at 0.9+. */
-  def q44EmbedNearDup(s: SparkSession, dir: String, nPlanes: Int = AutoPlanes): DataFrame = {
-    val np = resolvePlanes(nPlanes, embeddings(s, dir))
-    val corpus = emb(s, dir).withColumn("bucket", lshSignature(np))
-    val a = corpus.select(col("vec_id").as("doc_a"), col("v").as("va"), col("bucket"))
-    val b = corpus.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        cosSim(col("va"), col("vb")).as("cos_sim"))
-      .where(col("cos_sim") >= 0.30)
-      .orderBy("doc_a", "doc_b")
+  /** Embedding-cosine near-dup pairs, banded: exact-first collapse to
+    * distinct representatives, banded candidate generation (union over
+    * bands, deduped before verify), exact cosine verification on rep
+    * pairs, then expansion through the membership (identical-vector
+    * groups yield their intra pairs at cos 1.0; rep edges fan out to
+    * member cross pairs). The 0.30 threshold is the knob — set for the
+    * synthetic corpus, whose max pairwise cosine is ~0.44; a real
+    * near-dup sweep runs the same plan at 0.9+, where bandsFor gives
+    * (r=21, b=60) and candidates track true near-dups (see bandsFor). */
+  def q44EmbedNearDup(s: SparkSession, dir: String, tau: Double = 0.30): DataFrame = {
+    require(tau <= 1.0, s"tau=$tau: exact duplicates must qualify as near-dups")
+    val all = emb(s, dir)
+    val (members, reps) = repCollapse(all)
+    val candIds = bandCandidates(reps, tau)
+    val repPairs = candIds
+      .join(reps.select(col("vec_id").as("ra"), col("v").as("va")), "ra")
+      .join(reps.select(col("vec_id").as("rb"), col("v").as("vb")), "rb")
+      .select(col("ra"), col("rb"), cosSim(col("va"), col("vb")).as("cos_sim"))
+      .where(col("cos_sim") >= tau)
+    val ma = members.select(col("vec_id").as("ida"), col("rep_id").as("ra"))
+    val mb = members.select(col("vec_id").as("idb"), col("rep_id").as("rb"))
+    val cross = repPairs.join(ma, "ra").join(mb, "rb")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("cos_sim"))
+    // intra-group pairs: identical vectors, cos exactly 1.0 after the
+    // 4-decimal round (sqrt(s)·sqrt(s) deviates from s by ≤ a few ulp)
+    val intra = members.as("m1").join(members.as("m2"),
+        col("m1.rep_id") === col("m2.rep_id") && col("m1.vec_id") < col("m2.vec_id"))
+      .select(col("m1.vec_id").as("doc_a"), col("m2.vec_id").as("doc_b"),
+        lit(1.0d).as("cos_sim"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
   /** IVF (inverted-file) ANN — the centroid-cell scale path: 16
@@ -168,7 +248,7 @@ object VectorOps {
     * members — scan cost drops to nProbe/nCells of the corpus. Exact
     * cosine + bounded top-3 on the candidates. */
   def q45AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    def cosC(a: Column, b: Column) = round(dot(a, b) / (norm(a) * norm(b)), 4)
+    def cosC(a: Column, b: Column) = cosSim(a, b)
     val corpus = emb(s, dir)
     val cents = broadcast(corpus.where(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv")))
@@ -273,25 +353,21 @@ object VectorOps {
     * fixed), one equi-join on (centroid, bucket) — never all-pairs —
     * bounded CC iterations on the (tiny) edge set, one hash agg for
     * the election. No windows over the corpus. */
-  def q104SemDedup(s: SparkSession, dir: String, tau: Double = 0.30,
-      nPlanes: Int = AutoPlanes): DataFrame = {
+  def q104SemDedup(s: SparkSession, dir: String, tau: Double = 0.30): DataFrame = {
     // exact-first collapse below relies on cos(x, x) = 1.0 >= tau
     require(tau <= 1.0, s"tau=$tau: exact duplicates must qualify as near-dups")
-    val np = resolvePlanes(nPlanes, embeddings(s, dir))
     val all = emb(s, dir)
     // Exact-first collapse — the q61 idiom lifted to vectors: identical
-    // embeddings share bucket, centroid cosine, and (cos = 1.0 >= tau)
-    // always one component, whose min-id member is the group's own min
-    // vec_id. So enumerating pairs over ONE representative per distinct
-    // vector preserves components, labels, and the keeper election
-    // bit-for-bit, while a duplicate-heavy corpus (the realistic case)
-    // stops paying C(groupSize, 2) pair edges per group: the x100
-    // probe corpus (100 exact copies of each vector) collapses from
-    // 9.9M intra-group edges to zero before the band join even runs.
-    val repOf = all.groupBy(col("v")).agg(min(col("vec_id")).as("rep_id"))
-    val members = all.join(repOf, Seq("v")).select(col("vec_id"), col("rep_id"))
-    val reps = repOf.select(col("rep_id").as("vec_id"), col("v"))
-      .withColumn("bucket", lshSignature(np))
+    // embeddings share every band signature, centroid cosine, and
+    // (cos = 1.0 >= tau) always one component, whose min-id member is
+    // the group's own min vec_id. So enumerating pairs over ONE
+    // representative per distinct vector preserves components, labels,
+    // and the keeper election bit-for-bit, while a duplicate-heavy
+    // corpus (the realistic case) stops paying C(groupSize, 2) pair
+    // edges per group: the x100 probe corpus (100 exact copies of
+    // each vector) collapses from 9.9M intra-group edges to zero
+    // before the band join even runs.
+    val (members, reps) = repCollapse(all)
     val cents = broadcast(all.where(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv")))
     val assigned = reps.crossJoin(cents)
@@ -303,15 +379,15 @@ object VectorOps {
         element_at(col("top"), 1).getField("id").as("centroid_id"),
         element_at(col("top"), 1).getField("score").as("cos_centroid"))
     val g = reps.join(assigned, "vec_id")
-      .select("vec_id", "v", "bucket", "centroid_id", "cos_centroid")
-    val a = g.select(col("vec_id").as("doc_a"), col("v").as("va"),
-      col("bucket"), col("centroid_id"))
-    val b = g.select(col("vec_id").as("doc_b"), col("v").as("vb"),
-      col("bucket"), col("centroid_id"))
-    val edges = a.join(b, Seq("centroid_id", "bucket"))
-      .where(col("doc_a") < col("doc_b"))
+      .select("vec_id", "v", "centroid_id", "cos_centroid")
+    // banded candidates scoped to the centroid (the paper's semantic
+    // scoping rides as an extra equi-join key), deduped before verify
+    val candIds = bandCandidates(g, tau, extraKeys = Seq("centroid_id"))
+    val edges = candIds
+      .join(reps.select(col("vec_id").as("ra"), col("v").as("va")), "ra")
+      .join(reps.select(col("vec_id").as("rb"), col("v").as("vb")), "rb")
       .where(cosSim(col("va"), col("vb")) >= tau)
-      .select("doc_a", "doc_b")
+      .select(col("ra").as("doc_a"), col("rb").as("doc_b"))
     val comp = TextOps.connectedComponents(edges)
     val repLab = g.join(comp, g("vec_id") === comp("node"), "left")
       .select(g("vec_id").as("rep_id"), col("centroid_id"), col("cos_centroid"),
@@ -500,6 +576,27 @@ object VectorOps {
       |(SQRT(list_sum(list_transform(q.qv, (x,i) -> x * q.qv[i]))) *
       | SQRT(list_sum(list_transform(c.v, (x,i) -> x * c.v[i])))), 4)""".stripMargin
 
+  /** SQL twin of the banded signatures: CTEs `coefl`/`sigbit`/`sig`
+    * over an existing `e(vec_id, v)`. Same md5 coefficient rule and
+    * GLOBAL plane index as [[graft.spark.LshPlanes]], same sequential
+    * list fold for the sign dot products, and (r, b) interpolated from
+    * the SAME [[bandsFor]] call the Spark side makes — the two engines
+    * cannot drift. `sig` has (vec_id, j band index, sg signature). */
+  private def bandSigSql(tau: Double): String = {
+    val (r, b) = bandsFor(tau)
+    s"""coefl AS (
+       |  SELECT p.range AS pl, list_transform(range(0, 64), d ->
+       |    CAST(CAST(('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 AS DOUBLE)/1000 - 0.5) AS cl
+       |  FROM range(0, ${b * r}) p),
+       |sigbit AS (
+       |  SELECT e.vec_id, c.pl,
+       |    CASE WHEN list_sum(list_transform(e.v, (x,i) -> x * c.cl[i])) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM e CROSS JOIN coefl c),
+       |sig AS (
+       |  SELECT vec_id, pl // $r AS j, string_agg(bit, '' ORDER BY pl) AS sg
+       |  FROM sigbit GROUP BY 1, 2)""".stripMargin
+  }
+
   /** K-means centroid assignment (the Lloyd assignment step): every
     * vector goes to its max-cosine centroid among the 8 broadcast
     * seeds (vec_id < 8). Same two-phase bounded-aggregate shape as
@@ -648,18 +745,10 @@ object VectorOps {
         |UNION ALL SELECT query_id, CAST(5 AS INT), cand_id, rel_q, mmr_q FROM sel5
         |ORDER BY query_id, rank""".stripMargin,
     "q104_semdedup" ->
-      s"""WITH RECURSIVE np AS ($planesSql),
-        |e AS (
+      s"""WITH RECURSIVE e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |sig AS (
-        |  SELECT vec_id, v,
-        |    (SELECT string_agg(
-        |       CASE WHEN list_sum(list_transform(v, (x,i) ->
-        |         x * (CAST(CAST(('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_' || CAST(i-1 AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 AS DOUBLE)/1000 - 0.5)
-        |       )) > 0 THEN '1' ELSE '0' END, '' ORDER BY p.range)
-        |     FROM range(0, 24) p WHERE p.range < (SELECT np FROM np)) AS bucket
-        |  FROM e),
+        |${bandSigSql(0.30)},
         |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
         |centcos AS (
         |  SELECT c.vec_id, q.centroid_id,
@@ -671,13 +760,17 @@ object VectorOps {
         |  SELECT vec_id, centroid_id, cos_c AS cos_centroid FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, centroid_id) AS rn
         |    FROM centcos) WHERE rn = 1),
-        |g AS (
-        |  SELECT s.vec_id, s.v, s.bucket, a.centroid_id, a.cos_centroid
+        |gsig AS (
+        |  SELECT s.vec_id, s.j, s.sg, a.centroid_id
         |  FROM sig s JOIN asg a USING (vec_id)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM gsig a JOIN gsig b
+        |    ON a.centroid_id = b.centroid_id AND a.j = b.j AND a.sg = b.sg
+        |   AND a.vec_id < b.vec_id),
         |pairs AS (
-        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-        |  FROM g a JOIN g b
-        |    ON a.centroid_id = b.centroid_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  SELECT cd.doc_a, cd.doc_b
+        |  FROM cand cd JOIN e a ON a.vec_id = cd.doc_a JOIN e b ON b.vec_id = cd.doc_b
         |  WHERE ROUND(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) /
         |      (SQRT(list_sum(list_transform(a.v, (x,i) -> x * a.v[i]))) *
         |       SQRT(list_sum(list_transform(b.v, (x,i) -> x * b.v[i])))), 4) >= 0.30),
@@ -689,9 +782,9 @@ object VectorOps {
         |  SELECT e2.b AS node, w.label FROM walk w JOIN edges e2 ON e2.a = w.node),
         |comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
         |lab AS (
-        |  SELECT g.vec_id, g.centroid_id, g.cos_centroid,
-        |         COALESCE(c.component, g.vec_id) AS component
-        |  FROM g LEFT JOIN comp c ON c.node = g.vec_id),
+        |  SELECT a.vec_id, a.centroid_id, a.cos_centroid,
+        |         COALESCE(c.component, a.vec_id) AS component
+        |  FROM asg a LEFT JOIN comp c ON c.node = a.vec_id),
         |keeper AS (
         |  SELECT component, vec_id AS keep_id FROM (
         |    SELECT component, vec_id,
@@ -751,26 +844,23 @@ object VectorOps {
         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q22_ann_lsh" ->
-      s"""WITH np AS ($planesSql),
-        |e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |sig AS (
-        |  SELECT vec_id, v,
-        |    (SELECT string_agg(
-        |       CASE WHEN list_sum(list_transform(v, (x,i) ->
-        |         x * (CAST(CAST(('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_' || CAST(i-1 AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 AS DOUBLE)/1000 - 0.5)
-        |       )) > 0 THEN '1' ELSE '0' END, '' ORDER BY p.range)
-        |     FROM range(0, 24) p WHERE p.range < (SELECT np FROM np)) AS bucket
-        |  FROM e),
-        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 10),
+        |${bandSigSql(0.40)},
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        |  FROM sig a JOIN sig b ON a.j = b.j AND a.sg = b.sg
+        |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
         |scored AS (
-        |  SELECT q.query_id, c.vec_id AS neighbor_id, q.bucket, $cosSql AS cos_sim
-        |  FROM sig c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id),
+        |  SELECT cd.query_id, cd.neighbor_id, $cosSql AS cos_sim
+        |  FROM cand cd
+        |  JOIN (SELECT vec_id, v AS qv FROM e) q ON q.vec_id = cd.query_id
+        |  JOIN e c ON c.vec_id = cd.neighbor_id),
         |ranked AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
         |  FROM scored)
-        |SELECT query_id, neighbor_id, bucket, cos_sim, CAST(rank AS INT) AS rank FROM ranked
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q45_ann_ivf" ->
       s"""WITH e AS (
@@ -803,24 +893,19 @@ object VectorOps {
         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q44_embed_neardup" ->
-      s"""WITH np AS ($planesSql),
-        |e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |sig AS (
-        |  SELECT vec_id, v,
-        |    (SELECT string_agg(
-        |       CASE WHEN list_sum(list_transform(v, (x,i) ->
-        |         x * (CAST(CAST(('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_' || CAST(i-1 AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 AS DOUBLE)/1000 - 0.5)
-        |       )) > 0 THEN '1' ELSE '0' END, '' ORDER BY p.range)
-        |     FROM range(0, 24) p WHERE p.range < (SELECT np FROM np)) AS bucket
-        |  FROM e),
+        |${bandSigSql(0.30)},
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.j = b.j AND a.sg = b.sg AND a.vec_id < b.vec_id),
         |pairs AS (
-        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |  SELECT cd.doc_a, cd.doc_b,
         |    ROUND(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) /
         |      (SQRT(list_sum(list_transform(a.v, (x,i) -> x * a.v[i]))) *
         |       SQRT(list_sum(list_transform(b.v, (x,i) -> x * b.v[i])))), 4) AS cos_sim
-        |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |  FROM cand cd JOIN e a ON a.vec_id = cd.doc_a JOIN e b ON b.vec_id = cd.doc_b)
         |SELECT doc_a, doc_b, cos_sim FROM pairs WHERE cos_sim >= 0.30
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q23_knn_classify" ->

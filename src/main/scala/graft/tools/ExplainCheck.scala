@@ -249,7 +249,7 @@ object ExplainCheck {
     val q104 = graft.queries.VectorOps.q104SemDedup(spark, sfDir)
     val p104 = planOf(q104)
     assert(!p104.contains("CartesianProduct"),
-      "q104: edge enumeration must stay a (centroid,bucket) equi-join " +
+      "q104: edge enumeration must stay a (centroid,band,sig) equi-join " +
         "(the k=8 centroid broadcast is the only nested loop)")
     assert(p104.contains("ObjectHashAggregate"),
       "q104: centroid assignment top-1 not a bounded aggregate")

@@ -83,13 +83,15 @@ object ScaleBench {
       catch { case _: Throwable => }
 
     val plans = scala.collection.mutable.Map.empty[String, String]
+    val rowCounts = scala.collection.mutable.Map.empty[String, Long]
+    val guardFails = scala.collection.mutable.ArrayBuffer.empty[String]
     val battery = SparkEntry_queries.filter { case (name, _) =>
       queryFilter.forall(_.contains(name)) }
     val results = battery.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val secs = try {
         val df = fn(spark, outDir)
-        df.count()
+        rowCounts(name) = df.count()
         val dt = (System.nanoTime() - t0) / 1e9
         plans(name) = df.queryExecution.executedPlan.toString
         dt
@@ -105,30 +107,75 @@ object ScaleBench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-
-    // LSH scale audit: the corpus-driven plane rule (VectorOps.planesFor)
-    // must keep candidate enumeration (Σ C(bucket_size, 2)) tracking the
-    // TRUE near-dup output volume — a fixed plane count degenerates to
-    // ~N²/2^planes candidates here and fails this assertion.
-    val lshJson = if (!battery.exists(_._1.startsWith("q44"))) "" else {
-      import graft.queries.VectorOps
-      val n = spark.read.parquet(s"$outDir/embeddings.parquet").count()
-      val np = VectorOps.planesFor(n)
-      val census = VectorOps.lshBuckets(spark, outDir)
-        .groupBy("bucket").count()
-        .agg(count(lit(1)).as("buckets"), max("count").as("maxb"),
-          sum((col("count") * (col("count") - 1) / 2).cast("long")).as("cand"))
-        .head()
-      val (buckets, maxB, cand) = (census.getLong(0), census.getLong(1), census.getLong(2))
-      val outPairs = VectorOps.q44EmbedNearDup(spark, outDir).count()
-      assert(cand <= 4L * (outPairs + n),
-        s"LSH-SCALE FAIL: candidate pairs $cand exceed 4x(output $outPairs + N $n)")
-      println(s"LSH-SCALE OK: n=$n planes=$np buckets=$buckets maxBucket=$maxB " +
-        s"candidates=$cand outputPairs=$outPairs")
-      s""","lsh":{"n":$n,"planes":$np,"buckets":$buckets,"max_bucket":$maxB,"candidate_pairs":$cand,"output_pairs":$outPairs}"""
+    // a thrown query is a failure, never a fast run (same discipline as Bench)
+    results.collect { case (name, secs) if secs < 0 =>
+      guardFails += s"QUERY FAIL $name: ${plans.getOrElse(name, "?").linesIterator.next()}"
     }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$label-equivalent ($srcDir x$factor)"$lshJson}"""
+    // Dedup-family throughput guard (round-3 advice #7): output rows/s
+    // per op, asserted against a conservative floor so a regression in
+    // candidate generation FAILS the bench instead of reading worse in
+    // a doc. Floors are ~20x under the measured x10/x30 rates.
+    val tputJson = {
+      val floors = Map("q19_minhash_dedup" -> 5000.0, "q43_simhash" -> 5000.0,
+        "q44_embed_neardup" -> 5000.0, "q104_semdedup" -> 2000.0)
+      val entries = results.collect {
+        case (name, secs) if floors.contains(name) && secs > 0 =>
+          val rps = rowCounts(name) / secs
+          if (rps < floors(name))
+            guardFails += f"TPUT FAIL $name: ${rps}%.0f rows/s < floor ${floors(name)}%.0f"
+          s""""$name":{"rows":${rowCounts(name)},"secs":$secs,"rows_per_sec":${f"$rps%.1f"}}"""
+      }
+      if (entries.isEmpty) "" else s""","throughput":{${entries.mkString(",")}}"""
+    }
+
+    // Banded-LSH scale audit. Three properties, measured not assumed:
+    //  (1) COLLAPSE: candidate pairs are enumerated over distinct-vector
+    //      representatives, so exact-duplicate replication (this tool's
+    //      scaling mode) must NOT grow the band-join volume;
+    //  (2) RECALL: planted pairs at cos ∈ [0.31, 0.49] — the band the
+    //      round-3 single-band design provably missed — must surface as
+    //      candidates at ≥ the bandsFor recall target (0.9);
+    //  (3) the per-(band,sig) census is committed for the record.
+    val lshJson = if (!battery.exists(_._1.startsWith("q44"))) "" else {
+      import graft.queries.VectorOps
+      val tau = 0.30
+      val (r, bnd) = VectorOps.bandsFor(tau)
+      val all = spark.read.parquet(s"$outDir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = all.count()
+      val (_, reps) = VectorOps.repCollapse(all)
+      val nReps = reps.count()
+      val census = VectorOps.bandExplode(reps, tau)
+        .groupBy("band", "sig").count()
+        .agg(count(lit(1)).as("buckets"), max("count").as("maxb"),
+          sum((col("count") * (col("count") - 1) / 2).cast("long")).as("vol"))
+        .head()
+      val (buckets, maxB, vol) = (census.getLong(0), census.getLong(1), census.getLong(2))
+      val cand = VectorOps.bandCandidates(reps, tau).count()
+      // (1) volume must be rep-bounded, not corpus-bounded: with f×
+      // exact replication nReps ~ n/f, so vol ≤ b·nReps²/2 always and
+      // must be << b·n²/2. Assert against the rep-level ceiling.
+      if (vol > bnd.toLong * nReps * nReps / 2 + 1)
+        guardFails += s"LSH-COLLAPSE FAIL: band-join volume $vol exceeds rep ceiling (b=$bnd, nReps=$nReps)"
+      // (2) planted recall
+      val maxId = all.agg(max(col("vec_id"))).head().getLong(0)
+      val kPlanted = 100
+      val planted = VectorOps.plantedPairs(spark, maxId + 1, kPlanted)
+      val withPlanted = reps.unionByName(planted)
+      val candP = VectorOps.bandCandidates(withPlanted, tau)
+      val found = candP.where(
+        (col("ra") > maxId) && (col("rb") === col("ra") + 1) &&
+          ((col("ra") - maxId - 1) % 2 === 0)).count()
+      val recall = found.toDouble / kPlanted
+      if (recall < 0.9)
+        guardFails += f"LSH-RECALL FAIL: planted-pair recall $recall%.2f < 0.9 (r=$r, b=$bnd)"
+      println(f"LSH-SCALE: n=$n reps=$nReps r=$r bands=$bnd buckets=$buckets " +
+        f"maxBucket=$maxB joinVolume=$vol distinctCand=$cand plantedRecall=$recall%.2f")
+      s""","lsh":{"n":$n,"reps":$nReps,"r":$r,"bands":$bnd,"buckets":$buckets,"max_bucket":$maxB,"join_volume":$vol,"distinct_candidates":$cand,"planted_recall":$recall}"""
+    }
+
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$label-equivalent ($srcDir x$factor)"$tputJson$lshJson}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"BENCH_$label.json"), json + "\n")
 
@@ -146,6 +193,10 @@ object ScaleBench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"PLANS_$label.md"), md.result())
     println(s"wrote BENCH_$label.json and PLANS_$label.md")
     spark.stop()
+    if (guardFails.nonEmpty) {
+      guardFails.foreach(f => System.err.println(s"[scalebench] $f"))
+      sys.exit(1)
+    }
   }
 
   private def SparkEntry_queries = graft.SparkEntry.queries.toSeq.sortBy(_._1)

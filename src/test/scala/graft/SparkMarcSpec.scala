@@ -718,17 +718,14 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(pieces == Seq("I", " don", "'t", " like", " 42", " apples", "!!", " ok", "?"))
   }
 
-  test("LSH plane count: more planes shrink candidate volume, survivors agree") {
-    // the q44/q22 scale knob: at 12 planes the per-bucket pair volume
-    // must not exceed the 8-plane volume, and every surviving near-dup
-    // pair (exact cosine >= threshold) found at 12 planes must also be
-    // found at 8 (coarser buckets are supersets of finer ones)
+  test("q44 banded output: ordered distinct pairs, all above threshold") {
     val dir = "/root/testdata/sf0.001"
-    def pairs(n: Int) = graft.queries.VectorOps.q44EmbedNearDup(spark, dir, nPlanes = n)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val p8 = pairs(8)
-    val p12 = pairs(12)
-    assert(p12.subsetOf(p8), "12-plane buckets split 8-plane buckets")
+    val rows = graft.queries.VectorOps.q44EmbedNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "synthetic corpus has near-dups at 0.30")
+    assert(rows.forall { case (a, b, c) => a < b && c >= 0.30 })
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length,
+      "band union must dedup candidate pairs")
   }
 
   test("Gopher rules: each rule fires on its crafted document, in precedence order") {
@@ -897,20 +894,50 @@ class SparkMarcSpec extends AnyFunSuite {
       "docs with no semantic duplicate are always kept")
   }
 
-  test("planesFor: corpus-driven plane count holds N^2/2^p near the pair target") {
-    import graft.queries.VectorOps.planesFor
-    assert(planesFor(500) == 8, "sf0.01 gate corpus must resolve to the original 8")
-    assert(planesFor(2000) == 12, "sf0.1 bench corpus")
-    assert(planesFor(20000) == 19, "x10 scaled corpus")
-    assert(planesFor(60000) == 22, "x30 scaled corpus")
-    assert(planesFor(0) == 1 && planesFor(1) == 1, "floor clamp")
-    assert(planesFor(10000000L) == 24, "ceiling clamp (16M buckets)")
-    // un-clamped region invariant: 2^(p-1) < max(1, n^2/1024) <= 2^p,
-    // i.e. the expected per-bucket pair volume stays within 2x of target
-    for (n <- Seq(100L, 777L, 4096L, 50000L)) {
-      val p = planesFor(n); val m = math.max(1L, n * n / 1024L)
-      assert(m <= (1L << p) && (p == 1 || m > (1L << (p - 1))), s"n=$n p=$p m=$m")
+  test("bandsFor: banded-LSH calibration meets the recall target at tau") {
+    import graft.queries.VectorOps.{bandsFor, bandedRecallAt}
+    assert(bandsFor(0.30) == (6, 51), "the gate near-dup knob")
+    assert(bandsFor(0.40) == (7, 58), "the ANN calibration point")
+    assert(bandsFor(0.90) == (21, 60), "the realistic near-dup sweep")
+    // the defining property, not the point values: recall at tau is
+    // >= the target, and r is maximal under the band budget (any wider
+    // band would blow the budget)
+    for (tau <- Seq(0.3, 0.4, 0.5, 0.7, 0.85, 0.9, 0.95)) {
+      val (r, b) = bandsFor(tau)
+      assert(b <= 64, s"tau=$tau: band budget exceeded")
+      assert(bandedRecallAt(tau, r, b) >= 0.9, s"tau=$tau (r=$r,b=$b): recall target missed")
+      if (r < 24) {
+        val p = graft.queries.VectorOps.collisionProb(tau)
+        assert(math.ceil(math.log(10.0) / math.pow(p, r + 1)) > 64,
+          s"tau=$tau: r=$r not maximal under the budget")
+      }
     }
+    // monotonicity: higher tau -> wider bands (more selective buckets)
+    assert(bandsFor(0.9)._1 > bandsFor(0.5)._1 && bandsFor(0.5)._1 > bandsFor(0.3)._1)
+  }
+
+  test("banded LSH: planted at-threshold pairs are recalled; exact replication does not grow candidates") {
+    import graft.queries.VectorOps
+    // 600 deterministic background vectors + 60 planted pairs at
+    // cos 0.31..0.49 — the band the single-band design provably missed
+    val bg = VectorOps.plantedPairs(spark, 0L, 300, lo = -0.2, hi = 0.2, seed = "bg")
+    val planted = VectorOps.plantedPairs(spark, 10000L, 60)
+    val corpus = bg.unionByName(planted)
+    val cand = VectorOps.bandCandidates(corpus, 0.30).cache()
+    val found = cand.where(
+      (org.apache.spark.sql.functions.col("ra") >= 10000L) &&
+        (org.apache.spark.sql.functions.col("rb") === org.apache.spark.sql.functions.col("ra") + 1) &&
+        ((org.apache.spark.sql.functions.col("ra") - 10000L) % 2 === 0)).count()
+    assert(found >= 54, s"planted-pair recall $found/60 < 90%")
+    // exact-first collapse: tripling the corpus with exact copies must
+    // leave the rep-level candidate count unchanged
+    val tripled = corpus
+      .unionByName(corpus.withColumn("vec_id", org.apache.spark.sql.functions.col("vec_id") + 100000L))
+      .unionByName(corpus.withColumn("vec_id", org.apache.spark.sql.functions.col("vec_id") + 200000L))
+    val (_, reps) = VectorOps.repCollapse(tripled)
+    val candTripled = VectorOps.bandCandidates(reps, 0.30).count()
+    assert(candTripled == cand.count(),
+      s"collapse failed: 3x exact replication changed rep candidates ($candTripled vs ${cand.count()})")
   }
 
   test("incrementalDedup: exact dup flagged, near-dup counts bands, new x new ignored") {
