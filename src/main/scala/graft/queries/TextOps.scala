@@ -973,6 +973,12 @@ object TextOps {
             replace(col("seg"), lit(s"\u0002$x \u0002$y "), lit(s"\u0002$token "))
               .as("seg"))
           merges += ((merges.size + 1, pair, token, cnt))
+          // materialize the (bounded) dictionary every 64 merges:
+          // without this the plan chains one replace() per learned
+          // merge and analysis/codegen cost per step grows linearly --
+          // invisible at the gate's 5 merges, pathological at a real
+          // 30k-merge vocab. localCheckpoint keeps lineage depth <= 64.
+          if (merges.size % 64 == 0) vocab = vocab.localCheckpoint(true)
       }
     }
     dict.unpersist()

@@ -834,6 +834,33 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(out.toSeq == expected, s"got ${out.toSeq}")
   }
 
+  test("BPE training at 256+ merges: lineage checkpointing keeps per-step cost flat") {
+    import spark.implicits._
+    // ~400 distinct deterministic 10-char words sustain well over 256
+    // merges. Without the every-64-merges localCheckpoint the merge
+    // loop chains one replace() per step, so analysis cost per step
+    // grows linearly and the 65..256 stretch costs far more per merge
+    // than the first 64; with it, per-step cost is flat. Compare the
+    // two stretches of ONE 256-merge run (timing-ratio, generous 4x
+    // bound — the unchecked form measures ~linear growth, well beyond).
+    def word(i: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bpeword_$i".getBytes("UTF-8"))
+      md.take(10).map(b => ('a' + ((b & 0xff) % 26)).toChar).mkString
+    }
+    val docs = Seq((0 until 400).map(word).mkString(" ")).toDF("text")
+    val t0 = System.nanoTime()
+    val m64 = graft.queries.TextOps.bpeMergesList(docs, 64)
+    val t64 = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val m256 = graft.queries.TextOps.bpeMergesList(docs, 256)
+    val t256 = (System.nanoTime() - t1) / 1e9
+    assert(m256.size == 256, s"corpus exhausted early at ${m256.size} merges")
+    assert(m256.take(64) == m64, "merge sequence must not depend on the requested count")
+    assert(t256 / t64 <= 8.0,
+      f"per-step cost grew: 256 merges took $t256%.1f s vs 64 merges $t64%.1f s (ratio ${t256 / t64}%.1f > 8)")
+  }
+
   test("BPE encode: learned merges tokenize each word, unseen chars stay atomic") {
     import spark.implicits._
     // merges learned from these docs: steps 1-4 fuse aaab and aab to
