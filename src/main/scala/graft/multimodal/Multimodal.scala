@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL via [[MediaDecoder.JdkImageIO]] (the JDK's
   * bundled `javax.imageio` readers — PNG/JPEG/BMP/GIF, no external
-  * libs); audio/video decode remains the documented
-  * [[MediaDecoder.Stub]] boundary (no codecs in this container), with
-  * deterministic fake dimensions/frames from the bytes. The Spark
-  * plumbing — schema, binary transport, partition-wise batch shape,
-  * UDF signatures — is identical for both.
+  * libs) and audio decode is REAL via [[MediaDecoder.JdkWavPcm]]
+  * (`javax.sound.sampled` WAV/PCM); video decode remains the
+  * documented [[MediaDecoder.Stub]] boundary (no video codecs in this
+  * container), with deterministic fake dimensions/frames from the
+  * bytes. The Spark plumbing — schema, binary transport,
+  * partition-wise batch shape, UDF signatures — is identical for all.
   */
 final case class MediaRow(
     media_id: Long,
@@ -49,6 +50,20 @@ object MediaDecoder {
       content.length.toFloat,
       (content.headOption.getOrElse(0: Byte) & 0xff).toFloat,
       (content.lastOption.getOrElse(0: Byte) & 0xff).toFloat)
+  }
+
+  /** Real audio decoder on the JDK's bundled `javax.sound.sampled`
+    * WAV/PCM reader (no external libs). decodeDims = (sample rate,
+    * frame count); `embed` is a 4-dim quarter-segment sample-sum
+    * signature — integer sums over the four n/4 sample ranges, exact
+    * and replayable by an external oracle. */
+  object JdkWavPcm extends MediaDecoder {
+    def decodeDims(content: Array[Byte]): (Int, Int) = {
+      val (fmt, samples) = AudioCodec.decodeWav(content)
+      (fmt.getSampleRate.toInt, samples.length)
+    }
+    def embed(content: Array[Byte]): Array[Float] =
+      AudioCodec.quarterSums(AudioCodec.decodeWav(content)._2).map(_.toFloat)
   }
 
   /** Real decoder on the JDK's bundled image readers (PNG/JPEG/BMP/GIF
@@ -140,6 +155,62 @@ object ImageCodec {
       y += 1
     }
     out
+  }
+}
+
+/** JDK-only WAV/PCM codec used by [[MediaDecoder.JdkWavPcm]]. 16-bit
+  * signed little-endian mono PCM in a standard RIFF/WAVE container —
+  * lossless, so synthesized integer waveforms decode back bit-exact
+  * and an external oracle can replay every derived feature. */
+object AudioCodec {
+  import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV container to (format, 16-bit samples). Requires
+    * 16-bit PCM (signed, mono or interleaved — samples returned in
+    * frame order). */
+  def decodeWav(content: Array[Byte]): (AudioFormat, Array[Short]) = {
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
+    val raw = ais.readAllBytes()
+    val n = raw.length / 2
+    val out = new Array[Short](n)
+    var i = 0
+    if (fmt.isBigEndian)
+      while (i < n) { out(i) = (((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)).toShort; i += 1 }
+    else
+      while (i < n) { out(i) = (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort; i += 1 }
+    (fmt, out)
+  }
+
+  /** Integer sums over four sample quarters (sample i belongs to
+    * quarter floor(4i/n)) — the audio analog of the image
+    * quadrant-gray signature. */
+  def quarterSums(samples: Array[Short]): Array[Long] = {
+    val n = samples.length
+    val sums = new Array[Long](4)
+    var i = 0
+    while (i < n) {
+      sums(i * 4 / n) += samples(i)
+      i += 1
+    }
+    sums
   }
 }
 

@@ -92,6 +92,36 @@ object PipelineOps {
       .orderBy("media_id")
   }
 
+  /** Real WAV/PCM audio decode — the audio analog of q101's image
+    * path, closing the audio half of the Stub boundary: synthesize a
+    * deterministic integer waveform per document (sample i of doc id:
+    * (id·31 + i·7) % 2003 − 1001, n = 800 + id%257 samples at 8 kHz),
+    * encode a real RIFF/WAVE container, decode it back through
+    * `javax.sound.sampled`, and emit integer features (quarter-segment
+    * sums + peak). PCM is lossless, so the DuckDB oracle replays the
+    * synth math directly — a codec round-trip error of even one sample
+    * fails the hash. Map-only until the output sort. */
+  def q115AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 800 + (id % 257).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 7) % 2003) - 1001).toShort)
+          graft.multimodal.MediaRow(id, "audio",
+            graft.multimodal.AudioCodec.encodeWav(samples, 8000), "audio/wav", Map.empty)
+        }
+      }
+    media.map { m =>
+      val (fmt, samples) = graft.multimodal.AudioCodec.decodeWav(m.content)
+      val qs = graft.multimodal.AudioCodec.quarterSums(samples)
+      (m.media_id, fmt.getSampleRate.toInt, samples.length.toLong,
+        qs(0), qs(1), qs(2), qs(3), samples.map(x => math.abs(x.toLong)).max)
+    }.toDF("media_id", "sample_rate", "n_samples", "q0", "q1", "q2", "q3", "peak_abs")
+      .orderBy("media_id")
+  }
+
   private val streamSinkCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Run a finite gate stream with a bounded state-partition count.
@@ -135,11 +165,21 @@ object PipelineOps {
       // events.parquet is a single file and FileStreamSource anchors
       // basePath at the source path — stream the directory and glob-
       // filter to the one table instead
-      val stream = Tables.normalizeEventTs(
-        // ts decode branches on the type the reader produced (nanos-
-        // as-long vs micros NTZ), exactly as in Tables.events
-        ss.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
+      // testdata ships events.parquet as a single FILE (FileStreamSource
+      // anchors basePath at the source path, so stream the parent dir
+      // with a name glob); scaled/materialized data is a parquet
+      // DIRECTORY (stream it directly — the glob would match nothing
+      // and silently yield an empty stream)
+      val eventsPath = s"$dir/events.parquet"
+      val src =
+        if (new java.io.File(eventsPath).isDirectory)
+          ss.readStream.schema(schema).parquet(eventsPath)
+        else
+          ss.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // ts decode branches on the type the reader produced (nanos-
+      // as-long vs micros NTZ), exactly as in Tables.events
+      val stream = Tables.normalizeEventTs(src)
       val out = graft.streaming.Streaming.eventWindowCounts(stream, "1 hour", "1 hour")
       val query = out.writeStream.format("memory").queryName(sink)
         .outputMode("complete")
@@ -196,6 +236,7 @@ object PipelineOps {
     "q46_frame_sample" -> (q46FrameSample _),
     "q65_media_resize" -> (q65MediaResize _),
     "q101_image_decode" -> (q101ImageDecode _),
+    "q115_audio_decode" -> (q115AudioDecode _),
     "q85_stream_windows" -> (q85StreamWindows _),
     "q86_stream_decon" -> (q86StreamDecon _))
 
@@ -225,6 +266,24 @@ object PipelineOps {
         |  CAST(SUM(CASE WHEN x >= 8 AND y >= 6 THEN g ELSE 0 END) AS BIGINT) AS q11,
         |  CAST(SUM(g) AS BIGINT) AS gray_sum
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // replays the waveform synth (sample i = (id*31 + i*7) % 2003 -
+    // 1001 over n = 800 + id%257 samples) — all integer, so a WAV
+    // codec round-trip error of even one sample fails the hash
+    "q115_audio_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(r.range AS BIGINT) AS i,
+        |         (doc_id * 31 + r.range * 7) % 2003 - 1001 AS v,
+        |         800 + doc_id % 257 AS n
+        |  FROM documents CROSS JOIN range(0, 1057) r
+        |  WHERE r.range < 800 + doc_id % 257)
+        |SELECT doc_id AS media_id, 8000 AS sample_rate,
+        |  CAST(MAX(n) AS BIGINT) AS n_samples,
+        |  CAST(SUM(CASE WHEN i * 4 // n = 0 THEN v ELSE 0 END) AS BIGINT) AS q0,
+        |  CAST(SUM(CASE WHEN i * 4 // n = 1 THEN v ELSE 0 END) AS BIGINT) AS q1,
+        |  CAST(SUM(CASE WHEN i * 4 // n = 2 THEN v ELSE 0 END) AS BIGINT) AS q2,
+        |  CAST(SUM(CASE WHEN i * 4 // n = 3 THEN v ELSE 0 END) AS BIGINT) AS q3,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs
+        |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "q86_stream_decon" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

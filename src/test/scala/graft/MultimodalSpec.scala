@@ -65,4 +65,34 @@ class MultimodalSpec extends AnyFunSuite {
         assert(ImageCodec.gray(img, x, y) == ((x * sw / 8) * 7 + (y * 15 / 6) * 13) % 256)
     }
   }
+
+  test("AudioCodec: WAV/PCM round-trip is bit-exact, quarter sums replayable") {
+    val samples = Array.tabulate(1001)(i => (((i * 7 + 31) % 2003) - 1001).toShort)
+    val wav = graft.multimodal.AudioCodec.encodeWav(samples, 8000)
+    val (fmt, back) = graft.multimodal.AudioCodec.decodeWav(wav)
+    assert(fmt.getSampleRate.toInt == 8000 && fmt.getChannels == 1)
+    assert(back.toSeq == samples.toSeq, "PCM must round-trip losslessly")
+    val qs = graft.multimodal.AudioCodec.quarterSums(samples)
+    val expect = samples.zipWithIndex.groupBy { case (_, i) => i * 4 / samples.length }
+      .view.mapValues(_.map(_._1.toLong).sum).toMap
+    assert(qs.toSeq == (0 to 3).map(expect))
+  }
+
+  test("JdkWavPcm decoder drives the generic featurize path") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.multimodal.AudioCodec
+    val media = (0L until 3L).map { id =>
+      val samples = Array.tabulate(800 + id.toInt)(i => ((id * 31 + i * 7) % 512 - 256).toShort)
+      MediaRow(id, "audio", AudioCodec.encodeWav(samples, 8000), "audio/wav", Map.empty)
+    }.toDS()
+    val out = Multimodal.featurize(media, MediaDecoder.JdkWavPcm)
+      .collect().sortBy(_.media_id)
+    for (f <- out) {
+      assert(f.width == 8000, "width slot carries the sample rate")
+      assert(f.height == 800 + f.media_id.toInt, "height slot carries the frame count")
+      val samples = Array.tabulate(800 + f.media_id.toInt)(i => ((f.media_id * 31 + i * 7) % 512 - 256).toShort)
+      assert(f.embedding.toSeq == AudioCodec.quarterSums(samples).map(_.toFloat).toSeq)
+    }
+  }
 }
