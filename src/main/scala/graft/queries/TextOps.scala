@@ -859,13 +859,15 @@ object TextOps {
   def dsirSelect(docs: DataFrame, isTarget: Column, nBuckets: Int = 512,
       topN: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = split(col("text"), " ")
+    // token array MUST be a named column before entering the pairing
+    // lambda — an inline split re-tokenizes per element (O(tokens²)
+    // per doc; the shingleArray rule). Measured 8x on this query.
     val bigrams = slice(
-      transform(w, (x, i) => concat_ws(" ", x, try_element_at(w, i + lit(2)))),
-      lit(1), greatest(size(w) - 1, lit(1)))
+      transform(col("w"), (x, i) => concat_ws(" ", x, try_element_at(col("w"), i + lit(2)))),
+      lit(1), greatest(size(col("w")) - 1, lit(1)))
     val grams = docs
-      .select(col("doc_id"), isTarget.as("is_target"),
-        explode_outer(bigrams).as("g"))
+      .select(col("doc_id"), isTarget.as("is_target"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("is_target"), explode_outer(bigrams).as("g"))
       .where(col("g").isNotNull)
       .select(col("doc_id"), col("is_target"),
         (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long")
@@ -947,18 +949,22 @@ object TextOps {
     * in learned order. */
   def bpeMergesList(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
     val dict = bpeDict(docs).persist()
-    def pairsOf(seg: Column): Column = {
-      val t = regexp_extract_all(seg, lit("\u0002([^ ]+) "), lit(1))
+    // the symbol array must be a NAMED column (bound by the caller's
+    // select), not an inline regexp_extract_all -- the lambda would
+    // re-extract per element (O(symbols^2) per word; the shingleArray
+    // rule)
+    val symbolsOf = regexp_extract_all(col("seg"), lit("\u0002([^ ]+) "), lit(1))
+    def pairsOf(t: Column): Column =
       slice(transform(t, (x, i) => concat(x, lit(" "), try_element_at(t, i + lit(2)))),
         lit(1), greatest(size(t) - 1, lit(0)))
-    }
     var vocab = dict
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
       // one-row argmax — the bounded convergence-scalar idiom
       val bestOpt = vocab
-        .select(col("freq"), explode_outer(pairsOf(col("seg"))).as("pair"))
+        .select(col("freq"), symbolsOf.as("t"))
+        .select(col("freq"), explode_outer(pairsOf(col("t"))).as("pair"))
         .where(col("pair").isNotNull)
         .groupBy("pair").agg(sum("freq").as("pair_count"))
         .orderBy(col("pair_count").desc, col("pair")).limit(1)
