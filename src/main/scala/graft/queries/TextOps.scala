@@ -1281,38 +1281,57 @@ object TextOps {
     * oracle replays the same bands, so the gate is hash-exact. */
   def fuzzyDecon(docs: DataFrame, evalPred: Column, tau: Double = 0.5): DataFrame = {
     val nHashes = 8
-    val withSets = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), shingleArray(col("toks"), 3).as("gs"))
+    val flagged = docs
+      .select(col("doc_id"), evalPred.as("is_eval"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("is_eval"), shingleArray(col("toks"), 3).as("gs"))
+    // Exact-first collapse PER SIDE (the q44/q104 idiom): identical
+    // shingle sets have identical minhash bands and identical Jaccard
+    // against everything, so one representative per (side, set) runs
+    // the probe and the members expand at the end. A boilerplate-heavy
+    // corpus (and the exact-replication scale probes) would otherwise
+    // pay candidate volume quadratic in the duplicate multiplicity.
+    val repOf = flagged.groupBy(col("is_eval"), col("gs"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    val members = flagged.join(repOf, Seq("is_eval", "gs"))
+      .select(col("is_eval"), col("doc_id"), col("rep_id"))
+    val withSets = repOf.select(col("is_eval"), col("rep_id").as("doc_id"), col("gs"))
     val mhCols = (0 until nHashes).map(h =>
       min(md5(concat(lit(s"$h|"), col("g")))).as(s"mh$h"))
     val sigs = withSets
       // explode_outer for the same pushdown-pathology reason as q19
-      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
-      .groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    val bands = sigs.select(col("doc_id"),
+      .select(col("doc_id"), col("is_eval"), explode_outer(col("gs")).as("g"))
+      .groupBy("doc_id", "is_eval").agg(mhCols.head, mhCols.tail: _*)
+    val bands = sigs.select(col("doc_id"), col("is_eval"),
       explode(array((0 until nHashes / 2).map(b =>
         struct(lit(b).as("band"),
           concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val evalBands = bands.where(evalPred)
-      .select(col("doc_id").as("eval_doc"), col("band"), col("band_key"))
-    val cands = bands.where(!evalPred)
-      .select(col("doc_id").as("train_doc"), col("band"), col("band_key"))
+      .select(col("doc_id"), col("is_eval"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val evalBands = bands.where(col("is_eval"))
+      .select(col("doc_id").as("eval_rep"), col("band"), col("band_key"))
+    val cands = bands.where(!col("is_eval"))
+      .select(col("doc_id").as("train_rep"), col("band"), col("band_key"))
       .join(broadcast(evalBands), Seq("band", "band_key"))
-      .select("train_doc", "eval_doc").distinct()
-    val trainSets = withSets.select(col("doc_id").as("train_doc"), col("gs").as("set_a"))
-    val evalSets = withSets.where(evalPred)
-      .select(col("doc_id").as("eval_doc"), col("gs").as("set_b"))
-    cands
-      .join(trainSets, "train_doc")
-      .join(broadcast(evalSets), "eval_doc")
-      .select(col("train_doc"), col("eval_doc"),
+      .select("train_rep", "eval_rep").distinct()
+    val trainSets = withSets.where(!col("is_eval"))
+      .select(col("doc_id").as("train_rep"), col("gs").as("set_a"))
+    val evalSets = withSets.where(col("is_eval"))
+      .select(col("doc_id").as("eval_rep"), col("gs").as("set_b"))
+    val repPairs = cands
+      .join(trainSets, "train_rep")
+      .join(broadcast(evalSets), "eval_rep")
+      .select(col("train_rep"), col("eval_rep"),
         size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("n_inter"),
         size(array_union(col("set_a"), col("set_b"))).cast("long").as("n_union"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / col("n_union").cast("double"))
       .where(col("jaccard") >= tau)
+    repPairs
+      .join(members.where(!col("is_eval"))
+        .select(col("doc_id").as("train_doc"), col("rep_id").as("train_rep")), "train_rep")
+      .join(members.where(col("is_eval"))
+        .select(col("doc_id").as("eval_doc"), col("rep_id").as("eval_rep")), "eval_rep")
+      .select(col("train_doc"), col("eval_doc"), col("n_inter"), col("n_union"),
+        col("jaccard"))
       .orderBy("train_doc", "eval_doc")
   }
 
