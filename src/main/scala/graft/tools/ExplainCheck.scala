@@ -363,6 +363,20 @@ object ExplainCheck {
       "q114: probe degenerated to a cross product")
     println("q114 broadcast fuzzy-decon probe OK")
 
+    // banded near-dup: candidate generation must be a (band, sig)
+    // equi-join over collapsed representatives — no cross product, a
+    // dedup aggregate between the band join and the cosine verify,
+    // and the codegen'd cosine (no interpreted HOF in the verify path)
+    val q44 = graft.queries.VectorOps.q44EmbedNearDup(spark, sfDir)
+    val p44 = planOf(q44)
+    assert(!p44.contains("Cartesian") && !p44.contains("BroadcastNestedLoop"),
+      "q44: banded candidates degenerated to a cross product")
+    assert(p44.contains("dlx_cos4"),
+      "q44: cosine verify must run the codegen'd expression")
+    assert(p44.contains("HashAggregate(keys=[ra"),
+      "q44: candidate pairs not deduped (distinct on ra/rb) before verify")
+    println("q44 banded candidates + codegen cosine OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
