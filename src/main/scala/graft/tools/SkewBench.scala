@@ -63,7 +63,7 @@ object SkewBench {
     })
 
     val family = Seq("q16_dedup_exact", "q19_minhash_lsh", "q43_simhash",
-      "q56_dedup_clusters", "q61_dedup_pipeline")
+      "q56_dedup_clusters", "q61_dedup_pipeline", "q114_fuzzy_decon")
     val queries = graft.SparkEntry.queries
 
     spark.read.parquet(s"$outDir/documents.parquet").count() // warm footers
