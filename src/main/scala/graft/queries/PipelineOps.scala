@@ -122,6 +122,54 @@ object PipelineOps {
       .orderBy("media_id")
   }
 
+  /** Real AVI video decode + frame sampling — closes the video Stub:
+    * synthesize a deterministic multi-frame video per document (frame
+    * f, pixel (x,y) of doc id: gray = (id·31 + f·17 + x·7 + y·13) %
+    * 256; w = 16+id%9, h = 12+id%7, frames = 6+id%5), pack a
+    * spec-conformant RIFF/AVI container with uncompressed DIB frames,
+    * decode it back through the chunk-tree parser, sample every 2nd
+    * frame, and emit integer quadrant-gray sums per sampled frame.
+    * DIB is lossless, so the DuckDB oracle replays the synth math —
+    * one wrong pixel in any frame fails the hash. Map-only (flatMap
+    * fan-out is the sampled-frame count) until the output sort. */
+  def q116VideoDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 9).toInt
+          val h = 12 + (id % 7).toInt
+          val n = 6 + (id % 5).toInt
+          val frames = (0 until n).map { f =>
+            graft.multimodal.ImageCodec.grayImage(w, h) { (x, y) =>
+              ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
+            }
+          }
+          graft.multimodal.MediaRow(id, "video",
+            graft.multimodal.VideoCodec.encodeAvi(frames), "video/x-msvideo", Map.empty)
+        }
+      }
+    media.flatMap { m =>
+      val (w, h, frames) = graft.multimodal.VideoCodec.decodeAvi(m.content)
+      val (hw, hh) = (w / 2, h / 2)
+      frames.zipWithIndex.collect { case (px, f) if f % 2 == 0 =>
+        val sums = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sums((if (x >= hw) 1 else 0) + (if (y >= hh) 2 else 0)) += px(y * w + x) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (m.media_id, f, w, h, frames.length, sums(0), sums(1), sums(2), sums(3))
+      }
+    }.toDF("media_id", "frame_no", "width", "height", "n_frames",
+        "q00", "q10", "q01", "q11")
+      .orderBy("media_id", "frame_no")
+  }
+
   private val streamSinkCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Run a finite gate stream with a bounded state-partition count.
@@ -237,6 +285,7 @@ object PipelineOps {
     "q65_media_resize" -> (q65MediaResize _),
     "q101_image_decode" -> (q101ImageDecode _),
     "q115_audio_decode" -> (q115AudioDecode _),
+    "q116_video_decode" -> (q116VideoDecode _),
     "q85_stream_windows" -> (q85StreamWindows _),
     "q86_stream_decon" -> (q86StreamDecon _))
 
@@ -266,6 +315,29 @@ object PipelineOps {
         |  CAST(SUM(CASE WHEN x >= 8 AND y >= 6 THEN g ELSE 0 END) AS BIGINT) AS q11,
         |  CAST(SUM(g) AS BIGINT) AS gray_sum
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // replays the frame synth (gray = (id*31 + f*17 + x*7 + y*13) %
+    // 256 over w=16+id%9, h=12+id%7, frames=6+id%5, every 2nd frame)
+    // — all integer, so an AVI round-trip error of one pixel in any
+    // frame fails the hash
+    "q116_video_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, CAST(rf.range AS INT) AS f,
+        |         CAST(rx.range AS INT) AS x, CAST(ry.range AS INT) AS y,
+        |         16 + doc_id % 9 AS w, 12 + doc_id % 7 AS h,
+        |         6 + doc_id % 5 AS n,
+        |         (doc_id * 31 + rf.range * 17 + rx.range * 7 + ry.range * 13) % 256 AS g
+        |  FROM documents
+        |  CROSS JOIN range(0, 11) rf CROSS JOIN range(0, 25) rx CROSS JOIN range(0, 19) ry
+        |  WHERE rf.range < 6 + doc_id % 5 AND rf.range % 2 = 0
+        |    AND rx.range < 16 + doc_id % 9 AND ry.range < 12 + doc_id % 7)
+        |SELECT doc_id AS media_id, f AS frame_no,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(n AS INT) AS n_frames,
+        |  CAST(SUM(CASE WHEN x < w // 2 AND y < h // 2 THEN g ELSE 0 END) AS BIGINT) AS q00,
+        |  CAST(SUM(CASE WHEN x >= w // 2 AND y < h // 2 THEN g ELSE 0 END) AS BIGINT) AS q10,
+        |  CAST(SUM(CASE WHEN x < w // 2 AND y >= h // 2 THEN g ELSE 0 END) AS BIGINT) AS q01,
+        |  CAST(SUM(CASE WHEN x >= w // 2 AND y >= h // 2 THEN g ELSE 0 END) AS BIGINT) AS q11
+        |FROM px GROUP BY doc_id, f, w, h, n ORDER BY media_id, frame_no""".stripMargin,
     // replays the waveform synth (sample i = (id*31 + i*7) % 2003 -
     // 1001 over n = 800 + id%257 samples) — all integer, so a WAV
     // codec round-trip error of even one sample fails the hash

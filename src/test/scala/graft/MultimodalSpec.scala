@@ -95,4 +95,40 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.embedding.toSeq == AudioCodec.quarterSums(samples).map(_.toFloat).toSeq)
     }
   }
+
+  test("VideoCodec: AVI/DIB round-trip is pixel-exact across frames") {
+    val frames = (0 until 4).map { f =>
+      ImageCodec.grayImage(17, 13)((x, y) => (f * 17 + x * 7 + y * 13) % 256)
+    }
+    val avi = graft.multimodal.VideoCodec.encodeAvi(frames)
+    // container sanity: RIFF/AVI magic, readable by the chunk walker
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val (w, h, back) = graft.multimodal.VideoCodec.decodeAvi(avi)
+    assert(w == 17 && h == 13 && back.length == 4)
+    for (f <- 0 until 4; y <- 0 until 13; x <- 0 until 17)
+      assert((back(f)(y * 17 + x) & 0xff) == (f * 17 + x * 7 + y * 13) % 256,
+        s"pixel mismatch at f=$f x=$x y=$y")
+  }
+
+  test("JdkAviDib decoder drives the generic featurize path") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val media = (0L until 2L).map { id =>
+      val frames = (0 until 3).map { f =>
+        ImageCodec.grayImage(10, 8)((x, y) => (id.toInt + f + x + y) % 256)
+      }
+      MediaRow(id, "video", graft.multimodal.VideoCodec.encodeAvi(frames),
+        "video/x-msvideo", Map.empty)
+    }.toDS()
+    val out = Multimodal.featurize(media, MediaDecoder.JdkAviDib)
+      .collect().sortBy(_.media_id)
+    for (v <- out) {
+      assert(v.width == 10 && v.height == 8)
+      var expect = Array.fill(4)(0L)
+      for (f <- 0 until 3; y <- 0 until 8; x <- 0 until 10)
+        expect((if (x >= 5) 1 else 0) + (if (y >= 4) 2 else 0)) += (v.media_id.toInt + f + x + y) % 256
+      assert(v.embedding.toSeq == expect.map(_.toFloat).toSeq)
+    }
+  }
 }
