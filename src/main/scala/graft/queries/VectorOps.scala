@@ -559,8 +559,117 @@ object VectorOps {
   def q113PqAnn(s: SparkSession, dir: String): DataFrame =
     pqAnn(embeddings(s, dir).select("vec_id", "embedding"))
 
+  /** IVF-PQ — the production ANN composition (Jégou et al. 2011 §IV):
+    * a coarse quantizer routes each vector to its nearest of `nCells`
+    * centroids, PQ codes are learned on the RESIDUAL (vector minus
+    * its cell centroid), and a query scans only its `nProbe` nearest
+    * cells, scoring candidates by asymmetric distance against an ADC
+    * table built from the query's residual in each probed cell.
+    * q45 (IVF) and q113 (PQ) are the two halves; this is the
+    * composition a real vector store ships.
+    *
+    * Everything is fixed-point integer (floor(x·10⁴), the q113/q95
+    * idiom) with deterministic tie-breaks (dist, then id), so the
+    * DuckDB oracle replays the exact pipeline. Coarse centroids =
+    * first nCells vectors; PQ codebook = residuals of the first
+    * `codes` vectors — bounded driver collects shipped as literals.
+    *
+    * 100 TB shape: assignment, residual, and encoding are MAP-ONLY
+    * column expressions (centroids + codebook are literals); scoring
+    * explodes the bounded (query × probe) axis and filters to probed
+    * cells — the corpus is scanned once, candidates are
+    * nProbe/nCells of it, and the bounded TopK keeps ≤k per query
+    * per task. No join, no window, no corpus sort. */
+  def ivfPqAnn(embDf: DataFrame, nCells: Int = 8, m: Int = 4, codes: Int = 16,
+      nProbe: Int = 2, nQueries: Int = 10, k: Int = 3, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val qvCol = transform(col("embedding"), x => floor(x.cast("double") * 10000).cast("long"))
+    val base = embDf.select(col("vec_id"), qvCol.as("qv"))
+
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    def sqdist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+    // bounded driver collects: centroids, codebook sources, queries
+    val centArr: Seq[Seq[Long]] = base.where(col("vec_id") < nCells)
+      .orderBy("vec_id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    def cellOf(v: Seq[Long]): Int =
+      centArr.zipWithIndex.map { case (cv, cid) => (l2(v, cv), cid) }.min._2
+    def residual(v: Seq[Long]): Seq[Long] =
+      v.lazyZip(centArr(cellOf(v))).map(_ - _)
+    val cbRows = base.where(col("vec_id") < codes).orderBy("vec_id").collect()
+      .map(_.getSeq[Long](1).toSeq).toSeq
+    // codebook[subspace][code] = residual subvector of the code-th vector
+    val cb: Seq[Seq[Seq[Long]]] = (0 until m).map { j =>
+      cbRows.map(v => residual(v).slice(j * sub, j * sub + sub))
+    }
+    val centLit = typedLit(centArr)
+    val cbLit = typedLit(cb)
+
+    // map-only: cell assignment, residual, per-subspace encoding
+    val cellCol = array_min(transform(sequence(lit(0), lit(nCells - 1)), c =>
+      struct(sqdist(col("qv"), element_at(centLit, c + 1)).as("dist"),
+        c.as("cid")))).getField("cid")
+    val withCell = base.select(col("vec_id"), col("qv"), cellCol.as("cell"))
+    val rvCol = zip_with(col("qv"), element_at(centLit, col("cell") + 1), (x, c) => x - c)
+    val withRes = withCell.select(col("vec_id"), col("cell"), rvCol.as("rv"))
+    val codeCols = (0 until m).map { j =>
+      val sv = slice(col("rv"), j * sub + 1, sub)
+      array_min(transform(sequence(lit(0), lit(codes - 1)), c =>
+        struct(sqdist(sv, element_at(element_at(cbLit, j + 1), c + 1)).as("dist"),
+          c.as("code")))).getField("code")
+    }
+    val encoded = withRes.select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
+
+    // driver: per-query probed cells + ADC tables tab[qi][p][j][code]
+    val queryRows = base.where(col("vec_id") < nQueries).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    val probes: Seq[Seq[Int]] = queryRows.map { case (_, v) =>
+      centArr.zipWithIndex.map { case (cv, cid) => (l2(v, cv), cid) }
+        .sorted.take(nProbe).map(_._2)
+    }
+    val tab: Seq[Seq[Seq[Seq[Long]]]] = queryRows.zip(probes).map { case ((_, v), ps) =>
+      ps.map { cell =>
+        val rv = v.lazyZip(centArr(cell)).map(_ - _).toSeq
+        (0 until m).map(j => cb(j).map(cent => l2(rv.slice(j * sub, j * sub + sub), cent)))
+      }
+    }
+    val qidLit = typedLit(queryRows.map(_._1))
+    val probeCellLit = typedLit(probes.map(_.map(_.toLong)))
+    val tabLit = typedLit(tab)
+
+    val adc = (0 until m).map(j =>
+      element_at(element_at(element_at(element_at(tabLit, col("qi") + 1),
+        col("p") + 1), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val topk = topkUdaf(k)
+    encoded
+      .select(col("vec_id"), col("cell"), col("codes"),
+        explode(sequence(lit(0), lit(nQueries - 1))).as("qi"))
+      .select(col("vec_id"), col("cell"), col("codes"), col("qi"),
+        explode(sequence(lit(0), lit(nProbe - 1))).as("p"))
+      // IVF: only vectors in a probed cell are ever scored
+      .where(col("cell").cast("long") ===
+        element_at(element_at(probeCellLit, col("qi") + 1), col("p") + 1))
+      .select(col("vec_id"),
+        element_at(qidLit, col("qi") + 1).as("query_id"), adc.as("pq_dist"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(topk((-col("pq_dist")).cast("double"), col("vec_id"), lit("")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.id").as("neighbor_id"),
+        (-col("c.score")).cast("long").as("pq_dist"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  def q117IvfPq(s: SparkSession, dir: String): DataFrame =
+    ivfPqAnn(embeddings(s, dir).select("vec_id", "embedding"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_pq_ann" -> ((s, d) => q113PqAnn(s, d)),
+    "q117_ivf_pq" -> ((s, d) => q117IvfPq(s, d)),
     "q21_ann_brute" -> (q21AnnBrute _),
     "q22_ann_lsh" -> ((s, d) => q22AnnLsh(s, d)),
     "q23_knn_classify" -> (q23KnnClassify _),
@@ -619,6 +728,71 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // IVF-PQ replay: same fixed-point quantization, first-8 coarse
+    // centroids (argmin L2, tie -> lower cid), residual PQ codebook
+    // from the first 16 vectors, 2-cell probes, per-(query, cell)
+    // ADC tables, rank by (pq_dist, neighbor_id) — all integer
+    "q117_ivf_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id < 8),
+        |asg0 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      d -> (e.qv[d] - c.cv[d]) * (e.qv[d] - c.cv[d]))) AS BIGINT) AS dist
+        |  FROM e CROSS JOIN cents c),
+        |asg AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM asg0) WHERE rn = 1),
+        |res AS (
+        |  SELECT e.vec_id, a.cell,
+        |    list_transform(range(1, 65), d -> e.qv[d] - c.cv[d]) AS rv
+        |  FROM e JOIN asg a USING (vec_id) JOIN cents c ON c.cid = a.cell),
+        |sub AS (
+        |  SELECT vec_id, cell, CAST(j AS BIGINT) AS j,
+        |         rv[CAST(j * 16 + 1 AS INT):CAST(j * 16 + 16 AS INT)] AS sv
+        |  FROM res, UNNEST(range(0, 4)) AS t(j)),
+        |cbsub AS (SELECT vec_id AS code, j, sv AS cvv FROM sub WHERE vec_id < 16),
+        |enc0 AS (
+        |  SELECT s.vec_id, s.j, c.code,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      d -> (s.sv[d] - c.cvv[d]) * (s.sv[d] - c.cvv[d]))) AS BIGINT) AS dist
+        |  FROM sub s JOIN cbsub c ON s.j = c.j),
+        |enc AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+        |    FROM enc0) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM asg0 WHERE vec_id < 10) WHERE rn <= 2),
+        |qres AS (
+        |  SELECT p.query_id, p.cell,
+        |    list_transform(range(1, 65), d -> e.qv[d] - c.cv[d]) AS rv
+        |  FROM probes p JOIN e ON e.vec_id = p.query_id JOIN cents c ON c.cid = p.cell),
+        |qsub AS (
+        |  SELECT query_id, cell, CAST(j AS BIGINT) AS j,
+        |         rv[CAST(j * 16 + 1 AS INT):CAST(j * 16 + 16 AS INT)] AS sv
+        |  FROM qres, UNNEST(range(0, 4)) AS t(j)),
+        |tab AS (
+        |  SELECT q.query_id, q.cell, q.j, c.code,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      d -> (q.sv[d] - c.cvv[d]) * (q.sv[d] - c.cvv[d]))) AS BIGINT) AS pdist
+        |  FROM qsub q JOIN cbsub c ON q.j = c.j),
+        |adc AS (
+        |  SELECT t.query_id, x.vec_id AS neighbor_id,
+        |    CAST(SUM(t.pdist) AS BIGINT) AS pq_dist
+        |  FROM enc x JOIN asg a ON a.vec_id = x.vec_id
+        |  JOIN tab t ON t.cell = a.cell AND t.j = x.j AND t.code = x.code
+        |  WHERE x.vec_id <> t.query_id GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY pq_dist, neighbor_id) AS rank FROM adc)
+        |SELECT query_id, neighbor_id, pq_dist, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // fixed-point PQ replay: same floor(x·10⁴) quantization, same
     // first-16 codebook, same argmin tie-break (dist, code), same
     // ADC sum — all integer, so the hash matches exactly

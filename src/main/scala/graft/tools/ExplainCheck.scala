@@ -377,6 +377,17 @@ object ExplainCheck {
       "q44: candidate pairs not deduped (distinct on ra/rb) before verify")
     println("q44 banded candidates + codegen cosine OK")
 
+    // IVF-PQ: assignment/encode/score are map-only over literal
+    // centroid+codebook+ADC tables — the only aggregation is the
+    // bounded per-query TopK; no join of any kind in the plan
+    val q117 = graft.queries.VectorOps.q117IvfPq(spark, sfDir)
+    val p117 = planOf(q117)
+    assert(!p117.contains("Join"), "q117: scoring must be map-only (no join)")
+    assert(p117.contains("ObjectHashAggregate"),
+      "q117: per-query top-k not a bounded aggregate")
+    assert(!p117.contains("Window"), "q117: no corpus window allowed")
+    println("q117 map-only IVF-PQ scoring OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
