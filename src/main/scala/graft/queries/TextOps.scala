@@ -498,6 +498,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** End-to-end curation pipeline — the CCNet/RefinedWeb-shaped
+    * composition a pretraining corpus actually runs, as ONE query
+    * with per-document verdict attribution: eval-holdout carve-out,
+    * C4 heuristics (q72), Gopher rules (q106), exact+fuzzy dedup
+    * clusters with keeper election (q61), and benchmark
+    * decontamination at >=20% shingle overlap (q67). The FIRST
+    * failing stage names the verdict, so corpus-loss attribution per
+    * stage falls out of one groupBy over the result.
+    *
+    * 100 TB shape: pure composition — every stage is an
+    * already-scale-shaped operator, and the combiner is four
+    * doc_id-keyed equi-joins over corpus-cardinality frames (the
+    * verdicts), never a re-derivation. The oracle composes the
+    * stages' own gated SQL as CTEs, so the two sides stay in
+    * lockstep by construction. */
+  def q118CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val c4 = q72DocFilter(s, dir).select(col("doc_id"), col("verdict").as("c4_verdict"))
+    val gopher = q106GopherRules(s, dir).select(col("doc_id"), col("verdict").as("gopher_verdict"))
+    val clusters = q61DedupPipeline(s, dir)
+    val decon = q67Decontaminate(s, dir).select(col("doc_id"), col("contamination_ratio"))
+    documents(s, dir).select(col("doc_id"))
+      .join(c4, "doc_id").join(gopher, "doc_id").join(clusters, "doc_id")
+      .join(decon, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, "eval_holdout")
+          .when(col("c4_verdict") =!= "keep", col("c4_verdict"))
+          .when(col("gopher_verdict") =!= "keep", col("gopher_verdict"))
+          .when(col("cluster_id") =!= col("doc_id"), "duplicate")
+          .when(coalesce(col("contamination_ratio"), lit(0.0)) >= 0.2, "contaminated")
+          .otherwise("keep").as("verdict"),
+        col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash near-dup: per-token 64-bit hash from md5 (two
     * 32-bit halves — `conv` stays in long range), bitwise ±1 voting as
     * 64 sum columns in ONE aggregation pass (no 64x row blowout),
@@ -1354,6 +1388,7 @@ object TextOps {
     "q18_ngram_jaccard" -> (q18NgramJaccard _),
     "q56_dedup_clusters" -> (q56DedupClusters _),
     "q61_dedup_pipeline" -> (q61DedupPipeline _),
+    "q118_curation_pipeline" -> (q118CurationPipeline _),
     "q19_minhash_lsh" -> (q19MinhashLsh _),
     "q20_sessionize" -> (q20Sessionize _),
     "q43_simhash" -> (q43Simhash _),
@@ -1436,7 +1471,7 @@ object TextOps {
        |FROM enc0 ORDER BY doc_id""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q109_bpe_train" -> bpeOracleSql,
     "q110_bpe_encode" -> bpeEncodeOracleSql,
     "q111_heavy_hitters" ->
@@ -2042,4 +2077,28 @@ object TextOps {
         |CAST(SUM(n_events) AS BIGINT) AS total_events,
         |CAST(MAX(duration_s) AS BIGINT) AS longest_session_s
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)
+
+  /** q118's oracle is COMPOSED from the already-gated stage oracles —
+    * the SQL twin of the Spark-side composition, by construction in
+    * lockstep with each stage's standalone gate. */
+  val oracle: Map[String, String] = oracleBase +
+    ("q118_curation_pipeline" ->
+      s"""WITH c4 AS (${oracleBase("q72_doc_filter")}),
+         |gopher AS (${oracleBase("q106_gopher_rules")}),
+         |clusters AS (${oracleBase("q61_dedup_pipeline")}),
+         |decon AS (${oracleBase("q67_decontaminate")})
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 50 = 0 THEN 'eval_holdout'
+         |       WHEN c4.verdict <> 'keep' THEN c4.verdict
+         |       WHEN g.verdict <> 'keep' THEN g.verdict
+         |       WHEN cl.cluster_id <> d.doc_id THEN 'duplicate'
+         |       WHEN COALESCE(dc.contamination_ratio, 0) >= 0.2 THEN 'contaminated'
+         |       ELSE 'keep' END AS verdict,
+         |  cl.cluster_id
+         |FROM documents d
+         |JOIN c4 ON c4.doc_id = d.doc_id
+         |JOIN gopher g ON g.doc_id = d.doc_id
+         |JOIN clusters cl ON cl.doc_id = d.doc_id
+         |LEFT JOIN decon dc ON dc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
 }
