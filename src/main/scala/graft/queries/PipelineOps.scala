@@ -204,6 +204,40 @@ object PipelineOps {
     * mode drains every window at end-of-stream for the finite gate
     * input; the production path is append mode + watermark-expired
     * emission, identical logical plan. */
+  /** Streaming sessionization under the oracle: real
+    * flatMapGroupsWithState custom state (Streaming.streamSessions)
+    * over an events readStream — Append mode emissions are sessions
+    * closed by a same-user successor event or by the event-time
+    * timeout when the final watermark (max ts, 0s delay) passes the
+    * session gap. The DuckDB oracle replays exactly that emission
+    * rule against the batch session construction. */
+  def q119StreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = s"q119_sink_${streamSinkCounter.incrementAndGet()}"
+    withStreamSession(s, 8) { ss =>
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val eventsPath = s"$dir/events.parquet"
+      val src =
+        if (new java.io.File(eventsPath).isDirectory)
+          ss.readStream.schema(schema).parquet(eventsPath)
+        else
+          ss.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.normalizeEventTs(src)
+      val out = graft.streaming.Streaming.streamSessions(stream, gapSeconds = 1800L)
+      val query = out.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      ss.table(sink)
+        .select(col("user_id"), col("session_start_s"), col("session_end_s"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_s")
+    }
+  }
+
   def q85StreamWindows(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"q85_sink_${streamSinkCounter.incrementAndGet()}"
@@ -287,7 +321,8 @@ object PipelineOps {
     "q115_audio_decode" -> (q115AudioDecode _),
     "q116_video_decode" -> (q116VideoDecode _),
     "q85_stream_windows" -> (q85StreamWindows _),
-    "q86_stream_decon" -> (q86StreamDecon _))
+    "q86_stream_decon" -> (q86StreamDecon _),
+    "q119_stream_sessionize" -> (q119StreamSessionize _))
 
   private def markerList(lang: String): String =
     LanguageId.markers.toMap.apply(lang).toSeq.sorted.map(w => s"'$w'").mkString(", ")
@@ -356,6 +391,35 @@ object PipelineOps {
         |  CAST(SUM(CASE WHEN i * 4 // n = 3 THEN v ELSE 0 END) AS BIGINT) AS q3,
         |  CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs
         |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // replays streamSessions' emission rule: batch-construct the gap
+    // sessions, emit every session with a same-user successor, plus
+    // the final session iff end + gap < corpus max ts (the final
+    // 0s-delay watermark; Spark fires the event-time timeout on
+    // STRICTLY-passed timestamps)
+    "q119_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |mx AS (SELECT MAX(ts_s) AS max_s FROM e),
+        |t AS (
+        |  SELECT *, LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_s
+        |  FROM e),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM t),
+        |n AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM s),
+        |per AS (
+        |  SELECT user_id, session_no, MIN(ts_s) AS session_start_s,
+        |         MAX(ts_s) AS session_end_s, COUNT(*) AS n_events
+        |  FROM n GROUP BY 1, 2),
+        |lastno AS (SELECT user_id, MAX(session_no) AS max_no FROM per GROUP BY 1)
+        |SELECT p.user_id, p.session_start_s, p.session_end_s,
+        |       CAST(p.n_events AS BIGINT) AS n_events
+        |FROM per p JOIN lastno l USING (user_id) CROSS JOIN mx
+        |WHERE p.session_no < l.max_no OR p.session_end_s + 1800 < mx.max_s
+        |ORDER BY p.user_id, p.session_start_s""".stripMargin,
     "q86_stream_decon" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

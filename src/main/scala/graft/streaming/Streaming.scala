@@ -16,6 +16,12 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   * merges them into the materialized index. Event-time analytics get
   * real watermarked windows.
   */
+final case class SessEvent(user_id: Long, ts: java.sql.Timestamp,
+    ts_s: Long, event_id: Long)
+final case class SessState(start: Long, last: Long, n: Long)
+final case class SessOut(user_id: Long, session_start_s: Long,
+    session_end_s: Long, n_events: Long)
+
 object Streaming {
 
   /** Incremental tag-index maintenance: per micro-batch, compute the
@@ -109,6 +115,72 @@ object Streaming {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(20,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** STREAMING gap sessionization with real custom state —
+    * `flatMapGroupsWithState` + event-time timeout, the
+    * KeyValueGroupedDataset state API the batch q20 window form
+    * cannot express. Per user, the open session lives in GroupState;
+    * a session closes (and emits, Append mode) either when a later
+    * same-user event arrives beyond the gap, or when the event-time
+    * watermark passes the session's end + gap (timeout fires in the
+    * watermark-advance micro-batch — Spark runs a no-data batch at
+    * end of an AvailableNow stream precisely for this). State per
+    * key is ONE fixed-size session struct; the watermark bounds
+    * total state: at 100 TB/day this is the canonical unbounded-
+    * stream shape, state ∝ active users, not history.
+    *
+    * Events within a micro-batch arrive unordered; the group handler
+    * sorts its batch slice by (ts_s, event_id) — bounded by the
+    * user's per-batch volume. Emission rule is exactly replayable in
+    * SQL: every session followed by a same-user successor emits,
+    * plus the final session iff end + gap < corpus max ts (the final
+    * watermark with a 0s delay). */
+  def streamSessions(events: DataFrame, gapSeconds: Long = 1800)
+      : org.apache.spark.sql.Dataset[SessOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // the watermarked `ts` column must SURVIVE into the stateful
+    // operator's child plan (projecting it away fails the event-time-
+    // timeout plan check), so it rides along in the typed row
+    val typed = events
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("ts").cast("long").as("ts_s"),
+        col("event_id").cast("long").as("event_id"))
+      .as[SessEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SessEvent],
+         state: org.apache.spark.sql.streaming.GroupState[SessState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessOut(uid, s.start, s.last, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts_s, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+            var cur = state.getOption
+            for (e <- sorted) {
+              cur match {
+                case Some(s) if e.ts_s - s.last > gapSeconds =>
+                  closed += SessOut(uid, s.start, s.last, s.n)
+                  cur = Some(SessState(e.ts_s, e.ts_s, 1L))
+                case Some(s) =>
+                  cur = Some(SessState(s.start, e.ts_s, s.n + 1L))
+                case None =>
+                  cur = Some(SessState(e.ts_s, e.ts_s, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapSeconds) * 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Gap sessionization with custom state (flatMapGroupsWithState
     * analog shaped as a plain API for tests): batch fallback uses the

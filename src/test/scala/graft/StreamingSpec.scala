@@ -35,6 +35,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(clicks.get.getAs[Long]("n") == 2L)
   }
 
+  test("flatMapGroupsWithState sessionization: in-batch gap closes, timeout closes, open survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = graft.streaming.Streaming.streamSessions(stream.toDF(), gapSeconds = 1800L)
+    val query = out.toDF().writeStream.format("memory").queryName("sessout")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // user 1: two events 10 min apart (one session), then an event 2h
+    // later in the SAME batch -> the first session closes by in-batch
+    // gap; user 2: one event
+    stream.addData(
+      Ev(1, ts("2026-01-01T00:00:00Z"), 1, "click", 1.0),
+      Ev(2, ts("2026-01-01T00:10:00Z"), 1, "click", 1.0),
+      Ev(3, ts("2026-01-01T02:00:00Z"), 1, "click", 1.0),
+      Ev(4, ts("2026-01-01T02:00:00Z"), 2, "view", 1.0))
+    query.processAllAvailable()
+    val afterBatch1 = spark.sql("SELECT * FROM sessout").collect()
+    assert(afterBatch1.length == 1, s"only the in-batch-closed session emits, got ${afterBatch1.length}")
+    assert(afterBatch1.head.getAs[Long]("user_id") == 1L &&
+      afterBatch1.head.getAs[Long]("n_events") == 2L)
+    // an event far in the future advances the watermark past both open
+    // sessions' gaps -> both time out and emit
+    stream.addData(Ev(5, ts("2026-01-01T09:00:00Z"), 3, "view", 1.0))
+    query.processAllAvailable()
+    val afterBatch2 = spark.sql("SELECT * FROM sessout").collect()
+    query.stop()
+    assert(afterBatch2.length == 3, s"timed-out sessions must emit, got ${afterBatch2.length}")
+    val u1Last = afterBatch2.find(r => r.getAs[Long]("user_id") == 1L && r.getAs[Long]("n_events") == 1L)
+    assert(u1Last.isDefined, "user 1's 02:00 singleton session times out")
+    assert(afterBatch2.exists(r => r.getAs[Long]("user_id") == 2L), "user 2's session times out")
+    // user 3's session is still open (no emission for it)
+    assert(!afterBatch2.exists(r => r.getAs[Long]("user_id") == 3L))
+  }
+
   test("streaming exact dedup keeps the first-seen doc per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
