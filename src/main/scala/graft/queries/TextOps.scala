@@ -34,6 +34,69 @@ object TextOps {
       (Seq(x) ++ (2 to k).map(j => try_element_at(toksCol, i + lit(j)))): _*)),
     lit(1), greatest(size(toksCol) - (k - 1), lit(1))))
 
+  /** HyperLogLog distinct-token counting per source (Flajolet et al.
+    * 2007) — the mergeable cardinality sketch a 100 TB corpus uses
+    * where exact countDistinct would shuffle every distinct token.
+    * Registers are derived from md5 (deterministic): 64-bit hash =
+    * first 16 hex chars; bucket = top `p` bits; rho = leading-zero
+    * count of the remaining 64−p bits + 1; register = MAX(rho) —
+    * max is commutative/idempotent, so the register table is
+    * partition-order independent and mergeable by construction.
+    *
+    * Output: one row per source with the register table folded to
+    * the HLL estimate in CANONICAL bucket order (sort_array before
+    * the fold, mirrored by the oracle's ORDER BY — the only way a
+    * double harmonic sum is reproducible across engines), the raw
+    * estimate floor-quantized, plus the EXACT distinct count and the
+    * relative error in permille — so the gate also verifies the
+    * sketch's accuracy claim (expected ~1.04/√512 ≈ 4.6%).
+    *
+    * 100 TB shape: one narrow hash-agg pass (source, bucket) → MAX,
+    * then 2^p rows per source — no distinct shuffle of the token
+    * space; the exact column here exists to audit the sketch at gate
+    * scale and would be dropped in production. */
+  def q120HllDistinct(s: SparkSession, dir: String, p: Int = 9): DataFrame = {
+    val m = 1 << p
+    val tok = documents(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("t"))
+      .where(col("t") =!= "")
+    val h = conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long") // 60-bit hash
+    val bits = 60 - p
+    val bucket = shiftright(h, bits)
+    val rest = h.bitwiseAND(lit((1L << bits) - 1L))
+    // rho = leading zeros of the `bits`-wide suffix + 1. Computed via
+    // the binary-string length (conv base 2), NOT floor(log2): log is
+    // a double op whose rounding at power-of-two boundaries differs
+    // between engines; string length is exact integer arithmetic, and
+    // the oracle's LENGTH(bin(rest)) is its literal twin.
+    val rho = when(col("rest") === 0L, lit(bits + 1))
+      .otherwise(lit(bits + 1) - length(conv(col("rest").cast("string"), 10, 2)))
+      .cast("int")
+    val regs = tok
+      .select(col("source"), bucket.as("bucket"), rest.as("rest"))
+      .select(col("source"), col("bucket"), rho.as("rho"))
+      .groupBy("source", "bucket").agg(max("rho").as("reg"))
+    // canonical-order harmonic fold: sort registers by bucket, then
+    // aggregate 2^-reg left-to-right — bit-identical to the oracle's
+    // list_sum over the same ordering. Absent buckets contribute 2^0.
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val est = regs.groupBy("source")
+      .agg(sort_array(collect_list(struct(col("bucket"), col("reg")))).as("rs"),
+        count(lit(1)).as("n_buckets"))
+      .select(col("source"), col("n_buckets"),
+        aggregate(col("rs"), lit(0.0d),
+          (acc, r) => acc + pow(lit(2.0d), -r.getField("reg").cast("double"))).as("hsum"))
+      .select(col("source"), col("n_buckets"),
+        floor(lit(alpha * m * m) / (col("hsum") + (lit(m) - col("n_buckets")).cast("double")))
+          .cast("long").as("hll_estimate"))
+    val exact = tok.groupBy("source").agg(countDistinct(col("t")).as("exact_distinct"))
+    est.join(exact, "source")
+      .select(col("source"), col("hll_estimate"), col("exact_distinct"),
+        expr("abs(hll_estimate - exact_distinct) * 1000 div exact_distinct")
+          .as("err_permille"))
+      .orderBy("source")
+  }
+
   /** Corpus statistics per (lang, source): docs, chars, distinct texts. */
   def q13DocStats(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
@@ -1389,6 +1452,7 @@ object TextOps {
     "q56_dedup_clusters" -> (q56DedupClusters _),
     "q61_dedup_pipeline" -> (q61DedupPipeline _),
     "q118_curation_pipeline" -> (q118CurationPipeline _),
+    "q120_hll_distinct" -> ((s: SparkSession, d: String) => q120HllDistinct(s, d)),
     "q19_minhash_lsh" -> (q19MinhashLsh _),
     "q20_sessionize" -> (q20Sessionize _),
     "q43_simhash" -> (q43Simhash _),
@@ -1472,6 +1536,40 @@ object TextOps {
   }
 
   private val oracleBase: Map[String, String] = Map(
+    // HLL replay: same 60-bit md5 hash, p=9 buckets, exact
+    // binary-length rho, canonical bucket-order harmonic fold, same
+    // alpha*m^2 literal — registers are MAX-merged so the whole
+    // pipeline is partition-order independent
+    "q120_hll_distinct" ->
+      s"""WITH tok AS (
+        |  SELECT source, t FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |hb AS (
+        |  SELECT source, CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS h FROM tok),
+        |rr AS (
+        |  SELECT source, h >> 51 AS bucket, h & ((1::UBIGINT << 51) - 1) AS rest FROM hb),
+        |rho AS (
+        |  SELECT source, bucket,
+        |    CASE WHEN rest = 0 THEN 52 ELSE 52 - LENGTH(bin(rest)) END AS rho
+        |  FROM rr),
+        |regs AS (SELECT source, bucket, MAX(rho) AS reg FROM rho GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_buckets,
+        |    list_sum(list_transform(
+        |      list_sort(list(struct_pack(bucket := bucket, reg := reg))),
+        |      x -> POWER(2.0, -CAST(x.reg AS DOUBLE)))) AS hsum
+        |  FROM regs GROUP BY source),
+        |est AS (
+        |  SELECT source,
+        |    CAST(FLOOR(${0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512} /
+        |      (hsum + CAST(512 - n_buckets AS DOUBLE))) AS BIGINT) AS hll_estimate
+        |  FROM agg),
+        |ex AS (SELECT source, COUNT(DISTINCT t) AS exact_distinct FROM tok GROUP BY source)
+        |SELECT e.source, e.hll_estimate, CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+        |  ABS(e.hll_estimate - x.exact_distinct) * 1000 // x.exact_distinct AS err_permille
+        |FROM est e JOIN ex x USING (source)
+        |ORDER BY e.source""".stripMargin,
     "q109_bpe_train" -> bpeOracleSql,
     "q110_bpe_encode" -> bpeEncodeOracleSql,
     "q111_heavy_hitters" ->
