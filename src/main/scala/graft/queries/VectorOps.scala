@@ -667,9 +667,43 @@ object VectorOps {
   def q117IvfPq(s: SparkSession, dir: String): DataFrame =
     ivfPqAnn(embeddings(s, dir).select("vec_id", "embedding"))
 
+  /** Near-dup at the REALISTIC sweep threshold — gates the
+    * bandsFor(0.9) calibration point (r=21, b=60; 2M buckets per
+    * band) that q44's synthetic τ=0.30 never exercises. The corpus
+    * is doubled with exact replicas (vec_id + 100000), so the true
+    * pair set is non-empty (every replica pair at cos 1.0 ≥ 0.9,
+    * plus any original pairs ≥ 0.9) and the whole banded + collapsed
+    * + expanded pipeline runs end-to-end under the oracle at the
+    * parameters a production near-dup sweep uses. */
+  def q121NeardupHighTau(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.9
+    require(tau <= 1.0)
+    val orig = emb(s, dir).select(col("vec_id"), col("v"))
+    val all = orig.unionByName(
+      orig.select((col("vec_id") + 100000L).as("vec_id"), col("v")))
+    val (members, reps) = repCollapse(all)
+    val candIds = bandCandidates(reps, tau)
+    val repPairs = candIds
+      .join(reps.select(col("vec_id").as("ra"), col("v").as("va")), "ra")
+      .join(reps.select(col("vec_id").as("rb"), col("v").as("vb")), "rb")
+      .select(col("ra"), col("rb"), cosSim(col("va"), col("vb")).as("cos_sim"))
+      .where(col("cos_sim") >= tau)
+    val ma = members.select(col("vec_id").as("ida"), col("rep_id").as("ra"))
+    val mb = members.select(col("vec_id").as("idb"), col("rep_id").as("rb"))
+    val cross = repPairs.join(ma, "ra").join(mb, "rb")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("cos_sim"))
+    val intra = members.as("m1").join(members.as("m2"),
+        col("m1.rep_id") === col("m2.rep_id") && col("m1.vec_id") < col("m2.vec_id"))
+      .select(col("m1.vec_id").as("doc_a"), col("m2.vec_id").as("doc_b"),
+        lit(1.0d).as("cos_sim"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_pq_ann" -> ((s, d) => q113PqAnn(s, d)),
     "q117_ivf_pq" -> ((s, d) => q117IvfPq(s, d)),
+    "q121_neardup_hightau" -> (q121NeardupHighTau _),
     "q21_ann_brute" -> (q21AnnBrute _),
     "q22_ann_lsh" -> ((s, d) => q22AnnLsh(s, d)),
     "q23_knn_classify" -> (q23KnnClassify _),
@@ -1066,6 +1100,27 @@ object VectorOps {
         |  FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // the τ=0.9 calibration point: same banded replay as q44 but at
+    // bandsFor(0.9) = (r=21, b=60) over the replica-doubled corpus
+    "q121_neardup_hightau" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |  FROM embeddings),
+        |${bandSigSql(0.9)},
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.j = b.j AND a.sg = b.sg AND a.vec_id < b.vec_id),
+        |pairs AS (
+        |  SELECT cd.doc_a, cd.doc_b,
+        |    ROUND(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) /
+        |      (SQRT(list_sum(list_transform(a.v, (x,i) -> x * a.v[i]))) *
+        |       SQRT(list_sum(list_transform(b.v, (x,i) -> x * b.v[i])))), 4) AS cos_sim
+        |  FROM cand cd JOIN e a ON a.vec_id = cd.doc_a JOIN e b ON b.vec_id = cd.doc_b)
+        |SELECT doc_a, doc_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q44_embed_neardup" ->
       s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
