@@ -420,6 +420,40 @@ object Multimodal {
           "orig_w" -> img.getWidth.toString, "orig_h" -> img.getHeight.toString))
     }
 
+  /** 64-bit average-hash (aHash) of a decodable image, returned as
+    * FOUR 16-bit band values instead of one packed long. The split is
+    * load-bearing twice over: (a) the near-dup candidate join keys on
+    * band equality, and with Hamming threshold t < #bands the
+    * pigeonhole principle makes banding LOSSLESS — any pair within t
+    * bit flips shares at least one untouched band, so recall is
+    * deterministic (unlike probabilistic cosine LSH, where banding
+    * trades recall); (b) 16-bit values never touch the sign bit, so
+    * the same integer math replays in engines with checked 64-bit
+    * shifts.
+    *
+    * Hash definition (exact integer arithmetic, oracle-replayable):
+    * decode → nearest-neighbor resize to 8×8 (src = dst*srcDim/dstDim,
+    * the [[ImageCodec.resizeNearest]] mapping) → bit(x,y) = 1 iff
+    * 64·gray(x,y) > Σgray (strict, division-free mean compare) →
+    * band j (j = y/2) packs rows 2j..2j+1 as bits (y%2)*8 + x. */
+  def aHashBands(content: Array[Byte]): Array[Int] = {
+    val small = ImageCodec.resizeNearest(ImageCodec.decode(content), 8, 8)
+    val g = Array.tabulate(64)(i => ImageCodec.gray(small, i % 8, i / 8))
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += g(i); i += 1 }
+    val bands = new Array[Int](4)
+    i = 0
+    while (i < 64) {
+      if (64L * g(i) > sum) {
+        val y = i / 8
+        bands(y / 2) |= 1 << ((y % 2) * 8 + (i % 8))
+      }
+      i += 1
+    }
+    bands
+  }
+
   /** Frame sampling stub for video: emits every k-th "frame" as a
     * byte slice — the exploded one-row-per-frame shape is the real
     * contract. */

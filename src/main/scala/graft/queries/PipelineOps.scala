@@ -170,6 +170,121 @@ object PipelineOps {
       .orderBy("media_id", "frame_no")
   }
 
+  /** Perceptual-hash image near-dup — the multimodal member of the
+    * dedup family: synthesize one 32×24 grayscale PNG per document
+    * where near-duplicate groups exist BY CONSTRUCTION (group
+    * doc_id%997 shares a base pattern; doc_id%3 adds a small clamped
+    * brightness offset — a real brightness edit that aHash should
+    * absorb), run the REAL codec path (PNG decode → 8×8 NN resize →
+    * average-hash as four 16-bit bands), then find near-dups by
+    * banded Hamming join: candidates share ≥1 exact band, verified at
+    * Hamming ≤ 3 over all 64 bits.
+    *
+    * Recall is DETERMINISTIC, not probabilistic: threshold 3 < 4
+    * bands, so any pair within 3 bit flips shares an untouched band
+    * (pigeonhole) — the Hamming analog of MinHash banding with the
+    * recall guarantee the cosine-LSH family can only approximate.
+    *
+    * Scale shape: hash computation is map-only; the candidate join is
+    * a keyed equi-join on (band_no, 16-bit value) whose bucket sizes
+    * are bounded by true near-dup group size + 2^-16 random collisions;
+    * verify is a broadcast-sized projection per pair; per-doc rollup
+    * keys on doc_id. The tiny bands table is localCheckpoint'd so the
+    * codec runs once, not once per join branch. */
+  def q122ImageAhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val grp = id % 997
+          val delta = (id % 3).toInt
+          val img = graft.multimodal.ImageCodec.grayImage(32, 24) { (x, y) =>
+            math.min(((grp * 37 + x * 7 + y * 13) % 256).toInt + delta, 255)
+          }
+          val b = graft.multimodal.Multimodal.aHashBands(
+            graft.multimodal.ImageCodec.encodePng(img))
+          (id, b(0), b(1), b(2), b(3))
+        }
+      }.toDF("doc_id", "b0", "b1", "b2", "b3")
+      .localCheckpoint(true)
+    val bx = bands.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band_no", "v")))
+    val cand = bx.as("a").join(bx.as("b"),
+        col("a.band_no") === col("b.band_no") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val xa = bands.toDF("da", "a0", "a1", "a2", "a3")
+    val xb = bands.toDF("db", "x0", "x1", "x2", "x3")
+    val hamming = (0 to 3).map(i =>
+      expr(s"bit_count(cast(a$i as bigint) ^ cast(x$i as bigint))")).reduce(_ + _)
+    val nbr = cand.join(xa, "da").join(xb, "db")
+      .where(hamming <= 3)
+      .select(col("da"), col("db"))
+    val sym = nbr.union(nbr.select(col("db"), col("da")))
+    val agg = sym.groupBy(col("da").as("d"))
+      .agg(min("db").as("mn"), count(lit(1)).as("c"))
+    bands.join(agg, bands("doc_id") === agg("d"), "left")
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("cluster_id"),
+        coalesce(col("c"), lit(0L)).cast("int").as("n_neighbors"))
+      .orderBy("doc_id")
+  }
+
+  /** Audio activity analysis — the quality-filter stage an audio
+    * training corpus needs (drop silent/low-energy clips): synthesize
+    * a waveform per document with silence regions BY CONSTRUCTION
+    * (every 100-sample frame where (frame+id)%3 == 0 carries only
+    * ±10 noise; active frames carry the q115 ±1001 ramp), round-trip
+    * a real RIFF/WAVE container through `javax.sound.sampled`, and
+    * emit integer activity features: active-frame count (frame mean
+    * |v| > 50, i.e. Σ|v| > 5000), whole-clip zero-crossing count
+    * (v·prev < 0, strict), and peak amplitude. PCM is lossless, so
+    * the DuckDB oracle replays the synth math — one wrong sample
+    * flips a crossing or a frame verdict and fails the hash.
+    * Map-only until the output sort. */
+  def q123AudioActivity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 600 + (id % 301).toInt
+          val samples = Array.tabulate(n) { i =>
+            val active = ((i / 100) + id) % 3 != 0
+            if (active) (((id * 31 + i.toLong * 7) % 2003) - 1001).toShort
+            else (((id + i.toLong * 3) % 21) - 10).toShort
+          }
+          graft.multimodal.MediaRow(id, "audio",
+            graft.multimodal.AudioCodec.encodeWav(samples, 8000), "audio/wav", Map.empty)
+        }
+      }
+    media.map { m =>
+      val samples = graft.multimodal.AudioCodec.decodeWav(m.content)._2
+      val n = samples.length
+      val nFrames = (n + 99) / 100
+      var zc = 0L
+      var peak = 0L
+      var nActive = 0
+      var f = 0
+      while (f < nFrames) {
+        var sumAbs = 0L
+        var i = f * 100
+        val end = math.min(n, i + 100)
+        while (i < end) {
+          val v = samples(i).toLong
+          sumAbs += math.abs(v)
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && v * samples(i - 1).toLong < 0L) zc += 1
+          i += 1
+        }
+        if (sumAbs > 5000L) nActive += 1
+        f += 1
+      }
+      (m.media_id, n.toLong, nFrames, nActive, zc, peak)
+    }.toDF("media_id", "n_samples", "n_frames", "n_active", "zc", "peak_abs")
+      .orderBy("media_id")
+  }
+
   private val streamSinkCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Run a finite gate stream with a bounded state-partition count.
@@ -235,6 +350,39 @@ object PipelineOps {
         .select(col("user_id"), col("session_start_s"), col("session_end_s"),
           col("n_events"))
         .orderBy("user_id", "session_start_s")
+    }
+  }
+
+  /** Stream-stream interval join under the oracle: REAL self-join of
+    * two streaming legs off one events readStream (click→purchase
+    * attribution within 30 min, `Streaming.attributionJoin`), Append
+    * mode — the DuckDB oracle replays the same integer-second range
+    * join in batch SQL. The watermark delay exceeds the corpus span,
+    * so the finite AvailableNow replay emits every matching pair
+    * regardless of file arrival order. */
+  def q125StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = s"q125_sink_${streamSinkCounter.incrementAndGet()}"
+    withStreamSession(s, 8) { ss =>
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val eventsPath = s"$dir/events.parquet"
+      val src =
+        if (new java.io.File(eventsPath).isDirectory)
+          ss.readStream.schema(schema).parquet(eventsPath)
+        else
+          ss.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.normalizeEventTs(src)
+      val out = graft.streaming.Streaming.attributionJoin(stream, windowSeconds = 1800L)
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      ss.table(sink)
+        .select(col("user_id"), col("click_id"), col("purchase_id"), col("delay_s"))
+        .orderBy("click_id", "purchase_id")
     }
   }
 
@@ -320,7 +468,10 @@ object PipelineOps {
     "q101_image_decode" -> (q101ImageDecode _),
     "q115_audio_decode" -> (q115AudioDecode _),
     "q116_video_decode" -> (q116VideoDecode _),
+    "q122_image_ahash_dedup" -> (q122ImageAhashDedup _),
+    "q123_audio_activity" -> (q123AudioActivity _),
     "q85_stream_windows" -> (q85StreamWindows _),
+    "q125_stream_join" -> (q125StreamJoin _),
     "q86_stream_decon" -> (q86StreamDecon _),
     "q119_stream_sessionize" -> (q119StreamSessionize _))
 
@@ -373,6 +524,79 @@ object PipelineOps {
         |  CAST(SUM(CASE WHEN x < w // 2 AND y >= h // 2 THEN g ELSE 0 END) AS BIGINT) AS q01,
         |  CAST(SUM(CASE WHEN x >= w // 2 AND y >= h // 2 THEN g ELSE 0 END) AS BIGINT) AS q11
         |FROM px GROUP BY doc_id, f, w, h, n ORDER BY media_id, frame_no""".stripMargin,
+    // replays the aHash pipeline end-to-end from doc_id alone: the
+    // 8x8 NN subsample of the 32x24 synth (sx=4x, sy=3y -> g =
+    // least((grp*37 + 28x + 39y) % 256 + delta, 255)), the strict
+    // division-free mean compare, the 4x16-bit band packing, the
+    // band-equality candidate join, the Hamming<=3 verify, and the
+    // per-doc cluster rollup — a codec error of one gray level that
+    // crosses the mean flips a band value and fails the hash
+    "q122_image_ahash_dedup" ->
+      """WITH px AS (
+        |  SELECT doc_id, CAST(rx.range AS INT) AS x, CAST(ry.range AS INT) AS y,
+        |         LEAST(((doc_id % 997) * 37 + rx.range * 28 + ry.range * 39) % 256
+        |               + doc_id % 3, 255) AS g
+        |  FROM documents CROSS JOIN range(0, 8) rx CROSS JOIN range(0, 8) ry),
+        |tot AS (SELECT doc_id, SUM(g) AS s FROM px GROUP BY 1),
+        |bands AS (
+        |  SELECT px.doc_id, y // 2 AS band_no,
+        |         CAST(SUM(CASE WHEN 64 * g > s THEN 1 << ((y % 2) * 8 + x)
+        |                       ELSE 0 END) AS INT) AS v
+        |  FROM px JOIN tot USING (doc_id) GROUP BY 1, 2),
+        |doc AS (
+        |  SELECT doc_id,
+        |         MAX(CASE WHEN band_no = 0 THEN v END) AS b0,
+        |         MAX(CASE WHEN band_no = 1 THEN v END) AS b1,
+        |         MAX(CASE WHEN band_no = 2 THEN v END) AS b2,
+        |         MAX(CASE WHEN band_no = 3 THEN v END) AS b3
+        |  FROM bands GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band_no = b.band_no AND a.v = b.v AND a.doc_id < b.doc_id),
+        |nbr AS (
+        |  SELECT da, db FROM cand
+        |  JOIN doc xa ON xa.doc_id = cand.da
+        |  JOIN doc xb ON xb.doc_id = cand.db
+        |  WHERE bit_count(xor(CAST(xa.b0 AS BIGINT), CAST(xb.b0 AS BIGINT)))
+        |      + bit_count(xor(CAST(xa.b1 AS BIGINT), CAST(xb.b1 AS BIGINT)))
+        |      + bit_count(xor(CAST(xa.b2 AS BIGINT), CAST(xb.b2 AS BIGINT)))
+        |      + bit_count(xor(CAST(xa.b3 AS BIGINT), CAST(xb.b3 AS BIGINT))) <= 3),
+        |sym AS (SELECT da AS d, db AS o FROM nbr UNION ALL SELECT db, da FROM nbr),
+        |agg AS (SELECT d, MIN(o) AS mn, COUNT(*) AS c FROM sym GROUP BY 1)
+        |SELECT doc.doc_id, b0, b1, b2, b3,
+        |  CAST(LEAST(doc.doc_id, COALESCE(agg.mn, doc.doc_id)) AS BIGINT) AS cluster_id,
+        |  CAST(COALESCE(agg.c, 0) AS INT) AS n_neighbors
+        |FROM doc LEFT JOIN agg ON agg.d = doc.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // replays the activity synth (frame f active iff (f+id)%3 != 0;
+    // active sample = (id*31+i*7)%2003-1001, silent = (id+i*3)%21-10
+    // over n = 600+id%301), the frame energy verdict (sum|v| > 5000),
+    // the strict zero-crossing rule (v*prev < 0, clip-wide), and the
+    // peak — all integer, so a WAV round-trip error of one sample
+    // fails the hash
+    "q123_audio_activity" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(r.range AS BIGINT) AS i,
+        |         600 + doc_id % 301 AS n,
+        |         CASE WHEN ((r.range // 100) + doc_id) % 3 <> 0
+        |              THEN (doc_id * 31 + r.range * 7) % 2003 - 1001
+        |              ELSE (doc_id + r.range * 3) % 21 - 10 END AS v
+        |  FROM documents CROSS JOIN range(0, 901) r
+        |  WHERE r.range < 600 + doc_id % 301),
+        |w AS (
+        |  SELECT *, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s),
+        |fr AS (
+        |  SELECT doc_id, i // 100 AS f, MAX(n) AS n, SUM(ABS(v)) AS sa,
+        |         SUM(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END) AS zc,
+        |         MAX(ABS(v)) AS pk
+        |  FROM w GROUP BY 1, 2)
+        |SELECT doc_id AS media_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+        |  CAST(COUNT(*) AS INT) AS n_frames,
+        |  CAST(SUM(CASE WHEN sa > 5000 THEN 1 ELSE 0 END) AS INT) AS n_active,
+        |  CAST(SUM(zc) AS BIGINT) AS zc,
+        |  CAST(MAX(pk) AS BIGINT) AS peak_abs
+        |FROM fr GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // replays the waveform synth (sample i = (id*31 + i*7) % 2003 -
     // 1001 over n = 800 + id%257 samples) — all integer, so a WAV
     // codec round-trip error of even one sample fails the hash
@@ -420,6 +644,19 @@ object PipelineOps {
         |FROM per p JOIN lastno l USING (user_id) CROSS JOIN mx
         |WHERE p.session_no < l.max_no OR p.session_end_s + 1800 < mx.max_s
         |ORDER BY p.user_id, p.session_start_s""".stripMargin,
+    // replays the interval join on integer seconds: purchase in
+    // [click, click+1800) same user — the batch form of the
+    // watermarked stream-stream join
+    "q125_stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_ns(ts) // 1000000000 AS ts_s FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       CAST(p.ts_s - c.ts_s AS BIGINT) AS delay_s
+        |FROM e c JOIN e p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts_s >= c.ts_s AND p.ts_s < c.ts_s + 1800
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q86_stream_decon" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

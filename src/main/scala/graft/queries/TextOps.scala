@@ -97,6 +97,72 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** HLL MERGE — the operational half of the q120 sketch: register
+    * tables are max-mergeable, so per-shard/per-day/per-source
+    * sketches combine WITHOUT revisiting the data. For every source
+    * pair, merge the two register tables (MAX per bucket), fold the
+    * merged table to the union-cardinality estimate, and derive the
+    * intersection estimate by inclusion-exclusion — the dedup-overlap
+    * question ("how much does source A share with source B?") answered
+    * from two 512-register summaries instead of a corpus-scale
+    * distinct join. The exact union distinct rides along to audit the
+    * estimate at gate scale (dropped in production — the audit join is
+    * the very cost the sketch exists to avoid).
+    *
+    * 100 TB shape: registers = one hash-agg pass (source, bucket) →
+    * ≤ sources×512 rows, localCheckpoint'd; every downstream step
+    * (pairing, merge, fold) runs on that bounded summary with the
+    * pair list broadcast — no driver loops, no corpus rescans. */
+  def q126HllMerge(s: SparkSession, dir: String, p: Int = 9): DataFrame = {
+    val m = 1 << p
+    val tok = documents(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("t"))
+      .where(col("t") =!= "")
+    val h = conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long")
+    val bits = 60 - p
+    val bucket = shiftright(h, bits)
+    val rest = h.bitwiseAND(lit((1L << bits) - 1L))
+    val rho = when(col("rest") === 0L, lit(bits + 1))
+      .otherwise(lit(bits + 1) - length(conv(col("rest").cast("string"), 10, 2)))
+      .cast("int")
+    val regs = tok
+      .select(col("source"), bucket.as("bucket"), rest.as("rest"))
+      .select(col("source"), col("bucket"), rho.as("rho"))
+      .groupBy("source", "bucket").agg(max("rho").as("reg"))
+      .localCheckpoint(true) // bounded (sources x 512); built once, reused 3x
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // canonical bucket-order harmonic fold (see q120): the only
+    // cross-engine-reproducible way to sum 2^-reg doubles
+    def fold(grouped: DataFrame, keys: Seq[String], outName: String): DataFrame =
+      grouped.groupBy(keys.map(col): _*)
+        .agg(sort_array(collect_list(struct(col("bucket"), col("reg")))).as("rs"),
+          count(lit(1)).as("nb"))
+        .select(keys.map(col) :+
+          floor(lit(alpha * m * m) / (aggregate(col("rs"), lit(0.0d),
+            (acc, r) => acc + pow(lit(2.0d), -r.getField("reg").cast("double"))) +
+            (lit(m) - col("nb")).cast("double"))).cast("long").as(outName): _*)
+    val single = fold(regs, Seq("source"), "est")
+    val sources = regs.select("source").distinct()
+    val pairs = sources.toDF("s1").crossJoin(sources.toDF("s2"))
+      .where(col("s1") < col("s2"))
+    val mergedRegs = regs.join(broadcast(pairs),
+        col("source") === col("s1") || col("source") === col("s2"))
+      .groupBy("s1", "s2", "bucket").agg(max("reg").as("reg"))
+    val union = fold(mergedRegs, Seq("s1", "s2"), "union_estimate")
+    val exactU = tok.join(broadcast(pairs),
+        col("source") === col("s1") || col("source") === col("s2"))
+      .groupBy("s1", "s2").agg(countDistinct(col("t")).as("union_exact"))
+    union
+      .join(single.toDF("s1", "e1"), "s1")
+      .join(single.toDF("s2", "e2"), "s2")
+      .join(exactU, Seq("s1", "s2"))
+      .select(col("s1"), col("s2"), col("union_estimate"), col("union_exact"),
+        expr("abs(union_estimate - union_exact) * 1000 div union_exact")
+          .as("err_permille"),
+        (col("e1") + col("e2") - col("union_estimate")).as("inter_estimate"))
+      .orderBy("s1", "s2")
+  }
+
   /** Corpus statistics per (lang, source): docs, chars, distinct texts. */
   def q13DocStats(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
@@ -1189,6 +1255,65 @@ object TextOps {
   def q91VocabBuild(s: SparkSession, dir: String): DataFrame =
     vocabBuild(documents(s, dir))
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) — the third
+    * member of the sketch family (q111 Misra-Gries = heavy hitters,
+    * q120 HLL = cardinality, CMS = point frequency): a depth×width
+    * (4×1024) counter grid where cell(j, h_j(g)) accumulates every
+    * occurrence of gram g, and the point estimate is min_j over g's
+    * cells — an upper bound that never undercounts, with overcount
+    * bounded by (corpus volume)/width per row.
+    *
+    * Hashing is the portable md5 scheme (row j salts the gram with
+    * `j:`), so both engines address identical cells and the estimate
+    * — including its deterministic collision overcounts — replays
+    * exactly. The gate audits the sketch against the exact counts of
+    * the top-20 bigrams (strict total order: count desc, gram asc)
+    * and emits the per-gram overcount, so the accuracy claim is part
+    * of the hash, not just the plumbing.
+    *
+    * 100 TB shape: the sketch is a FIXED 4096-cell table regardless
+    * of corpus size — one hash-agg pass with map-side partials (cells
+    * are monoid counters, mergeable by construction); the probe join
+    * broadcasts the 4096-row sketch, never shuffling the gram space;
+    * the exact side here exists to audit the sketch at gate scale and
+    * is dropped in production (that is the point: CMS answers
+    * frequency queries WITHOUT the distinct-gram shuffle). */
+  def q124CountMinSketch(s: SparkSession, dir: String): DataFrame =
+    countMinSketch(documents(s, dir))
+
+  def countMinSketch(docs: DataFrame, width: Long = 1024L, depth: Int = 4,
+      topK: Int = 20): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      // non-distinct bigram instances (CMS counts occurrences);
+      // explode_outer + named toks col: see bigramCoherence
+      .select(explode_outer(slice(
+        transform(col("toks"), (x, i) =>
+          concat_ws(" ", x, try_element_at(col("toks"), i + lit(2)))),
+        lit(1), size(col("toks")) - 1)).as("g"))
+    def cell(j: Column, g: Column): Column =
+      pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), g)), 1, 15), 16, 10)
+        .cast("long"), lit(width))
+    val rows = (0 until depth).map(lit): Seq[Column]
+    val sketch = bi
+      .select(explode(array(rows.map(j => struct(j.as("j"), cell(j, col("g")).as("cell"))): _*)).as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = bi.groupBy("g").agg(count(lit(1)).as("exact_count"))
+    val probes = exact.orderBy(col("exact_count").desc, col("g").asc).limit(topK)
+    val probeCells = probes
+      .select(col("g"), col("exact_count"),
+        explode(array(rows: _*)).as("j"))
+      .withColumn("cell", cell(col("j"), col("g")))
+    probeCells.join(broadcast(sketch), Seq("j", "cell"))
+      .groupBy("g", "exact_count")
+      .agg(min("cnt").as("cms_estimate"))
+      .select(col("g").as("gram"), col("cms_estimate"), col("exact_count"),
+        (col("cms_estimate") - col("exact_count")).as("overcount"))
+      .orderBy("gram")
+  }
+
   /** Deterministic weight-proportional sampling: keep each document
     * with probability min(weight, cap)/cap, decided by a salted md5 of
     * its id — reproducible across runs/engines (the sampling analog of
@@ -1476,7 +1601,9 @@ object TextOps {
     "q107_perplexity" -> (q107Perplexity _),
     "q111_heavy_hitters" -> (q111HeavyHitters _),
     "q112_dup_spans" -> (q112DupSpans _),
-    "q114_fuzzy_decon" -> (q114FuzzyDecon _))
+    "q114_fuzzy_decon" -> (q114FuzzyDecon _),
+    "q124_count_min" -> (q124CountMinSketch _),
+    "q126_hll_merge" -> ((s: SparkSession, d: String) => q126HllMerge(s, d)))
 
   /** The q109 oracle, unrolled to 5 merge steps. Each step is a
     * pair-count agg over the bounded word dictionary, an argmax
@@ -1536,6 +1663,34 @@ object TextOps {
   }
 
   private val oracleBase: Map[String, String] = Map(
+    // CMS replay: same salted-md5 cell addressing (row j hashes
+    // 'j:gram', 60 bits mod 1024), same 4x1024 grid, same min-over-
+    // rows estimate, same top-20 probe order — collision overcounts
+    // are deterministic, so the estimate (not just the exact side)
+    // must match bit-for-bit
+    "q124_count_min" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM t WHERE len(w) >= 2),
+        |exact AS (SELECT g, COUNT(*) AS exact_count FROM bi GROUP BY 1),
+        |probes AS (SELECT * FROM exact ORDER BY exact_count DESC, g LIMIT 20),
+        |cells AS (
+        |  SELECT CAST(j.range AS INT) AS j,
+        |         CAST(CAST(('0x' || substr(md5(CAST(j.range AS VARCHAR) || ':' || g), 1, 15))
+        |              AS UBIGINT) % 1024 AS BIGINT) AS cell
+        |  FROM bi CROSS JOIN range(0, 4) j),
+        |sketch AS (SELECT j, cell, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT p.g, p.exact_count, CAST(j.range AS INT) AS j,
+        |         CAST(CAST(('0x' || substr(md5(CAST(j.range AS VARCHAR) || ':' || p.g), 1, 15))
+        |              AS UBIGINT) % 1024 AS BIGINT) AS cell
+        |  FROM probes p CROSS JOIN range(0, 4) j)
+        |SELECT pc.g AS gram, CAST(MIN(s.cnt) AS BIGINT) AS cms_estimate,
+        |       CAST(pc.exact_count AS BIGINT) AS exact_count,
+        |       CAST(MIN(s.cnt) - pc.exact_count AS BIGINT) AS overcount
+        |FROM pc JOIN sketch s USING (j, cell)
+        |GROUP BY pc.g, pc.exact_count ORDER BY gram""".stripMargin,
     // HLL replay: same 60-bit md5 hash, p=9 buckets, exact
     // binary-length rho, canonical bucket-order harmonic fold, same
     // alpha*m^2 literal — registers are MAX-merged so the whole
@@ -1570,6 +1725,66 @@ object TextOps {
         |  ABS(e.hll_estimate - x.exact_distinct) * 1000 // x.exact_distinct AS err_permille
         |FROM est e JOIN ex x USING (source)
         |ORDER BY e.source""".stripMargin,
+    // HLL-merge replay: the q120 register pipeline, then per source
+    // pair MAX-merge the two register tables, fold in canonical
+    // bucket order, and derive intersection by inclusion-exclusion —
+    // registers and estimates are bit-identical across engines
+    "q126_hll_merge" ->
+      s"""WITH tok AS (
+        |  SELECT source, t FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |hb AS (
+        |  SELECT source, CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS h FROM tok),
+        |rr AS (
+        |  SELECT source, h >> 51 AS bucket, h & ((1::UBIGINT << 51) - 1) AS rest FROM hb),
+        |rho AS (
+        |  SELECT source, bucket,
+        |    CASE WHEN rest = 0 THEN 52 ELSE 52 - LENGTH(bin(rest)) END AS rho
+        |  FROM rr),
+        |regs AS (SELECT source, bucket, MAX(rho) AS reg FROM rho GROUP BY 1, 2),
+        |sagg AS (
+        |  SELECT source, COUNT(*) AS nb,
+        |    list_sum(list_transform(
+        |      list_sort(list(struct_pack(bucket := bucket, reg := reg))),
+        |      x -> POWER(2.0, -CAST(x.reg AS DOUBLE)))) AS hsum
+        |  FROM regs GROUP BY source),
+        |sest AS (
+        |  SELECT source,
+        |    CAST(FLOOR(${0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512} /
+        |      (hsum + CAST(512 - nb AS DOUBLE))) AS BIGINT) AS est
+        |  FROM sagg),
+        |srcs AS (SELECT DISTINCT source FROM regs),
+        |pairs AS (SELECT a.source AS s1, b.source AS s2
+        |          FROM srcs a JOIN srcs b ON a.source < b.source),
+        |mreg AS (
+        |  SELECT p.s1, p.s2, r.bucket, MAX(r.reg) AS reg
+        |  FROM pairs p JOIN regs r ON r.source = p.s1 OR r.source = p.s2
+        |  GROUP BY 1, 2, 3),
+        |magg AS (
+        |  SELECT s1, s2, COUNT(*) AS nb,
+        |    list_sum(list_transform(
+        |      list_sort(list(struct_pack(bucket := bucket, reg := reg))),
+        |      x -> POWER(2.0, -CAST(x.reg AS DOUBLE)))) AS hsum
+        |  FROM mreg GROUP BY 1, 2),
+        |mest AS (
+        |  SELECT s1, s2,
+        |    CAST(FLOOR(${0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512} /
+        |      (hsum + CAST(512 - nb AS DOUBLE))) AS BIGINT) AS union_estimate
+        |  FROM magg),
+        |uex AS (
+        |  SELECT p.s1, p.s2, COUNT(DISTINCT t.t) AS union_exact
+        |  FROM pairs p JOIN tok t ON t.source = p.s1 OR t.source = p.s2
+        |  GROUP BY 1, 2)
+        |SELECT m.s1, m.s2, m.union_estimate,
+        |  CAST(u.union_exact AS BIGINT) AS union_exact,
+        |  ABS(m.union_estimate - u.union_exact) * 1000 // u.union_exact AS err_permille,
+        |  e1.est + e2.est - m.union_estimate AS inter_estimate
+        |FROM mest m
+        |JOIN sest e1 ON e1.source = m.s1
+        |JOIN sest e2 ON e2.source = m.s2
+        |JOIN uex u ON u.s1 = m.s1 AND u.s2 = m.s2
+        |ORDER BY m.s1, m.s2""".stripMargin,
     "q109_bpe_train" -> bpeOracleSql,
     "q110_bpe_encode" -> bpeEncodeOracleSql,
     "q111_heavy_hitters" ->

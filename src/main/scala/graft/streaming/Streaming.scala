@@ -116,6 +116,39 @@ object Streaming {
         sum(col("value").cast("decimal(20,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream event-time INTERVAL JOIN — the last Structured
+    * Streaming join shape (q85 = windowed agg, q86 = stream-static,
+    * q119 = custom state): click→purchase attribution, matching each
+    * purchase to the same user's clicks in the preceding
+    * `windowSeconds`. Both sides are watermarked and the join
+    * condition carries the event-time range, so Spark derives a state
+    * watermark per side and evicts rows that can no longer match —
+    * state ∝ (events within the window + allowed lateness), not
+    * history. `delay` is the lateness SLA; the gate passes a value ≥
+    * the corpus time span so no row is late and the finite replay is
+    * exact (production tunes it to ingestion lag).
+    *
+    * Timestamps are floored to whole seconds BEFORE watermarking:
+    * the range predicate then compares integer seconds, which an
+    * external oracle replays exactly (micros-precision endpoints
+    * would make the window boundary engine-dependent). */
+  def attributionJoin(events: DataFrame, windowSeconds: Long = 1800L,
+      delay: String = "35 days"): DataFrame = {
+    def side(kind: String, idAs: String, tsAs: String, userAs: String) =
+      events.where(col("event_type") === kind)
+        .select(col("user_id").as(userAs), col("event_id").as(idAs),
+          col("ts").cast("long").cast("timestamp").as(tsAs))
+        .withWatermark(tsAs, delay)
+    val clicks = side("click", "click_id", "click_ts", "user_id")
+    val purchases = side("purchase", "purchase_id", "purchase_ts", "p_user")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_ts").cast("long") - col("click_ts").cast("long")).as("delay_s"))
+  }
+
   /** STREAMING gap sessionization with real custom state —
     * `flatMapGroupsWithState` + event-time timeout, the
     * KeyValueGroupedDataset state API the batch q20 window form

@@ -388,6 +388,56 @@ object ExplainCheck {
     assert(!p117.contains("Window"), "q117: no corpus window allowed")
     println("q117 map-only IVF-PQ scoring OK")
 
+    // perceptual-hash near-dup: the candidate join must be a keyed
+    // equi-join on (band_no, band value) — never a cross product —
+    // with a distinct between candidates and the Hamming verify, and
+    // the codec pass must not rerun per join branch (the bands table
+    // is checkpointed: exactly one scan of the synth/codec map)
+    val q122 = graft.queries.PipelineOps.q122ImageAhashDedup(spark, sfDir)
+    val p122 = planOf(q122)
+    assert(!p122.contains("Cartesian") && !p122.contains("BroadcastNestedLoop"),
+      "q122: band candidates degenerated to a cross product")
+    assert(p122.contains("HashAggregate(keys=[da"),
+      "q122: candidate pairs not deduped before the Hamming verify")
+    assert(p122.contains("Scan ExistingRDD") || p122.contains("LogicalRDD"),
+      "q122: bands table not checkpointed (codec would rerun per branch)")
+    println("q122 banded Hamming near-dup OK")
+
+    // audio activity is map-only until the output sort: no join, no
+    // window, no aggregation of the sample stream
+    val q123 = graft.queries.PipelineOps.q123AudioActivity(spark, sfDir)
+    val p123 = planOf(q123)
+    assert(!p123.contains("Join"), "q123: activity features must be map-only")
+    assert(!p123.contains("Window"), "q123: no window over the sample stream")
+    println("q123 map-only audio activity OK")
+
+    // CMS: the sketch is a fixed 4x1024 grid — the probe join must
+    // BROADCAST it (never shuffle the gram space for a point lookup),
+    // and the estimate aggregation keys on the bounded probe set
+    val q124 = graft.queries.TextOps.q124CountMinSketch(spark, sfDir)
+    val p124 = planOf(q124)
+    assert(p124.contains("BroadcastHashJoin"), "q124: sketch not broadcast to the probes")
+    assert(p124.contains("TakeOrderedAndProject"),
+      "q124: top-k probes not a bounded TakeOrdered")
+    assert(!p124.contains("Cartesian") && !p124.contains("BroadcastNestedLoop"),
+      "q124: probe join degenerated to a cross product")
+    println("q124 broadcast CMS probe OK")
+
+    // HLL merge: every step after the one register-building pass runs
+    // on the bounded register summary — the pair list must broadcast
+    // (BroadcastNestedLoop on the OR-condition over a tiny side is
+    // the expected shape, NOT a shuffle), and no shuffle of the token
+    // stream happens more than the two audited aggs
+    val q126 = graft.queries.TextOps.q126HllMerge(spark, sfDir)
+    val p126 = planOf(q126)
+    assert(p126.contains("BroadcastNestedLoopJoin") || p126.contains("BroadcastHashJoin"),
+      "q126: pair list not broadcast")
+    assert(!p126.contains("CartesianProduct"),
+      "q126: pairing degenerated to a shuffled cross product")
+    assert(p126.contains("Scan ExistingRDD") || p126.contains("LogicalRDD"),
+      "q126: register table not checkpointed (token pass would rerun per branch)")
+    println("q126 broadcast HLL merge OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

@@ -66,6 +66,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("aHashBands: hash matches independent recompute, invariant to uniform brightness") {
+    val png = ImageCodec.encodePng(
+      ImageCodec.grayImage(32, 24)((x, y) => (x * 7 + y * 13) % 256))
+    val bands = Multimodal.aHashBands(png)
+    // independent recompute from the synth function via the NN mapping
+    val g = Array.tabulate(64)(i => ((i % 8) * 4 * 7 + (i / 8) * 3 * 13) % 256)
+    val sum = g.map(_.toLong).sum
+    val expect = new Array[Int](4)
+    for (i <- 0 until 64 if 64L * g(i) > sum) {
+      val y = i / 8
+      expect(y / 2) |= 1 << ((y % 2) * 8 + (i % 8))
+    }
+    assert(bands.toSeq == expect.toSeq)
+    assert(bands.forall(b => b >= 0 && b <= 0xffff), "bands are 16-bit")
+    // uniform brightness shift (no clamping) leaves every bit unchanged:
+    // 64*(g+c) > sum+64c  <=>  64*g > sum
+    val brighter = ImageCodec.encodePng(
+      ImageCodec.grayImage(32, 24)((x, y) => (x * 7 + y * 13) % 256 / 2 + 40))
+    val base = ImageCodec.encodePng(
+      ImageCodec.grayImage(32, 24)((x, y) => (x * 7 + y * 13) % 256 / 2))
+    assert(Multimodal.aHashBands(brighter).toSeq == Multimodal.aHashBands(base).toSeq)
+  }
+
+  test("aHash banding is lossless for Hamming <= 3 (pigeonhole: 4 bands)") {
+    // flip any 3 bits of a hash: at least one band must stay exactly
+    // equal, so the band-equality join can never miss a t<=3 pair
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val h = Array.fill(4)(rnd.nextInt(0x10000))
+      val flipped = h.clone()
+      val bits = rnd.shuffle((0 until 64).toList).take(3)
+      for (b <- bits) flipped(b / 16) ^= 1 << (b % 16)
+      assert((0 until 4).exists(j => h(j) == flipped(j)),
+        s"no shared band after flipping $bits")
+    }
+  }
+
   test("AudioCodec: WAV/PCM round-trip is bit-exact, quarter sums replayable") {
     val samples = Array.tabulate(1001)(i => (((i * 7 + 31) % 2003) - 1001).toShort)
     val wav = graft.multimodal.AudioCodec.encodeWav(samples, 8000)

@@ -35,6 +35,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(clicks.get.getAs[Long]("n") == 2L)
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = graft.streaming.Streaming.attributionJoin(stream.toDF(), windowSeconds = 1800L)
+    val query = out.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    stream.addData(
+      Ev(1, ts("2026-01-01T00:00:00Z"), 1, "click", 0.0),
+      Ev(2, ts("2026-01-01T00:10:00Z"), 1, "purchase", 9.0), // in window (600s)
+      Ev(3, ts("2026-01-01T01:00:00Z"), 1, "purchase", 9.0), // outside (3600s)
+      Ev(4, ts("2026-01-01T00:05:00Z"), 2, "purchase", 9.0), // other user
+      Ev(5, ts("2026-01-01T00:20:00Z"), 2, "click", 0.0))    // click after purchase
+    query.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM attrib").collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("delay_s")))
+    query.stop()
+    assert(rows.toSeq == Seq((1L, 2L, 600L)),
+      s"exactly the in-window same-user pair must match: ${rows.toSeq}")
+  }
+
   test("flatMapGroupsWithState sessionization: in-batch gap closes, timeout closes, open survives") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
