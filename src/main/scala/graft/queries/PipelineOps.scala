@@ -185,12 +185,17 @@ object PipelineOps {
     * (pigeonhole) — the Hamming analog of MinHash banding with the
     * recall guarantee the cosine-LSH family can only approximate.
     *
-    * Scale shape: hash computation is map-only; the candidate join is
-    * a keyed equi-join on (band_no, 16-bit value) whose bucket sizes
-    * are bounded by true near-dup group size + 2^-16 random collisions;
-    * verify is a broadcast-sized projection per pair; per-doc rollup
-    * keys on doc_id. The tiny bands table is localCheckpoint'd so the
-    * codec runs once, not once per join branch. */
+    * Scale shape: hash computation is map-only; identical hashes are
+    * COLLAPSED to one representative before pair enumeration (the
+    * exact-first discipline of q19/q44/q104 — a duplicate-heavy
+    * corpus must not grow the band join quadratically), so the
+    * candidate join is a keyed equi-join on (band_no, 16-bit value)
+    * over DISTINCT hashes, whose bucket sizes are bounded by distinct
+    * near-dup variants + 2^-16 random collisions; verify is a codegen
+    * popcount per representative pair; group adjacency then expands
+    * back to per-doc clusters by two bounded joins on the hash key.
+    * The tiny bands table is localCheckpoint'd so the codec runs
+    * once, not once per join branch. */
   def q122ImageAhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bands = documents(s, dir).select(col("doc_id")).as[Long]
@@ -207,27 +212,42 @@ object PipelineOps {
         }
       }.toDF("doc_id", "b0", "b1", "b2", "b3")
       .localCheckpoint(true)
-    val bx = bands.select(col("doc_id"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band_no", "v")))
-    val cand = bx.as("a").join(bx.as("b"),
+    val hashCols = (0 to 3).map(i => col(s"b$i"))
+    // exact-first collapse: one representative per distinct hash
+    val groups = bands.groupBy(hashCols: _*)
+      .agg(min("doc_id").as("rep"), min("doc_id").as("min_doc"),
+        count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
+    val gx = groups.select(col("rep"),
+      posexplode(array(hashCols: _*)).as(Seq("band_no", "v")))
+    val cand = gx.as("a").join(gx.as("b"),
         col("a.band_no") === col("b.band_no") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
       .distinct()
-    val xa = bands.toDF("da", "a0", "a1", "a2", "a3")
-    val xb = bands.toDF("db", "x0", "x1", "x2", "x3")
+    val xa = groups.select(col("rep").as("ra"), col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"), col("min_doc").as("amin"), col("n_docs").as("an"))
+    val xb = groups.select(col("rep").as("rb"), col("b0").as("x0"), col("b1").as("x1"),
+      col("b2").as("x2"), col("b3").as("x3"), col("min_doc").as("xmin"), col("n_docs").as("xn"))
     val hamming = (0 to 3).map(i =>
       expr(s"bit_count(cast(a$i as bigint) ^ cast(x$i as bigint))")).reduce(_ + _)
-    val nbr = cand.join(xa, "da").join(xb, "db")
+    val nbr = cand.join(xa, "ra").join(xb, "rb")
       .where(hamming <= 3)
-      .select(col("da"), col("db"))
-    val sym = nbr.union(nbr.select(col("db"), col("da")))
-    val agg = sym.groupBy(col("da").as("d"))
-      .agg(min("db").as("mn"), count(lit(1)).as("c"))
-    bands.join(agg, bands("doc_id") === agg("d"), "left")
-      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("cluster_id"),
-        coalesce(col("c"), lit(0L)).cast("int").as("n_neighbors"))
+    // symmetric group adjacency: per group, the min doc id and doc
+    // count over all ADJACENT groups (distinct hashes within t bits)
+    val sym = nbr.select(col("ra").as("g"), col("xmin").as("omin"), col("xn").as("on"))
+      .union(nbr.select(col("rb"), col("amin"), col("an")))
+    val adj = sym.groupBy("g").agg(min("omin").as("nbr_min"), sum("on").as("nbr_n"))
+    // expand back to documents: group-mates are Hamming-0 neighbors,
+    // adjacent groups contribute their full membership
+    val withStats = bands
+      .join(groups.select(hashCols :+ col("rep") :+ col("min_doc") :+ col("n_docs"): _*),
+        (0 to 3).map(i => bands(s"b$i") === groups(s"b$i")).reduce(_ && _))
+      .join(adj, col("rep") === col("g"), "left")
+    withStats
+      .select(bands("doc_id"), bands("b0"), bands("b1"), bands("b2"), bands("b3"),
+        least(col("min_doc"), coalesce(col("nbr_min"), col("min_doc"))).as("cluster_id"),
+        (col("n_docs") - 1L + coalesce(col("nbr_n"), lit(0L))).cast("int").as("n_neighbors"))
       .orderBy("doc_id")
   }
 

@@ -182,6 +182,43 @@ object Relational {
         (col("ts_s") - col("match_ts_s")).as("gap_s"))
       .orderBy("purchase_id")
 
+  /** Multi-step funnel analysis (view → click → purchase, each step
+    * within `windowSeconds` of the previous) — the conversion analytic
+    * every event pipeline ships. Composed the same scale-correct way
+    * as [[asofLastBefore]]: ONE shuffle on user_id and a chained
+    * window pass — carry the last view forward, qualify clicks that
+    * follow a view within the window, carry the last qualified click
+    * forward, qualify purchases — never a clicks×purchases range
+    * join (O(n·m) per user where the window pass is O(n log n)).
+    * Whole-second math and (ts, event_id) tie order, so the DuckDB
+    * replay is exact; last-in-order equals max-ts under the same
+    * ordering, which is what the oracle's running MAX replays. */
+  def q127Funnel(s: SparkSession, dir: String, windowSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("ts_s"), col("event_type"))
+    val staged = ev
+      .withColumn("last_view_s",
+        last(when(col("event_type") === "view", col("ts_s")), ignoreNulls = true).over(w))
+      .withColumn("qual_click_s",
+        when(col("event_type") === "click" &&
+          col("ts_s") - col("last_view_s") <= windowSeconds, col("ts_s")))
+      .withColumn("last_qclick_s", last(col("qual_click_s"), ignoreNulls = true).over(w))
+      .withColumn("is_conversion",
+        col("event_type") === "purchase" &&
+          col("ts_s") - col("last_qclick_s") <= windowSeconds)
+    staged.groupBy("user_id").agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+      sum(when(col("is_conversion"), 1L).otherwise(0L)).as("n_conversions"),
+      coalesce(min(when(col("is_conversion"), col("ts_s"))), lit(-1L))
+        .as("first_conversion_s"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter" -> (q2Filter _),
@@ -195,7 +232,8 @@ object Relational {
     "q10_having" -> (q10Having _),
     "q11_event_windows" -> (q11EventWindows _),
     "q12_union" -> (q12Union _),
-    "q89_asof_join" -> (q89AsofJoin _))
+    "q89_asof_join" -> (q89AsofJoin _),
+    "q127_funnel" -> ((s: SparkSession, d: String) => q127Funnel(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -282,5 +320,39 @@ object Relational {
         |SELECT event_id AS purchase_id, user_id, ts_s AS purchase_ts_s,
         |       click_id, click_ts_s, ts_s - click_ts_s AS gap_s
         |FROM t WHERE event_type = 'purchase' AND click_id IS NOT NULL
-        |ORDER BY purchase_id""".stripMargin)
+        |ORDER BY purchase_id""".stripMargin,
+    // replays the chained funnel windows: last view carried forward,
+    // click qualified by view-within-window, last qualified click
+    // carried forward, purchase qualified by click-within-window —
+    // same (ts_s, event_id) frame as the Spark plan
+    "q127_funnel" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s, event_type
+        |  FROM events),
+        |w1 AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'view' THEN ts_s END IGNORE NULLS)
+        |      OVER win AS last_view_s
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |w2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND ts_s - last_view_s <= 1800
+        |                 THEN ts_s END AS qual_click_s
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, last_value(qual_click_s IGNORE NULLS) OVER win AS last_qclick_s
+        |  FROM w2
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT *, (event_type = 'purchase' AND ts_s - last_qclick_s <= 1800) AS conv
+        |  FROM w3)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions,
+        |  COALESCE(MIN(CASE WHEN conv THEN ts_s END), -1) AS first_conversion_s
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

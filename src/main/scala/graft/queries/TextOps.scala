@@ -149,9 +149,23 @@ object TextOps {
         col("source") === col("s1") || col("source") === col("s2"))
       .groupBy("s1", "s2", "bucket").agg(max("reg").as("reg"))
     val union = fold(mergedRegs, Seq("s1", "s2"), "union_estimate")
-    val exactU = tok.join(broadcast(pairs),
-        col("source") === col("s1") || col("source") === col("s2"))
-      .groupBy("s1", "s2").agg(countDistinct(col("t")).as("union_exact"))
+    // exact-union audit WITHOUT fanning the token stream out per pair:
+    // one distinct pass per (source, token), per-source counts, and
+    // |A∪B| = |A| + |B| − |A∩B| with the intersection from a
+    // token-keyed self-join — fan-out per token is C(its source
+    // spread, 2), never #pairs × corpus
+    val st = tok.distinct().localCheckpoint(true)
+    val perSrc = st.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = st.toDF("sa", "t").join(st.toDF("sb", "t2"),
+        col("t") === col("t2") && col("sa") < col("sb"))
+      .groupBy(col("sa").as("s1"), col("sb").as("s2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val exactU = pairs
+      .join(perSrc.toDF("s1", "na"), "s1")
+      .join(perSrc.toDF("s2", "nb"), "s2")
+      .join(inter, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"),
+        (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))).as("union_exact"))
     union
       .join(single.toDF("s1", "e1"), "s1")
       .join(single.toDF("s2", "e2"), "s2")

@@ -397,10 +397,14 @@ object ExplainCheck {
     val p122 = planOf(q122)
     assert(!p122.contains("Cartesian") && !p122.contains("BroadcastNestedLoop"),
       "q122: band candidates degenerated to a cross product")
-    assert(p122.contains("HashAggregate(keys=[da"),
+    assert(p122.contains("HashAggregate(keys=[ra"),
       "q122: candidate pairs not deduped before the Hamming verify")
-    assert(p122.contains("Scan ExistingRDD") || p122.contains("LogicalRDD"),
-      "q122: bands table not checkpointed (codec would rerun per branch)")
+    // the collapse agg itself runs inside the groups checkpoint; its
+    // evidence in the final plan is that BOTH bounded tables (bands
+    // and distinct-hash groups) enter as checkpointed scans, so the
+    // codec pass ran once and pairing reads representatives only
+    assert(p122.split("Scan ExistingRDD", -1).length - 1 >= 2,
+      "q122: expected checkpointed bands + collapsed-groups scans")
     println("q122 banded Hamming near-dup OK")
 
     // audio activity is map-only until the output sort: no join, no
@@ -437,6 +441,17 @@ object ExplainCheck {
     assert(p126.contains("Scan ExistingRDD") || p126.contains("LogicalRDD"),
       "q126: register table not checkpointed (token pass would rerun per branch)")
     println("q126 broadcast HLL merge OK")
+
+    // funnel: chained carry-forward windows on ONE user_id
+    // partitioning — no clicks×purchases range join, no cross product
+    val q127 = graft.queries.Relational.q127Funnel(spark, sfDir)
+    val p127 = planOf(q127)
+    assert(!p127.contains("Join"), "q127: funnel must be join-free (window pass)")
+    assert(p127.contains("Window"), "q127: expected the carry-forward window pass")
+    assert(p127.split("hashpartitioning\\(user_id", -1).length - 1 >= 1 &&
+      !p127.contains("CartesianProduct"),
+      "q127: expected user_id partitioning only")
+    println("q127 join-free funnel windows OK")
 
     println("ALL PLAN CHECKS PASS")
     spark.stop()

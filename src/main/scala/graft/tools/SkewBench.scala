@@ -62,8 +62,13 @@ object SkewBench {
             _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]()).add(te.taskInfo.duration)
     })
 
+    // q122's skew exposure is identical-image classes (hash collapse
+    // must keep the band join flat) — its images derive from doc_id,
+    // so the replicated corpus exercises it regardless of the text
+    // boilerplate injection
     val family = Seq("q16_dedup_exact", "q19_minhash_lsh", "q43_simhash",
-      "q56_dedup_clusters", "q61_dedup_pipeline", "q114_fuzzy_decon")
+      "q56_dedup_clusters", "q61_dedup_pipeline", "q114_fuzzy_decon",
+      "q122_image_ahash_dedup")
     val queries = graft.SparkEntry.queries
 
     spark.read.parquet(s"$outDir/documents.parquet").count() // warm footers
