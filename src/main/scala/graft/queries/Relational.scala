@@ -193,12 +193,15 @@ object Relational {
     * Whole-second math and (ts, event_id) tie order, so the DuckDB
     * replay is exact; last-in-order equals max-ts under the same
     * ordering, which is what the oracle's running MAX replays. */
-  def q127Funnel(s: SparkSession, dir: String, windowSeconds: Long = 1800L): DataFrame = {
+  def q127Funnel(s: SparkSession, dir: String, windowSeconds: Long = 1800L): DataFrame =
+    funnel(events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("ts_s"), col("event_type")), windowSeconds)
+
+  /** Funnel core over pre-shaped (event_id, user_id, ts_s, event_type). */
+  def funnel(ev: DataFrame, windowSeconds: Long = 1800L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ev = events(s, dir).select(col("event_id"), col("user_id"),
-      col("ts").cast("long").as("ts_s"), col("event_type"))
     val staged = ev
       .withColumn("last_view_s",
         last(when(col("event_type") === "view", col("ts_s")), ignoreNulls = true).over(w))
@@ -219,6 +222,29 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Cohort retention analysis — users grouped by first-activity week
+    * (absolute epoch week, ts_s / 604800: no corpus-min dependency, so
+    * shards compute it independently), with per-(cohort, week-offset)
+    * active-user counts and permille retention. Shape: one distinct
+    * (user, week) pass, a user-keyed min for the cohort, a
+    * cohort-keyed count — every shuffle keys on user or cohort, and
+    * the output is bounded by (weeks × weeks), not the event volume. */
+  def q128CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val userWeeks = events(s, dir)
+      .select(col("user_id"), col("ts").cast("long").as("ts_s"))
+      .select(col("user_id"), expr("ts_s div 604800").as("wk")) // integer weeks
+      .distinct()
+    val cohort = userWeeks.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    userWeeks.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+        expr("n_active * 1000 div cohort_size").as("retention_permille"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter" -> (q2Filter _),
@@ -233,7 +259,8 @@ object Relational {
     "q11_event_windows" -> (q11EventWindows _),
     "q12_union" -> (q12Union _),
     "q89_asof_join" -> (q89AsofJoin _),
-    "q127_funnel" -> ((s: SparkSession, d: String) => q127Funnel(s, d)))
+    "q127_funnel" -> ((s: SparkSession, d: String) => q127Funnel(s, d)),
+    "q128_cohort_retention" -> (q128CohortRetention _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -354,5 +381,22 @@ object Relational {
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
         |  CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions,
         |  COALESCE(MIN(CASE WHEN conv THEN ts_s END), -1) AS first_conversion_s
-        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // replays the absolute-epoch-week cohorting and permille retention
+    "q128_cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000000000 // 604800 AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY 1),
+        |sz AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM c GROUP BY 1),
+        |act AS (
+        |  SELECT c.cohort_week, uw.wk - c.cohort_week AS week_offset,
+        |         COUNT(DISTINCT uw.user_id) AS n_active
+        |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.week_offset,
+        |  CAST(a.n_active AS BIGINT) AS n_active,
+        |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |  a.n_active * 1000 // s.cohort_size AS retention_permille
+        |FROM act a JOIN sz s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin)
 }

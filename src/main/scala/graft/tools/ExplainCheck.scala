@@ -453,6 +453,15 @@ object ExplainCheck {
       "q127: expected user_id partitioning only")
     println("q127 join-free funnel windows OK")
 
+    // cohort retention: user/cohort-keyed aggs, cohort sizes broadcast
+    // to the bounded (cohort, offset) table — no cartesian anywhere
+    val q128 = graft.queries.Relational.q128CohortRetention(spark, sfDir)
+    val p128 = planOf(q128)
+    assert(p128.contains("BroadcastHashJoin"), "q128: cohort sizes not broadcast")
+    assert(!p128.contains("CartesianProduct") && !p128.contains("BroadcastNestedLoop"),
+      "q128: unexpected cross product")
+    println("q128 cohort retention keyed aggs OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
