@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // cap, not allocation: the sandbox rig has 128 GiB; an 8g cap made
+  // the x30 scale battery thrash (storage eviction + GC inflated
+  // mid-battery queries up to 8x vs isolated runs — measured, see
+  // SCALING.md). Override with SPARK_DRIVER_MEM when constrained.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
