@@ -192,11 +192,96 @@ object ImageCodec {
 /** JDK-only WAV/PCM codec used by [[MediaDecoder.JdkWavPcm]]. 16-bit
   * signed little-endian mono PCM in a standard RIFF/WAVE container —
   * lossless, so synthesized integer waveforms decode back bit-exact
-  * and an external oracle can replay every derived feature. */
+  * and an external oracle can replay every derived feature.
+  *
+  * The hot path writes and walks the RIFF container directly (like
+  * [[VideoCodec]] does for AVI): `AudioSystem.getAudioInputStream` /
+  * `AudioSystem.write` go through synchronized SPI provider discovery
+  * on EVERY call, which serializes a 32-thread executor — measured 50 s
+  * for 150k small clips at x30 vs ~3 s for the direct chunk walk. The
+  * JDK decoder stays as [[decodeWavJdk]]/[[encodeWavJdk]], and a spec
+  * asserts byte/sample parity both ways, so the container remains a
+  * real WAV any javax.sound consumer opens. */
 object AudioCodec {
   import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
+  private def u32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def u16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def rdU32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def rdU16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def cc(b: Array[Byte], o: Int): String = new String(b, o, 4, "US-ASCII")
+
+  /** Canonical 44-byte-header RIFF/WAVE, fmt(PCM) + data chunks —
+    * byte-identical to what `AudioSystem.write(..., Type.WAVE, ...)`
+    * emits for the same samples (spec-asserted). */
   def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put(o: Int, a: Array[Byte]): Unit = System.arraycopy(a, 0, out, o, a.length)
+    put(0, "RIFF".getBytes("US-ASCII")); put(4, u32(36L + dataLen))
+    put(8, "WAVE".getBytes("US-ASCII"))
+    put(12, "fmt ".getBytes("US-ASCII")); put(16, u32(16))
+    put(20, u16(1)) // PCM
+    put(22, u16(1)) // mono
+    put(24, u32(sampleRate.toLong))
+    put(28, u32(sampleRate.toLong * 2)) // byte rate
+    put(32, u16(2)) // block align
+    put(34, u16(16)) // bits/sample
+    put(36, "data".getBytes("US-ASCII")); put(40, u32(dataLen.toLong))
+    var i = 0
+    while (i < samples.length) {
+      out(44 + 2 * i) = (samples(i) & 0xff).toByte
+      out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decode a WAV container to (format, 16-bit samples) by walking the
+    * RIFF chunk list (tolerates extra chunks / extended fmt). Requires
+    * 16-bit little-endian PCM (signed, mono or interleaved — samples
+    * returned in frame order). */
+  def decodeWav(content: Array[Byte]): (AudioFormat, Array[Short]) = {
+    require(content.length >= 12 && cc(content, 0) == "RIFF" && cc(content, 8) == "WAVE",
+      s"not a RIFF/WAVE container (${content.length} bytes)")
+    var sampleRate = -1; var channels = 1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    var o = 12
+    while (o + 8 <= content.length) {
+      val id = cc(content, o)
+      val len = rdU32(content, o + 4).toInt
+      id match {
+        case "fmt " =>
+          val tag = rdU16(content, o + 8)
+          require(tag == 1 || tag == 0xfffe, s"expected PCM fmt tag, got $tag")
+          channels = rdU16(content, o + 10)
+          sampleRate = rdU32(content, o + 12).toInt
+          bits = rdU16(content, o + 22)
+        case "data" => dataOff = o + 8; dataLen = len
+        case _ => ()
+      }
+      o += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(bits == 16, s"expected 16-bit PCM, got $bits-bit")
+    require(dataOff >= 0, "no data chunk")
+    val n = math.min(dataLen, content.length - dataOff) / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (((content(dataOff + 2 * i + 1) & 0xff) << 8) | (content(dataOff + 2 * i) & 0xff)).toShort
+      i += 1
+    }
+    (new AudioFormat(sampleRate.toFloat, 16, channels, true, false), out)
+  }
+
+  /** Reference JDK paths (SPI discovery per call — parity-spec only;
+    * too contended for a 32-thread hot loop). */
+  def encodeWavJdk(samples: Array[Short], sampleRate: Int): Array[Byte] = {
     val bytes = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
@@ -212,10 +297,7 @@ object AudioCodec {
     bos.toByteArray
   }
 
-  /** Decode a WAV container to (format, 16-bit samples). Requires
-    * 16-bit PCM (signed, mono or interleaved — samples returned in
-    * frame order). */
-  def decodeWav(content: Array[Byte]): (AudioFormat, Array[Short]) = {
+  def decodeWavJdk(content: Array[Byte]): (AudioFormat, Array[Short]) = {
     val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")

@@ -8,24 +8,21 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    import graft.queries.VectorOps
+    val dir = args.lift(0).getOrElse("/tmp/graft_scaled_x30")
+    import graft.queries.MarcOps
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"SCRATCH $label: ${(System.nanoTime()-t0)/1e9}%.3f s"); r
+      println(f"SCRATCH $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val all = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    time("all.count")(println(all.count()))
-    val (members, reps) = VectorOps.repCollapse(all)
-    time("reps.count")(println(reps.count()))
-    time("members.count")(println(members.count()))
-    val bands = VectorOps.bandExplode(reps, 0.30)
-    time("bands.count")(println(bands.count()))
-    time("bandCandidates(reps)")(println(VectorOps.bandCandidates(reps, 0.30).count()))
-    time("q44 full")(println(VectorOps.q44EmbedNearDup(spark, dir).count()))
-    time("q104 full")(println(VectorOps.q104SemDedup(spark, dir).count()))
+    val raw = time("buildMarcBibs no-persist count") {
+      MarcOps.buildMarcBibs(spark, dir).count()
+    }
+    println(s"rows=$raw")
+    val bibs = MarcOps.marcBibs(spark, dir) // persists
+    time("persist materialize count")(println(bibs.count()))
+    time("q24 getters over cached")(println(MarcOps.q24MarcBuild(spark, dir).count()))
+    time("q24 again")(println(MarcOps.q24MarcBuild(spark, dir).count()))
     spark.stop()
   }
 }

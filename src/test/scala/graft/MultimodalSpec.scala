@@ -115,6 +115,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(qs.toSeq == (0 to 3).map(expect))
   }
 
+  test("AudioCodec: direct RIFF walk is parity with javax.sound both ways") {
+    import graft.multimodal.AudioCodec
+    for (n <- Seq(1, 2, 800, 1057)) {
+      val samples = Array.tabulate(n)(i => (((i * 13 + 17) % 2003) - 1001).toShort)
+      // our container must be byte-identical to the JDK writer's
+      val ours = AudioCodec.encodeWav(samples, 8000)
+      val jdk = AudioCodec.encodeWavJdk(samples, 8000)
+      assert(ours.toSeq == jdk.toSeq, s"container bytes diverge at n=$n")
+      // the JDK reader must accept our container, and our reader theirs
+      val (fmtJ, backJ) = AudioCodec.decodeWavJdk(ours)
+      assert(fmtJ.getSampleRate.toInt == 8000 && backJ.toSeq == samples.toSeq)
+      val (fmtO, backO) = AudioCodec.decodeWav(jdk)
+      assert(fmtO.getSampleRate.toInt == 8000 && fmtO.getChannels == 1
+        && backO.toSeq == samples.toSeq)
+    }
+  }
+
   test("JdkWavPcm decoder drives the generic featurize path") {
     val spark = SparkTestSession.spark
     import spark.implicits._
