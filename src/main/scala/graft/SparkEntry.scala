@@ -18,7 +18,8 @@ object SparkEntry {
       (q.VectorOps.queries, q.VectorOps.oracle),
       (q.MarcOps.queries, q.MarcOps.oracle),
       (q.PipelineOps.queries, q.PipelineOps.oracle),
-      (q.StoreOps.queries, q.StoreOps.oracle))
+      (q.StoreOps.queries, q.StoreOps.oracle),
+      (q.AnalyticsOps.queries, q.AnalyticsOps.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

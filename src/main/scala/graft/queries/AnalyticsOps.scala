@@ -1,0 +1,356 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Round-4 analytics additions: iterative graph centrality, warehouse
+  * dimension maintenance, a quantile sketch, time-series anomaly
+  * flagging, and a banded interval join — operator families a
+  * large-scale pipeline needs that none of the earlier gates cover.
+  *
+  * Numeric discipline matches the rest of the catalog: every derived
+  * quantity the driver hashes is integer (fixed-point `floor(x·100)` /
+  * `floor(x·10⁴)` quantization, integer division, integer
+  * cross-multiplication), so DuckDB replays each operator exactly.
+  */
+object AnalyticsOps {
+
+  // ---------------------------------------------------------------
+  // q129 — PageRank (iterative graph centrality)
+  // ---------------------------------------------------------------
+
+  /** PageRank over the part↔supplier supply graph (Page et al. 1999).
+    * Nodes: parts (2·l_partkey) and suppliers (2·l_suppkey+1); edges:
+    * both directions of the DISTINCT (part, supplier) supply relation,
+    * so every node has out-degree ≥ 1 (no dangling-mass term). Fixed
+    * integer arithmetic — rank starts at 10⁶, each step is
+    * r'(v) = 150000 + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100 —
+    * so the fixed iteration count replays exactly in any engine.
+    *
+    * 100 TB shape: the edge list is the corpus-sized side and is
+    * partitioned ONCE by src (reused across all iterations); the rank
+    * frame is node-bounded and localCheckpoint'd each step, so plan
+    * depth and lineage stay CONSTANT in the iteration count (the same
+    * discipline as the BPE merge loop and CC propagation). Each step
+    * is one src-keyed join + one dst-keyed agg — no corpus-wide
+    * broadcast, no driver-side collect of anything graph-sized. */
+  def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesD = edges.join(deg, "src")
+      .repartition(col("src"))
+      .persist()
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    var r = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contribs = edgesD.join(r, edgesD("src") === r("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      r = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          expr("150000 + (85 * coalesce(s, 0)) div 100").as("r"))
+        .localCheckpoint(true)
+    }
+    edgesD.unpersist()
+    nodes.unpersist()
+    r
+  }
+
+  def q129PageRank(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(
+      (col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val edges = li.select(col("sp").as("src"), col("p").as("dst"))
+      .unionByName(li.select(col("p").as("src"), col("sp").as("dst")))
+    pageRank(edges)
+      .select(col("node"),
+        when(col("node") % 2 === 1, "supplier").otherwise("part").as("node_type"),
+        col("r").as("rank_q"))
+      .orderBy("node")
+  }
+
+  // ---------------------------------------------------------------
+  // q130 — SCD2 dimension merge (warehouse maintenance)
+  // ---------------------------------------------------------------
+
+  /** Slowly-changing-dimension (type 2) merge: apply a change batch to
+    * a versioned dimension, closing the current row of every changed
+    * key (valid_to = batch time) and opening a new version, keeping
+    * unchanged keys open, and inserting new keys. This is the
+    * incremental-maintenance operator a 100 TB warehouse runs nightly;
+    * the reference's MarcStore history is the record-keyed analog, this
+    * is the relational interval form.
+    *
+    * The change batch is synthesized deterministically from the
+    * dimension itself (so the oracle replays it): every c_custkey
+    * divisible by 7 changes segment (suffix "_V2") and gains 100 on
+    * the balance; every key divisible by 13 also appears as a brand-new
+    * key (custkey + maxkey). Scale shape: ONE full-outer equi-join on
+    * the dimension key and a bounded per-key row fan-out (≤ 2) — no
+    * window over the dimension, no skew risk beyond the key itself. */
+  def scd2Merge(dim: DataFrame, batch: DataFrame,
+                t1: Long, t2: Long, openEnd: Long = 253402300800L): DataFrame = {
+    val d = dim.select(col("key"), col("segment").as("d_seg"), col("bal").as("d_bal"))
+    val b = batch.select(col("key").as("b_key"), col("segment").as("b_seg"),
+      col("bal").as("b_bal"))
+    val joined = d.join(b, col("key") === col("b_key"), "full_outer")
+    // three disjoint cases emit 1-2 rows each via an exploded struct array
+    val rows = joined.select(explode(
+      when(col("b_key").isNull, // unchanged: one open v1 row
+        array(struct(col("key"), lit(1L).as("version"), lit(t1).as("valid_from_s"),
+          lit(openEnd).as("valid_to_s"), col("d_seg").as("segment"), col("d_bal").as("bal"))))
+      .when(col("key").isNull, // insert: one open v1 row at t2
+        array(struct(col("b_key").as("key"), lit(1L).as("version"), lit(t2).as("valid_from_s"),
+          lit(openEnd).as("valid_to_s"), col("b_seg").as("segment"), col("b_bal").as("bal"))))
+      .otherwise( // changed: closed v1 + open v2
+        array(
+          struct(col("key"), lit(1L).as("version"), lit(t1).as("valid_from_s"),
+            lit(t2).as("valid_to_s"), col("d_seg").as("segment"), col("d_bal").as("bal")),
+          struct(col("key"), lit(2L).as("version"), lit(t2).as("valid_from_s"),
+            lit(openEnd).as("valid_to_s"), col("b_seg").as("segment"), col("b_bal").as("bal"))))
+    ).as("r")).select("r.*")
+    rows.orderBy("key", "version")
+  }
+
+  def q130Scd2(s: SparkSession, dir: String): DataFrame = {
+    val dim = customer(s, dir).select(col("c_custkey").as("key"),
+      col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
+    val maxKey = lit(200000000L) // disjoint insert-key range, scale-independent
+    val changes = dim.where(col("key") % 7 === 0)
+      .select(col("key"), concat(col("segment"), lit("_V2")).as("segment"),
+        (col("bal") + 100.0d).as("bal"))
+    val inserts = dim.where(col("key") % 13 === 0)
+      .select((col("key") + maxKey).as("key"), lit("NEWSEG").as("segment"),
+        lit(0.0d).as("bal"))
+    scd2Merge(dim, changes.unionByName(inserts), t1 = 1000000L, t2 = 2000000L)
+  }
+
+  // ---------------------------------------------------------------
+  // q131 — histogram quantile sketch
+  // ---------------------------------------------------------------
+
+  /** Mergeable fixed-bin histogram quantiles — the quantile member of
+    * the sketch suite (q120 HLL distinct, q124 CMS frequency, q111
+    * Misra-Gries heavy hitters): per-group p50/p95/p99 with error
+    * bounded by the bin width, computed from a ≤ ~1200-bucket
+    * histogram instead of a per-group sort. Values quantize to
+    * fixed-point (floor(v·100), bin = v_q div 500 — 5.00-unit bins);
+    * the cumulative pass windows over the BOUNDED histogram, never the
+    * corpus (q107's tercile discipline, generalized to arbitrary
+    * percentiles). At 100 TB the histogram is one map-side-combined
+    * groupBy; shards merge by adding bin counts — the sketch is
+    * trivially mergeable, which a sorted-percentile is not. */
+  def histogramQuantiles(values: DataFrame, binWidth: Long = 500L,
+                         percentiles: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = values.select(col("g"),
+      expr(s"vq div $binWidth").as("b"))
+    val hist = binned.groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val byG = Window.partitionBy("g")
+    val cum = hist
+      .withColumn("cum", sum("c").over(byG.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("c").over(byG))
+    val cuts = percentiles.map { p =>
+      cum.where(col("cum") * 100 >= col("total") * p)
+        .groupBy("g").agg((min("b") * binWidth).as(s"p${p}_vq"))
+    }
+    val totals = hist.groupBy("g").agg(sum("c").as("n_values"))
+    cuts.foldLeft(totals)((acc, c) => acc.join(c, "g")).orderBy("g")
+  }
+
+  def q131HistQuantiles(s: SparkSession, dir: String): DataFrame =
+    histogramQuantiles(events(s, dir).select(col("event_type").as("g"),
+      floor(col("value") * 100).as("vq")))
+      .withColumnRenamed("g", "event_type")
+
+  // ---------------------------------------------------------------
+  // q132 — rolling z-score anomaly detection
+  // ---------------------------------------------------------------
+
+  /** Rolling anomaly flagging: an event is anomalous when its value
+    * deviates from the mean of the user's previous `k` events by more
+    * than 3 rolling standard deviations. The z-test is evaluated by
+    * integer cross-multiplication — (n·v − S)² > 9·(n·Q − S²) with
+    * S = Σv, Q = Σv² over the trailing window — so no square root or
+    * float division ever happens and the oracle replay is exact.
+    * Shape: ONE shuffle on user_id and a bounded trailing-rows window
+    * (the q89/q127 funnel discipline); no self-join, no range join. */
+  def rollingAnomalies(ev: DataFrame, k: Int = 20, minPrev: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      .rowsBetween(-k, -1)
+    ev
+      .withColumn("n", count("vq").over(w))
+      .withColumn("s", sum("vq").over(w))
+      .withColumn("q", sum(col("vq") * col("vq")).over(w))
+      .where(col("n") >= minPrev &&
+        (col("n") * col("vq") - col("s")) * (col("n") * col("vq") - col("s"))
+          > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_id"), col("user_id"), col("ts_s"), col("vq"),
+        col("n").as("n_prev"), expr("s div n").as("mean_vq"))
+      .orderBy("event_id")
+  }
+
+  def q132Anomalies(s: SparkSession, dir: String): DataFrame =
+    rollingAnomalies(events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("ts_s"), floor(col("value") * 100).as("vq")))
+
+  // ---------------------------------------------------------------
+  // q133 — banded interval join (session concurrency)
+  // ---------------------------------------------------------------
+
+  /** Interval-overlap join, the range-join shape Spark has no native
+    * operator for. Sessions (gap-based, the q20 semantics) are the
+    * interval side; the probe side is the full event stream; the
+    * answer is how many events (any user) fall inside each session's
+    * [start, end] span — a concurrency/load metric.
+    *
+    * The scale-correct plan is BANDED: each interval explodes into the
+    * epoch-hour buckets it covers (bounded by session length — gap
+    * sessions are ≤ gap·events long), events carry their single
+    * bucket, and the join is a plain bucket EQUI-join + exact
+    * containment filter. A naive ts-range join is O(intervals ×
+    * events) per overlapping band; this is O(events + interval-hours)
+    * shuffled on the bucket key, with AQE handling hot-hour skew.
+    * Each event lands in exactly one bucket, so containment needs no
+    * post-join dedup. */
+  def sessionConcurrency(ev: DataFrame, gapSeconds: Long = 1800L,
+                         bucketSeconds: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val sessions = ev
+      .withColumn("prev_ts", lag("ts_s", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_s") - col("prev_ts") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_no")
+      .agg(min("ts_s").as("start_s"), max("ts_s").as("end_s"),
+        count(lit(1)).as("n_events"))
+    val sessBuckets = sessions.select(col("user_id"), col("sess_no"),
+      col("start_s"), col("end_s"), col("n_events"),
+      explode(sequence(expr(s"start_s div $bucketSeconds"),
+        expr(s"end_s div $bucketSeconds"))).as("bkt"))
+    val evBuckets = ev.select(expr(s"ts_s div $bucketSeconds").as("bkt"),
+      col("ts_s").as("e_ts"))
+    sessBuckets.join(evBuckets, "bkt")
+      .where(col("e_ts") >= col("start_s") && col("e_ts") <= col("end_s"))
+      .groupBy("user_id", "sess_no", "start_s", "end_s", "n_events")
+      .agg(count(lit(1)).as("n_concurrent"))
+      .orderBy("user_id", "sess_no")
+  }
+
+  def q133IntervalJoin(s: SparkSession, dir: String): DataFrame =
+    sessionConcurrency(events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("ts_s")))
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_pagerank" -> (q129PageRank _),
+    "q130_scd2_merge" -> (q130Scd2 _),
+    "q131_hist_quantiles" -> (q131HistQuantiles _),
+    "q132_rolling_anomaly" -> (q132Anomalies _),
+    "q133_interval_join" -> (q133IntervalJoin _))
+
+  val oracle: Map[String, String] = Map(
+    // replays the integer recurrence for exactly 5 iterations
+    "q129_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp FROM lineitem),
+        |edges AS (SELECT sp AS src, p AS dst FROM li UNION ALL SELECT p AS src, sp AS dst FROM li),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |it1 AS (SELECT n.node, 150000 + (85 * COALESCE(SUM(r.r // d.outdeg), 0)) // 100 AS r
+        |        FROM nodes n LEFT JOIN (edges e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src)
+        |        ON e.dst = n.node GROUP BY n.node),
+        |it2 AS (SELECT n.node, 150000 + (85 * COALESCE(SUM(r.r // d.outdeg), 0)) // 100 AS r
+        |        FROM nodes n LEFT JOIN (edges e JOIN it1 r ON e.src = r.node JOIN deg d ON d.src = e.src)
+        |        ON e.dst = n.node GROUP BY n.node),
+        |it3 AS (SELECT n.node, 150000 + (85 * COALESCE(SUM(r.r // d.outdeg), 0)) // 100 AS r
+        |        FROM nodes n LEFT JOIN (edges e JOIN it2 r ON e.src = r.node JOIN deg d ON d.src = e.src)
+        |        ON e.dst = n.node GROUP BY n.node),
+        |it4 AS (SELECT n.node, 150000 + (85 * COALESCE(SUM(r.r // d.outdeg), 0)) // 100 AS r
+        |        FROM nodes n LEFT JOIN (edges e JOIN it3 r ON e.src = r.node JOIN deg d ON d.src = e.src)
+        |        ON e.dst = n.node GROUP BY n.node),
+        |it5 AS (SELECT n.node, 150000 + (85 * COALESCE(SUM(r.r // d.outdeg), 0)) // 100 AS r
+        |        FROM nodes n LEFT JOIN (edges e JOIN it4 r ON e.src = r.node JOIN deg d ON d.src = e.src)
+        |        ON e.dst = n.node GROUP BY n.node)
+        |SELECT node, CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'part' END AS node_type,
+        |       CAST(r AS BIGINT) AS rank_q
+        |FROM it5 ORDER BY node""".stripMargin,
+    // dimension rows vs the deterministically-synthesized change batch
+    "q130_scd2_merge" ->
+      """WITH dim AS (SELECT c_custkey AS key, c_mktsegment AS segment, c_acctbal AS bal FROM customer),
+        |batch AS (
+        |  SELECT key, segment || '_V2' AS segment, bal + 100.0 AS bal FROM dim WHERE key % 7 = 0
+        |  UNION ALL
+        |  SELECT key + 200000000, 'NEWSEG', 0.0 FROM dim WHERE key % 13 = 0)
+        |SELECT d.key, CAST(1 AS BIGINT) AS version, CAST(1000000 AS BIGINT) AS valid_from_s,
+        |       CAST(CASE WHEN b.key IS NULL THEN 253402300800 ELSE 2000000 END AS BIGINT) AS valid_to_s,
+        |       d.segment, d.bal
+        |FROM dim d LEFT JOIN batch b ON d.key = b.key
+        |UNION ALL
+        |SELECT b.key, CAST(CASE WHEN d.key IS NULL THEN 1 ELSE 2 END AS BIGINT) AS version,
+        |       CAST(2000000 AS BIGINT) AS valid_from_s,
+        |       CAST(253402300800 AS BIGINT) AS valid_to_s, b.segment, b.bal
+        |FROM batch b LEFT JOIN dim d ON d.key = b.key
+        |ORDER BY key, version""".stripMargin,
+    // bounded-histogram percentiles, integer cross-multiplied cutoffs
+    "q131_hist_quantiles" ->
+      """WITH v AS (SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) // 500 AS b FROM events),
+        |hist AS (SELECT g, b, COUNT(*) AS c FROM v GROUP BY 1, 2),
+        |cum AS (SELECT g, b, c,
+        |          SUM(c) OVER (PARTITION BY g ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          SUM(c) OVER (PARTITION BY g) AS total
+        |        FROM hist)
+        |SELECT h.g AS event_type, CAST(h.n AS BIGINT) AS n_values,
+        |       p50.v AS p50_vq, p95.v AS p95_vq, p99.v AS p99_vq
+        |FROM (SELECT g, SUM(c) AS n FROM hist GROUP BY 1) h
+        |JOIN (SELECT g, MIN(b) * 500 AS v FROM cum WHERE cum * 100 >= total * 50 GROUP BY 1) p50 USING (g)
+        |JOIN (SELECT g, MIN(b) * 500 AS v FROM cum WHERE cum * 100 >= total * 95 GROUP BY 1) p95 USING (g)
+        |JOIN (SELECT g, MIN(b) * 500 AS v FROM cum WHERE cum * 100 >= total * 99 GROUP BY 1) p99 USING (g)
+        |ORDER BY event_type""".stripMargin,
+    // trailing-window z-test replay, integer cross-multiplied
+    "q132_rolling_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+        |         CAST(floor(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    COUNT(vq) OVER win AS n, SUM(vq) OVER win AS s, SUM(vq * vq) OVER win AS q
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_s, vq, CAST(n AS BIGINT) AS n_prev,
+        |       CAST(s // n AS BIGINT) AS mean_vq
+        |FROM w
+        |WHERE n >= 5 AND (n * vq - s) * (n * vq - s) > 9 * (n * q - s * s)
+        |ORDER BY event_id""".stripMargin,
+    // gap sessions + plain range join (the banded plan's semantics)
+    "q133_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |lagged AS (
+        |  SELECT *, lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_ts
+        |  FROM e),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |numbered AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT user_id, sess_no, MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
+        |         COUNT(*) AS n_events
+        |  FROM numbered GROUP BY 1, 2)
+        |SELECT s.user_id, CAST(s.sess_no AS BIGINT) AS sess_no, s.start_s, s.end_s,
+        |       CAST(s.n_events AS BIGINT) AS n_events, COUNT(*) AS n_concurrent
+        |FROM sessions s JOIN e ON e.ts_s BETWEEN s.start_s AND s.end_s
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY 1, 2""".stripMargin)
+}

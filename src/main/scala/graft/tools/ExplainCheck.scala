@@ -462,6 +462,58 @@ object ExplainCheck {
       "q128: unexpected cross product")
     println("q128 cohort retention keyed aggs OK")
 
+    // PageRank: the iterated rank frame must be checkpoint-fed (scan
+    // of materialized RDD), not a 5-deep join lineage — constant plan
+    // depth in the iteration count — and edges/contribs join keyed,
+    // never cartesian
+    val q129 = graft.queries.AnalyticsOps.q129PageRank(spark, sfDir)
+    val p129 = planOf(q129)
+    assert(p129.contains("Scan ExistingRDD"),
+      "q129: final rank frame not checkpoint-backed (lineage grows with iterations)")
+    assert(!p129.contains("CartesianProduct") && !p129.contains("BroadcastNestedLoop"),
+      "q129: unexpected cross product")
+    println("q129 checkpoint-bounded pagerank OK")
+
+    // SCD2: one key-equi full-outer join and a bounded explode — no
+    // window over the dimension, no cross product
+    val q130 = graft.queries.AnalyticsOps.q130Scd2(spark, sfDir)
+    val p130 = planOf(q130)
+    assert(p130.contains("FullOuter") || p130.contains("SortMergeJoin"),
+      "q130: expected the single full-outer key join")
+    assert(!p130.contains("Window"), "q130: dimension flows through a window")
+    assert(!p130.contains("CartesianProduct") && !p130.contains("BroadcastNestedLoop"),
+      "q130: unexpected cross product")
+    println("q130 single-join SCD2 merge OK")
+
+    // histogram quantiles: windows run over the bounded (g, bin)
+    // histogram AFTER the aggregate, never the raw corpus — assert the
+    // window's child chain contains the hash aggregate
+    val q131 = graft.queries.AnalyticsOps.q131HistQuantiles(spark, sfDir)
+    val p131 = planOf(q131)
+    assert("windowspecdefinition\\(g".r.findFirstIn(p131).isDefined,
+      "q131: cumulative window not partitioned by group")
+    assert(p131.contains("HashAggregate"), "q131: histogram not a hash aggregate")
+    println("q131 bounded-histogram quantiles OK")
+
+    // rolling anomaly: one user_id window pass, join-free
+    val q132 = graft.queries.AnalyticsOps.q132Anomalies(spark, sfDir)
+    val p132 = planOf(q132)
+    assert(!p132.contains("Join"), "q132: anomaly scan must be join-free")
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(p132).isDefined,
+      "q132: trailing window not user-partitioned")
+    println("q132 join-free rolling anomaly OK")
+
+    // interval join: bucket EQUI-join (hash join on bkt), never a
+    // range-predicate nested loop
+    val q133 = graft.queries.AnalyticsOps.q133IntervalJoin(spark, sfDir)
+    val p133 = planOf(q133)
+    assert(!p133.contains("CartesianProduct") && !p133.contains("BroadcastNestedLoop"),
+      "q133: interval join fell back to a cross/range product")
+    assert("hashpartitioning\\(bkt".r.findFirstIn(p133).isDefined ||
+      p133.contains("BroadcastHashJoin"),
+      "q133: bucket join not an equi-join on bkt")
+    println("q133 banded interval join OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

@@ -1,0 +1,107 @@
+package graft
+
+import graft.queries.AnalyticsOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit semantics for the q129-q133 analytics family: PageRank's
+  * integer recurrence, SCD2 row emission, histogram quantile cutoffs,
+  * the cross-multiplied z-test, and interval-join containment. */
+class AnalyticsOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("pageRank: integer recurrence on a 3-node cycle reaches the fixed point") {
+    import spark.implicits._
+    // a → b → c → a: every node keeps outdeg 1, so ranks converge to
+    // 150000 + 85% of the previous rank.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = AnalyticsOps.pageRank(edges, iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // replay the scalar recurrence
+    var expect = 1000000L
+    for (_ <- 1 to 5) expect = 150000L + (85L * expect) / 100L
+    assert(r.values.toSet == Set(expect))
+  }
+
+  test("pageRank: a sink-free star splits rank by out-degree with integer div") {
+    import spark.implicits._
+    // hub 0 points at 1 and 2; both point back. outdeg(0)=2.
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
+    val after1 = AnalyticsOps.pageRank(edges, iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // hub receives both leaves' full rank; leaves receive half the hub's
+    assert(after1(0L) == 150000L + (85L * 2000000L) / 100L)
+    assert(after1(1L) == 150000L + (85L * (1000000L / 2)) / 100L)
+    assert(after1(1L) == after1(2L))
+  }
+
+  test("scd2Merge emits close+open for changed, open for unchanged and inserted") {
+    import spark.implicits._
+    val dim = Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("key", "segment", "bal")
+    val batch = Seq((2L, "B2", 120.0), (9L, "N", 0.0)).toDF("key", "segment", "bal")
+    val out = AnalyticsOps.scd2Merge(dim, batch, t1 = 100L, t2 = 200L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toList
+    assert(out == List(
+      (1L, 1L, 100L, 253402300800L, "A"),   // unchanged stays open
+      (2L, 1L, 100L, 200L, "B"),            // changed v1 closed at t2
+      (2L, 2L, 200L, 253402300800L, "B2"),  // changed v2 open
+      (9L, 1L, 200L, 253402300800L, "N"))) // insert opens at t2
+  }
+
+  test("histogramQuantiles picks the first bin whose cumulative covers the pct") {
+    import spark.implicits._
+    // 100 values 0..99 in one group, bin width 500 over vq=v*100:
+    // bins 0..19, five values each. p50 → bin 9 (cum 50), p95 → bin 18,
+    // p99 → bin 19.
+    val vals = (0 until 100).map(v => ("g1", v * 100L)).toDF("g", "vq")
+    val out = AnalyticsOps.histogramQuantiles(vals).collect().head
+    assert(out.getAs[Long]("n_values") == 100L)
+    assert(out.getAs[Long]("p50_vq") == 9L * 500)
+    assert(out.getAs[Long]("p95_vq") == 18L * 500)
+    assert(out.getAs[Long]("p99_vq") == 19L * 500)
+  }
+
+  test("rollingAnomalies flags only >3-sigma spikes with enough history") {
+    import spark.implicits._
+    // user 1: nine steady values then a spike; user 2: too little history
+    val rows = (1L to 9L).map(i => (i, 1L, i * 10L, 100L)) ++
+      Seq((10L, 1L, 100L, 100000L)) ++
+      Seq((11L, 2L, 10L, 0L), (12L, 2L, 20L, 99999L))
+    val ev = rows.toDF("event_id", "user_id", "ts_s", "vq")
+    val out = AnalyticsOps.rollingAnomalies(ev).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L))
+    val spike = out.head
+    assert(spike.getAs[Long]("n_prev") == 9L && spike.getAs[Long]("mean_vq") == 100L)
+  }
+
+  test("rollingAnomalies: zero variance never divides by zero and flags any deviation") {
+    import spark.implicits._
+    val rows = (1L to 6L).map(i => (i, 1L, i * 10L, 500L)) :+ (7L, 1L, 70L, 501L)
+    val out = AnalyticsOps.rollingAnomalies(rows.toDF("event_id", "user_id", "ts_s", "vq"))
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(7L)) // (nv-s)^2 > 0 = rhs
+  }
+
+  test("sessionConcurrency counts cross-user overlap with exact containment") {
+    import spark.implicits._
+    // user 1: one session [100, 200]; user 2 has events at 150 (inside)
+    // and 5000 (outside). Bucket boundary crossing: session [3500, 3700]
+    // spans two hour buckets but counts its own two events once each.
+    val ev = Seq(
+      (1L, 1L, 100L), (2L, 1L, 200L),
+      (3L, 2L, 150L), (4L, 2L, 5000L),
+      (5L, 3L, 3500L), (6L, 3L, 3700L)).toDF("event_id", "user_id", "ts_s")
+    val out = AnalyticsOps.sessionConcurrency(ev)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_concurrent"))).toList
+    // user 1 session contains events 1,2,3 → 3; user 2 first session
+    // [150,150] contains 3 (its own) → 1... plus event from user 1? none at 150.
+    assert(out.contains((1L, 2L, 3L)))
+    // user 3 session [3500,3700] crosses the 3600 bucket edge; its two
+    // events are counted exactly once each (no double-count from the
+    // two-bucket explode)
+    assert(out.contains((3L, 2L, 2L)))
+  }
+}
