@@ -247,13 +247,70 @@ object AnalyticsOps {
       col("ts").cast("long").as("ts_s")))
 
   // ---------------------------------------------------------------
+  // q134-q136 — OLAP shapes: grouping sets, pivot, JSON extraction
+  // ---------------------------------------------------------------
+
+  /** ROLLUP grouping sets — the OLAP subtotal shape (`(a,b)`, `(a)`,
+    * `()`), one pass over the fact table with Spark's native rollup
+    * (expand + single hash aggregate, no per-level re-scan). Subtotal
+    * rows are labeled "ALL" via `grouping()` instead of NULL so the
+    * output never depends on cross-engine NULL sort order. */
+  def q134Rollup(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).as("g_s"),
+        grouping(col("o_orderpriority")).as("g_p"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(20,2)")).cast("double").as("total_price"))
+      .select(
+        when(col("g_s") === 1, "ALL").otherwise(col("o_orderstatus")).as("status_g"),
+        when(col("g_p") === 1, "ALL").otherwise(col("o_orderpriority")).as("priority_g"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status_g", "priority_g")
+  }
+
+  /** PIVOT — long-to-wide reshaping with an EXPLICIT pivot-value list
+    * (the scale-correct form: without it Spark collects the distinct
+    * pivot keys to the driver first). One hash aggregate; missing
+    * cells are zero-filled. */
+  def q135Pivot(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Semi-structured JSON extraction — pull a typed field out of the
+    * events `props` JSON column and aggregate on it. `get_json_object`
+    * is a codegen'd expression evaluated in the scan's project, so the
+    * parse never leaves whole-stage codegen; the aggregate is one
+    * map-side-combined groupBy. Integer mean via `s div n`. */
+  def q136JsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .select(col("event_type"), col("n"), col("sum_k"), col("min_k"), col("max_k"),
+        expr("sum_k div n").as("mean_k"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_pagerank" -> (q129PageRank _),
     "q130_scd2_merge" -> (q130Scd2 _),
     "q131_hist_quantiles" -> (q131HistQuantiles _),
     "q132_rolling_anomaly" -> (q132Anomalies _),
-    "q133_interval_join" -> (q133IntervalJoin _))
+    "q133_interval_join" -> (q133IntervalJoin _),
+    "q134_rollup" -> (q134Rollup _),
+    "q135_pivot" -> (q135Pivot _),
+    "q136_json_extract" -> (q136JsonExtract _))
 
   val oracle: Map[String, String] = Map(
     // replays the integer recurrence for exactly 5 iterations
@@ -352,5 +409,30 @@ object AnalyticsOps {
         |       CAST(s.n_events AS BIGINT) AS n_events, COUNT(*) AS n_concurrent
         |FROM sessions s JOIN e ON e.ts_s BETWEEN s.start_s AND s.end_s
         |GROUP BY 1, 2, 3, 4, 5
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    // subtotal labels via GROUPING(), never NULL sort order
+    "q134_rollup" ->
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status_g,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority_g,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status_g, priority_g""".stripMargin,
+    // conditional-aggregation replay of the explicit-value pivot
+    "q135_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // typed JSON field extraction + integer aggregate
+    "q136_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) // COUNT(*) AS mean_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -514,6 +514,35 @@ object ExplainCheck {
       "q133: bucket join not an equi-join on bkt")
     println("q133 banded interval join OK")
 
+    // rollup: one Expand + single hash aggregate — never a per-level
+    // re-scan or union of aggregates
+    val q134 = graft.queries.AnalyticsOps.q134Rollup(spark, sfDir)
+    val p134 = planOf(q134)
+    assert(p134.contains("Expand"), "q134: rollup not the Expand shape")
+    // a per-level re-scan would surface as a Union of aggregates
+    assert(!p134.contains("Union"),
+      "q134: rollup re-scans the fact table per grouping level")
+    println("q134 single-pass rollup OK")
+
+    // pivot with explicit values: single aggregate, no second
+    // distinct-keys job materialized in the plan
+    val q135 = graft.queries.AnalyticsOps.q135Pivot(spark, sfDir)
+    val p135 = planOf(q135)
+    assert(p135.contains("HashAggregate"), "q135: pivot not a hash aggregate")
+    assert(!p135.contains("CartesianProduct"), "q135: unexpected cross product")
+    println("q135 explicit-value pivot OK")
+
+    // JSON extraction: the parse stays in the scan-side project inside
+    // codegen; the agg is one map-side-combined groupBy (two
+    // HashAggregates around one exchange)
+    val q136 = graft.queries.AnalyticsOps.q136JsonExtract(spark, sfDir)
+    val p136 = planOf(q136)
+    assert(p136.contains("get_json_object"), "q136: json parse missing from the plan")
+    assert(p136.contains("WholeStageCodegen") || p136.contains("*("),
+      "q136: json path not in codegen")
+    assert(!p136.contains("Join"), "q136: unexpected join")
+    println("q136 codegen json extraction OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

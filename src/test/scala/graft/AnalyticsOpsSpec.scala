@@ -84,6 +84,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(7L)) // (nv-s)^2 > 0 = rhs
   }
 
+  test("q134 rollup emits leaf, per-status and grand-total rows with ALL labels") {
+    val out = AnalyticsOps.q134Rollup(spark, "/root/testdata/sf0.001").collect()
+    val grand = out.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    val statusTotals = out.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    assert(statusTotals.map(_.getAs[Long]("n_orders")).sum ==
+      grand.head.getAs[Long]("n_orders"))
+    // leaf rows sum to their status subtotal
+    for (st <- statusTotals.map(_.getString(0))) {
+      val leaves = out.filter(r => r.getString(0) == st && r.getString(1) != "ALL")
+      assert(leaves.map(_.getAs[Long]("n_orders")).sum ==
+        statusTotals.find(_.getString(0) == st).get.getAs[Long]("n_orders"))
+    }
+  }
+
+  test("q135 pivot cells partition the per-priority counts") {
+    val piv = AnalyticsOps.q135Pivot(spark, "/root/testdata/sf0.001").collect()
+    val roll = AnalyticsOps.q134Rollup(spark, "/root/testdata/sf0.001").collect()
+    for (r <- piv) {
+      val total = r.getAs[Long]("n_f") + r.getAs[Long]("n_o") + r.getAs[Long]("n_p")
+      val expect = roll.filter(x => x.getString(0) != "ALL" &&
+        x.getString(1) == r.getString(0)).map(_.getAs[Long]("n_orders")).sum
+      assert(total == expect, s"pivot row ${r.getString(0)} != rollup leaves")
+    }
+  }
+
   test("sessionConcurrency counts cross-user overlap with exact containment") {
     import spark.implicits._
     // user 1: one session [100, 200]; user 2 has events at 150 (inside)
