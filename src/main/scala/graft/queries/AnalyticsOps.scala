@@ -301,6 +301,118 @@ object AnalyticsOps {
       .orderBy("event_type")
 
   // ---------------------------------------------------------------
+  // q137-q140 — reshaping, cube, gap-fill, entity resolution
+  // ---------------------------------------------------------------
+
+  /** UNPIVOT (wide→long reshaping) — the inverse of q135's pivot.
+    * Spark's native `unpivot` is a single Expand over the scan (each
+    * input row emits one output row per value column, no join, no
+    * shuffle), so it streams at scan speed at any scale. Both metrics
+    * quantize to fixed-point BIGINT so the long-format value column is
+    * one exact type. */
+  def q137Unpivot(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_partkey"),
+        (col("p_size").cast("long") * 100).as("size_q"),
+        floor(col("p_retailprice") * 100).as("price_q"))
+      .unpivot(Array(col("p_partkey")), Array(col("size_q"), col("price_q")),
+        "metric", "value_q")
+      .orderBy("p_partkey", "metric")
+
+  /** CUBE grouping sets — all four of {(),(seg),(band),(seg,band)} in
+    * ONE pass (Expand + single hash aggregate), vs four re-scans if
+    * each subtotal level were its own groupBy. Subtotals labeled via
+    * `grouping()` ("ALL" / -1) so output never leans on cross-engine
+    * NULL ordering; money sums go through DECIMAL (exact, order-free)
+    * per the catalog's numeric discipline. */
+  def q138Cube(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .select(col("c_mktsegment"), expr("c_nationkey div 5").as("nband"),
+        col("c_acctbal"))
+      .cube(col("c_mktsegment"), col("nband"))
+      .agg(grouping(col("c_mktsegment")).as("g_s"), grouping(col("nband")).as("g_n"),
+        count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(20,2)")).cast("double").as("total_bal"))
+      .select(
+        when(col("g_s") === 1, "ALL").otherwise(col("c_mktsegment")).as("seg_g"),
+        when(col("g_n") === 1, lit(-1L)).otherwise(col("nband")).as("nband_g"),
+        col("n_cust"), col("total_bal"))
+      .orderBy("seg_g", "nband_g")
+
+  /** Time-series gap-fill + forward-fill: densify the per-status daily
+    * order series onto a complete day spine (missing days → 0 orders)
+    * and carry the last observed daily revenue forward — the resample/
+    * ffill operator every time-series warehouse needs.
+    *
+    * Scale shape: the corpus-sized pass is ONE map-side-combined
+    * groupBy to the daily aggregate; everything after (spine explode,
+    * left join, carry-forward window) runs on the CALENDAR-bounded
+    * series (days × statuses, thousands of rows at any corpus size),
+    * so the window never partitions the raw data. Daily revenue is an
+    * exact DECIMAL sum quantized to cents. */
+  def gapFillDaily(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = daily.groupBy("status").agg(min("day_n").as("mn"), max("day_n").as("mx"))
+    val spine = bounds.select(col("status"),
+      explode(sequence(col("mn"), col("mx"))).as("day_n"))
+    spine.join(daily, Seq("status", "day_n"), "left")
+      .select(col("status"), col("day_n"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        last("price_q", ignoreNulls = true)
+          .over(Window.partitionBy("status").orderBy("day_n")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("carried_price_q"))
+      .orderBy("status", "day_n")
+  }
+
+  def q139GapFill(s: SparkSession, dir: String): DataFrame =
+    gapFillDaily(orders(s, dir)
+      .select(col("o_orderstatus").as("status"),
+        // o_orderdate is TIMESTAMP_NTZ; relabel via TIMESTAMP (UTC
+        // session → identity) before the epoch-seconds cast
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400").as("day_n"),
+        col("o_totalprice"))
+      .groupBy("status", "day_n")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast("decimal(20,2)")) * 100)
+          .cast("long").as("price_q")))
+
+  /** Blocked fuzzy entity resolution: match a "dirty" batch (names with
+    * transposed trailing characters — the classic typo) back to the
+    * clean dimension. The scale-correct shape is BLOCKING: an equi-join
+    * on a robust block key (all but the last 2 chars — invariant under
+    * the corruption) bounds candidates per record, then Levenshtein ≤ 2
+    * verifies and a per-batch-key window keeps the single best match
+    * (min distance, tie-break min key). Never an all-pairs cross join;
+    * AQE absorbs hot blocks. The dirty batch is synthesized
+    * deterministically from the dimension itself so the oracle replays
+    * the whole pipeline. */
+  def entityMatch(dim: DataFrame, dirty: DataFrame, maxDist: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = dirty.withColumn("blk",
+      expr("substring(dirty_name, 1, length(dirty_name)-2)"))
+    val m = dim.withColumn("blk", expr("substring(c_name, 1, length(c_name)-2)"))
+    val cand = d.join(m, "blk")
+      .withColumn("edit_dist", levenshtein(col("dirty_name"), col("c_name")).cast("long"))
+      .where(col("edit_dist") <= maxDist)
+    cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("batch_key").orderBy(col("edit_dist"), col("c_custkey"))))
+      .where(col("rn") === 1)
+      .select(col("batch_key"), col("c_custkey").as("matched_key"), col("edit_dist"))
+      .orderBy("batch_key")
+  }
+
+  def q140EntityMatch(s: SparkSession, dir: String): DataFrame = {
+    val dim = customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val dirty = dim.where(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("batch_key"),
+        concat(expr("substring(c_name, 1, length(c_name)-2)"),
+          reverse(expr("substring(c_name, length(c_name)-1, 2)"))).as("dirty_name"))
+    entityMatch(dim, dirty)
+  }
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_pagerank" -> (q129PageRank _),
@@ -310,7 +422,11 @@ object AnalyticsOps {
     "q133_interval_join" -> (q133IntervalJoin _),
     "q134_rollup" -> (q134Rollup _),
     "q135_pivot" -> (q135Pivot _),
-    "q136_json_extract" -> (q136JsonExtract _))
+    "q136_json_extract" -> (q136JsonExtract _),
+    "q137_unpivot" -> (q137Unpivot _),
+    "q138_cube" -> (q138Cube _),
+    "q139_gap_fill" -> (q139GapFill _),
+    "q140_entity_match" -> (q140EntityMatch _))
 
   val oracle: Map[String, String] = Map(
     // replays the integer recurrence for exactly 5 iterations
@@ -434,5 +550,57 @@ object AnalyticsOps {
         |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
         |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
         |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) // COUNT(*) AS mean_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // wide→long via UNION ALL (the Expand's semantics)
+    "q137_unpivot" ->
+      """SELECT p_partkey, 'size_q' AS metric, CAST(p_size AS BIGINT) * 100 AS value_q FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'price_q' AS metric, CAST(floor(p_retailprice * 100) AS BIGINT) AS value_q FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+    // four grouping sets in one CUBE, labels via GROUPING()
+    "q138_cube" ->
+      """SELECT
+        |  CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS seg_g,
+        |  CAST(CASE WHEN GROUPING(nband) = 1 THEN -1 ELSE nband END AS BIGINT) AS nband_g,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS total_bal
+        |FROM (SELECT c_mktsegment, c_nationkey // 5 AS nband, c_acctbal FROM customer)
+        |GROUP BY CUBE (c_mktsegment, nband)
+        |ORDER BY seg_g, nband_g""".stripMargin,
+    // calendar spine + carry-forward over the bounded daily series
+    "q139_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT o_orderstatus AS status,
+        |         epoch_ns(o_orderdate) // 1000000000 // 86400 AS day_n,
+        |         COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) * 100 AS BIGINT) AS price_q
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (SELECT status, MIN(day_n) AS mn, MAX(day_n) AS mx FROM daily GROUP BY 1),
+        |spine AS (SELECT status, unnest(generate_series(mn, mx)) AS day_n FROM bounds)
+        |SELECT s.status, s.day_n,
+        |  CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders,
+        |  LAST_VALUE(d.price_q IGNORE NULLS) OVER (PARTITION BY s.status ORDER BY s.day_n
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_price_q
+        |FROM spine s LEFT JOIN daily d USING (status, day_n)
+        |ORDER BY status, day_n""".stripMargin,
+    // block-key candidates, Levenshtein verify, best-match window
+    "q140_entity_match" ->
+      """WITH dim AS (SELECT c_custkey, c_name FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS batch_key,
+        |         substr(c_name, 1, length(c_name)-2) ||
+        |         reverse(substr(c_name, length(c_name)-1, 2)) AS dirty_name
+        |  FROM dim WHERE c_custkey % 3 = 0),
+        |cand AS (
+        |  SELECT d.batch_key, m.c_custkey, levenshtein(d.dirty_name, m.c_name) AS edit_dist
+        |  FROM dirty d JOIN dim m
+        |    ON substr(d.dirty_name, 1, length(d.dirty_name)-2) =
+        |       substr(m.c_name, 1, length(m.c_name)-2)
+        |  WHERE levenshtein(d.dirty_name, m.c_name) <= 2),
+        |best AS (
+        |  SELECT batch_key, c_custkey, edit_dist,
+        |         ROW_NUMBER() OVER (PARTITION BY batch_key ORDER BY edit_dist, c_custkey) AS rn
+        |  FROM cand)
+        |SELECT batch_key, c_custkey AS matched_key, CAST(edit_dist AS BIGINT) AS edit_dist
+        |FROM best WHERE rn = 1 ORDER BY batch_key""".stripMargin)
 }

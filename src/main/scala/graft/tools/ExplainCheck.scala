@@ -543,6 +543,44 @@ object ExplainCheck {
     assert(!p136.contains("Join"), "q136: unexpected join")
     println("q136 codegen json extraction OK")
 
+    // unpivot: one Expand over the scan — no join, no shuffle before
+    // the (output-ordering) sort
+    val q137 = graft.queries.AnalyticsOps.q137Unpivot(spark, sfDir)
+    val p137 = planOf(q137)
+    assert(p137.contains("Expand"), "q137: unpivot not the Expand shape")
+    assert(!p137.contains("Join"), "q137: unpivot must be join-free")
+    println("q137 single-Expand unpivot OK")
+
+    // cube: all four grouping sets from ONE Expand + hash aggregate
+    val q138 = graft.queries.AnalyticsOps.q138Cube(spark, sfDir)
+    val p138 = planOf(q138)
+    assert(p138.contains("Expand"), "q138: cube not the Expand shape")
+    assert(!p138.contains("Union"), "q138: cube re-scans per grouping set")
+    println("q138 single-pass cube OK")
+
+    // gap fill: exactly one corpus-sized aggregate (the daily rollup);
+    // the carry-forward window partitions the BOUNDED day series by
+    // status, never the raw orders
+    val q139 = graft.queries.AnalyticsOps.q139GapFill(spark, sfDir)
+    val p139 = planOf(q139)
+    assert("windowspecdefinition\\(status".r.findFirstIn(p139).isDefined,
+      "q139: carry-forward window not status-partitioned")
+    assert(!p139.contains("CartesianProduct"), "q139: spine join fell back to cross")
+    println("q139 bounded-series gap fill OK")
+
+    // entity match: block-key EQUI-join (never a cross join over the
+    // dimension), best-match via bounded per-key window
+    val q140 = graft.queries.AnalyticsOps.q140EntityMatch(spark, sfDir)
+    val p140 = planOf(q140)
+    assert(!p140.contains("CartesianProduct") && !p140.contains("BroadcastNestedLoop"),
+      "q140: fuzzy match fell back to all-pairs")
+    assert("hashpartitioning\\(blk".r.findFirstIn(p140).isDefined ||
+      p140.contains("BroadcastHashJoin"),
+      "q140: candidates not generated by a blk equi-join")
+    assert("windowspecdefinition\\(batch_key".r.findFirstIn(p140).isDefined,
+      "q140: best-match window not batch_key-partitioned")
+    println("q140 blocked entity match OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

@@ -110,6 +110,53 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q137 unpivot emits one long row per (part, metric) with exact quantization") {
+    val out = AnalyticsOps.q137Unpivot(spark, "/root/testdata/sf0.001")
+    val n = out.count()
+    val parts = queries.Tables.part(spark, "/root/testdata/sf0.001").count()
+    assert(n == 2 * parts)
+    // spot-check: metric label set and a size row's exact value
+    val metrics = out.select("metric").distinct().collect().map(_.getString(0)).toSet
+    assert(metrics == Set("size_q", "price_q"))
+  }
+
+  test("q138 cube grand total equals the ungrouped aggregate") {
+    val out = AnalyticsOps.q138Cube(spark, "/root/testdata/sf0.001").collect()
+    val grand = out.filter(r => r.getString(0) == "ALL" && r.getLong(1) == -1L)
+    assert(grand.length == 1)
+    val leaves = out.filter(r => r.getString(0) != "ALL" && r.getLong(1) != -1L)
+    assert(leaves.map(_.getAs[Long]("n_cust")).sum == grand.head.getAs[Long]("n_cust"))
+    // both one-dimension subtotal slices also sum to the grand total
+    val segOnly = out.filter(r => r.getString(0) != "ALL" && r.getLong(1) == -1L)
+    assert(segOnly.map(_.getAs[Long]("n_cust")).sum == grand.head.getAs[Long]("n_cust"))
+  }
+
+  test("gapFillDaily densifies missing days with 0 orders and carries revenue forward") {
+    import spark.implicits._
+    // status A: days 10 and 13 observed; 11-12 must appear with
+    // n_orders=0 and day 10's price carried
+    val daily = Seq(("A", 10L, 2L, 1000L), ("A", 13L, 1L, 700L))
+      .toDF("status", "day_n", "n_orders", "price_q")
+    val out = AnalyticsOps.gapFillDaily(daily)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(out == List(
+      ("A", 10L, 2L, 1000L), ("A", 11L, 0L, 1000L),
+      ("A", 12L, 0L, 1000L), ("A", 13L, 1L, 700L)))
+  }
+
+  test("entityMatch keeps the single best candidate per batch record") {
+    import spark.implicits._
+    val dim = Seq((1L, "Customer#000000012"), (2L, "Customer#000000021"),
+      (3L, "Customer#000000099")).toDF("c_custkey", "c_name")
+    // dirty "…21" is exact for key 2 (dist 0) and a transposition of
+    // key 1 (dist 2): the window must pick the dist-0 match
+    val dirty = Seq((12L, "Customer#000000021")).toDF("batch_key", "dirty_name")
+    val out = AnalyticsOps.entityMatch(dim, dirty).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("matched_key") == 2L)
+    assert(out.head.getAs[Long]("edit_dist") == 0L)
+  }
+
   test("sessionConcurrency counts cross-user overlap with exact containment") {
     import spark.implicits._
     // user 1: one session [100, 200]; user 2 has events at 150 (inside)
