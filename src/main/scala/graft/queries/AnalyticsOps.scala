@@ -413,6 +413,73 @@ object AnalyticsOps {
   }
 
   // ---------------------------------------------------------------
+  // q141/q143 — graph motif counting, exponential smoothing
+  // ---------------------------------------------------------------
+
+  /** Triangle counting on the co-purchase graph (parts appearing in
+    * the same order). The scale discipline is ORIENTATION: every edge
+    * is stored once as u < v, and a triangle {a<b<c} is found exactly
+    * once as (a,b)⋈(b,c)⋈(a,c) — three equi-joins, no post-hoc
+    * dedup, wedge volume bounded by Σ deg²(middle) over oriented
+    * (halved) degrees. Edge generation is order-keyed: the self-join
+    * fan-out is C(items-per-order, 2), bounded by basket size, never
+    * by corpus size. At 100 TB the standard refinement is degree-based
+    * orientation (low-degree → high-degree endpoint), which this
+    * composition admits without changing the join shape; AQE absorbs
+    * residual hot-node skew. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("u").as("a"), col("v").as("b"))
+    val e2 = edges.select(col("u").as("b2"), col("v").as("c2"))
+    val e3 = edges.select(col("u").as("a3"), col("v").as("c3"))
+    val tri = e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+    // the final combine is a 1-row × 1-row cross of the two scalar
+    // aggregates — the only nested-loop the plan gate permits here
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_edges"), col("n_triangles"))
+  }
+
+  def q141Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"), Seq("ok"))
+      .where(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("u"), col("y.pk").as("v"))
+      .distinct()
+    triangleCount(edges)
+  }
+
+  /** Bounded-lag exponential smoothing (EWMA with truncated tail):
+    * v̂ₜ = (16·vₜ + 8·vₜ₋₁ + 4·vₜ₋₂ + 2·vₜ₋₃ + vₜ₋₄) div Σwᵢ, weights
+    * halving per lag and the divisor adapting to how many lags exist —
+    * all integer, so any engine replays it exactly. Truncating the
+    * geometric tail at 4 lags (weight ratio 1/16 ≈ the α=0.5 EWMA's
+    * forgotten mass) is what makes the operator a bounded-frame window
+    * instead of a sequential recurrence — the recurrence form cannot
+    * be parallelized across a partition; this form is ONE shuffle on
+    * user_id and a 5-row frame, the same discipline as q132. */
+  def ewmaSmooth(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    def lg(i: Int) = lag("vq", i).over(w)
+    val weights = Seq(16L, 8L, 4L, 2L, 1L)
+    val terms = (0 to 4).map(i =>
+      (if (i == 0) col("vq") else lg(i), lit(weights(i))))
+    val num = terms.map { case (v, wt) => coalesce(v * wt, lit(0L)) }.reduce(_ + _)
+    val den = terms.map { case (v, wt) =>
+      when(v.isNotNull, wt).otherwise(lit(0L)) }.reduce(_ + _)
+    ev.withColumn("num", num).withColumn("den", den)
+      .withColumn("smooth_q", expr("num div den"))
+      .select(col("event_id"), col("user_id"), col("ts_s"), col("vq"), col("smooth_q"))
+      .orderBy("event_id")
+  }
+
+  def q143Ewma(s: SparkSession, dir: String): DataFrame =
+    ewmaSmooth(events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("ts_s"), floor(col("value") * 100).as("vq")))
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_pagerank" -> (q129PageRank _),
@@ -426,7 +493,9 @@ object AnalyticsOps {
     "q137_unpivot" -> (q137Unpivot _),
     "q138_cube" -> (q138Cube _),
     "q139_gap_fill" -> (q139GapFill _),
-    "q140_entity_match" -> (q140EntityMatch _))
+    "q140_entity_match" -> (q140EntityMatch _),
+    "q141_triangle_count" -> (q141Triangles _),
+    "q143_ewma_smooth" -> (q143Ewma _))
 
   val oracle: Map[String, String] = Map(
     // replays the integer recurrence for exactly 5 iterations
@@ -602,5 +671,33 @@ object AnalyticsOps {
         |         ROW_NUMBER() OVER (PARTITION BY batch_key ORDER BY edit_dist, c_custkey) AS rn
         |  FROM cand)
         |SELECT batch_key, c_custkey AS matched_key, CAST(edit_dist AS BIGINT) AS edit_dist
-        |FROM best WHERE rn = 1 ORDER BY batch_key""".stripMargin)
+        |FROM best WHERE rn = 1 ORDER BY batch_key""".stripMargin,
+    // oriented-edge triangle replay: each {a<b<c} counted exactly once
+    "q141_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)
+        |SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+        |       (SELECT COUNT(*)
+        |        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        |                      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
+    // integer halving-weight smoothing with lag-presence-adjusted divisor
+    "q143_ewma_smooth" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+        |         CAST(floor(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |lagged AS (
+        |  SELECT *, lag(vq, 1) OVER win AS l1, lag(vq, 2) OVER win AS l2,
+        |            lag(vq, 3) OVER win AS l3, lag(vq, 4) OVER win AS l4
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_s, event_id))
+        |SELECT event_id, user_id, ts_s, vq,
+        |  (16 * vq + COALESCE(8 * l1, 0) + COALESCE(4 * l2, 0)
+        |   + COALESCE(2 * l3, 0) + COALESCE(l4, 0))
+        |  // (16 + CASE WHEN l1 IS NULL THEN 0 ELSE 8 END
+        |      + CASE WHEN l2 IS NULL THEN 0 ELSE 4 END
+        |      + CASE WHEN l3 IS NULL THEN 0 ELSE 2 END
+        |      + CASE WHEN l4 IS NULL THEN 0 ELSE 1 END) AS smooth_q
+        |FROM lagged ORDER BY event_id""".stripMargin)
 }

@@ -480,7 +480,47 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Streaming content dedup under the oracle: `Streaming.dedupStream`
+    * (md5 content hash → watermark → dropDuplicatesWithinWatermark)
+    * run as a REAL streaming query over the events stream, content key
+    * = (user_id, event_type, value-cents). Which physical row survives
+    * a duplicate group is arrival-order-dependent, so the gate hashes
+    * the SET of surviving content hashes — exactly the operator's
+    * contract (emit each content exactly once per watermark window) —
+    * which the DuckDB oracle replays as SELECT DISTINCT md5(key).
+    * State story at scale: per-key state is one timestamp, evicted at
+    * the watermark — state size is bounded by keys-per-window, not by
+    * stream length. */
+  def q144StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = s"q144_sink_${streamSinkCounter.incrementAndGet()}"
+    withStreamSession(s, 8) { ss =>
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val eventsPath = s"$dir/events.parquet"
+      val src =
+        if (new java.io.File(eventsPath).isDirectory)
+          ss.readStream.schema(schema).parquet(eventsPath)
+        else
+          ss.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val docs = Tables.normalizeEventTs(src)
+        .select(col("ts"),
+          concat_ws("|", col("user_id"), col("event_type"),
+            floor(col("value") * 100)).as("text"))
+      val out = graft.streaming.Streaming.dedupStream(docs, "365 days")
+      val query = out.select("content_hash").writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      ss.table(sink).select("content_hash").orderBy("content_hash")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_stream_dedup" -> (q144StreamDedup _),
     "q32_multimodal" -> (q32Multimodal _),
     "q33_lang_id" -> (q33LangId _),
     "q46_frame_sample" -> (q46FrameSample _),
@@ -499,6 +539,11 @@ object PipelineOps {
     LanguageId.markers.toMap.apply(lang).toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // the distinct surviving content-hash set (arrival-independent)
+    "q144_stream_dedup" ->
+      """SELECT DISTINCT md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
+        |  CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)) AS content_hash
+        |FROM events ORDER BY content_hash""".stripMargin,
     // replays synth (gray = (id*31 + x*7 + y*13) % 256 at 16+id%17 x
     // 12+id%13) + nearest-neighbor (src = dst*srcDim//dstDim) + the
     // 16x12 quadrant split — all integer math, so a codec round-trip

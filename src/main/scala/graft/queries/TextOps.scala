@@ -1574,6 +1574,67 @@ object TextOps {
   def q114FuzzyDecon(s: SparkSession, dir: String): DataFrame =
     fuzzyDecon(documents(s, dir).select("doc_id", "text"), col("doc_id") % 10 === 0)
 
+  /** Prefix-filtered set-similarity join (Chaudhuri et al. 2006 /
+    * PPJoin, Xiao et al. 2008): all document pairs with token-set
+    * Jaccard ≥ 0.5, WITHOUT enumerating all pairs. Losslessness is the
+    * theorem the oracle checks: if J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉, so
+    * the first |A| − ⌈τ·|A|⌉ + 1 tokens of A (in any fixed global
+    * order) must hit B's prefix — candidates are generated by an
+    * EQUI-join on prefix tokens only, then verified exactly by integer
+    * cross-multiplication (3·|A∩B| ≥ |A|+|B| ⟺ J ≥ ½, no division).
+    *
+    * The global token order is ASCENDING corpus frequency (rare
+    * first): prefixes hold each document's rarest tokens, so the
+    * candidate join fans out on the COLD tail of the token
+    * distribution, never on stopwords — that ordering, not the prefix
+    * length, is what keeps candidate volume near-linear at 100 TB.
+    * Shapes: one corpus-sized groupBy (token freq), one corpus-sized
+    * join token→freq, one per-doc window over the doc's OWN tokens
+    * (bounded by doc length), a prefix-token equi-join, and a bounded
+    * verify join; AQE absorbs residual hot-token skew. The naive
+    * DuckDB oracle is the all-pairs ground truth, so a single missed
+    * pair (a losslessness bug) fails the gate. */
+  def setSimJoin(docs: DataFrame, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 3-token shingle sets, not unigram sets: on a corpus with a
+    // shared vocabulary, unigram Jaccard ≥ ½ matches most of the
+    // corpus to itself (output quadratic in cluster size — measured
+    // 8.9M pairs at sf0.1); shingle sets only cross τ for genuine
+    // near-duplicates (256 pairs at sf0.1, linear in corpus growth)
+    val d = docs
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), shingleArray(col("w"), 3).as("ts"))
+    val tok = d.select(col("doc_id"), explode(col("ts")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("f"))
+    // rank tokens inside each doc by global (freq, tok) order;
+    // prefix length for J ≥ n/d is |x| − ⌈(n/d)·|x|⌉ + 1
+    val ranked = tok.join(freq, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("f"), col("tok"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // ⌈(n/d)·|x|⌉ for positive ints = (n·|x| + d − 1) div d
+    val prefix = ranked.where(
+      col("rn") <= col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.tok") === col("pb.tok") && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    val sets = d.select(col("doc_id"), col("ts"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("set_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"),
+        size(col("set_a")).cast("long").as("size_a"),
+        size(col("set_b")).cast("long").as("size_b"))
+      .where(col("inter") * (tauNum + tauDen) >= (col("size_a") + col("size_b")) * tauNum)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def q142SetSimJoin(s: SparkSession, dir: String): DataFrame =
+    setSimJoin(documents(s, dir).select("doc_id", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_bloom_decon" -> (q90BloomDecon _),
     "q91_vocab_build" -> (q91VocabBuild _),
@@ -1588,6 +1649,7 @@ object TextOps {
     "q57_tfidf" -> (q57TfIdf _),
     "q17_fingerprint" -> (q17Fingerprint _),
     "q18_ngram_jaccard" -> (q18NgramJaccard _),
+    "q142_set_sim_join" -> (q142SetSimJoin _),
     "q56_dedup_clusters" -> (q56DedupClusters _),
     "q61_dedup_pipeline" -> (q61DedupPipeline _),
     "q118_curation_pipeline" -> (q118CurationPipeline _),
@@ -2301,6 +2363,21 @@ object TextOps {
         |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // NAIVE all-pairs ground truth: passing proves the Spark side's
+    // prefix filter is lossless (a missed pair hash-mismatches)
+    "q142_set_sim_join" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d AS (SELECT doc_id,
+        |        list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
+        |                       for i in range(1, greatest(len(w)-2, 1)+1)]) AS ts
+        |      FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+        |  CAST(len(a.ts) AS BIGINT) AS size_a,
+        |  CAST(len(b.ts) AS BIGINT) AS size_b
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE 3 * len(list_intersect(a.ts, b.ts)) >= len(a.ts) + len(b.ts)
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q57_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

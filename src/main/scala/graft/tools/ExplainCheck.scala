@@ -581,6 +581,44 @@ object ExplainCheck {
       "q140: best-match window not batch_key-partitioned")
     println("q140 blocked entity match OK")
 
+    // triangles: three equi-joins over the oriented edge list — never
+    // a cross product, no window over the corpus
+    val q141 = graft.queries.AnalyticsOps.q141Triangles(spark, sfDir)
+    val p141 = planOf(q141)
+    assert(!p141.contains("CartesianProduct"), "q141: cartesian in triangle plan")
+    // the scalar n_edges × n_triangles combine is a permitted 1-row
+    // nested loop (AQE's plan print shows it twice); what matters is
+    // that the WEDGE and CLOSURE joins are equi-joins on the vertex
+    // keys — assert their join-key signatures are present
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[b#\\d+L\\], \\[b2#\\d+L\\]".r
+      .findFirstIn(p141).isDefined,
+      "q141: wedge join not an equi-join on the middle vertex")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[a#\\d+L, c2#\\d+L\\]".r
+      .findFirstIn(p141).isDefined,
+      "q141: closure join not an equi-join on (a, c)")
+    println("q141 oriented triangle count OK")
+
+    // set-similarity join: candidates from a prefix-token EQUI-join;
+    // the only windows partition by doc_id (per-doc rank), never
+    // corpus-global
+    val q142 = graft.queries.TextOps.q142SetSimJoin(spark, sfDir)
+    val p142 = planOf(q142)
+    assert(!p142.contains("CartesianProduct") && !p142.contains("BroadcastNestedLoop"),
+      "q142: similarity join fell back to all-pairs")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p142).isDefined,
+      "q142: prefix rank window not doc-partitioned")
+    assert(!"windowspecdefinition\\(\\s*,".r.findFirstIn(p142).isDefined,
+      "q142: unpartitioned (corpus-global) window in the plan")
+    println("q142 prefix-filtered set-sim join OK")
+
+    // ewma: join-free, one user-partitioned bounded-frame window
+    val q143 = graft.queries.AnalyticsOps.q143Ewma(spark, sfDir)
+    val p143 = planOf(q143)
+    assert(!p143.contains("Join"), "q143: smoothing must be join-free")
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(p143).isDefined,
+      "q143: lag window not user-partitioned")
+    println("q143 bounded-lag ewma OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

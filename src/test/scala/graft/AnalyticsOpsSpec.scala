@@ -157,6 +157,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("edit_dist") == 0L)
   }
 
+  test("triangleCount finds each oriented triangle exactly once") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} has 4 triangles; the dangling edge (4,5) adds none
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("u", "v")
+    val out = AnalyticsOps.triangleCount(edges).collect().head
+    assert(out.getAs[Long]("n_edges") == 7L)
+    assert(out.getAs[Long]("n_triangles") == 4L)
+  }
+
+  test("ewmaSmooth halves weights per lag and adapts the divisor to short history") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, 10L, 100L), (2L, 1L, 20L, 200L), (3L, 1L, 30L, 50L))
+      .toDF("event_id", "user_id", "ts_s", "vq")
+    val out = AnalyticsOps.ewmaSmooth(ev).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("smooth_q")).toMap
+    assert(out(1L) == 100L)                                   // no history: v itself
+    assert(out(2L) == (16 * 200 + 8 * 100) / 24)              // one lag
+    assert(out(3L) == (16 * 50 + 8 * 200 + 4 * 100) / 28)     // two lags
+  }
+
   test("sessionConcurrency counts cross-user overlap with exact containment") {
     import spark.implicits._
     // user 1: one session [100, 200]; user 2 has events at 150 (inside)
