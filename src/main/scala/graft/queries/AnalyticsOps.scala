@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -480,6 +480,107 @@ object AnalyticsOps {
       col("ts").cast("long").as("ts_s"), floor(col("value") * 100).as("vq")))
 
   // ---------------------------------------------------------------
+  // q145-q148 — data layout, argmax aggregate, Markov transitions,
+  // co-occurrence recommendations
+  // ---------------------------------------------------------------
+
+  /** Morton (Z-order) bit interleaving of two 16-bit dimensions — the
+    * multi-dimensional clustering key a 100 TB table's file layout
+    * uses so min/max file stats prune BOTH dimensions (the technique
+    * behind Delta/Iceberg Z-ORDER, Morton 1966). The interleave is the
+    * classic magic-number bit spread (4 shift-mask rounds per
+    * dimension), pure codegen'd integer expressions in the scan's
+    * project; the final sort by zval is exactly the range-partition
+    * write that would cluster files at scale. */
+  def zSpread16(c: Column): Column = {
+    // spread 16 bits to even positions of 32: abcd… → a0b0c0d0…
+    val m1 = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val m2 = (m1.bitwiseOR(shiftleft(m1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val m3 = (m2.bitwiseOR(shiftleft(m2, 2))).bitwiseAND(lit(0x33333333L))
+    (m3.bitwiseOR(shiftleft(m3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  def q145Zorder(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"),
+      (col("user_id") % 65536).as("xq"),
+      expr("(cast(ts as long) div 86400) % 65536").as("yq"))
+    e.withColumn("zval", zSpread16(col("xq"))
+        .bitwiseOR(shiftleft(zSpread16(col("yq")), 1)))
+      .orderBy("zval", "event_id")
+  }
+
+  /** Per-group argmax as a single-pass AGGREGATE (`max_by`), not a
+    * window: the window form (q78's top-k) sorts every partition; the
+    * aggregate form is one map-side-combined hash aggregate whose
+    * state is a single (key, ordkey) pair per group — the right shape
+    * when k=1 and groups are few. Determinism on value ties comes from
+    * packing (value-cents, event_id) into one BIGINT ordering key. */
+  def q146ArgmaxGroup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).as("vq"))
+      .withColumn("ordkey", col("vq") * 10000000000L + col("event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("vq").as("max_vq"),
+        max_by(col("event_id"), col("ordkey")).as("argmax_event_id"))
+      .orderBy("event_type")
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next type | current type) in basis points. One
+    * user-keyed lag window (the q132/q143 discipline) emits
+    * transitions; the matrix itself is a BOUNDED |types|² aggregate,
+    * so the row-normalizing second pass windows over ≤ 25 rows
+    * regardless of corpus size. */
+  def markovTransitions(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val trans = ev.withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    trans
+      .withColumn("row_total", sum("n_trans").over(Window.partitionBy("prev_type")))
+      .withColumn("prob_bp", expr("(n_trans * 10000) div row_total"))
+      .select("prev_type", "next_type", "n_trans", "prob_bp")
+      .orderBy("prev_type", "next_type")
+  }
+
+  def q147MarkovTransitions(s: SparkSession, dir: String): DataFrame =
+    markovTransitions(events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts").cast("long").as("ts_s")))
+
+  /** Item-item co-occurrence recommendations: parts bought together,
+    * scored by fixed-point Jaccard over order sets
+    * (score = 10⁴·co div (dₐ+d_b−co)) with the top 3 recommendations
+    * per part. Shapes: basket-keyed pair fan-out bounded by C(basket,2)
+    * (never corpus-quadratic), one degree aggregate joined twice, and
+    * the top-k window partitions by part with a 3-row keep. The pair
+    * emit is symmetric (u→v and v→u) so the window sees every part's
+    * full candidate list without a second shuffle shape. */
+  def q148CooccurRecs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val deg = li.groupBy("pk").agg(count(lit(1)).as("deg"))
+    val co = li.as("x").join(li.as("y"), Seq("ok"))
+      .where(col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+      .agg(count(lit(1)).as("co"))
+    val sym = co.unionByName(co.select(col("v").as("u"), col("u").as("v"), col("co")))
+    val scored = sym
+      .join(deg.select(col("pk").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("pk").as("v"), col("deg").as("dv")), "v")
+      .withColumn("score_q", expr("(co * 10000) div (du + dv - co)"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("u").orderBy(col("score_q").desc, col("v"))))
+      .where(col("rnk") <= 3)
+      .select(col("u").as("part"), col("v").as("rec"), col("co"),
+        col("score_q"), col("rnk").cast("long").as("rnk"))
+      .orderBy("part", "rnk")
+  }
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_pagerank" -> (q129PageRank _),
@@ -495,7 +596,11 @@ object AnalyticsOps {
     "q139_gap_fill" -> (q139GapFill _),
     "q140_entity_match" -> (q140EntityMatch _),
     "q141_triangle_count" -> (q141Triangles _),
-    "q143_ewma_smooth" -> (q143Ewma _))
+    "q143_ewma_smooth" -> (q143Ewma _),
+    "q145_zorder" -> (q145Zorder _),
+    "q146_argmax_group" -> (q146ArgmaxGroup _),
+    "q147_markov_transitions" -> (q147MarkovTransitions _),
+    "q148_cooccur_recs" -> (q148CooccurRecs _))
 
   val oracle: Map[String, String] = Map(
     // replays the integer recurrence for exactly 5 iterations
@@ -699,5 +804,60 @@ object AnalyticsOps {
         |      + CASE WHEN l2 IS NULL THEN 0 ELSE 4 END
         |      + CASE WHEN l3 IS NULL THEN 0 ELSE 2 END
         |      + CASE WHEN l4 IS NULL THEN 0 ELSE 1 END) AS smooth_q
-        |FROM lagged ORDER BY event_id""".stripMargin)
+        |FROM lagged ORDER BY event_id""".stripMargin,
+    // staged magic-number bit spread, identical rounds to zSpread16
+    "q145_zorder" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id % 65536 AS xq,
+        |         (epoch_ns(ts) // 1000000000 // 86400) % 65536 AS yq
+        |  FROM events),
+        |s1 AS (SELECT *, (xq | (xq << 8)) & 16711935 AS x1,
+        |                 (yq | (yq << 8)) & 16711935 AS y1 FROM e),
+        |s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |                 (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |                 (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |                 (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+        |SELECT event_id, xq, yq, x4 | (y4 << 1) AS zval
+        |FROM s4 ORDER BY zval, event_id""".stripMargin,
+    // single-pass argmax with a packed deterministic ordering key
+    "q146_argmax_group" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             CAST(floor(value * 100) AS BIGINT) AS vq FROM events)
+        |SELECT event_type, COUNT(*) AS n, MAX(vq) AS max_vq,
+        |       arg_max(event_id, vq * 10000000000 + event_id) AS argmax_event_id
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // user-lag transitions, row-normalized in basis points
+    "q147_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |lagged AS (
+        |  SELECT event_type AS next_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_type
+        |  FROM e),
+        |trans AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS n_trans
+        |  FROM lagged WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_trans,
+        |  CAST((n_trans * 10000) // SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_bp
+        |FROM trans ORDER BY prev_type, next_type""".stripMargin,
+    // basket-bounded co-occurrence, fixed-point Jaccard, top-3 window
+    "q148_cooccur_recs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |deg AS (SELECT pk, COUNT(*) AS deg FROM li GROUP BY 1),
+        |co AS (
+        |  SELECT x.pk AS u, y.pk AS v, COUNT(*) AS co
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+        |sym AS (SELECT u, v, co FROM co UNION ALL SELECT v, u, co FROM co),
+        |scored AS (
+        |  SELECT s.u, s.v, s.co, (s.co * 10000) // (du.deg + dv.deg - s.co) AS score_q
+        |  FROM sym s JOIN deg du ON du.pk = s.u JOIN deg dv ON dv.pk = s.v),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY u ORDER BY score_q DESC, v) AS rnk
+        |  FROM scored)
+        |SELECT u AS part, v AS rec, co, CAST(score_q AS BIGINT) AS score_q,
+        |       CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY part, rnk""".stripMargin)
 }

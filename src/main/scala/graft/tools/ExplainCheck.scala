@@ -619,6 +619,45 @@ object ExplainCheck {
       "q143: lag window not user-partitioned")
     println("q143 bounded-lag ewma OK")
 
+    // z-order: the interleave must be pure project-side integer math
+    // inside codegen — no join, no aggregate, no window
+    val q145 = graft.queries.AnalyticsOps.q145Zorder(spark, sfDir)
+    val p145 = planOf(q145)
+    assert(!p145.contains("Join") && !p145.contains("HashAggregate") &&
+      !p145.contains("Window"), "q145: zorder must be scan+project+sort only")
+    assert(p145.contains("WholeStageCodegen") || p145.contains("*("),
+      "q145: bit interleave not in codegen")
+    println("q145 codegen z-order interleave OK")
+
+    // argmax: single hash aggregate (max_by), join- and window-free
+    val q146 = graft.queries.AnalyticsOps.q146ArgmaxGroup(spark, sfDir)
+    val p146 = planOf(q146)
+    assert(p146.contains("max_by"), "q146: argmax not the max_by aggregate")
+    assert(!p146.contains("Join") && !p146.contains("Window"),
+      "q146: argmax must be a pure aggregate")
+    println("q146 single-pass argmax OK")
+
+    // markov: one user-partitioned lag window; the normalizing window
+    // runs on the bounded transition matrix (prev_type partitions)
+    val q147 = graft.queries.AnalyticsOps.q147MarkovTransitions(spark, sfDir)
+    val p147 = planOf(q147)
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(p147).isDefined,
+      "q147: lag window not user-partitioned")
+    assert("windowspecdefinition\\(prev_type".r.findFirstIn(p147).isDefined,
+      "q147: normalizer not bounded to the transition matrix")
+    assert(!p147.contains("Join"), "q147: unexpected join")
+    println("q147 markov transitions OK")
+
+    // co-occurrence recs: basket-keyed equi-joins only; top-k window
+    // partitioned by part
+    val q148 = graft.queries.AnalyticsOps.q148CooccurRecs(spark, sfDir)
+    val p148 = planOf(q148)
+    assert(!p148.contains("CartesianProduct") && !p148.contains("BroadcastNestedLoop"),
+      "q148: co-occurrence fell back to all-pairs")
+    assert("windowspecdefinition\\(u#".r.findFirstIn(p148).isDefined,
+      "q148: top-k window not part-partitioned")
+    println("q148 co-occurrence recommendations OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

@@ -178,6 +178,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(3L) == (16 * 50 + 8 * 200 + 4 * 100) / 28)     // two lags
   }
 
+  test("zSpread16 interleaves bits so zval locality follows both dimensions") {
+    import spark.implicits._
+    // interleave(3, 0) = 0b0101 = 5; interleave(0, 3) = 0b1010 = 10;
+    // interleave(65535, 0) = 0x55555555
+    val df = Seq((3L, 0L), (0L, 3L), (65535L, 0L)).toDF("x", "y")
+    val out = df.select(AnalyticsOps.zSpread16(col("x"))
+        .bitwiseOR(org.apache.spark.sql.functions.shiftleft(
+          AnalyticsOps.zSpread16(col("y")), 1)).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(5L, 10L, 0x55555555L))
+  }
+
+  test("markovTransitions normalizes each row to ~10000 basis points") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a", 10L), (2L, 1L, "b", 20L), (3L, 1L, "a", 30L), (4L, 1L, "a", 40L),
+      (5L, 2L, "b", 10L), (6L, 2L, "a", 20L)).toDF("event_id", "user_id", "event_type", "ts_s")
+    val out = AnalyticsOps.markovTransitions(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // transitions: u1: a→b, b→a, a→a; u2: b→a. From a: {b:1, a:1};
+    // from b: {a:2}
+    assert(out(("a", "a")) == (1L, 5000L))
+    assert(out(("a", "b")) == (1L, 5000L))
+    assert(out(("b", "a")) == (2L, 10000L))
+  }
+
   test("sessionConcurrency counts cross-user overlap with exact containment") {
     import spark.implicits._
     // user 1: one session [100, 200]; user 2 has events at 150 (inside)
