@@ -581,6 +581,128 @@ object AnalyticsOps {
   }
 
   // ---------------------------------------------------------------
+  // q149-q152 — skyline, time-weighted mean, CDC apply, compaction
+  // ---------------------------------------------------------------
+
+  /** 2-D skyline (Pareto frontier: min price, max size) via the
+    * bin-prune two-phase shape, NOT the naive all-pairs dominance
+    * join. Phase 1 bins price and takes the running max size over
+    * PRIOR bins (a window over the bounded bin table): any point
+    * whose size ≤ that prefix max is dominated by something strictly
+    * cheaper — provably, since an earlier bin means strictly lower
+    * price. Phase 2: survivors can only be dominated within their own
+    * bin (a dominator elsewhere would contradict the prefix max), so
+    * the exact check is a bin-keyed anti-join with per-bin bounded
+    * fan-out. The DuckDB oracle is the naive NOT-EXISTS ground truth,
+    * so the pruning's losslessness is what the gate verifies. */
+  def skyline2d(pts: DataFrame, binWidth: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = pts.withColumn("bin", expr(s"price_q div $binWidth"))
+    // max size over strictly-PRIOR bins; the window runs on the
+    // bounded bin table (≤ price-range/binWidth rows), never the corpus
+    val binMax = binned.groupBy("bin").agg(max("size_v").as("bin_max"))
+      .withColumn("prefix_max", coalesce(
+        max("bin_max").over(Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(Long.MinValue)))
+      .select(col("bin"), col("prefix_max"))
+    val survivors = binned.join(binMax, "bin")
+      .where(col("size_v") > col("prefix_max"))
+    val dominators = survivors.select(col("bin"), col("price_q").as("d_price"),
+      col("size_v").as("d_size"))
+    survivors.join(dominators,
+        survivors("bin") === dominators("bin") &&
+          col("d_price") <= col("price_q") && col("d_size") >= col("size_v") &&
+          (col("d_price") < col("price_q") || col("d_size") > col("size_v")),
+        "left_anti")
+      .select(col("id"), col("price_q"), col("size_v"))
+      .orderBy("id")
+  }
+
+  def q149Skyline(s: SparkSession, dir: String): DataFrame =
+    skyline2d(part(s, dir).select(col("p_partkey").as("id"),
+      floor(col("p_retailprice") * 100).as("price_q"),
+      col("p_size").cast("long").as("size_v")))
+
+  /** Time-weighted average: each observation weighted by how long it
+    * was current (until the user's next event) — the right mean for
+    * irregularly-sampled state series (sensor values, account
+    * balances). One user-keyed lead window + one aggregate; the last
+    * observation (no successor) carries no weight. Integer:
+    * twa = Σ(v·Δt) div Σ(Δt). */
+  def timeWeightedAvg(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    ev.withColumn("dt", lead("ts_s", 1).over(w) - col("ts_s"))
+      .where(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"), sum("dt").as("total_dt"),
+        sum(col("vq") * col("dt")).as("wsum"))
+      .select(col("user_id"), col("n_intervals"), col("total_dt"),
+        expr("wsum div total_dt").as("twa_q"))
+      .orderBy("user_id")
+  }
+
+  def q150TimeWeightedAvg(s: SparkSession, dir: String): DataFrame =
+    timeWeightedAvg(events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("ts_s"), floor(col("value") * 100).as("vq")))
+
+  /** CDC changelog apply (latest-wins): collapse an
+    * insert/update/delete stream to final table state — the merge a
+    * warehouse runs on every Debezium/binlog batch. ONE hash
+    * aggregate: per key, `max_by` pulls the op and payload of the
+    * highest version (deterministic: version is unique per key by
+    * construction), then delete tombstones drop out. No join, no
+    * window, no per-key sort — state per key is a single (version,
+    * payload) pair, the shape that survives a 10¹⁰-key changelog.
+    * The changelog is synthesized deterministically from orders so
+    * the oracle replays it. */
+  def cdcApply(log: DataFrame): DataFrame =
+    log.groupBy("key")
+      .agg(max("version").as("final_version"),
+        max_by(col("op"), col("version")).as("final_op"),
+        max_by(col("price_q"), col("version")).as("final_price_q"))
+      .where(col("final_op") =!= "D")
+      .select(col("key"), col("final_version"), col("final_price_q"))
+      .orderBy("key")
+
+  def q151CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = orders(s, dir).select(col("o_orderkey").as("key"),
+      floor(col("o_totalprice") * 100).as("price_q"))
+    val log = base.select(col("key"), lit("I").as("op"), lit(1L).as("version"), col("price_q"))
+      .unionByName(base.where(col("key") % 5 === 0)
+        .select(col("key"), lit("U").as("op"), lit(2L).as("version"),
+          (col("price_q") + 1000L).as("price_q")))
+      .unionByName(base.where(col("key") % 7 === 0)
+        .select(col("key"), lit("D").as("op"), lit(3L).as("version"),
+          lit(0L).as("price_q")))
+    cdcApply(log)
+  }
+
+  /** Compaction planning (streaming first-fit bin packing): group
+    * small files into target-size output bins per table partition —
+    * the maintenance job that keeps a 100 TB lake's file count sane.
+    * Plan shape: one window per partition directory (cumulative byte
+    * sum in a deterministic file order), bin = bytes-before div
+    * target; the planner never moves data, only assigns, so the
+    * whole job is a metadata-sized window + project. */
+  def compactionPlan(files: DataFrame, targetBytes: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("part_dir").orderBy("file_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum_b", sum("size_b").over(w))
+      .withColumn("bin", expr(s"(cum_b - size_b) div $targetBytes"))
+      .select(col("part_dir"), col("file_id"), col("size_b"), col("bin"))
+      .orderBy("part_dir", "file_id")
+  }
+
+  def q152CompactionPlan(s: SparkSession, dir: String): DataFrame =
+    compactionPlan(part(s, dir).select(col("p_brand").as("part_dir"),
+      col("p_partkey").as("file_id"),
+      floor(col("p_retailprice") * 100).as("size_b")))
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_pagerank" -> (q129PageRank _),
@@ -598,6 +720,10 @@ object AnalyticsOps {
     "q141_triangle_count" -> (q141Triangles _),
     "q143_ewma_smooth" -> (q143Ewma _),
     "q145_zorder" -> (q145Zorder _),
+    "q149_skyline" -> (q149Skyline _),
+    "q150_time_weighted_avg" -> (q150TimeWeightedAvg _),
+    "q151_cdc_apply" -> (q151CdcApply _),
+    "q152_compaction_plan" -> (q152CompactionPlan _),
     "q146_argmax_group" -> (q146ArgmaxGroup _),
     "q147_markov_transitions" -> (q147MarkovTransitions _),
     "q148_cooccur_recs" -> (q148CooccurRecs _))
@@ -859,5 +985,49 @@ object AnalyticsOps {
         |  FROM scored)
         |SELECT u AS part, v AS rec, co, CAST(score_q AS BIGINT) AS score_q,
         |       CAST(rnk AS BIGINT) AS rnk
-        |FROM ranked WHERE rnk <= 3 ORDER BY part, rnk""".stripMargin)
+        |FROM ranked WHERE rnk <= 3 ORDER BY part, rnk""".stripMargin,
+    // NAIVE dominance ground truth: passing proves the bin prune lossless
+    "q149_skyline" ->
+      """WITH p AS (SELECT p_partkey AS id, CAST(floor(p_retailprice * 100) AS BIGINT) AS price_q,
+        |                  CAST(p_size AS BIGINT) AS size_v FROM part)
+        |SELECT id, price_q, size_v FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_q <= a.price_q AND b.size_v >= a.size_v
+        |    AND (b.price_q < a.price_q OR b.size_v > a.size_v))
+        |ORDER BY id""".stripMargin,
+    // lead-interval weights, integer weighted mean
+    "q150_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+        |         CAST(floor(value * 100) AS BIGINT) AS vq FROM events),
+        |iv AS (
+        |  SELECT *, lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) - ts_s AS dt
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  CAST(SUM(dt) AS BIGINT) AS total_dt,
+        |  CAST(CAST(SUM(vq * dt) AS BIGINT) // CAST(SUM(dt) AS BIGINT) AS BIGINT) AS twa_q
+        |FROM iv WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // latest-wins collapse with delete tombstones, single arg_max pass
+    "q151_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS key,
+        |                     CAST(floor(o_totalprice * 100) AS BIGINT) AS price_q FROM orders),
+        |log AS (
+        |  SELECT key, 'I' AS op, 1 AS version, price_q FROM base
+        |  UNION ALL SELECT key, 'U', 2, price_q + 1000 FROM base WHERE key % 5 = 0
+        |  UNION ALL SELECT key, 'D', 3, 0 FROM base WHERE key % 7 = 0)
+        |SELECT key, CAST(MAX(version) AS BIGINT) AS final_version,
+        |       arg_max(price_q, version) AS final_price_q
+        |FROM log GROUP BY key
+        |HAVING arg_max(op, version) <> 'D'
+        |ORDER BY key""".stripMargin,
+    // streaming first-fit: bin = bytes-before div target, per partition
+    "q152_compaction_plan" ->
+      """WITH f AS (SELECT p_brand AS part_dir, p_partkey AS file_id,
+        |                  CAST(floor(p_retailprice * 100) AS BIGINT) AS size_b FROM part)
+        |SELECT part_dir, file_id, size_b,
+        |  CAST((SUM(size_b) OVER (PARTITION BY part_dir ORDER BY file_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_b) // 1000000
+        |       AS BIGINT) AS bin
+        |FROM f ORDER BY part_dir, file_id""".stripMargin)
 }

@@ -658,6 +658,38 @@ object ExplainCheck {
       "q148: top-k window not part-partitioned")
     println("q148 co-occurrence recommendations OK")
 
+    // skyline: bin-keyed anti-join (never all-pairs dominance)
+    val q149 = graft.queries.AnalyticsOps.q149Skyline(spark, sfDir)
+    val p149 = planOf(q149)
+    assert(!p149.contains("CartesianProduct") && !p149.contains("BroadcastNestedLoop"),
+      "q149: skyline fell back to all-pairs dominance")
+    assert(p149.contains("LeftAnti"), "q149: exact check not an anti-join")
+    println("q149 bin-pruned skyline OK")
+
+    // time-weighted avg: one user window + one aggregate, join-free
+    val q150 = graft.queries.AnalyticsOps.q150TimeWeightedAvg(spark, sfDir)
+    val p150 = planOf(q150)
+    assert(!p150.contains("Join"), "q150: twa must be join-free")
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(p150).isDefined,
+      "q150: lead window not user-partitioned")
+    println("q150 time-weighted average OK")
+
+    // cdc apply: single hash aggregate, no join/window/sort-per-key
+    val q151 = graft.queries.AnalyticsOps.q151CdcApply(spark, sfDir)
+    val p151 = planOf(q151)
+    assert(p151.contains("max_by"), "q151: latest-wins not the max_by aggregate")
+    assert(!p151.contains("Join") && !p151.contains("Window"),
+      "q151: cdc apply must be a pure aggregate")
+    println("q151 cdc latest-wins apply OK")
+
+    // compaction plan: one partition-dir window, join- and agg-free
+    val q152 = graft.queries.AnalyticsOps.q152CompactionPlan(spark, sfDir)
+    val p152 = planOf(q152)
+    assert(!p152.contains("Join"), "q152: planner must be join-free")
+    assert("windowspecdefinition\\(part_dir".r.findFirstIn(p152).isDefined,
+      "q152: cumulative window not partition-dir-partitioned")
+    println("q152 compaction planner OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

@@ -204,6 +204,57 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(("b", "a")) == (2L, 10000L))
   }
 
+  test("skyline2d keeps the Pareto frontier, prunes dominated points across and within bins") {
+    import spark.implicits._
+    // (price, size): (100, 5) and (200, 9) are frontier; (300, 9) is
+    // dominated cross-bin by (200, 9) [equal size, cheaper]; (150, 3)
+    // dominated cross-bin; (100, 4) dominated WITHIN the same bin as
+    // (100, 5); duplicates of a frontier point both survive
+    val pts = Seq(
+      (1L, 100L, 5L), (2L, 200L, 9L), (3L, 300L, 9L),
+      (4L, 150L, 3L), (5L, 100L, 4L), (6L, 100L, 5L))
+      .toDF("id", "price_q", "size_v")
+    val out = AnalyticsOps.skyline2d(pts, binWidth = 100L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 6L))
+  }
+
+  test("timeWeightedAvg weights each value by its holding interval") {
+    import spark.implicits._
+    // user 1: v=10 held 3s, v=20 held 1s, last value unweighted
+    val ev = Seq((1L, 1L, 0L, 10L), (2L, 1L, 3L, 20L), (3L, 1L, 4L, 99L))
+      .toDF("event_id", "user_id", "ts_s", "vq")
+    val out = AnalyticsOps.timeWeightedAvg(ev).collect().head
+    assert(out.getAs[Long]("n_intervals") == 2L)
+    assert(out.getAs[Long]("total_dt") == 4L)
+    assert(out.getAs[Long]("twa_q") == (10 * 3 + 20 * 1) / 4)
+  }
+
+  test("cdcApply keeps the latest version per key and drops delete tombstones") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "I", 1L, 100L), (1L, "U", 2L, 150L),
+      (2L, "I", 1L, 200L), (2L, "D", 2L, 0L),
+      (3L, "I", 1L, 300L))
+      .toDF("key", "op", "version", "price_q")
+    val out = AnalyticsOps.cdcApply(log)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out == List((1L, 2L, 150L), (3L, 1L, 300L)))
+  }
+
+  test("compactionPlan opens a new bin exactly when bytes-before crosses the target") {
+    import spark.implicits._
+    val files = Seq(("d1", 1L, 600000L), ("d1", 2L, 600000L), ("d1", 3L, 100000L),
+      ("d2", 4L, 2500000L), ("d2", 5L, 100L))
+      .toDF("part_dir", "file_id", "size_b")
+    val out = AnalyticsOps.compactionPlan(files)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    // d1: file1 bin0 (0 before), file2 bin0 (600k before), file3 bin1 (1.2M)
+    assert(out(1L) == 0L && out(2L) == 0L && out(3L) == 1L)
+    // d2: giant file opens bin0; next file starts past 2 targets -> bin2
+    assert(out(4L) == 0L && out(5L) == 2L)
+  }
+
   test("sessionConcurrency counts cross-user overlap with exact containment") {
     import spark.implicits._
     // user 1: one session [100, 200]; user 2 has events at 150 (inside)
