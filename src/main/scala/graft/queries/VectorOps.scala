@@ -700,7 +700,39 @@ object VectorOps {
     cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
+  /** Contrastive-pair mining for embedding training: per query vector,
+    * the hardest POSITIVE (most-similar same-label neighbor) and the
+    * hardest NEGATIVE (most-similar different-label neighbor — the
+    * pairs that actually move a contrastive loss). One broadcast of
+    * the tiny query set, one corpus stream, and per-class argmax as a
+    * single `max_by` aggregate — no per-query sort, no top-k state
+    * beyond one (ordkey, id) pair. Determinism: similarity quantizes
+    * to 4-dp fixed point and packs with the neighbor id into one
+    * BIGINT ordering key (max cos, then min id). At 100 TB the corpus
+    * side swaps for any of the gated ANN structures (q22/q45/q113)
+    * unchanged — the mining aggregate is structure-agnostic. */
+  def q153HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+    val qset = broadcast(corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv")))
+    val scored = corpus.join(qset, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("label"),
+        col("vec_id").as("neighbor_id"),
+        round(cosSim(col("qv"), col("v")) * 10000).cast("long").as("cosq"))
+      .withColumn("ordkey",
+        col("cosq") * 10000000000L + (lit(10000000000L) - col("neighbor_id")))
+    val pos = scored.where(col("label") === col("qlabel")).groupBy("query_id")
+      .agg(max_by(col("neighbor_id"), col("ordkey")).as("pos_id"),
+        max("cosq").as("pos_cosq"))
+    val neg = scored.where(col("label") =!= col("qlabel")).groupBy("query_id")
+      .agg(max_by(col("neighbor_id"), col("ordkey")).as("neg_id"),
+        max("cosq").as("neg_cosq"))
+    pos.join(neg, "query_id").orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_hard_negatives" -> (q153HardNegatives _),
     "q113_pq_ann" -> ((s, d) => q113PqAnn(s, d)),
     "q117_ivf_pq" -> ((s, d) => q117IvfPq(s, d)),
     "q121_neardup_hightau" -> (q121NeardupHighTau _),
@@ -1038,6 +1070,22 @@ object VectorOps {
         |  FROM scored)
         |SELECT vec_id, centroid_id, cos_sim FROM ranked WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+    "q153_hard_negatives" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, q.qlabel, c.label, c.vec_id AS neighbor_id,
+        |         CAST(ROUND($cosSql * 10000) AS BIGINT) AS cosq
+        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |sk AS (SELECT *, cosq * 10000000000 + (10000000000 - neighbor_id) AS ordkey FROM scored),
+        |pos AS (SELECT query_id, arg_max(neighbor_id, ordkey) AS pos_id, MAX(cosq) AS pos_cosq
+        |        FROM sk WHERE label = qlabel GROUP BY 1),
+        |neg AS (SELECT query_id, arg_max(neighbor_id, ordkey) AS neg_id, MAX(cosq) AS neg_cosq
+        |        FROM sk WHERE label <> qlabel GROUP BY 1)
+        |SELECT query_id, pos_id, pos_cosq, neg_id, neg_cosq
+        |FROM pos JOIN neg USING (query_id) ORDER BY query_id""".stripMargin,
     "q21_ann_brute" ->
       s"""WITH e AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

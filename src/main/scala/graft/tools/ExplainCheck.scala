@@ -590,12 +590,14 @@ object ExplainCheck {
     // nested loop (AQE's plan print shows it twice); what matters is
     // that the WEDGE and CLOSURE joins are equi-joins on the vertex
     // keys — assert their join-key signatures are present
-    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[b#\\d+L\\], \\[b2#\\d+L\\]".r
+    // both adjacency attachments are equi-joins; the triangle count
+    // itself is the bounded per-edge array_intersect, never a wedge
+    // row explosion
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[src#\\d+L\\], \\[u#\\d+L\\]".r
       .findFirstIn(p141).isDefined,
-      "q141: wedge join not an equi-join on the middle vertex")
-    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[a#\\d+L, c2#\\d+L\\]".r
-      .findFirstIn(p141).isDefined,
-      "q141: closure join not an equi-join on (a, c)")
+      "q141: source-adjacency attach not an equi-join")
+    assert(p141.contains("array_intersect"),
+      "q141: triangle closure not the bounded adjacency intersect")
     println("q141 oriented triangle count OK")
 
     // set-similarity join: candidates from a prefix-token EQUI-join;
@@ -689,6 +691,38 @@ object ExplainCheck {
     assert("windowspecdefinition\\(part_dir".r.findFirstIn(p152).isDefined,
       "q152: cumulative window not partition-dir-partitioned")
     println("q152 compaction planner OK")
+
+    // hard negatives: broadcast query set + two max_by aggregates —
+    // the corpus must never shuffle for a sort
+    val q153 = graft.queries.VectorOps.q153HardNegatives(spark, sfDir)
+    val p153 = planOf(q153)
+    assert(p153.contains("max_by"), "q153: mining not the max_by aggregate")
+    assert(p153.contains("BroadcastHashJoin") || p153.contains("BroadcastNestedLoop"),
+      "q153: query set not broadcast")
+    println("q153 contrastive hard-negative mining OK")
+
+    // hopping windows: one Expand (the 4-window emit) + hash agg,
+    // join-free
+    val q154 = graft.queries.AnalyticsOps.q154HoppingWindows(spark, sfDir)
+    val p154 = planOf(q154)
+    assert(p154.contains("Expand"), "q154: hopping not the Expand shape")
+    assert(!p154.contains("Join"), "q154: hopping must be join-free")
+    println("q154 hopping windows OK")
+
+    // MV maintenance: the merge is a key-equi full-outer join of two
+    // aggregates — no rescan union on the Spark side
+    val q155 = graft.queries.AnalyticsOps.q155MvMaintain(spark, sfDir)
+    val p155 = planOf(q155)
+    assert(p155.contains("FullOuter"), "q155: merge not a full-outer combine")
+    assert(!p155.contains("Union"), "q155: delta merge re-unioned the base scan")
+    println("q155 incremental MV maintenance OK")
+
+    // PIT join: key EQUI-join with interval post-filter — no range join
+    val q156 = graft.queries.AnalyticsOps.q156PitJoin(spark, sfDir)
+    val p156 = planOf(q156)
+    assert(!p156.contains("CartesianProduct") && !p156.contains("BroadcastNestedLoop"),
+      "q156: PIT join fell back to a range product")
+    println("q156 point-in-time join OK")
 
     println("ALL PLAN CHECKS PASS")
     spark.stop()

@@ -255,6 +255,56 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(4L) == 0L && out(5L) == 2L)
   }
 
+  test("hopping window membership: an event lands in exactly size/slide windows") {
+    import spark.implicits._
+    val df = Seq(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(3600L)))
+      .toDF("ts")
+    val wins = df.groupBy(window(col("ts"), "1 hour", "15 minutes")).count()
+      .select(col("window.start").cast("long")).collect().map(_.getLong(0)).sorted
+    assert(wins.toSeq == Seq(900L, 1800L, 2700L, 3600L))
+  }
+
+  test("mvMaintain merges counts and sums; delta-only and base-only keys both survive") {
+    import spark.implicits._
+    val base = Seq(("A", 10L, 2L, 1000L), ("B", 11L, 1L, 500L))
+      .toDF("status", "day_n", "n_orders", "price_c")
+    val delta = Seq(("A", 10L, 1L, 250L), ("C", 12L, 3L, 900L))
+      .toDF("status", "day_n", "n_orders", "price_c")
+    val out = AnalyticsOps.mvMaintain(base, delta)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(out == List(("A", 10L, 3L, 1250L), ("B", 11L, 1L, 500L), ("C", 12L, 3L, 900L)))
+  }
+
+  test("pitJoin picks the version valid at fact time, inclusive start, exclusive end") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, 1L, 100L, 200L, "OLD"), (1L, 2L, 200L, 99999L, "NEW"))
+      .toDF("key", "version", "valid_from_s", "valid_to_s", "segment")
+    val facts = Seq((10L, 1L, 150L), (11L, 1L, 200L), (12L, 1L, 199L))
+      .toDF("fact_id", "key", "fact_ts")
+    val out = AnalyticsOps.pitJoin(facts, dim)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out == Map(10L -> "OLD", 11L -> "NEW", 12L -> "OLD"))
+  }
+
+  test("q153 hard negatives: positive shares the query label, negative never does") {
+    val dir = "/root/testdata/sf0.001"
+    val out = queries.VectorOps.q153HardNegatives(spark, dir).collect()
+    assert(out.nonEmpty)
+    val labels = queries.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (r <- out) {
+      val q = r.getAs[Long]("query_id")
+      assert(labels(r.getAs[Long]("pos_id")) == labels(q))
+      assert(labels(r.getAs[Long]("neg_id")) != labels(q))
+      // the hardest positive is at least as similar as the hardest negative
+      // is NOT guaranteed in general — but both scores must be valid cosines
+      assert(math.abs(r.getAs[Long]("pos_cosq")) <= 10000L)
+      assert(math.abs(r.getAs[Long]("neg_cosq")) <= 10000L)
+    }
+  }
+
   test("sessionConcurrency counts cross-user overlap with exact containment") {
     import spark.implicits._
     // user 1: one session [100, 200]; user 2 has events at 150 (inside)
