@@ -1601,35 +1601,74 @@ object TextOps {
     // corpus to itself (output quadratic in cluster size — measured
     // 8.9M pairs at sf0.1); shingle sets only cross τ for genuine
     // near-duplicates (256 pairs at sf0.1, linear in corpus growth)
-    val d = docs
-      .select(col("doc_id"), toks(col("text")).as("w"))
-      .select(col("doc_id"), shingleArray(col("w"), 3).as("ts"))
-    val tok = d.select(col("doc_id"), explode(col("ts")).as("tok"))
+    // EXACT-FIRST COLLAPSE (the q104/q114 discipline): identical texts
+    // collapse to one representative per content hash before any
+    // shingling — prefix ranking, candidate generation and verify all
+    // run on the DISTINCT-text corpus, and exact-duplicate clusters
+    // (where this corpus' mass is) contribute O(k) rows there instead
+    // of O(k²) candidates. The quadratic part that remains is the
+    // final pair EXPANSION, which is exactly the output's own size.
+    val hashed = docs.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    val reps = hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id")))
+      .where(col("rn") === 1)
+      .select(col("h"), col("doc_id").as("rep_id"), col("text"))
+    // materialize the shingled distinct-text corpus ONCE — sets feeds
+    // the tokenizer, both verify sides and the size lookups; without
+    // this every consumer re-runs the dedup window + shingling
+    // (measured 25 s vs ~3 s at sf0.1)
+    val d = reps
+      .select(col("h"), toks(col("text")).as("w"))
+      .select(col("h"), shingleArray(col("w"), 3).as("ts"))
+      .localCheckpoint(true)
+    val sets = d.select(col("h"), col("ts"), size(col("ts")).cast("long").as("sz"))
+    val members = hashed.select(col("h"), col("doc_id"))
+    // intra-cluster pairs: identical sets, J = 1 ≥ τ always
+    val intra = members.as("ma").join(members.as("mb"),
+        col("ma.h") === col("mb.h") && col("ma.doc_id") < col("mb.doc_id"))
+      .select(col("ma.h").as("h"), col("ma.doc_id").as("doc_a"),
+        col("mb.doc_id").as("doc_b"))
+      .join(sets.select(col("h"), col("sz")), "h")
+      .select(col("doc_a"), col("doc_b"), col("sz").as("inter"),
+        col("sz").as("size_a"), col("sz").as("size_b"))
+    // cross-cluster pairs via the prefix filter on distinct texts
+    val tok = d.select(col("h"), explode(col("ts")).as("tok"))
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("f"))
     // rank tokens inside each doc by global (freq, tok) order;
     // prefix length for J ≥ n/d is |x| − ⌈(n/d)·|x|⌉ + 1
     val ranked = tok.join(freq, "tok")
       .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("f"), col("tok"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        Window.partitionBy("h").orderBy(col("f"), col("tok"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("h")))
     // ⌈(n/d)·|x|⌉ for positive ints = (n·|x| + d − 1) div d
     val prefix = ranked.where(
       col("rn") <= col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
-      .select(col("doc_id"), col("tok"))
+      .select(col("h"), col("tok"))
+      // self-joined below: without materialization both legs re-run
+      // the freq join + two windows
+      .localCheckpoint(true)
     val cand = prefix.as("pa").join(prefix.as("pb"),
-        col("pa.tok") === col("pb.tok") && col("pa.doc_id") < col("pb.doc_id"))
-      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+        col("pa.tok") === col("pb.tok") && col("pa.h") < col("pb.h"))
+      .select(col("pa.h").as("ha"), col("pb.h").as("hb"))
       .distinct()
-    val sets = d.select(col("doc_id"), col("ts"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("set_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("set_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
+    val repPairs = cand
+      .join(sets.select(col("h").as("ha"), col("ts").as("set_a"), col("sz").as("sa")), "ha")
+      .join(sets.select(col("h").as("hb"), col("ts").as("set_b"), col("sz").as("sb")), "hb")
+      .select(col("ha"), col("hb"),
         size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"),
-        size(col("set_a")).cast("long").as("size_a"),
-        size(col("set_b")).cast("long").as("size_b"))
-      .where(col("inter") * (tauNum + tauDen) >= (col("size_a") + col("size_b")) * tauNum)
-      .orderBy("doc_a", "doc_b")
+        col("sa"), col("sb"))
+      .where(col("inter") * (tauNum + tauDen) >= (col("sa") + col("sb")) * tauNum)
+    // expand each qualifying cluster pair to all member pairs,
+    // normalizing (doc_a < doc_b) and swapping sizes with the ids
+    val cross = repPairs
+      .join(members.select(col("h").as("ha"), col("doc_id").as("ida")), "ha")
+      .join(members.select(col("h").as("hb"), col("doc_id").as("idb")), "hb")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("inter"),
+        when(col("ida") < col("idb"), col("sa")).otherwise(col("sb")).as("size_a"),
+        when(col("ida") < col("idb"), col("sb")).otherwise(col("sa")).as("size_b"))
+    intra.unionByName(cross).orderBy("doc_a", "doc_b")
   }
 
   def q142SetSimJoin(s: SparkSession, dir: String): DataFrame =
