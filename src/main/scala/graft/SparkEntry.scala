@@ -19,7 +19,8 @@ object SparkEntry {
       (q.MarcOps.queries, q.MarcOps.oracle),
       (q.PipelineOps.queries, q.PipelineOps.oracle),
       (q.StoreOps.queries, q.StoreOps.oracle),
-      (q.AnalyticsOps.queries, q.AnalyticsOps.oracle))
+      (q.AnalyticsOps.queries, q.AnalyticsOps.oracle),
+      (q.EngineOps.queries, q.EngineOps.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -727,6 +727,40 @@ object ExplainCheck {
       "q156: PIT join fell back to a range product")
     println("q156 point-in-time join OK")
 
+    // bucketed join: the layout replaces the shuffle — NO shuffle
+    // exchange anywhere in the join plan, both scans bucketed
+    val q157 = graft.queries.EngineOps.q157BucketedJoin(spark, sfDir)
+    val p157 = planOf(q157)
+    // the aggregate after the join still shuffles on o_orderstatus
+    // (inherent); what the layout must eliminate is any exchange on
+    // the JOIN keys
+    assert(!"Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+      .findFirstIn(p157).isDefined,
+      "q157: bucketed join still shuffles on the join key")
+    assert(p157.contains("SortMergeJoin") || p157.contains("ShuffledHashJoin"),
+      "q157: not a merge join of the bucketed tables")
+    assert("Bucketed: true".r.findAllIn(p157).size >= 2,
+      "q157: scans not reading bucketed layout")
+    println("q157 shuffle-free bucketed join OK")
+
+    // partition pruning: the day filter must reach PartitionFilters
+    // and the scan must read only the 7 matching day partitions
+    val q158 = graft.queries.EngineOps.q158PartitionPruned(spark, sfDir)
+    val p158 = planOf(q158)
+    assert("PartitionFilters: \\[[^\\]]*day_n".r.findFirstIn(p158).isDefined,
+      "q158: day filter not in PartitionFilters")
+    assert(!p158.contains("PushedFilters: [IsNotNull(day_n)"),
+      "q158: partition filter leaked into data filters")
+    println("q158 partition-pruned scan OK")
+
+    // runtime filter: a bloom built from the selective side must be
+    // applied on the fact side before its shuffle
+    val q159 = graft.queries.EngineOps.q159RuntimeFilter(spark, sfDir)
+    val p159 = planOf(q159)
+    assert(p159.contains("might_contain") || p159.contains("bloom_filter"),
+      "q159: no runtime bloom filter in the plan")
+    println("q159 runtime bloom-filter pruning OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
