@@ -815,6 +815,43 @@ object AnalyticsOps {
   }
 
   // ---------------------------------------------------------------
+  // q162 — session path analysis
+  // ---------------------------------------------------------------
+
+  /** Behavioral path analysis: the first-k event-type sequence of
+    * every session (gap-based, the q20/q133 session semantics),
+    * counted per distinct path — the "what do users do first"
+    * operator, and the k-step generalization of q147's 1-step
+    * transitions. One user window pass builds sessions and ranks
+    * events; the path assembly groups by (user, session) — bounded
+    * rows — and the path census is a count over ≤ |types|^k keys. */
+  def sessionPaths(ev: DataFrame, gapSeconds: Long = 1800L, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val sessioned = ev
+      .withColumn("prev_ts", lag("ts_s", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_s") - col("prev_ts") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = sessioned.withColumn("rn", row_number().over(
+      Window.partitionBy("user_id", "sess_no").orderBy("ts_s", "event_id")))
+      .where(col("rn") <= k)
+    ranked.groupBy("user_id", "sess_no")
+      // collect_list is partition-order-dependent; sorting the
+      // (rn, type) structs restores the deterministic step order
+      .agg(sort_array(collect_list(struct(col("rn"), col("event_type")))).as("steps"))
+      .select(concat_ws(">", col("steps.event_type")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+  }
+
+  def q162SessionPaths(s: SparkSession, dir: String): DataFrame =
+    sessionPaths(events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts").cast("long").as("ts_s")))
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_pagerank" -> (q129PageRank _),
@@ -837,6 +874,7 @@ object AnalyticsOps {
     "q151_cdc_apply" -> (q151CdcApply _),
     "q152_compaction_plan" -> (q152CompactionPlan _),
     "q154_hopping_windows" -> (q154HoppingWindows _),
+    "q162_session_paths" -> (q162SessionPaths _),
     "q155_mv_maintain" -> (q155MvMaintain _),
     "q156_pit_join" -> (q156PitJoin _),
     "q146_argmax_group" -> (q146ArgmaxGroup _),
@@ -1145,6 +1183,29 @@ object AnalyticsOps {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_b) // 1000000
         |       AS BIGINT) AS bin
         |FROM f ORDER BY part_dir, file_id""".stripMargin,
+    // gap sessions + per-session first-3 path census
+    "q162_session_paths" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |lagged AS (
+        |  SELECT *, lag(ts_s) OVER win AS prev_ts
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |numbered AS (
+        |  SELECT *, SUM(CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM lagged),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess_no ORDER BY ts_s, event_id) AS rn
+        |  FROM numbered),
+        |paths AS (
+        |  SELECT user_id, sess_no,
+        |         string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM ranked WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path""".stripMargin,
     // each event replays into its 4 overlapping epoch-aligned hops
     "q154_hopping_windows" ->
       """WITH e AS (

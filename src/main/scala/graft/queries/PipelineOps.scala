@@ -519,8 +519,43 @@ object PipelineOps {
     }
   }
 
+  /** Complete-output-mode streaming aggregation — the last streaming
+    * output surface after Append (q85/q119/q125/q144) and the
+    * foreachBatch/update paths (q86): a running global aggregate whose
+    * FULL result is re-emitted per micro-batch, exactly what a live
+    * dashboard sinks. State is one row per group key (bounded by
+    * |event types|), independent of stream length; the finite
+    * AvailableNow replay makes the final emission equal the batch
+    * aggregate, which the oracle checks. */
+  def q163StreamCompleteAgg(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = s"q163_sink_${streamSinkCounter.incrementAndGet()}"
+    withStreamSession(s, 8) { ss =>
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val eventsPath = s"$dir/events.parquet"
+      val src =
+        if (new java.io.File(eventsPath).isDirectory)
+          ss.readStream.schema(schema).parquet(eventsPath)
+        else
+          ss.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val out = Tables.normalizeEventTs(src)
+        .select(col("event_type"), floor(col("value") * 100).as("vq"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vq").as("sum_vq"))
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      ss.table(sink).orderBy("event_type")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_stream_dedup" -> (q144StreamDedup _),
+    "q163_stream_complete_agg" -> (q163StreamCompleteAgg _),
     "q32_multimodal" -> (q32Multimodal _),
     "q33_lang_id" -> (q33LangId _),
     "q46_frame_sample" -> (q46FrameSample _),
@@ -539,6 +574,11 @@ object PipelineOps {
     LanguageId.markers.toMap.apply(lang).toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // the complete-mode final emission equals the batch aggregate
+    "q163_stream_complete_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_vq
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the distinct surviving content-hash set (arrival-independent)
     "q144_stream_dedup" ->
       """SELECT DISTINCT md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||

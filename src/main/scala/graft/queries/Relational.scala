@@ -65,6 +65,34 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q5 proper (vs q3's simpler star): local-supplier revenue —
+    * the 6-way star join with the c_nationkey = s_nationkey
+    * correlation and a one-year date window. The date predicate is a
+    * direct o_orderdate comparison so it pushes into the parquet scan
+    * (plan-asserted); all three dimension legs broadcast; the only
+    * shuffles are the two fact-fact joins and the final aggregate. */
+  def q160LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(s, dir)
+    val o = orders(s, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+    val c = customer(s, dir)
+    val sup = broadcast(supplier(s, dir))
+    val n = broadcast(nation(s, dir))
+    val r = broadcast(region(s, dir))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "EUROPE")
+      .groupBy("n_name")
+      .agg(sum(dec("l_extendedprice") * (lit(1.0).cast("decimal(20,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
   /** Window function: latest order per customer (row_number desc). */
   def q4WindowLatest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -260,9 +288,24 @@ object Relational {
     "q12_union" -> (q12Union _),
     "q89_asof_join" -> (q89AsofJoin _),
     "q127_funnel" -> ((s: SparkSession, d: String) => q127Funnel(s, d)),
-    "q128_cohort_retention" -> (q128CohortRetention _))
+    "q128_cohort_retention" -> (q128CohortRetention _),
+    "q160_local_supplier" -> (q160LocalSupplier _))
 
   val oracle: Map[String, String] = Map(
+    // TPC-H Q5 semantics: supplier and customer in the same nation
+    "q160_local_supplier" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1.0 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,

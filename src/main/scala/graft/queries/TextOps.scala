@@ -1674,6 +1674,25 @@ object TextOps {
   def q142SetSimJoin(s: SparkSession, dir: String): DataFrame =
     setSimJoin(documents(s, dir).select("doc_id", "text"))
 
+  /** Nested-data algebra via higher-order functions ONLY: per-doc
+    * token stats (long-token count, their total characters, longest
+    * token) computed with filter/transform/aggregate/array_max inside
+    * the scan's project — no explode, no shuffle, no UDF. This is the
+    * shape nested 100 TB data wants: the array never leaves the row,
+    * so a billion-doc corpus is one codegen'd map pass; an
+    * explode+groupBy doing the same work would shuffle every token.
+    * All-integer outputs replay exactly in DuckDB's list algebra. */
+  def q161HofStats(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("w"), t => length(t) > 3)).cast("long").as("n_long"),
+        aggregate(filter(col("w"), t => length(t) > 3), lit(0L),
+          (acc, t) => acc + length(t).cast("long")).as("chars_long"),
+        array_max(transform(col("w"), t => length(t))).cast("long").as("max_token_len"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_bloom_decon" -> (q90BloomDecon _),
     "q91_vocab_build" -> (q91VocabBuild _),
@@ -1689,6 +1708,7 @@ object TextOps {
     "q17_fingerprint" -> (q17Fingerprint _),
     "q18_ngram_jaccard" -> (q18NgramJaccard _),
     "q142_set_sim_join" -> (q142SetSimJoin _),
+    "q161_hof_stats" -> (q161HofStats _),
     "q56_dedup_clusters" -> (q56DedupClusters _),
     "q61_dedup_pipeline" -> (q61DedupPipeline _),
     "q118_curation_pipeline" -> (q118CurationPipeline _),
@@ -2403,6 +2423,16 @@ object TextOps {
         |WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // DuckDB list algebra replays the HOF pipeline exactly (integers)
+    "q161_hof_stats" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(w, t -> length(t) > 3)) AS BIGINT) AS n_long,
+        |  CAST(COALESCE(list_sum(list_transform(list_filter(w, t -> length(t) > 3),
+        |        t -> length(t))), 0) AS BIGINT) AS chars_long,
+        |  CAST(list_max(list_transform(w, t -> length(t))) AS BIGINT) AS max_token_len
+        |FROM d ORDER BY doc_id""".stripMargin,
     // NAIVE all-pairs ground truth: passing proves the Spark side's
     // prefix filter is lossless (a missed pair hash-mismatches)
     "q142_set_sim_join" ->

@@ -761,6 +761,34 @@ object ExplainCheck {
       "q159: no runtime bloom filter in the plan")
     println("q159 runtime bloom-filter pruning OK")
 
+    // TPC-H Q5: date predicate pushed into the orders scan; all three
+    // dimension legs broadcast
+    val q160 = graft.queries.Relational.q160LocalSupplier(spark, sfDir)
+    val p160 = planOf(q160)
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p160).isDefined,
+      "q160: date window not pushed to the orders scan")
+    assert("BroadcastHashJoin".r.findAllIn(p160).size >= 3,
+      "q160: dimension legs not broadcast")
+    println("q160 local-supplier star join OK")
+
+    // HOF stats: the whole computation lives in the scan project —
+    // no explode, no join, no aggregate, no window before the sort
+    val q161 = graft.queries.TextOps.q161HofStats(spark, sfDir)
+    val p161 = planOf(q161)
+    assert(!p161.contains("Generate") && !p161.contains("Join") &&
+      !p161.contains("HashAggregate") && !p161.contains("Window"),
+      "q161: nested algebra left the row (explode/join/agg/window)")
+    println("q161 higher-order-function stats OK")
+
+    // session paths: user-keyed windows; the path census aggregates
+    // the bounded (user, session) frame
+    val q162 = graft.queries.AnalyticsOps.q162SessionPaths(spark, sfDir)
+    val p162 = planOf(q162)
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(p162).isDefined,
+      "q162: session windows not user-partitioned")
+    assert(!p162.contains("Join"), "q162: unexpected join")
+    println("q162 session path analysis OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

@@ -305,6 +305,18 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionPaths truncates at k steps, splits on the gap, and orders steps by time") {
+    import spark.implicits._
+    // user 1: 4 events in one session (path = first 3) then a gap
+    // opens a new 1-event session
+    val ev = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 10L), (3L, 1L, "c", 20L), (4L, 1L, "d", 30L),
+      (5L, 1L, "e", 10000L)).toDF("event_id", "user_id", "event_type", "ts_s")
+    val out = AnalyticsOps.sessionPaths(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a>b>c" -> 1L, "e" -> 1L))
+  }
+
   test("sessionConcurrency counts cross-user overlap with exact containment") {
     import spark.implicits._
     // user 1: one session [100, 200]; user 2 has events at 150 (inside)
