@@ -852,6 +852,69 @@ object AnalyticsOps {
       col("event_type"), col("ts").cast("long").as("ts_s")))
 
   // ---------------------------------------------------------------
+  // q164/q165 — data profiling and constraint validation
+  // ---------------------------------------------------------------
+
+  /** Column profiler (the Deequ/Great-Expectations "analyze" shape):
+    * null count, exact distinct count, and min/max per column of the
+    * orders table, ONE scan — all metrics ride a single aggregate
+    * (Spark plans the multi-column distinct via one Expand), then the
+    * 1-row × k-metric result unpivots to long form. At 100 TB the
+    * scan dominates; everything after is constant-size. Numerics are
+    * quantized and everything stringifies so one typed schema carries
+    * every column's profile. */
+  def q164Profile(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      floor(col("o_totalprice") * 100).as("price_c"),
+      expr("cast(cast(o_orderdate as timestamp) as long) div 86400").as("day_n"),
+      col("o_orderpriority"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "price_c",
+      "day_n", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c => struct(lit(c).as("column_name"),
+      col(s"${c}__nulls").as("n_nulls"), col(s"${c}__distinct").as("n_distinct"),
+      col(s"${c}__min").as("min_s"), col(s"${c}__max").as("max_s")))
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy("column_name")
+  }
+
+  /** Constraint validation (checks as data): uniqueness, non-null,
+    * domain, range, and referential integrity, each a named row with
+    * its violation count — the gate a 100 TB ingest runs before
+    * publishing a partition. The four scalar checks share ONE
+    * aggregate pass over orders; the referential check is a
+    * broadcast-free ANTI-join count (orphans = lineitems whose order
+    * is missing). Zero violations is the expected steady state; the
+    * oracle proves the counts, not just emptiness. */
+  def q165DqChecks(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val scalar = o.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkeys"),
+      (count(lit(1)) - count(col("o_custkey"))).as("null_custkeys"),
+      sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("negative_prices"),
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+        .as("bad_status"))
+    val orphans = lineitem(s, dir)
+      .join(o.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("li_orphan_orders").as("check"), col("v").as("violations"))
+    val checks = Seq("dup_orderkeys", "null_custkeys", "negative_prices", "bad_status")
+    scalar.select(explode(array(checks.map(c =>
+        struct(lit(c).as("check"), col(c).as("violations"))): _*)).as("r"))
+      .select("r.*")
+      .unionByName(orphans)
+      .orderBy("check")
+  }
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_pagerank" -> (q129PageRank _),
@@ -875,6 +938,8 @@ object AnalyticsOps {
     "q152_compaction_plan" -> (q152CompactionPlan _),
     "q154_hopping_windows" -> (q154HoppingWindows _),
     "q162_session_paths" -> (q162SessionPaths _),
+    "q164_profile" -> (q164Profile _),
+    "q165_dq_checks" -> (q165DqChecks _),
     "q155_mv_maintain" -> (q155MvMaintain _),
     "q156_pit_join" -> (q156PitJoin _),
     "q146_argmax_group" -> (q146ArgmaxGroup _),
@@ -1183,6 +1248,47 @@ object AnalyticsOps {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_b) // 1000000
         |       AS BIGINT) AS bin
         |FROM f ORDER BY part_dir, file_id""".stripMargin,
+    // per-column profile replay (UNION ALL is the naive twin of the
+    // one-pass Expand aggregate)
+    "q164_profile" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+        |         epoch_ns(o_orderdate) // 1000000000 // 86400 AS day_n,
+        |         o_orderpriority
+        |  FROM orders)
+        |SELECT 'day_n' AS column_name, COUNT(*) - COUNT(day_n) AS n_nulls,
+        |       COUNT(DISTINCT day_n) AS n_distinct,
+        |       CAST(MIN(day_n) AS VARCHAR) AS min_s, CAST(MAX(day_n) AS VARCHAR) AS max_s FROM t
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+        |       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'o_orderkey', COUNT(*) - COUNT(o_orderkey), COUNT(DISTINCT o_orderkey),
+        |       CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+        |       CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+        |       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'price_c', COUNT(*) - COUNT(price_c), COUNT(DISTINCT price_c),
+        |       CAST(MIN(price_c) AS VARCHAR), CAST(MAX(price_c) AS VARCHAR) FROM t
+        |ORDER BY column_name""".stripMargin,
+    // named constraint rows with exact violation counts
+    "q165_dq_checks" ->
+      """SELECT 'bad_status' AS check, CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders
+        |UNION ALL
+        |SELECT 'dup_orderkeys', CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'li_orphan_orders', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'negative_prices', CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'null_custkeys', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) FROM orders
+        |ORDER BY "check"""".stripMargin,
     // gap sessions + per-session first-3 path census
     "q162_session_paths" ->
       """WITH e AS (

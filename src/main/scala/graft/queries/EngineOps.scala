@@ -118,13 +118,51 @@ object EngineOps {
   }
 
   // ---------------------------------------------------------------
+  // q166 — schema-evolution read (mergeSchema)
+  // ---------------------------------------------------------------
+
+  /** Schema evolution: two parquet batches of the same logical table,
+    * the newer one carrying an added column, read back as ONE frame
+    * with `mergeSchema` — old rows surface NULL for the new column
+    * and every aggregate keeps working. This is how a 100 TB table
+    * absorbs a schema change without rewriting history; the gate
+    * proves old-batch rows (null-filled) and new-batch rows aggregate
+    * to exactly the recomputed truth. */
+  def q166SchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_schema_merge_${keyOf(dir)}"
+    if (!new java.io.File(base).exists()) {
+      val o = orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).as("price_c"))
+      o.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$base/b1")
+      o.where(col("o_orderkey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$base/b2")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$base/b1", s"$base/b2")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        count(col("price_c")).as("n_with_price"),
+        sum(coalesce(col("price_c"), lit(0L))).as("sum_price_c"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_schema_merge" -> (q166SchemaMerge _),
     "q157_bucketed_join" -> (q157BucketedJoin _),
     "q158_partition_pruned" -> (q158PartitionPruned _),
     "q159_runtime_filter" -> (q159RuntimeFilter _))
 
   val oracle: Map[String, String] = Map(
+    // old batch (even keys) has no price column → counts as NULL
+    "q166_schema_merge" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_price,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+        |                THEN CAST(floor(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_price_c
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the co-located join must return exactly the plain join's answer
     "q157_bucketed_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_items,

@@ -789,6 +789,33 @@ object ExplainCheck {
     assert(!p162.contains("Join"), "q162: unexpected join")
     println("q162 session path analysis OK")
 
+    // profiler: every metric rides ONE aggregate over one scan — the
+    // plan must not re-scan orders per column
+    val q164 = graft.queries.AnalyticsOps.q164Profile(spark, sfDir)
+    val p164 = planOf(q164)
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p164).size <= 2,
+      "q164: profiler re-scans the table per column")
+    assert(!p164.contains("Join"), "q164: unexpected join")
+    println("q164 one-pass column profiler OK")
+
+    // dq checks: scalar checks share one aggregate; referential check
+    // is an anti-join, never an IN-subquery nested loop
+    val q165 = graft.queries.AnalyticsOps.q165DqChecks(spark, sfDir)
+    val p165 = planOf(q165)
+    assert(p165.contains("LeftAnti"), "q165: referential check not an anti-join")
+    assert(!p165.contains("CartesianProduct") && !p165.contains("BroadcastNestedLoop"),
+      "q165: dq checks fell back to a nested loop")
+    println("q165 constraint validation OK")
+
+    // schema merge: one unified scan of both batches, aggregate works
+    // over the null-filled union
+    val q166 = graft.queries.EngineOps.q166SchemaMerge(spark, sfDir)
+    val p166 = planOf(q166)
+    assert(!p166.contains("Union"),
+      "q166: mergeSchema read split into a manual union")
+    assert(p166.contains("HashAggregate"), "q166: missing aggregate")
+    println("q166 schema-evolution read OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
