@@ -66,9 +66,13 @@ object SkewBench {
     // must keep the band join flat) — its images derive from doc_id,
     // so the replicated corpus exercises it regardless of the text
     // boilerplate injection
+    // q142's exposure is the inverse shape: the 30% identical docs
+    // collapse to ONE representative before the prefix join (exact-
+    // first), but the intra-cluster expansion then emits C(0.3N, 2)
+    // pairs from one hash key — the member self-join must spread
     val family = Seq("q16_dedup_exact", "q19_minhash_lsh", "q43_simhash",
       "q56_dedup_clusters", "q61_dedup_pipeline", "q114_fuzzy_decon",
-      "q122_image_ahash_dedup")
+      "q122_image_ahash_dedup", "q142_set_sim_join")
     val queries = graft.SparkEntry.queries
 
     spark.read.parquet(s"$outDir/documents.parquet").count() // warm footers
