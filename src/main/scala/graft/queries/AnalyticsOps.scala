@@ -915,6 +915,63 @@ object AnalyticsOps {
   }
 
   // ---------------------------------------------------------------
+  // q168-q170 — range frames, ntile, native session windows
+  // ---------------------------------------------------------------
+
+  /** VALUE-range window frames (`rangeBetween`), the frame type the
+    * rest of the catalog's rowsBetween windows don't exercise: each
+    * event's trailing-1-hour count/sum over the user's series. Range
+    * frames are the semantically-correct trailing window under
+    * duplicate timestamps — every row with equal ts shares one frame,
+    * so the result is deterministic with no tie-break column, where a
+    * rows-frame would depend on intra-ts order. Same single user_id
+    * shuffle as the q132 family. */
+  def q168RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600L, 0L)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts_s"),
+        floor(col("value") * 100).as("vq"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_vq_1h", sum("vq").over(w))
+      .orderBy("event_id")
+  }
+
+  /** Quantile bucketing windows: ntile(4) quartile assignment and an
+    * integer percent-rank, both over a per-type total order made
+    * unique by the event id — so bucket boundaries and ranks are
+    * deterministic, and pr replays as exact integer math
+    * ((rank−1)·10⁴ div (n−1)) instead of a float percent_rank. */
+  def q169Ntile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("event_type").orderBy("vq", "event_id")
+    events(s, dir)
+      .select(col("event_id"), col("event_type"), floor(col("value") * 100).as("vq"))
+      .withColumn("quartile", ntile(4).over(byType).cast("long"))
+      .withColumn("rn", row_number().over(byType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("pr_bp", expr("((rn - 1) * 10000) div (n - 1)"))
+      .select("event_id", "event_type", "vq", "quartile", "pr_bp")
+      .orderBy("event_id")
+  }
+
+  /** Spark's NATIVE session_window (batch form) — the built-in gap
+    * session operator, gated against the same gap semantics the
+    * manual q20/q133/q162 constructions implement by hand: session
+    * end = last event + gap, sessions split when the gap is
+    * exceeded. One shuffle on (user, session) via the dedicated
+    * SessionWindow aggregation — no lag/cumsum window chain at all. */
+  def q170NativeSessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(floor(col("value") * 100)).as("sum_vq"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("start_s"),
+        col("session_window.end").cast("long").as("end_s"),
+        col("n_events"), col("sum_vq"))
+      .orderBy("user_id", "start_s")
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_pagerank" -> (q129PageRank _),
@@ -940,6 +997,9 @@ object AnalyticsOps {
     "q162_session_paths" -> (q162SessionPaths _),
     "q164_profile" -> (q164Profile _),
     "q165_dq_checks" -> (q165DqChecks _),
+    "q168_range_frame" -> (q168RangeFrame _),
+    "q169_ntile" -> (q169Ntile _),
+    "q170_native_session_window" -> (q170NativeSessionWindow _),
     "q155_mv_maintain" -> (q155MvMaintain _),
     "q156_pit_join" -> (q156PitJoin _),
     "q146_argmax_group" -> (q146ArgmaxGroup _),
@@ -1248,6 +1308,48 @@ object AnalyticsOps {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_b) // 1000000
         |       AS BIGINT) AS bin
         |FROM f ORDER BY part_dir, file_id""".stripMargin,
+    // value-range trailing frame: ties share one frame in both engines
+    "q168_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+        |         CAST(floor(value * 100) AS BIGINT) AS vq FROM events)
+        |SELECT event_id, user_id, ts_s, vq,
+        |  COUNT(*) OVER win AS n_1h,
+        |  CAST(SUM(vq) OVER win AS BIGINT) AS sum_vq_1h
+        |FROM e
+        |WINDOW win AS (PARTITION BY user_id ORDER BY ts_s
+        |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // ntile + exact integer percent-rank over a unique total order
+    "q169_ntile" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |w AS (
+        |  SELECT *, NTILE(4) OVER win AS quartile,
+        |         ROW_NUMBER() OVER win AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e WINDOW win AS (PARTITION BY event_type ORDER BY vq, event_id))
+        |SELECT event_id, event_type, vq, CAST(quartile AS BIGINT) AS quartile,
+        |       CAST(((rn - 1) * 10000) // (n - 1) AS BIGINT) AS pr_bp
+        |FROM w ORDER BY event_id""".stripMargin,
+    // gap sessions replayed by hand: end = last event + gap
+    "q170_native_session_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+        |         CAST(floor(value * 100) AS BIGINT) AS vq FROM events),
+        |lagged AS (
+        |  SELECT *, lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_ts
+        |  FROM e),
+        |numbered AS (
+        |  SELECT *, SUM(CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM lagged)
+        |SELECT user_id, MIN(ts_s) AS start_s, MAX(ts_s) + 1800 AS end_s,
+        |       COUNT(*) AS n_events, CAST(SUM(vq) AS BIGINT) AS sum_vq
+        |FROM numbered GROUP BY user_id, sess_no
+        |ORDER BY user_id, start_s""".stripMargin,
     // per-column profile replay (UNION ALL is the naive twin of the
     // one-pass Expand aggregate)
     "q164_profile" ->

@@ -148,14 +148,54 @@ object EngineOps {
   }
 
   // ---------------------------------------------------------------
+  // q167 — manual salted skew join
+  // ---------------------------------------------------------------
+
+  /** Salting, the manual skew-join technique (complementing the
+    * MEASURED AQE skew handling in SKEW.md): a deliberately hot fact
+    * key (~30% of orders collapse onto customer 0) joins the customer
+    * dimension after the fact side fans its hot key across 16 salt
+    * values and the dimension replicates 16× — the one hot hash
+    * bucket becomes 16 even ones BY CONSTRUCTION, no runtime
+    * detection needed. The dimension-side explode is the cost: 16×
+    * a dimension is nothing; 16× a fact would be the wrong side.
+    * Oracle = the plain unsalted join, so the rewrite is provably
+    * answer-preserving. */
+  def q167SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val salts = 16
+    val fact = orders(s, dir).select(
+      when(col("o_orderkey") % 10 < 3, 0L).otherwise(col("o_custkey")).as("k"),
+      col("o_totalprice"),
+      pmod(col("o_orderkey"), lit(salts.toLong)).as("salt"))
+    val dim = customer(s, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    fact.join(dim, Seq("k", "salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(20,2)")).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_salted_join" -> (q167SaltedJoin _),
     "q166_schema_merge" -> (q166SchemaMerge _),
     "q157_bucketed_join" -> (q157BucketedJoin _),
     "q158_partition_pruned" -> (q158PartitionPruned _),
     "q159_runtime_filter" -> (q159RuntimeFilter _))
 
   val oracle: Map[String, String] = Map(
+    // the UNSALTED join: salting must be answer-preserving
+    "q167_salted_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN o_orderkey % 10 < 3 THEN 0 ELSE o_custkey END AS k, o_totalprice
+        |  FROM orders)
+        |SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+        |FROM f JOIN customer ON k = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // old batch (even keys) has no price column → counts as NULL
     "q166_schema_merge" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -816,6 +816,42 @@ object ExplainCheck {
     assert(p166.contains("HashAggregate"), "q166: missing aggregate")
     println("q166 schema-evolution read OK")
 
+    // salted join: dimension-side Generate (the 16× salt explode) +
+    // equi-join on (k, salt) — never a nested loop
+    val q167 = graft.queries.EngineOps.q167SaltedJoin(spark, sfDir)
+    val p167 = planOf(q167)
+    assert(p167.contains("Generate explode"), "q167: salt explode missing")
+    assert(!p167.contains("CartesianProduct") && !p167.contains("BroadcastNestedLoop"),
+      "q167: salted join fell back to a nested loop")
+    println("q167 manual salted skew join OK")
+
+    // range frame: a RANGE window spec on the user partition
+    val q168 = graft.queries.AnalyticsOps.q168RangeFrame(spark, sfDir)
+    val p168 = planOf(q168)
+    assert("windowspecdefinition\\(user_id[^)]*RangeFrame".r.findFirstIn(p168).isDefined ||
+      (p168.contains("RangeFrame") &&
+        "windowspecdefinition\\(user_id".r.findFirstIn(p168).isDefined),
+      "q168: trailing window not a RANGE frame")
+    assert(!p168.contains("Join"), "q168: unexpected join")
+    println("q168 value-range window frame OK")
+
+    // ntile: single event_type window pass, join-free
+    val q169 = graft.queries.AnalyticsOps.q169Ntile(spark, sfDir)
+    val p169 = planOf(q169)
+    assert(p169.contains("ntile"), "q169: ntile missing from the plan")
+    assert(!p169.contains("Join"), "q169: unexpected join")
+    println("q169 ntile quantile bucketing OK")
+
+    // native session windows: the dedicated SessionWindow aggregation,
+    // not a lag/cumsum window chain
+    val q170 = graft.queries.AnalyticsOps.q170NativeSessionWindow(spark, sfDir)
+    val p170 = planOf(q170)
+    assert(p170.contains("session_window") || p170.contains("SessionWindow"),
+      "q170: native session window missing")
+    assert(!p170.contains("windowspecdefinition"),
+      "q170: fell back to a manual window chain")
+    println("q170 native session windows OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
