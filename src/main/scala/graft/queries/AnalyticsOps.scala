@@ -972,6 +972,35 @@ object AnalyticsOps {
       .orderBy("user_id", "start_s")
 
   // ---------------------------------------------------------------
+  // q171 — MapType algebra
+  // ---------------------------------------------------------------
+
+  /** MapType column algebra — the per-user event-type histogram AS A
+    * MAP column, exercised end-to-end: map_from_entries (construction
+    * from sorted entries), size, map_entries + transform (canonical
+    * string render), map_filter (threshold predicate over values),
+    * element_at (point lookup with null→default). Maps are how a wide
+    * 100 TB feature store avoids thousand-column schemas; everything
+    * here is codegen'd collection algebra over the per-user bounded
+    * map — the only shuffles are the two aggregates. */
+  def q171MapAlgebra(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("cnt"))))).as("type_counts"))
+      .select(col("user_id"),
+        size(col("type_counts")).cast("long").as("n_types"),
+        concat_ws(",", transform(map_entries(col("type_counts")),
+          e => concat(e.getField("key"), lit(":"), e.getField("value"))))
+          .as("counts_str"),
+        size(map_filter(col("type_counts"), (_, v) => v >= 20))
+          .cast("long").as("n_frequent"),
+        coalesce(element_at(col("type_counts"), "purchase"), lit(0L))
+          .as("n_purchases"))
+      .orderBy("user_id")
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_pagerank" -> (q129PageRank _),
@@ -998,6 +1027,7 @@ object AnalyticsOps {
     "q164_profile" -> (q164Profile _),
     "q165_dq_checks" -> (q165DqChecks _),
     "q168_range_frame" -> (q168RangeFrame _),
+    "q171_map_algebra" -> (q171MapAlgebra _),
     "q169_ntile" -> (q169Ntile _),
     "q170_native_session_window" -> (q170NativeSessionWindow _),
     "q155_mv_maintain" -> (q155MvMaintain _),
@@ -1308,6 +1338,15 @@ object AnalyticsOps {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_b) // 1000000
         |       AS BIGINT) AS bin
         |FROM f ORDER BY part_dir, file_id""".stripMargin,
+    // relational replay of the map algebra (histogram as grouped rows)
+    "q171_map_algebra" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_types,
+        |  string_agg(event_type || ':' || cnt, ',' ORDER BY event_type) AS counts_str,
+        |  CAST(SUM(CASE WHEN cnt >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent,
+        |  CAST(COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN cnt END), 0) AS BIGINT) AS n_purchases
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     // value-range trailing frame: ties share one frame in both engines
     "q168_range_frame" ->
       """WITH e AS (

@@ -852,6 +852,15 @@ object ExplainCheck {
       "q170: fell back to a manual window chain")
     println("q170 native session windows OK")
 
+    // map algebra: collection functions in the project, join-free;
+    // exactly two aggregates (per-type counts, per-user map build)
+    val q171 = graft.queries.AnalyticsOps.q171MapAlgebra(spark, sfDir)
+    val p171 = planOf(q171)
+    assert(p171.contains("map_entries") && p171.contains("map_filter") &&
+      p171.contains("element_at"), "q171: map algebra missing from the plan")
+    assert(!p171.contains("Join"), "q171: unexpected join")
+    println("q171 MapType algebra OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
