@@ -555,53 +555,97 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation — the corpus-level dedup step: pair generators
-    * (fingerprint/Jaccard/MinHash/SimHash above) yield EDGES, but a
-    * dedup pipeline keeps one representative per transitive CLUSTER.
+  /** Connected components over near-dup pairs — the corpus-level dedup
+    * step: pair generators (fingerprint/Jaccard/MinHash/SimHash above)
+    * yield EDGES, but a dedup pipeline keeps one representative per
+    * transitive CLUSTER.
     *
-    * Scale design: each iteration is one shuffle-on-node-id join +
-    * min-aggregation (the standard large-graph CC / Pregel pattern —
-    * no driver-side graph); iteration count = component diameter
-    * (near-dup clusters are shallow); lineage is cut per iteration
-    * with an eager localCheckpoint; convergence is detected by the
-    * strictly-decreasing label sum (one scalar aggregate, no
-    * change-detection join). */
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014).
+    * Unlike plain min-label propagation — whose round count equals the
+    * component DIAMETER, and which therefore goes super-linear when
+    * duplicate clusters form long chains — the alternating star
+    * contraction converges in O(log n) rounds regardless of diameter.
+    * Each round is two shuffle-on-node-id aggregations (large-star:
+    * hook every neighbor larger than u onto u's minimum; small-star:
+    * point every smaller neighbor at the group minimum); lineage is cut
+    * per round with an eager localCheckpoint; convergence is detected
+    * when the edge multiset reaches a fixed point (count + hash-sum
+    * scalar aggregate, no change-detection join). At the fixed point
+    * the edge set is a forest of stars (v -> component minimum), from
+    * which the (node, label) frame reads off directly. */
   def connectedComponents(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
       maxIter: Int = 64): DataFrame = {
-    // materialize ONCE: the propagation loop joins edges every
-    // iteration, and re-evaluating the caller's edge lineage (band
-    // joins, cosine verification) per iteration multiplies its cost
-    // by the component diameter. Edges are bounded — they are the
-    // actual duplicate pairs, not the corpus.
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+    // materialize ONCE: the loop re-reads edges every round, and
+    // re-evaluating the caller's edge lineage (band joins, cosine
+    // verification) per round multiplies its cost by the round count.
+    // Edges are bounded — the actual duplicate pairs, not the corpus.
+    var edges = pairs
+      .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    var prevSum = Long.MinValue
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val viaNeighbors = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"))
-      val updated = labels.union(viaNeighbors)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      val s = updated.agg(sum("label")).head().getAs[Any](0) match {
-        case null => 0L
-        case l: Long => l
-        case other => other.toString.toLong
-      }
-      labels = updated
-      if (s == prevSum) converged = true else { prevSum = s; iter += 1 }
+    // every node that appears in the input, so isolated self-pair nodes
+    // and star roots all get a label row at the end
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .union(pairs.select(col(a).cast("long").as("node")))
+      .union(pairs.select(col(b).cast("long").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent and cannot overflow under ANSI
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    // a silent cap would return WRONG labels for components deeper than
-    // maxIter hops (the DuckDB oracle's recursive closure is exact) —
-    // fail loudly instead
+
+    // large-star: undirected neighborhoods; m = min(u, Γ(u)); emit
+    // (v, m) for every neighbor v > u. Hooks far nodes directly onto
+    // the running minimum — this is the step that halves tree height.
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = und.groupBy("src")
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      und.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // small-star: orient edges large->small; m = min(Γ(u)); emit (v, m)
+    // for the other small neighbors plus (u, m). Flattens each local
+    // tree into a star around its minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val mins = dir.groupBy("src").agg(min(col("dst")).as("m"))
+      dir.join(mins, "src")
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var prev = signature(edges)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (iter < maxIter && !converged) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val sig = signature(edges)
+      if (sig == prev) converged = true else { prev = sig; iter += 1 }
+    }
+    // a silent cap would return WRONG labels (the DuckDB oracle's
+    // recursive closure is exact) — fail loudly instead
     require(converged,
-      s"connectedComponents: min-label propagation did not converge in $maxIter iterations")
-    labels
+      s"connectedComponents: star contraction did not converge in $maxIter rounds")
+    // fixed point = stars (v -> component min); roots label themselves
+    nodes.join(edges, nodes("node") === edges("src"), "left")
+      .select(col("node"), coalesce(col("dst"), col("node")).as("label"))
   }
 
   /** Dedup clusters: transitive closure of the verified Jaccard

@@ -542,6 +542,17 @@ class SparkMarcSpec extends AnyFunSuite {
       20L -> 1L, 21L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: 300-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // diameter 299 >> maxIter 12 — min-label propagation (rounds =
+    // diameter) would blow the cap; alternating large-star/small-star
+    // must converge regardless of diameter
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = graft.queries.TextOps.connectedComponents(pairs, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length == 300 && cc.forall(_._2 == 1L))
+  }
+
   test("spanDedup: first occurrence wins across and within docs; partial tail chunk") {
     import spark.implicits._
     val docs = Seq(
