@@ -679,7 +679,51 @@ object MarcOps {
       .orderBy("_id")
   }
 
+  /** Collation-sorted from_query (the reference's default collation is
+    * strength 1 + numericOrdering:true — dlx/config.py:340 — applied
+    * to sorting as well as matching in from_query,
+    * dlx/marc/__init__.py:122-124): document-symbol-shaped 191$a
+    * values like "A/C.7/1234" must sort with digit runs compared
+    * NUMERICALLY, so "A/C.7/9" comes before "A/C.7/10". Runs the query
+    * DSL end-to-end (parse -> semi-join match -> collation-key sort)
+    * and emits (symbol, rank); the oracle replays the identical key in
+    * DuckDB (lower + length-prefixed zero-stripped digit runs). */
+  def q172CollationSortedQuery(s: SparkSession, dir: String): DataFrame = {
+    val f191 = field("191", sub("a",
+      concat(lit("A/C."), (col("o_orderkey") % 40).cast("string"),
+        lit("/"), col("o_orderkey").cast("string"))))
+    val bibs = orders(s, dir).where(col("o_orderkey") % 7 === 0).select(
+      lit("bib").as("record_type"),
+      col("o_orderkey").as("_id"),
+      lit(null).cast("timestamp").as("created"),
+      lit(null).cast("timestamp").as("updated"),
+      lit(null).cast("string").as("created_user"),
+      lit(null).cast("string").as("user"),
+      lit(null).cast("string").as("basket"),
+      lit("").as("leader"),
+      array().cast("array<struct<tag:string,value:string>>").as("controlfields"),
+      array(f191).as("datafields"),
+      lit(null).cast("string").as("text"),
+      lit(null).cast("array<string>").as("words"),
+      lit(null).cast("map<string,array<string>>").as("logical"))
+    val compiler = new SparkQueryCompiler(s, bibs, marcAuths(s, dir))
+    val sorted = compiler.runSorted("191__a:/^A/", "bib", "191", "a")
+    val symbol = try_element_at(flatten(transform(
+      filter(col("datafields"), f => f.getField("tag") === "191"),
+      f => transform(filter(f.getField("subfields"), sf => sf.getField("code") === "a"),
+        sf => sf.getField("value")))), lit(1))
+    // rank = position in the collation order (deterministic: the sort
+    // key is total up to _id tiebreak); windowed row_number over the
+    // same key so the gate hashes the ORDER, not just the row set
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(MarcContext.sortKeyCol(col("symbol")).asc_nulls_last, col("_id").asc)
+    sorted.select(col("_id"), symbol.as("symbol"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("symbol", "rank").orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_collation_sort" -> (q172CollationSortedQuery _),
     "q96_diff" -> (q96Diff _),
     "q66_resolve_ambiguous" -> (q66ResolveAmbiguous _),
     "q24_marc_build" -> (q24MarcBuild _),
@@ -715,6 +759,22 @@ object MarcOps {
     "q83_structured_cond" -> (q83StructuredCond _))
 
   val oracle: Map[String, String] = Map(
+    "q172_collation_sort" ->
+      """WITH syms AS (
+        |  SELECT o_orderkey AS id,
+        |         'A/C.' || CAST(o_orderkey % 40 AS VARCHAR) || '/' ||
+        |         CAST(o_orderkey AS VARCHAR) AS symbol
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |keyed AS (
+        |  SELECT id, symbol,
+        |    array_to_string(list_transform(
+        |      regexp_extract_all(lower(symbol), '[0-9]+|[^0-9]+'),
+        |      x -> CASE WHEN regexp_matches(x, '^[0-9]')
+        |           THEN lpad(CAST(length(coalesce(nullif(ltrim(x,'0'),''),'0')) AS VARCHAR), 4, '0')
+        |                || coalesce(nullif(ltrim(x,'0'),''),'0')
+        |           ELSE x END), '') AS k
+        |  FROM syms)
+        |SELECT symbol, row_number() OVER (ORDER BY k, id) AS rank FROM keyed""".stripMargin,
     "q96_diff" ->
       """SELECT o_orderkey AS _id,
         |  CAST(CASE WHEN o_orderkey % 388 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_a_only,

@@ -16,6 +16,32 @@ object Collation {
     nfd.replaceAll("""\p{Mn}""", "").toLowerCase(java.util.Locale.ROOT)
   }
   def eqv(a: String, b: String): Boolean = normalize(a) == normalize(b)
+
+  /** Sort key matching the reference collation's `numericOrdering:
+    * true` (dlx/config.py:340, applied to sorted `from_query` —
+    * dlx/marc/__init__.py:122-124): strength-1 normalize, then each
+    * ASCII digit run is replaced by a 4-digit length prefix + the run
+    * with leading zeros stripped, so byte order == numeric order
+    * ("A/9" sorts before "A/10"; "007" collates with "7", ICU primary
+    * semantics). Precondition: digit runs < 10^4 digits. */
+  def sortKey(s: String): String = {
+    val n = normalize(s)
+    val sb = new StringBuilder(n.length + 8)
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var j = i
+        while (j < n.length && n.charAt(j) >= '0' && n.charAt(j) <= '9') j += 1
+        val run = n.substring(i, j)
+        val trimmed = run.dropWhile(_ == '0')
+        val num = if (trimmed.isEmpty) "0" else trimmed
+        sb.append(f"${num.length}%04d").append(num)
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
   def in(v: String, set: Iterable[String]): Boolean = {
     val n = normalize(v)
     set.exists(x => normalize(x) == n)

@@ -45,6 +45,22 @@ object MarcContext {
   def registerFunctions(spark: SparkSession): Unit = {
     TextExprs.register(spark)
     CollationNormalizeExpr.register(spark)
+    CollationSortKeyExpr.register(spark)
+  }
+
+  /** Numeric-aware collation sort key (strength-1 +
+    * numericOrdering:true — the reference's default collation): byte
+    * order == collation order. Codegen expression when registered,
+    * UDF fallback otherwise. */
+  def sortKeyCol(c: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if s.sessionState.functionRegistry
+          .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dlx_sort_key")) =>
+        call_function("dlx_sort_key", c)
+      case _ =>
+        val k = udf((s2: String) => if (s2 == null) null else graft.query.Collation.sortKey(s2))
+        k(c)
+    }
   }
 
   /** (xref, tag, code, value, norm_value) — one row per subfield of

@@ -155,6 +155,29 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
   def runSemiJoin(query: String, recordType: String): DataFrame =
     runSemiJoin(QueryParser.parse(query, recordType))
 
+  /** Sorted from_query: the reference applies its default collation
+    * (strength 1, numericOrdering:true — dlx/config.py:340) to BOTH
+    * matching and sorting (dlx/marc/__init__.py:122-124), so a sort on
+    * a field value must put "A/9" before "A/10". Orders the matched
+    * records by the numeric-aware collation sort key of the FIRST
+    * (sortTag, sortCode) value (Mongo sorts a document by its array
+    * path's first element for our single-instance heading fields),
+    * tiebreak _id for determinism. The key is a plain codegen'd string
+    * expression, so this is one ordinary Spark Sort — range-partitioned
+    * and spillable at scale, no collation comparator UDF. */
+  def runSorted(query: String, recordType: String, sortTag: String, sortCode: String,
+      ascending: Boolean = true): DataFrame = {
+    val matched = runSemiJoin(QueryParser.parse(query, recordType))
+    val firstVal = try_element_at(flatten(transform(
+      filter(col("datafields"), f => f.getField("tag") === sortTag),
+      f => transform(filter(f.getField("subfields"), sf => sf.getField("code") === sortCode),
+        sf => sf.getField("value")))), lit(1))
+    val key = sortKeyCol(firstVal)
+    matched.orderBy(
+      (if (ascending) key.asc_nulls_last else key.desc_nulls_last),
+      col("_id").asc)
+  }
+
   def compile(ast: QueryAst): Column =
     ast.conditions.map(compileCond(_, ast.recordType)).reduceOption(_ && _).getOrElse(lit(true))
 

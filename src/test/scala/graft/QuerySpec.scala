@@ -180,4 +180,20 @@ class QuerySpec extends AnyFunSuite {
     assert(engine.runString("520:*").map(_.id.get) == Seq(1L))
     assert(engine.runString("710__a:*").map(_.id.get) == Seq(1L))
   }
+
+  test("collation sort key: numericOrdering puts A/9 before A/10") {
+    // the reference's default collation is strength:1 +
+    // numericOrdering:true (dlx/config.py:340) and applies to sorted
+    // from_query (dlx/marc/__init__.py:122-124)
+    val in = Seq("Symbol A/10", "Symbol A/9", "Symbol A/100", "Symbol B/2",
+      "symbol a/11", "SYMBOL A/007")
+    val sorted = in.sortBy(Collation.sortKey)
+    assert(sorted == Seq("SYMBOL A/007", "Symbol A/9", "Symbol A/10",
+      "symbol a/11", "Symbol A/100", "Symbol B/2"))
+    // strength-1: case/diacritics collapse; numeric: leading zeros collapse
+    assert(Collation.sortKey("A/007") == Collation.sortKey("a/7"))
+    assert(Collation.sortKey("É/9") < Collation.sortKey("e/10"))
+    // non-numeric strings reduce to plain strength-1 order
+    assert(Collation.sortKey("abc") == "abc")
+  }
 }

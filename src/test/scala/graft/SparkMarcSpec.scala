@@ -542,6 +542,21 @@ class SparkMarcSpec extends AnyFunSuite {
       20L -> 1L, 21L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("runSorted: collation sort key orders A/9 before A/10, case-blind") {
+    def symBib(id: Long, sym: String) =
+      MarcRecord(recordType = "bib", id = Some(id), fields = Vector(
+        DataField("191", subfields = Vector(Subfield("a", Some(sym))))))
+    val bibs = MarcSchema.toDataset(spark, Seq(
+      symBib(1L, "A/10"), symBib(2L, "A/9"), symBib(3L, "a/100"),
+      symBib(4L, "A/007"), symBib(5L, "B/1")))(AuthLookup.Empty).toDF()
+    val compiler = new graft.spark.SparkQueryCompiler(spark, bibs, authsDs.toDF())
+    val ids = compiler.runSorted("191__a:/./", "bib", "191", "a")
+      .select("_id").collect().map(_.getLong(0)).toSeq
+    // numeric order 7 < 9 < 10 < 100 (strength-1 makes a/100 collate
+    // under 'a'); lexicographic would put 10 and 100 before 9
+    assert(ids == Seq(4L, 2L, 1L, 3L, 5L))
+  }
+
   test("connected components: 300-node chain converges in O(log n) rounds") {
     import spark.implicits._
     // diameter 299 >> maxIter 12 — min-label propagation (rounds =
