@@ -69,12 +69,33 @@ final class HadoopBlobStore(baseUri: String) extends BlobStore {
     f.setVerifyChecksum(false)
     f
   }
-  def put(checksum: String, data: Array[Byte], mimetype: String): String = {
-    val path = new org.apache.hadoop.fs.Path(baseUri, checksum)
-    val out = fs.create(path, true)
-    try out.write(data) finally out.close()
-    path.toString
+  // file:// scheme — measured root cause of the q40 scale ratio
+  // (ProfileBlobIngest): without native-hadoop, every Hadoop local
+  // create round-trips the default permission through a FORKED chmod
+  // (~4 ms/put, and the fork lock serializes across executor threads
+  // — 265 puts/s TOTAL at any parallelism). Content-addressed blobs
+  // don't need the permission dance, so local puts go straight
+  // through NIO (~15 µs); object-store schemes (s3a/gs/abfs/hdfs)
+  // keep the Hadoop path, where create IS the parallel-put fast path.
+  @transient private lazy val localDir: Option[java.nio.file.Path] = {
+    val uri = new org.apache.hadoop.fs.Path(baseUri).toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val p = java.nio.file.Paths.get(uri.getPath)
+      java.nio.file.Files.createDirectories(p)
+      Some(p)
+    } else None
   }
+  def put(checksum: String, data: Array[Byte], mimetype: String): String =
+    localDir match {
+      case Some(d) =>
+        java.nio.file.Files.write(d.resolve(checksum), data)
+        new org.apache.hadoop.fs.Path(baseUri, checksum).toString
+      case None =>
+        val path = new org.apache.hadoop.fs.Path(baseUri, checksum)
+        val out = fs.create(path, true)
+        try out.write(data) finally out.close()
+        path.toString
+    }
   override def uriFor(checksum: String): String =
     new org.apache.hadoop.fs.Path(baseUri, checksum).toString
 }

@@ -435,11 +435,13 @@ object AnalyticsOps {
     // Σ C(deg, 2) under arbitrary orientation to O(m^{3/2}) — on the
     // skewed co-purchase graph this is the difference between 71 s
     // and ~5 s at sf0.1, and the difference between feasible and not
-    // at 100 TB. ordkey packs (degree, id) into one BIGINT for a
-    // strict total order.
+    // at 100 TB. ordkey is a (degree, id) STRUCT — lexicographic
+    // struct comparison gives the strict total order with no id-range
+    // precondition (arithmetic packing silently collides past 1e10
+    // ids and would undercount triangles).
     val deg = edges.select(col("u").as("n")).unionByName(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
-      .select(col("n"), (col("deg") * 10000000000L + col("n")).as("ordkey"))
+      .select(col("n"), struct(col("deg"), col("n")).as("ordkey"))
     val oriented = edges
       .join(deg.select(col("n").as("u"), col("ordkey").as("ku")), "u")
       .join(deg.select(col("n").as("v"), col("ordkey").as("kv")), "v")
@@ -546,12 +548,13 @@ object AnalyticsOps {
     * aggregate form is one map-side-combined hash aggregate whose
     * state is a single (key, ordkey) pair per group — the right shape
     * when k=1 and groups are few. Determinism on value ties comes from
-    * packing (value-cents, event_id) into one BIGINT ordering key. */
+    * a (value-cents, event_id) STRUCT ordering key (lexicographic —
+    * no id-range precondition, unlike arithmetic packing). */
   def q146ArgmaxGroup(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .select(col("event_type"), col("event_id"),
         floor(col("value") * 100).as("vq"))
-      .withColumn("ordkey", col("vq") * 10000000000L + col("event_id"))
+      .withColumn("ordkey", struct(col("vq"), col("event_id")))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), max("vq").as("max_vq"),
         max_by(col("event_id"), col("ordkey")).as("argmax_event_id"))

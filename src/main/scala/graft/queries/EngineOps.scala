@@ -19,7 +19,29 @@ import Tables._
   */
 object EngineOps {
 
-  private def keyOf(dir: String) = dir.replaceAll("[^A-Za-z0-9]", "_")
+  /** Cache key for derived layout artifacts: path PLUS a content
+    * fingerprint (name/size/mtime of every file under the source dir),
+    * so regenerating the source parquet at the same path invalidates
+    * the derived bucketed/partitioned copies instead of silently
+    * serving stale layouts. */
+  private def keyOf(dir: String): String = {
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).iterator.flatten.flatMap(walk)
+      else Iterator.single(f)
+    val sig = walk(new java.io.File(dir)).toSeq
+      .sortBy(_.getPath)
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    val fp = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp
+  }
+
+  /** Completed-write guard: a bare dir-exists check would reuse a
+    * partial dataset left by a crashed mid-write run forever. The
+    * Hadoop committer writes `_SUCCESS` last, so its presence == the
+    * write finished; anything else is rewritten (mode=overwrite). */
+  private def complete(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").isFile
 
   /** Cloned session so layout/runtime conf never leaks into the other
     * gates (the q86 streaming-isolation discipline). */
@@ -79,7 +101,7 @@ object EngineOps {
     * pruning didn't change the answer. */
   def q158PartitionPruned(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_part_events_${keyOf(dir)}"
-    if (!new java.io.File(base).exists())
+    if (!complete(base))
       events(s, dir)
         .withColumn("day_n", expr("cast(ts as long) div 86400"))
         .write.mode("overwrite").partitionBy("day_n").parquet(base)
@@ -130,7 +152,8 @@ object EngineOps {
     * to exactly the recomputed truth. */
   def q166SchemaMerge(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_schema_merge_${keyOf(dir)}"
-    if (!new java.io.File(base).exists()) {
+    // b2 is written LAST: its marker implies the whole pair completed
+    if (!complete(s"$base/b1") || !complete(s"$base/b2")) {
       val o = orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
         floor(col("o_totalprice") * 100).as("price_c"))
       o.where(col("o_orderkey") % 2 === 0)

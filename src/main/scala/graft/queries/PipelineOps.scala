@@ -347,7 +347,6 @@ object PipelineOps {
     * session gap. The DuckDB oracle replays exactly that emission
     * rule against the batch session construction. */
   def q119StreamSessionize(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"q119_sink_${streamSinkCounter.incrementAndGet()}"
     withStreamSession(s, 8) { ss =>
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -381,7 +380,6 @@ object PipelineOps {
     * so the finite AvailableNow replay emits every matching pair
     * regardless of file arrival order. */
   def q125StreamJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"q125_sink_${streamSinkCounter.incrementAndGet()}"
     withStreamSession(s, 8) { ss =>
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -407,7 +405,6 @@ object PipelineOps {
   }
 
   def q85StreamWindows(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"q85_sink_${streamSinkCounter.incrementAndGet()}"
     withStreamSession(s, 8) { ss =>
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -492,7 +489,6 @@ object PipelineOps {
     * the watermark — state size is bounded by keys-per-window, not by
     * stream length. */
   def q144StreamDedup(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"q144_sink_${streamSinkCounter.incrementAndGet()}"
     withStreamSession(s, 8) { ss =>
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -528,7 +524,6 @@ object PipelineOps {
     * AvailableNow replay makes the final emission equal the batch
     * aggregate, which the oracle checks. */
   def q163StreamCompleteAgg(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"q163_sink_${streamSinkCounter.incrementAndGet()}"
     withStreamSession(s, 8) { ss =>
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

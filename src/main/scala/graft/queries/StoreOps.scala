@@ -72,11 +72,10 @@ object StoreOps {
       val store = new MarcStore(s, base, numBuckets = gateBuckets)
       store.commit(batch(s, dir, 97L, "").as[MarcRow], user = "alice", now = ts1)
       store.commit(batch(s, dir, 194L, "X-").as[MarcRow], user = "bob", now = ts2)
-      val delIds = orders(s, dir).where(col("o_orderkey") % 388 === 0)
-        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
       // bob (the v2 committer) also deletes: the history marker now
-      // records the DELETING user, as the oracle asserts
-      store.delete("bib", delIds, user = "bob", now = ts3)
+      // records the DELETING user, as the oracle asserts. PREDICATE
+      // delete — the doomed ids never round-trip through the driver
+      store.delete("bib", pmod(col("_id"), lit(388L)) === 0, user = "bob", now = ts3)
       store
     })
 
@@ -144,9 +143,11 @@ object StoreOps {
     val base = java.nio.file.Files.createTempDirectory("graft_q55").toString
     val store = new MarcStore(s, base, numBuckets = gateBuckets)
     store.commit(batch(s, dir, 1940L, "").as[MarcRow], user = "alice", now = ts1)
-    val ids = orders(s, dir).where(col("o_orderkey") % 1940 === 0)
-      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
-    val delIds = ids.take(3)
+    // restore/revert need three CONCRETE ids (the reference API is
+    // per-id) — a bounded limit(3) collect, not a full id list
+    val delIds = orders(s, dir).where(col("o_orderkey") % 1940 === 0)
+      .select("o_orderkey").orderBy("o_orderkey").limit(3)
+      .collect().map(_.getLong(0)).toSeq
     store.delete("bib", delIds, user = "bob", now = ts2)
     delIds.take(2).foreach(id => store.restore("bib", id, user = "carol"))
     // revert() itself: version-1 state of one restored record
@@ -369,9 +370,7 @@ object StoreOps {
     val recs = raw.as[MarcRow]
       .map(r => MarcSchema.toRow(MarcSchema.fromRow(r))(graft.model.AuthLookup.Empty))
     store.commit(recs, user = "alice", now = ts1)
-    val delIds = orders(s, dir).where(col("o_orderkey") % 3880 === 0)
-      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
-    store.delete("bib", delIds, user = "bob", now = ts2)
+    store.delete("bib", pmod(col("_id"), lit(3880L)) === 0, user = "bob", now = ts2)
     graft.spark.MarcContext.browseIndex(store.read("bib").toDF())
       .where(col("field").isin("main_title", "notes"))
       .select(col("field"), col("value"))

@@ -707,8 +707,9 @@ object VectorOps {
     * the tiny query set, one corpus stream, and per-class argmax as a
     * single `max_by` aggregate — no per-query sort, no top-k state
     * beyond one (ordkey, id) pair. Determinism: similarity quantizes
-    * to 4-dp fixed point and packs with the neighbor id into one
-    * BIGINT ordering key (max cos, then min id). At 100 TB the corpus
+    * to 4-dp fixed point and orders by the (cos, -neighbor_id) STRUCT
+    * (max cos, then min id — lexicographic struct comparison, no
+    * id-range precondition). At 100 TB the corpus
     * side swaps for any of the gated ANN structures (q22/q45/q113)
     * unchanged — the mining aggregate is structure-agnostic. */
   def q153HardNegatives(s: SparkSession, dir: String): DataFrame = {
@@ -720,8 +721,7 @@ object VectorOps {
       .select(col("query_id"), col("qlabel"), col("label"),
         col("vec_id").as("neighbor_id"),
         round(cosSim(col("qv"), col("v")) * 10000).cast("long").as("cosq"))
-      .withColumn("ordkey",
-        col("cosq") * 10000000000L + (lit(10000000000L) - col("neighbor_id")))
+      .withColumn("ordkey", struct(col("cosq"), (-col("neighbor_id")).as("nid")))
     val pos = scored.where(col("label") === col("qlabel")).groupBy("query_id")
       .agg(max_by(col("neighbor_id"), col("ordkey")).as("pos_id"),
         max("cosq").as("pos_cosq"))

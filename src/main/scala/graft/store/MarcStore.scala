@@ -1,7 +1,7 @@
 package graft.store
 
 import graft.spark.{AuthOps, MarcContext, MarcRow, MarcSchema}
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch storage layer: the Spark-native shape of the reference's
@@ -422,30 +422,50 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   }
 
   /** Delete ids; refuse when an auth is still referenced (AuthInUse
-    * guard, dlx/marc/__init__.py:1243-1252). */
+    * guard, dlx/marc/__init__.py:1243-1252). Bounded-id convenience
+    * over the predicate overload — at scale, prefer
+    * `delete(recordType, predicate)` so ids never round-trip through
+    * the driver. */
   def delete(recordType: String, ids: Seq[Long], user: String = "admin",
       now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()))
-      : Unit = StoreLock.withLock(basePath, lockWaitMs) {
+      : Unit = delete(recordType, col("_id").isin(ids: _*), user, now)
+
+  /** Delete BY PREDICATE — the 100 TB delete path: the doomed set
+    * stays a DataFrame end-to-end (in-use guard = semi-join, history
+    * marker = append of the filtered frame, bucket rewrite = anti
+    * filter). The only driver materialization is the DISTINCT BUCKET
+    * list, bounded by numBuckets regardless of how many records the
+    * predicate matches. */
+  def delete(recordType: String, predicate: Column, user: String,
+      now: java.sql.Timestamp): Unit = StoreLock.withLock(basePath, lockWaitMs) {
     if (recordType == "auth") {
+      val doomedIds = read(recordType).toDF().where(predicate)
+        .select(col("_id").as("del_id"))
       val inUse = MarcContext.authUseCounts(read("bib").toDF().unionByName(read("auth").toDF()))
-        .where(col("xref").isin(ids: _*))
+        .join(doomedIds, col("xref") === col("del_id"), "left_semi")
         .count()
       require(inUse == 0, s"Auth record(s) in use: cannot delete")
     }
     val path = tablePath(recordType)
-    val buckets = ids.map(id => math.floorMod(id, numBuckets.toLong)).distinct
+    // bounded by numBuckets (64), never by match count
+    val buckets = read(recordType).toDF().where(predicate)
+      .select(pmod(col("_id"), lit(numBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
     // stamp the deletion time on the history marker (reference records
     // deleted.user/time, dlx/marc/__init__.py:1288-1308). History is
     // appended FIRST, while the live bucket files still exist — the
     // marker plan reads them exactly once and no checkpoint is needed.
-    val deleted = read(recordType).filter(col("_id").isin(ids: _*)).toDF()
+    val deleted = read(recordType).toDF().where(predicate)
       .withColumn("updated", lit(now))
       // the DELETING user, not the last committer (reference stamps
       // deleted.user, dlx/marc/__init__.py:1236,1300)
       .withColumn("user", lit(user))
     appendHistory(deleted, recordType, "deleted", now)
+    // NULL-predicate rows are NOT deleted (where() drops them from the
+    // doomed set), so they must stay in the survivors: coalesce, or
+    // `!NULL` would silently drop them from the rewrite
     val survivors = readRaw(recordType)
-      .where(col("id_bucket").isin(buckets: _*) && !col("_id").isin(ids: _*))
+      .where(col("id_bucket").isin(buckets: _*) && !coalesce(predicate, lit(false)))
     // a bucket whose rows were all deleted has no staging dir and
     // swapBuckets removes it outright
     swapBuckets(path, survivors, buckets)

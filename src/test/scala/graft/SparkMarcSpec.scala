@@ -480,6 +480,24 @@ class SparkMarcSpec extends AnyFunSuite {
     store.commit(authsDs, user = "t")
     store.commit(bibsDs, user = "t")
     intercept[IllegalArgumentException] { store.delete("auth", Seq(1L)) }
+    // predicate overload hits the same guard via the semi-join path
+    intercept[IllegalArgumentException] {
+      store.delete("auth", col("_id") === 1L, user = "t",
+        now = java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    }
+  }
+
+  test("predicate delete: doomed set never collected, history stamped") {
+    val dir = java.nio.file.Files.createTempDirectory("marcstore3").toString
+    val store = new graft.store.MarcStore(spark, dir)
+    store.commit(authsDs, user = "alice")
+    store.commit(bibsDs, user = "alice")
+    val ts = java.sql.Timestamp.valueOf("2021-06-01 00:00:00")
+    store.delete("bib", col("_id") % 2 === 0, user = "bob", now = ts)
+    assert(store.read("bib").collect().map(_._id).toSet == Set(1L))
+    val marker = store.readHistory("bib")
+      .where(col("_id") === 2L && col("action") === "deleted").head()
+    assert(marker.getAs[String]("user") == "bob")
   }
 
   test("connected components: empty pair set yields empty labels") {
