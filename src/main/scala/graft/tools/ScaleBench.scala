@@ -34,6 +34,12 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     val tableFilter = args.lift(5)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
+    // "exact" (default) replicates rows verbatim — adversarial for the
+    // dedup family's exact-first collapse. "fuzz" perturbs ~5% of
+    // tokens per document copy and jitters each embedding copy
+    // (cos≈0.99 to its original), so NO copy is exactly collapsible
+    // and the banding/prefix machinery itself carries the load.
+    val mode = args.lift(6).getOrElse("exact")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,21 +56,54 @@ object ScaleBench {
     def span(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
-    /** factor× replicas with each key column shifted into a disjoint range. */
-    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame =
+    /** factor× replicas with each key column shifted into a disjoint
+      * range; replicas r>0 optionally perturbed (fuzz mode). */
+    def replicateWith(df: DataFrame, perturb: (DataFrame, Int) => DataFrame,
+        shifts: (String, Long)*): DataFrame =
       (0 until factor).map { r =>
-        shifts.foldLeft(df) { case (d, (c, sp)) =>
+        val shifted = shifts.foldLeft(df) { case (d, (c, sp)) =>
           d.withColumn(c, col(c) + lit(r.toLong * sp))
         }
+        if (r == 0) shifted else perturb(shifted, r)
       }.reduce(_ unionByName _)
+
+    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame =
+      replicateWith(df, (d, _) => d, shifts: _*)
+
+    /** Replace ~5% of tokens with replica-unique garbage tokens, all
+      * hash-seeded (deterministic across retries — no rand()). A 5%
+      * token mutation kills ~15% of 3-shingles, so copy↔original
+      * shingle-Jaccard lands ≈0.74 and copy↔copy ≈0.54: real near-dup
+      * territory that exact-first collapse cannot touch. */
+    def fuzzText(d: DataFrame, r: Int): DataFrame = {
+      val mutated = transform(split(col("text"), " "), (t, i) =>
+        when(pmod(hash(col("doc_id"), lit(r), i), lit(20)) === 0,
+          concat(lit("zq"), pmod(hash(col("doc_id"), lit(r), i, t), lit(99991)).cast("string")))
+          .otherwise(t))
+      d.withColumn("text", array_join(mutated, " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+
+    /** Per-coordinate jitter in [-0.03, 0.03], hash-seeded: cos≈0.99
+      * to the original on the 64-dim unit-norm corpus — a near-dup at
+      * every gate threshold (τ=0.3 and τ=0.9) but never bit-equal. */
+    def fuzzVec(d: DataFrame, r: Int): DataFrame =
+      d.withColumn("embedding", transform(col("embedding"), (x, i) =>
+        x + (pmod(hash(col("vec_id"), lit(r), i), lit(1001)) - lit(500)).cast("float")
+          / lit(500f) * lit(0.03f)))
+
+    val (docPerturb, vecPerturb): ((DataFrame, Int) => DataFrame, (DataFrame, Int) => DataFrame) =
+      if (mode == "fuzz") (fuzzText _, fuzzVec _) else ((d, _) => d, (d, _) => d)
 
     val jobs: Seq[(String, () => DataFrame)] = Seq(
       "orders" -> (() => replicate(src("orders"), "o_orderkey" -> span(src("orders"), "o_orderkey"))),
       "lineitem" -> (() => replicate(src("lineitem"), "l_orderkey" -> span(src("orders"), "o_orderkey"))),
       "events" -> (() => replicate(src("events"),
         "event_id" -> span(src("events"), "event_id"), "user_id" -> span(src("events"), "user_id"))),
-      "documents" -> (() => replicate(src("documents"), "doc_id" -> span(src("documents"), "doc_id"))),
-      "embeddings" -> (() => replicate(src("embeddings"), "vec_id" -> span(src("embeddings"), "vec_id"))),
+      "documents" -> (() => replicateWith(src("documents"), docPerturb,
+        "doc_id" -> span(src("documents"), "doc_id"))),
+      "embeddings" -> (() => replicateWith(src("embeddings"), vecPerturb,
+        "vec_id" -> span(src("embeddings"), "vec_id"))),
       "customer" -> (() => src("customer")), "supplier" -> (() => src("supplier")),
       "part" -> (() => src("part")), "nation" -> (() => src("nation")),
       "region" -> (() => src("region")))
@@ -134,7 +173,10 @@ object ScaleBench {
       val entries = results.collect {
         case (name, secs) if floors.contains(name) && secs > 0 =>
           val rps = rowCounts(name) / secs
-          if (rps < floors(name))
+          // floors are calibrated on exact-replication row volumes;
+          // fuzz mode reports throughput but gates on recall + the
+          // cross-run wall ratios instead
+          if (mode == "exact" && rps < floors(name))
             guardFails += f"TPUT FAIL $name: ${rps}%.0f rows/s < floor ${floors(name)}%.0f"
           s""""$name":{"rows":${rowCounts(name)},"secs":$secs,"rows_per_sec":${f"$rps%.1f"}}"""
       }
@@ -187,7 +229,7 @@ object ScaleBench {
       s""","lsh":{"n":$n,"reps":$nReps,"r":$r,"bands":$bnd,"buckets":$buckets,"max_bucket":$maxB,"join_volume":$vol,"distinct_candidates":$cand,"planted_recall":$recall}"""
     }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$label-equivalent ($srcDir x$factor)"$tputJson$lshJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$label-equivalent ($srcDir x$factor, $mode replication)"$tputJson$lshJson}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"BENCH_$label.json"), json + "\n")
 
