@@ -1696,9 +1696,21 @@ object TextOps {
         col("pa.tok") === col("pb.tok") && col("pa.h") < col("pb.h"))
       .select(col("pa.h").as("ha"), col("pb.h").as("hb"))
       .distinct()
+    // Verify: the candidate dedup above shuffles SCALAR (ha,hb) rows —
+    // cheap even when prefixes collide heavily — but attaching the
+    // shingle ARRAYS to candidates through a sort-merge join sorts
+    // multi-KB rows (the x30 fuzzed-replication probe exhausted local
+    // spill disk exactly there). When the distinct-text corpus fits a
+    // broadcast budget, ship the sets table to the candidates instead:
+    // the array_intersect verify runs map-side inside codegen and no
+    // array-carrying row is ever sorted. Larger corpora fall back to
+    // the shuffle attach.
+    val attachBroadcast =
+      sets.select("h").limit(200001).count() <= 200000L
+    def wrap(df: DataFrame): DataFrame = if (attachBroadcast) broadcast(df) else df
     val repPairs = cand
-      .join(sets.select(col("h").as("ha"), col("ts").as("set_a"), col("sz").as("sa")), "ha")
-      .join(sets.select(col("h").as("hb"), col("ts").as("set_b"), col("sz").as("sb")), "hb")
+      .join(wrap(sets.select(col("h").as("ha"), col("ts").as("set_a"), col("sz").as("sa"))), "ha")
+      .join(wrap(sets.select(col("h").as("hb"), col("ts").as("set_b"), col("sz").as("sb"))), "hb")
       .select(col("ha"), col("hb"),
         size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"),
         col("sa"), col("sb"))

@@ -112,6 +112,47 @@ object VectorOps {
       .distinct()
   }
 
+  /** Verified near-dup rep pairs (ra < rb, cos_sim ≥ τ) WITHOUT
+    * materializing the un-deduped candidate stream through a shuffle.
+    *
+    * At weak thresholds banded LSH barely prunes: τ=0.30 ⇒ r=6 sign
+    * bits, only b·2⁶ = 3264 possible buckets, so the per-band
+    * candidate stream is near-quadratic in the distinct-vector count —
+    * the x30 fuzzed-replication probe measured a 1.6B-row stream whose
+    * dedup-FIRST shuffle exhausted local spill disk. Here the
+    * (band,sig) self-join shuffles only the band table (|reps|·b
+    * rows), candidates stay pipelined inside whole-stage codegen,
+    * vectors ride BROADCAST attaches (a rep table is ~0.5 KB/row), the
+    * cosine filter runs map-side, and only SURVIVORS — bounded by the
+    * true pair output — reach the dedup shuffle. Cosine is
+    * deterministic, so verifying a pair once per colliding band and
+    * deduping after yields exactly the dedup-first answer.
+    *
+    * When reps outgrow the broadcast budget (`maxBroadcastReps`, sized
+    * for ~128 MB of 64-dim vectors) the plan falls back to dedup-first
+    * + shuffle attach: a corpus that large is past the weak-τ regime
+    * anyway (production near-dup sweeps run τ≥0.7, where candidates
+    * track true pairs and the dedup-first stream is linear-ish). */
+  def verifiedRepPairs(vecs: DataFrame, tau: Double, extraKeys: Seq[String] = Nil,
+      maxBroadcastReps: Long = 250000L): DataFrame = {
+    def attach(cands: DataFrame, wrap: DataFrame => DataFrame): DataFrame = cands
+      .join(wrap(vecs.select(col("vec_id").as("ra"), col("v").as("va"))), "ra")
+      .join(wrap(vecs.select(col("vec_id").as("rb"), col("v").as("vb"))), "rb")
+      .select(col("ra"), col("rb"), cosSim(col("va"), col("vb")).as("cos_sim"))
+      .where(col("cos_sim") >= tau)
+    val cap = maxBroadcastReps.toInt
+    val small = vecs.select("vec_id").limit(cap + 1).count() <= cap
+    if (small) {
+      val bands = bandExplode(vecs, tau, extraKeys)
+      val keys = extraKeys ++ Seq("band", "sig")
+      val cands = bands.as("x").join(bands.as("y"),
+          keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("ra"), col("y.vec_id").as("rb"))
+      attach(cands, broadcast).distinct()
+    } else attach(bandCandidates(vecs, tau, extraKeys), identity)
+  }
+
   /** Deterministic planted near-pairs for recall audits: `k` pairs
     * (2k unit vectors, ids idFrom+2i / idFrom+2i+1), pair i at cosine
     * spread evenly across [lo, hi] — the at-threshold band the
@@ -220,12 +261,7 @@ object VectorOps {
     require(tau <= 1.0, s"tau=$tau: exact duplicates must qualify as near-dups")
     val all = emb(s, dir)
     val (members, reps) = repCollapse(all)
-    val candIds = bandCandidates(reps, tau)
-    val repPairs = candIds
-      .join(reps.select(col("vec_id").as("ra"), col("v").as("va")), "ra")
-      .join(reps.select(col("vec_id").as("rb"), col("v").as("vb")), "rb")
-      .select(col("ra"), col("rb"), cosSim(col("va"), col("vb")).as("cos_sim"))
-      .where(col("cos_sim") >= tau)
+    val repPairs = verifiedRepPairs(reps, tau)
     val ma = members.select(col("vec_id").as("ida"), col("rep_id").as("ra"))
     val mb = members.select(col("vec_id").as("idb"), col("rep_id").as("rb"))
     val cross = repPairs.join(ma, "ra").join(mb, "rb")
@@ -381,12 +417,9 @@ object VectorOps {
     val g = reps.join(assigned, "vec_id")
       .select("vec_id", "v", "centroid_id", "cos_centroid")
     // banded candidates scoped to the centroid (the paper's semantic
-    // scoping rides as an extra equi-join key), deduped before verify
-    val candIds = bandCandidates(g, tau, extraKeys = Seq("centroid_id"))
-    val edges = candIds
-      .join(reps.select(col("vec_id").as("ra"), col("v").as("va")), "ra")
-      .join(reps.select(col("vec_id").as("rb"), col("v").as("vb")), "rb")
-      .where(cosSim(col("va"), col("vb")) >= tau)
+    // scoping rides as an extra equi-join key); verify-then-dedup —
+    // the candidate stream never hits a shuffle (see verifiedRepPairs)
+    val edges = verifiedRepPairs(g, tau, extraKeys = Seq("centroid_id"))
       .select(col("ra").as("doc_a"), col("rb").as("doc_b"))
     val comp = TextOps.connectedComponents(edges)
     val repLab = g.join(comp, g("vec_id") === comp("node"), "left")
@@ -682,12 +715,7 @@ object VectorOps {
     val all = orig.unionByName(
       orig.select((col("vec_id") + 100000L).as("vec_id"), col("v")))
     val (members, reps) = repCollapse(all)
-    val candIds = bandCandidates(reps, tau)
-    val repPairs = candIds
-      .join(reps.select(col("vec_id").as("ra"), col("v").as("va")), "ra")
-      .join(reps.select(col("vec_id").as("rb"), col("v").as("vb")), "rb")
-      .select(col("ra"), col("rb"), cosSim(col("va"), col("vb")).as("cos_sim"))
-      .where(col("cos_sim") >= tau)
+    val repPairs = verifiedRepPairs(reps, tau)
     val ma = members.select(col("vec_id").as("ida"), col("rep_id").as("ra"))
     val mb = members.select(col("vec_id").as("idb"), col("rep_id").as("rb"))
     val cross = repPairs.join(ma, "ra").join(mb, "rb")

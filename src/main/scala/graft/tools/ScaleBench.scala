@@ -39,7 +39,15 @@ object ScaleBench {
     // tokens per document copy and jitters each embedding copy
     // (cos≈0.99 to its original), so NO copy is exactly collapsible
     // and the banding/prefix machinery itself carries the load.
+    // "native" = fuzz + the DIMENSIONS scale too (part/customer/
+    // supplier replicate with shifted keys and replica-varied part
+    // names, and fact FKs follow) — true-sf1 shape, where the MARC
+    // auth dimension (one auth per part) grows with the data instead
+    // of staying sf0.1-sized, so tag-index selectivity, auth
+    // broadcast-vs-join thresholds, and heading cardinality are
+    // realistic rather than replication artifacts.
     val mode = args.lift(6).getOrElse("exact")
+    val isNative = mode == "native"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -93,19 +101,48 @@ object ScaleBench {
           / lit(500f) * lit(0.03f)))
 
     val (docPerturb, vecPerturb): ((DataFrame, Int) => DataFrame, (DataFrame, Int) => DataFrame) =
-      if (mode == "fuzz") (fuzzText _, fuzzVec _) else ((d, _) => d, (d, _) => d)
+      if (mode == "fuzz" || isNative) (fuzzText _, fuzzVec _) else ((d, _) => d, (d, _) => d)
+
+    /** Replica-distinct part names: auth headings (150$a = p_name) and
+      * bib subjects must not collapse to sf0.1 cardinality when the
+      * auth dimension scales — a suffix token keeps every contains-
+      * style search matching while heading cardinality grows ×factor. */
+    def varyPartName(d: DataFrame, r: Int): DataFrame =
+      d.withColumn("p_name", concat(col("p_name"), lit(s" mk$r")))
+
+    def dimSpan(table: String, key: String): Long = span(src(table), key)
+
+    // In native mode fact FKs follow their replicated dimension into
+    // its shifted key range (replica-r bibs reference replica-r auths);
+    // in exact/fuzz modes dims stay fixed, TPC-H-style.
+    val orderShifts =
+      Seq("o_orderkey" -> dimSpan("orders", "o_orderkey")) ++
+        (if (isNative) Seq("o_custkey" -> dimSpan("customer", "c_custkey")) else Nil)
+    val lineitemShifts =
+      Seq("l_orderkey" -> dimSpan("orders", "o_orderkey")) ++
+        (if (isNative) Seq(
+          "l_partkey" -> dimSpan("part", "p_partkey"),
+          "l_suppkey" -> dimSpan("supplier", "s_suppkey")) else Nil)
 
     val jobs: Seq[(String, () => DataFrame)] = Seq(
-      "orders" -> (() => replicate(src("orders"), "o_orderkey" -> span(src("orders"), "o_orderkey"))),
-      "lineitem" -> (() => replicate(src("lineitem"), "l_orderkey" -> span(src("orders"), "o_orderkey"))),
+      "orders" -> (() => replicate(src("orders"), orderShifts: _*)),
+      "lineitem" -> (() => replicate(src("lineitem"), lineitemShifts: _*)),
       "events" -> (() => replicate(src("events"),
         "event_id" -> span(src("events"), "event_id"), "user_id" -> span(src("events"), "user_id"))),
       "documents" -> (() => replicateWith(src("documents"), docPerturb,
         "doc_id" -> span(src("documents"), "doc_id"))),
       "embeddings" -> (() => replicateWith(src("embeddings"), vecPerturb,
         "vec_id" -> span(src("embeddings"), "vec_id"))),
-      "customer" -> (() => src("customer")), "supplier" -> (() => src("supplier")),
-      "part" -> (() => src("part")), "nation" -> (() => src("nation")),
+      "customer" -> (() => if (isNative)
+        replicate(src("customer"), "c_custkey" -> dimSpan("customer", "c_custkey"))
+        else src("customer")),
+      "supplier" -> (() => if (isNative)
+        replicate(src("supplier"), "s_suppkey" -> dimSpan("supplier", "s_suppkey"))
+        else src("supplier")),
+      "part" -> (() => if (isNative)
+        replicateWith(src("part"), varyPartName _, "p_partkey" -> dimSpan("part", "p_partkey"))
+        else src("part")),
+      "nation" -> (() => src("nation")),
       "region" -> (() => src("region")))
     // completed-write guard: the committer writes _SUCCESS last, so a
     // crashed mid-materialization run is rewritten instead of reused
