@@ -1638,7 +1638,8 @@ object TextOps {
     * verify join; AQE absorbs residual hot-token skew. The naive
     * DuckDB oracle is the all-pairs ground truth, so a single missed
     * pair (a losslessness bug) fails the gate. */
-  def setSimJoin(docs: DataFrame, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+  def setSimJoin(docs: DataFrame, tauNum: Int = 1, tauDen: Int = 2,
+      maxBroadcastSets: Long = 200000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // 3-token shingle sets, not unigram sets: on a corpus with a
     // shared vocabulary, unigram Jaccard ≥ ½ matches most of the
@@ -1706,7 +1707,7 @@ object TextOps {
     // array-carrying row is ever sorted. Larger corpora fall back to
     // the shuffle attach.
     val attachBroadcast =
-      sets.select("h").limit(200001).count() <= 200000L
+      sets.select("h").limit(maxBroadcastSets.toInt + 1).count() <= maxBroadcastSets
     def wrap(df: DataFrame): DataFrame = if (attachBroadcast) broadcast(df) else df
     val repPairs = cand
       .join(wrap(sets.select(col("h").as("ha"), col("ts").as("set_a"), col("sz").as("sa"))), "ha")

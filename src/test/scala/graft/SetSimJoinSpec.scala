@@ -64,4 +64,18 @@ class SetSimJoinSpec extends AnyFunSuite {
     } yield (ia, ib)).toSet
     assert(got == want)
   }
+
+  test("broadcast-attach verify and shuffle-attach fallback produce identical pairs") {
+    // same pseudo-corpus; maxBroadcastSets = 0 forces the shuffle
+    // attach (the >broadcast-budget path), which must agree with the
+    // default broadcast-verify path row for row
+    val docs = (0 until 30).map { i =>
+      val toks = (0 until 10).map(j => s"w${(i * 7 + j * j) % 12}")
+      (i.toLong, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def run(cap: Long) = TextOps.setSimJoin(df, maxBroadcastSets = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(200000L) == run(0L))
+  }
 }

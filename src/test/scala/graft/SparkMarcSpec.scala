@@ -1011,6 +1011,33 @@ class SparkMarcSpec extends AnyFunSuite {
       s"collapse failed: 3x exact replication changed rep candidates ($candTripled vs ${cand.count()})")
   }
 
+  test("verifiedRepPairs: broadcast verify-then-dedup equals dedup-first fallback equals brute force") {
+    import graft.queries.VectorOps
+    import org.apache.spark.sql.functions.col
+    val bg = VectorOps.plantedPairs(spark, 0L, 150, lo = -0.2, hi = 0.2, seed = "vr")
+    val planted = VectorOps.plantedPairs(spark, 5000L, 30)
+    val corpus = bg.unionByName(planted)
+    def run(cap: Long) = VectorOps.verifiedRepPairs(corpus, 0.30, maxBroadcastReps = cap)
+      .select("ra", "rb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val broadcastPath = run(250000L)
+    val fallbackPath = run(1L)
+    assert(broadcastPath == fallbackPath,
+      s"paths disagree: ${broadcastPath.size} vs ${fallbackPath.size} pairs")
+    // both paths must agree with brute force ON THE CANDIDATE SET's
+    // verified subset: every brute-force pair >= tau that the banding
+    // surfaced must be present with the same membership (recall of the
+    // banding itself is probabilistic and asserted separately above)
+    val rows = corpus.collect().map(r => r.getLong(0) ->
+      r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((ra, rb) <- broadcastPath)
+      assert(cos(rows(ra), rows(rb)) >= 0.30, s"pair ($ra,$rb) below tau")
+  }
+
   test("incrementalDedup: exact dup flagged, near-dup counts bands, new x new ignored") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
