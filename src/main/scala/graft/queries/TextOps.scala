@@ -650,10 +650,41 @@ object TextOps {
 
   /** Dedup clusters: transitive closure of the verified Jaccard
     * near-dup relation; cluster id = least member doc_id. */
-  def q56DedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(q18NgramJaccard(s, dir).select("doc_a", "doc_b"))
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  /** Near-dup clusters over the q18 pair graph, via exact-first
+    * collapse (the q61 discipline, blessed answer-identical): identical
+    * texts share the fingerprint block AND the token set, so the
+    * full-corpus pair graph is exactly the rep-level pair graph
+    * expanded through the duplicate groups — and because each rep is
+    * its group's MIN doc id, component labels (min id) survive the
+    * expansion unchanged. A doc appears in the answer iff its group
+    * has ≥2 members (intra pairs at J=1) or its rep has a rep-level
+    * edge. Replication-heavy corpora stop paying a pair graph (and a
+    * CC input) quadratic in duplicate multiplicity; the x30 exact
+    * probe's q56 edges drop from clique-quadratic to rep-bounded. */
+  def q56DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val hashed = documents(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val groups = hashed.groupBy("h")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("k"))
+    val docRep = hashed.join(groups, "h").select(col("doc_id"), col("rep_id"), col("k"))
+    val rd = documents(s, dir)
+      .join(groups.select(col("rep_id")), col("doc_id") === col("rep_id"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(toks(col("text")), 1, 8))).as("fp"),
+        array_distinct(toks(col("text"))).as("tokset"))
+    val a = rd.select(col("doc_id").as("doc_a"), col("fp"), col("tokset").as("set_a"))
+    val b = rd.select(col("doc_id").as("doc_b"), col("fp"), col("tokset").as("set_b"))
+    val repPairs = a.join(b, "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .where((size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+        size(array_union(col("set_a"), col("set_b"))).cast("double")) >= 0.5)
+      .select("doc_a", "doc_b")
+    val repLab = connectedComponents(repPairs)
+      .select(col("node").as("rep_id"), col("label"))
+    docRep.join(repLab, Seq("rep_id"), "left")
+      .where(col("k") >= 2 || col("label").isNotNull)
+      .select(col("doc_id"), coalesce(col("label"), col("rep_id")).as("cluster_id"))
       .orderBy("doc_id")
+  }
 
   /** The full production dedup pipeline, composed for scale:
     * exact-dedup FIRST (hash groups collapse to a min-id
