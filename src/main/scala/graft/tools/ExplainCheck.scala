@@ -374,7 +374,14 @@ object ExplainCheck {
     assert(p44.contains("dlx_cos4"),
       "q44: cosine verify must run the codegen'd expression")
     assert(p44.contains("HashAggregate(keys=[ra"),
-      "q44: candidate pairs not deduped (distinct on ra/rb) before verify")
+      "q44: verified pairs not deduped (distinct on ra/rb)")
+    // round-5 verify-then-dedup: at gate scale the rep table is under
+    // the broadcast budget, so the vector attach onto the candidate
+    // stream must be a BroadcastHashJoin — the candidate stream itself
+    // never feeds a sort-merge join or a pre-verify dedup shuffle
+    // (that shape exhausted spill disk at fuzz x30; see SCALING.md)
+    assert(p44.contains("BroadcastHashJoin"),
+      "q44: vector attach lost the broadcast (candidate stream would shuffle)")
     println("q44 banded candidates + codegen cosine OK")
 
     // IVF-PQ: assignment/encode/score are map-only over literal
@@ -614,6 +621,11 @@ object ExplainCheck {
       "q142: checkpointed corpus not reused in the plan")
     assert(!"windowspecdefinition\\(\\s*,".r.findFirstIn(p142).isDefined,
       "q142: unpartitioned (corpus-global) window in the plan")
+    // round-5: the shingle-set attach onto candidates must be a
+    // BroadcastHashJoin at gate scale — multi-KB array rows must
+    // never be sorted for an SMJ (the fuzz-x30 ENOSPC shape)
+    assert(p142.contains("BroadcastHashJoin"),
+      "q142: shingle-set attach lost the broadcast (arrays would be sorted)")
     println("q142 prefix-filtered set-sim join OK")
 
     // ewma: join-free, one user-partitioned bounded-frame window
