@@ -1743,6 +1743,11 @@ object TextOps {
     val repPairs = cand
       .join(wrap(sets.select(col("h").as("ha"), col("ts").as("set_a"), col("sz").as("sa"))), "ha")
       .join(wrap(sets.select(col("h").as("hb"), col("ts").as("set_b"), col("sz").as("sb"))), "hb")
+      // PPJoin length filter (Xiao et al. 2008 §3.1): inter ≤ min(sa,sb),
+      // so J ≥ n/d is only feasible when min·(n+d) ≥ n·(sa+sb) — filter
+      // BEFORE the array_intersect so length-incompatible candidates
+      // never pay the set intersection
+      .where(least(col("sa"), col("sb")) * (tauNum + tauDen) >= (col("sa") + col("sb")) * tauNum)
       .select(col("ha"), col("hb"),
         size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"),
         col("sa"), col("sb"))
