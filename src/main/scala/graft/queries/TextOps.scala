@@ -1718,14 +1718,29 @@ object TextOps {
         Window.partitionBy("h").orderBy(col("f"), col("tok"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("h")))
     // ⌈(n/d)·|x|⌉ for positive ints = (n·|x| + d − 1) div d
+    // carry (rn, n): rn is the token's 1-based position in the doc's
+    // canonical (freq, tok) order — the PPJoin positional filter needs
+    // it at candidate generation
     val prefix = ranked.where(
       col("rn") <= col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
-      .select(col("h"), col("tok"))
+      .select(col("h"), col("tok"), col("rn"), col("n"))
       // self-joined below: without materialization both legs re-run
       // the freq join + two windows
       .localCheckpoint(true)
+    // POSITIONAL filter (Xiao et al. 2008 §3.2): a match on a token at
+    // positions (pa.rn, pb.rn) bounds the overlap by
+    // 1 + min(|A|−pa.rn, |B|−pb.rn); if even that bound cannot reach
+    // the τ-required intersection the match generates no candidate.
+    // Lossless: for a true pair, its FIRST common token in the
+    // canonical order satisfies the bound, so the pair always survives
+    // via that match — the DuckDB all-pairs oracle re-checks this.
+    // On a corpus whose spurious matches are high-frequency tokens
+    // (ranked LAST in every prefix), this prunes the candidate stream
+    // where it is generated instead of after the dedup shuffle.
     val cand = prefix.as("pa").join(prefix.as("pb"),
-        col("pa.tok") === col("pb.tok") && col("pa.h") < col("pb.h"))
+        col("pa.tok") === col("pb.tok") && col("pa.h") < col("pb.h") &&
+          (lit(1) + least(col("pa.n") - col("pa.rn"), col("pb.n") - col("pb.rn"))) *
+            (tauNum + tauDen) >= (col("pa.n") + col("pb.n")) * tauNum)
       .select(col("pa.h").as("ha"), col("pb.h").as("hb"))
       .distinct()
     // Verify: the candidate dedup above shuffles SCALAR (ha,hb) rows —
