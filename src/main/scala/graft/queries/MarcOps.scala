@@ -713,12 +713,14 @@ object MarcOps {
       f => transform(filter(f.getField("subfields"), sf => sf.getField("code") === "a"),
         sf => sf.getField("value")))), lit(1))
     // rank = position in the collation order (deterministic: the sort
-    // key is total up to _id tiebreak); windowed row_number over the
-    // same key so the gate hashes the ORDER, not just the row set
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(MarcContext.sortKeyCol(col("symbol")).asc_nulls_last, col("_id").asc)
-    sorted.select(col("_id"), symbol.as("symbol"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    // key is total up to _id tiebreak) so the gate hashes the ORDER,
+    // not just the row set. Two-pass ScalableRank, NOT a global
+    // row_number window: an empty-partition window would funnel every
+    // matched record through one task — exactly the single-partition
+    // Exchange the spillable string sort key exists to avoid.
+    graft.spark.ScalableRank.withGlobalRank(
+        sorted.select(col("_id"), symbol.as("symbol")), "rank",
+        Seq(MarcContext.sortKeyCol(col("symbol")).asc_nulls_last, col("_id").asc))
       .select("symbol", "rank").orderBy("rank")
   }
 

@@ -873,6 +873,19 @@ object ExplainCheck {
     assert(!p171.contains("Join"), "q171: unexpected join")
     println("q171 MapType algebra OK")
 
+    // collation-sorted rank: the round-5 global row_number window was
+    // a single-partition funnel; the two-pass ScalableRank must leave
+    // NO single-partition exchange anywhere in the plan, and the
+    // window that remains must be partitioned (by the pinned range
+    // partition id), never corpus-global
+    val q172 = graft.queries.MarcOps.q172CollationSortedQuery(spark, sfDir)
+    val p172 = planOf(q172)
+    assert(!p172.contains("SinglePartition"),
+      "q172: rank funnels the matched set through one partition")
+    assert("windowspecdefinition\\(__pid".r.findFirstIn(p172).isDefined,
+      "q172: local rank window not partitioned by the pinned range pid")
+    println("q172 two-pass collation rank OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
