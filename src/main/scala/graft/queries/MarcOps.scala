@@ -724,7 +724,57 @@ object MarcOps {
       .select("symbol", "rank").orderBy("rank")
   }
 
+  /** Cross-engine pin for the collation sort key: a deterministic
+    * string corpus spanning every branch of `Collation.sortKey`
+    * (document symbols, zero-padded runs, leading/trailing zero runs,
+    * upper/lower case, diacritics, digit-only, free text), keyed on
+    * BOTH engines and hash-compared byte-for-byte by the gate. The
+    * Scala side runs the production `dlx_sort_key` expression; the
+    * oracle replays [[duckSortKeySql]] — the SAME generator the q172
+    * sort oracle uses — so neither implementation can drift without
+    * failing this gate (round-5 verdict: the two keys previously
+    * lived in independent hand-written copies). */
+  def q173SortKeyCorpus(s: SparkSession, dir: String): DataFrame = {
+    val k = col("id")
+    val variants: Seq[(String, Column)] = Seq(
+      "symbol" -> concat(lit("A/C."), (k % 40).cast("string"), lit("/"), k.cast("string")),
+      "zeropad" -> concat(lit("S/"), lpad((k % 1000).cast("string"), 6, "0"),
+        lit("/Rev."), (k % 7).cast("string")),
+      "zerorun" -> concat(lit("000"), (k % 13).cast("string"), lit(".000")),
+      "mixedcase" -> concat(upper(substring(col("p_name"), 1, 7)), lit(" "),
+        (k % 100).cast("string"), lit("x"), lpad((k % 50).cast("string"), 5, "0")),
+      "accent" -> concat(lit("Café Élève "), (k % 30).cast("string"), lit(" Zürich")),
+      "digits" -> k.cast("string"),
+      "text" -> substring(col("p_name"), 1, 20))
+    val base = part(s, dir).where(col("p_partkey") % 11 === 0)
+      .select(col("p_partkey").as("id"), col("p_name"))
+    variants.map { case (vn, e) =>
+        base.select(col("id"), lit(vn).as("variant"), e.as("s")) }
+      .reduce(_ unionByName _)
+      .select(col("id"), col("variant"), col("s"),
+        MarcContext.sortKeyCol(col("s")).as("k"))
+      .orderBy("variant", "id")
+  }
+
+  /** DuckDB replay of `Collation.sortKey` applied to SQL expression
+    * `e` — the single source for every oracle needing the collation
+    * key (q172's sorted query, q173's corpus pin): strength-1
+    * normalize (strip accents + lowercase), then each digit run
+    * becomes a 4-digit length prefix + the run with leading zeros
+    * stripped, so byte order == numeric order. */
+  // NOTE: emitted as ONE line — this snippet is interpolated into
+  // oracle strings whose own .stripMargin would otherwise eat the
+  // first '|' of any line-leading '||' concat
+  private def duckSortKeySql(e: String): String =
+    s"array_to_string(list_transform(" +
+      s"regexp_extract_all(lower(strip_accents($e)), '[0-9]+|[^0-9]+'), " +
+      "x -> CASE WHEN regexp_matches(x, '^[0-9]') " +
+      "THEN lpad(CAST(length(coalesce(nullif(ltrim(x,'0'),''),'0')) AS VARCHAR), 4, '0') " +
+      "|| coalesce(nullif(ltrim(x,'0'),''),'0') " +
+      "ELSE x END), '')"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_sortkey_corpus" -> (q173SortKeyCorpus _),
     "q172_collation_sort" -> (q172CollationSortedQuery _),
     "q96_diff" -> (q96Diff _),
     "q66_resolve_ambiguous" -> (q66ResolveAmbiguous _),
@@ -761,20 +811,35 @@ object MarcOps {
     "q83_structured_cond" -> (q83StructuredCond _))
 
   val oracle: Map[String, String] = Map(
+    "q173_sortkey_corpus" ->
+      s"""WITH base AS (
+        |  SELECT p_partkey AS id, p_name FROM part WHERE p_partkey % 11 = 0),
+        |strs AS (
+        |  SELECT id, 'symbol' AS variant,
+        |    'A/C.' || CAST(id % 40 AS VARCHAR) || '/' || CAST(id AS VARCHAR) AS s FROM base
+        |  UNION ALL SELECT id, 'zeropad',
+        |    'S/' || lpad(CAST(id % 1000 AS VARCHAR), 6, '0') || '/Rev.' || CAST(id % 7 AS VARCHAR) FROM base
+        |  UNION ALL SELECT id, 'zerorun',
+        |    '000' || CAST(id % 13 AS VARCHAR) || '.000' FROM base
+        |  UNION ALL SELECT id, 'mixedcase',
+        |    upper(substring(p_name, 1, 7)) || ' ' || CAST(id % 100 AS VARCHAR)
+        |      || 'x' || lpad(CAST(id % 50 AS VARCHAR), 5, '0') FROM base
+        |  UNION ALL SELECT id, 'accent',
+        |    'Café Élève ' || CAST(id % 30 AS VARCHAR) || ' Zürich' FROM base
+        |  UNION ALL SELECT id, 'digits', CAST(id AS VARCHAR) FROM base
+        |  UNION ALL SELECT id, 'text', substring(p_name, 1, 20) FROM base)
+        |SELECT id, variant, s,
+        |    ${duckSortKeySql("s")} AS k
+        |FROM strs ORDER BY variant, id""".stripMargin,
     "q172_collation_sort" ->
-      """WITH syms AS (
+      s"""WITH syms AS (
         |  SELECT o_orderkey AS id,
         |         'A/C.' || CAST(o_orderkey % 40 AS VARCHAR) || '/' ||
         |         CAST(o_orderkey AS VARCHAR) AS symbol
         |  FROM orders WHERE o_orderkey % 7 = 0),
         |keyed AS (
         |  SELECT id, symbol,
-        |    array_to_string(list_transform(
-        |      regexp_extract_all(lower(symbol), '[0-9]+|[^0-9]+'),
-        |      x -> CASE WHEN regexp_matches(x, '^[0-9]')
-        |           THEN lpad(CAST(length(coalesce(nullif(ltrim(x,'0'),''),'0')) AS VARCHAR), 4, '0')
-        |                || coalesce(nullif(ltrim(x,'0'),''),'0')
-        |           ELSE x END), '') AS k
+        |    ${duckSortKeySql("symbol")} AS k
         |  FROM syms)
         |SELECT symbol, row_number() OVER (ORDER BY k, id) AS rank FROM keyed""".stripMargin,
     "q96_diff" ->
