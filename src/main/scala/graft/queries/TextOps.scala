@@ -661,13 +661,35 @@ object TextOps {
     * edge. Replication-heavy corpora stop paying a pair graph (and a
     * CC input) quadratic in duplicate multiplicity; the x30 exact
     * probe's q56 edges drop from clique-quadratic to rep-bounded. */
+  /** Cheap duplicate-multiplicity probe (round-5 verdict: the
+    * exact-first collapse is answer-identical but cost the sf0.1
+    * battery ~2× on q56/q61 when the corpus has no duplicates to
+    * collapse). One map-side agg — count + approx-distinct of the
+    * content hash — decides whether exact duplicates exceed ~10% of
+    * rows; the HLL ±2% error can only flip WHICH of two equivalent
+    * plans runs, never the answer. */
+  private def dupHeavy(hashed: DataFrame, h: String = "h"): Boolean = {
+    val r = hashed.agg(count(lit(1)), approx_count_distinct(col(h))).head()
+    val (n, d) = (r.getLong(0), r.getLong(1))
+    d < n - n / 10
+  }
+
   def q56DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val hashed = documents(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
-    val groups = hashed.groupBy("h")
-      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("k"))
-    val docRep = hashed.join(groups, "h").select(col("doc_id"), col("rep_id"), col("k"))
-    val rd = documents(s, dir)
-      .join(groups.select(col("rep_id")), col("doc_id") === col("rep_id"))
+    val docs = documents(s, dir)
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    // collapse gated on the multiplicity probe: on a dup-light corpus
+    // the identity mapping skips the groupBy+join entirely — identical
+    // texts then meet as J=1 edges through the fp join instead of
+    // intra-group pairs, so the answer is identical either way
+    val (docRep, repDocs) =
+      if (dupHeavy(hashed)) {
+        val groups = hashed.groupBy("h")
+          .agg(min("doc_id").as("rep_id"), count(lit(1)).as("k"))
+        (hashed.join(groups, "h").select(col("doc_id"), col("rep_id"), col("k")),
+          docs.join(groups.select(col("rep_id")), col("doc_id") === col("rep_id")))
+      } else
+        (docs.select(col("doc_id"), col("doc_id").as("rep_id"), lit(1L).as("k")), docs)
+    val rd = repDocs
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(toks(col("text")), 1, 8))).as("fp"),
         array_distinct(toks(col("text"))).as("tokset"))
@@ -695,11 +717,19 @@ object TextOps {
     * representative's cluster. Output: one (doc_id, cluster_id) row
     * per document in the corpus. */
   def q61DedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    val hashed = documents(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
-    val reps = hashed.groupBy("h").agg(min("doc_id").as("rep_id"))
-    val docRep = hashed.join(reps, "h").select(col("doc_id"), col("rep_id"))
-    val rd = documents(s, dir)
-      .join(reps.select(col("rep_id")), col("doc_id") === col("rep_id"))
+    val docs = documents(s, dir)
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    // collapse gated on the multiplicity probe (see q56): identity
+    // mapping on a dup-light corpus, groupBy collapse on a dup-heavy
+    // one — answer-identical, labels = min id under both
+    val (docRep, repDocs) =
+      if (dupHeavy(hashed)) {
+        val reps = hashed.groupBy("h").agg(min("doc_id").as("rep_id"))
+        (hashed.join(reps, "h").select(col("doc_id"), col("rep_id")),
+          docs.join(reps.select(col("rep_id")), col("doc_id") === col("rep_id")))
+      } else
+        (docs.select(col("doc_id"), col("doc_id").as("rep_id")), docs)
+    val rd = repDocs
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(toks(col("text")), 1, 8))).as("fp"),
         array_distinct(toks(col("text"))).as("tokset"))
@@ -1752,8 +1782,20 @@ object TextOps {
     // the array_intersect verify runs map-side inside codegen and no
     // array-carrying row is ever sorted. Larger corpora fall back to
     // the shuffle attach.
-    val attachBroadcast =
-      sets.select("h").limit(maxBroadcastSets.toInt + 1).count() <= maxBroadcastSets
+    // broadcast budget in BYTES, not rows (round-5 ADVICE): each row
+    // carries a multi-KB shingle array, so a large-doc corpus under a
+    // row cap could still ship ~GB to every task on BOTH attach
+    // sides. One cheap agg over the checkpointed sets estimates
+    // payload bytes (UTF-8 chars + ~16B array-element overhead per
+    // shingle); the row cap (clamped, not wrapped, for Long inputs)
+    // still bounds the driver-side hash table entries.
+    val maxAttachBytes = 256L << 20
+    val rowCap = math.min(maxBroadcastSets, (Int.MaxValue - 1).toLong)
+    val probe = sets
+      .agg(count(lit(1)), sum(aggregate(col("ts"), lit(0L),
+        (acc, t) => acc + length(t).cast("long") + lit(16L)))).head()
+    val attachBroadcast = probe.getLong(0) <= rowCap &&
+      (if (probe.isNullAt(1)) 0L else probe.getLong(1)) <= maxAttachBytes
     def wrap(df: DataFrame): DataFrame = if (attachBroadcast) broadcast(df) else df
     val repPairs = cand
       .join(wrap(sets.select(col("h").as("ha"), col("ts").as("set_a"), col("sz").as("sa"))), "ha")

