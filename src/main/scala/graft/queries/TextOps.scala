@@ -1747,32 +1747,66 @@ object TextOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy("h").orderBy(col("f"), col("tok"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("h")))
+    // ASYMMETRIC prefixes (Xiao et al. 2008 §2.2, ppjoin's index/probe
+    // split recast as a join): orient every pair so pa is the LARGER
+    // set (ties by h). Then for a true pair O ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉
+    // and |A| ≥ |B| give the first common token position ≤
+    // |B| − ⌈2τ/(1+τ)·|B|⌉ + 1 on the smaller side — the INDEX prefix,
+    // ~33% shorter at τ=½ than the classic probe prefix. The probe
+    // side is tightened data-dependently: A's smallest feasible
+    // partner has ≥ max(⌈τ·|A|⌉, m) tokens where m = corpus-min set
+    // size, so the probe prefix is |A| − ⌈τ/(1+τ)·(|A|+max(⌈τ|A|⌉,m))⌉
+    // + 1 — on a uniform-length corpus (the fuzz probes) BOTH sides
+    // shrink to the index length and candidate enumeration on dense
+    // tokens drops ~2.25×. Candidate volume, not verify cost, is the
+    // 100 TB load in the dense-vocab regime, so every lossless token
+    // kept OUT of this self-join matters more than any post-join prune.
+    // one probe job over the checkpointed corpus serves BOTH data-
+    // dependent decisions: min set size (probe-prefix tightening here)
+    // and row/byte totals (the broadcast-attach budget below)
+    val probe = sets.agg(count(lit(1)), sum(aggregate(col("ts"), lit(0L),
+      (acc, t) => acc + length(t).cast("long") + lit(16L))), min(col("sz"))).head()
+    val minSz = if (probe.isNullAt(2)) 1L else math.max(1L, probe.getLong(2))
     // ⌈(n/d)·|x|⌉ for positive ints = (n·|x| + d − 1) div d
     // carry (rn, n): rn is the token's 1-based position in the doc's
-    // canonical (freq, tok) order — the PPJoin positional filter needs
-    // it at candidate generation
-    val prefix = ranked.where(
-      col("rn") <= col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
-      .select(col("h"), col("tok"), col("rn"), col("n"))
+    // canonical (freq, tok) order — the PPJoin positional group filter
+    // below needs it
+    val oMinProbe = expr(
+      s"($tauNum * (n + greatest(($tauNum * n + $tauDen - 1) div $tauDen, ${minSz}L))" +
+        s" + $tauNum + $tauDen - 1) div ${tauNum + tauDen}")
+    val oMinIdx = expr(
+      s"(2 * $tauNum * n + $tauNum + $tauDen - 1) div ${tauNum + tauDen}")
+    val prefix = ranked.where(col("rn") <= col("n") - oMinProbe + 1)
+      .withColumn("in_idx", col("rn") <= col("n") - oMinIdx + 1)
+      .select(col("h"), col("tok"), col("rn"), col("n"), col("in_idx"))
       // self-joined below: without materialization both legs re-run
       // the freq join + two windows
       .localCheckpoint(true)
-    // POSITIONAL filter (Xiao et al. 2008 §3.2): a match on a token at
-    // positions (pa.rn, pb.rn) bounds the overlap by
-    // 1 + min(|A|−pa.rn, |B|−pb.rn); if even that bound cannot reach
-    // the τ-required intersection the match generates no candidate.
-    // Lossless: for a true pair, its FIRST common token in the
-    // canonical order satisfies the bound, so the pair always survives
-    // via that match — the DuckDB all-pairs oracle re-checks this.
-    // On a corpus whose spurious matches are high-frequency tokens
-    // (ranked LAST in every prefix), this prunes the candidate stream
-    // where it is generated instead of after the dedup shuffle.
-    val cand = prefix.as("pa").join(prefix.as("pb"),
-        col("pa.tok") === col("pb.tok") && col("pa.h") < col("pb.h") &&
-          (lit(1) + least(col("pa.n") - col("pa.rn"), col("pb.n") - col("pb.rn"))) *
-            (tauNum + tauDen) >= (col("pa.n") + col("pb.n")) * tauNum)
-      .select(col("pa.h").as("ha"), col("pb.h").as("hb"))
-      .distinct()
+    // GROUP-LEVEL positional filter (Xiao et al. 2008 §3.2, aggregated
+    // over ALL prefix matches of a pair instead of any-single-match):
+    // the matched tokens are exactly the pair's common tokens up to
+    // the last match t* (everything earlier lies inside both prefix
+    // windows), so overlap ≤ cp + min(|A|−pos_A(t*), |B|−pos_B(t*)).
+    // This dominates the per-match bound — which must NOT also be
+    // applied inline: it can drop LATE matches of a true pair, and an
+    // undercounted cp would turn the group bound lossy. The aggregate
+    // subsumes the old distinct() (same scalar-pair shuffle, partial
+    // map-side) while pruning strictly more candidates before the
+    // array attach. The DuckDB all-pairs oracle re-checks losslessness.
+    val cand = prefix.as("pa").join(
+        prefix.where(col("in_idx")).as("pb"),
+        col("pa.tok") === col("pb.tok") &&
+          (col("pa.n") > col("pb.n") ||
+            (col("pa.n") === col("pb.n") && col("pa.h") > col("pb.h"))))
+      .select(col("pa.h").as("ha"), col("pb.h").as("hb"),
+        col("pa.rn").as("ra"), col("pb.rn").as("rb"),
+        col("pa.n").as("na"), col("pb.n").as("nb"))
+      .groupBy("ha", "hb")
+      .agg(count(lit(1)).as("cp"), max(col("ra")).as("ra"), max(col("rb")).as("rb"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .where((col("cp") + least(col("na") - col("ra"), col("nb") - col("rb"))) *
+        (tauNum + tauDen) >= (col("na") + col("nb")) * tauNum)
+      .select(col("ha"), col("hb"))
     // Verify: the candidate dedup above shuffles SCALAR (ha,hb) rows —
     // cheap even when prefixes collide heavily — but attaching the
     // shingle ARRAYS to candidates through a sort-merge join sorts
@@ -1791,9 +1825,6 @@ object TextOps {
     // still bounds the driver-side hash table entries.
     val maxAttachBytes = 256L << 20
     val rowCap = math.min(maxBroadcastSets, (Int.MaxValue - 1).toLong)
-    val probe = sets
-      .agg(count(lit(1)), sum(aggregate(col("ts"), lit(0L),
-        (acc, t) => acc + length(t).cast("long") + lit(16L)))).head()
     val attachBroadcast = probe.getLong(0) <= rowCap &&
       (if (probe.isNullAt(1)) 0L else probe.getLong(1)) <= maxAttachBytes
     def wrap(df: DataFrame): DataFrame = if (attachBroadcast) broadcast(df) else df
