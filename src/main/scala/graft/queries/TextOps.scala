@@ -1714,42 +1714,68 @@ object TextOps {
     // (where this corpus' mass is) contribute O(k) rows there instead
     // of O(k²) candidates. The quadratic part that remains is the
     // final pair EXPANSION, which is exactly the output's own size.
+    // LONG keys end-to-end (the fuzz-x30 profile's verdict): with md5
+    // hex strings as pair identity, the candidate dedup spent ~120 s
+    // hashing/shuffling 64-byte string pairs and the verify another
+    // 41 s intersecting string arrays — neither the enumeration (3.5 s
+    // for 49.5M matches) nor any shuffle VOLUME was the load, per-row
+    // key width was. So: the rep id (min member doc_id, a long)
+    // carries cluster identity, and each distinct shingle gets an
+    // injective 64-bit tid, pinned by checkpointing the frequency
+    // table (monotonically_increasing_id differs across
+    // re-evaluations; the checkpoint makes one mapping canonical).
+    // No hashing collisions to reason about — ids are assigned, not
+    // hashed — so the verify intersection is bit-for-bit the string
+    // intersection.
     val hashed = docs.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
-    val reps = hashed
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("h").orderBy("doc_id")))
-      .where(col("rn") === 1)
-      .select(col("h"), col("doc_id").as("rep_id"), col("text"))
-    // materialize the shingled distinct-text corpus ONCE — sets feeds
-    // the tokenizer, both verify sides and the size lookups; without
-    // this every consumer re-runs the dedup window + shingling
+    val withRep = hashed.withColumn("rid",
+      min(col("doc_id")).over(Window.partitionBy("h")))
+    val members = withRep.select(col("rid"), col("doc_id"))
+    val reps = withRep.where(col("doc_id") === col("rid"))
+      .select(col("rid"), col("text"))
+    // materialize the shingled distinct-text corpus ONCE — it feeds
+    // the freq table, the token-id map and the per-doc ranking;
+    // without this every consumer re-runs the dedup window + shingling
     // (measured 25 s vs ~3 s at sf0.1)
     val d = reps
-      .select(col("h"), toks(col("text")).as("w"))
-      .select(col("h"), shingleArray(col("w"), 3).as("ts"))
+      .select(col("rid"), toks(col("text")).as("w"))
+      .select(col("rid"), shingleArray(col("w"), 3).as("ts"))
       .localCheckpoint(true)
-    val sets = d.select(col("h"), col("ts"), size(col("ts")).cast("long").as("sz"))
-    val members = hashed.select(col("h"), col("doc_id"))
+    val tok = d.select(col("rid"), explode(col("ts")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("f"))
+      .withColumn("tid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val tokId = tok.join(freq, "tok")
+    // integer verify sets: ~16 B per shingle instead of a ~20-char
+    // UTF-8 string + overhead, so the broadcast attach budget goes
+    // ~8× further and array_intersect runs on longs. The left join
+    // keeps shingle-less docs (< k tokens) at sz=0 — their identical-
+    // text intra pairs must still surface.
+    // sorted ascending so the verify can run a codegen'd merge walk
+    // (SortedIntersectSize) instead of a per-row boxed hash set
+    val setsInt = d.select(col("rid"))
+      .join(tokId.groupBy("rid").agg(sort_array(collect_list(col("tid"))).as("tsi")),
+        Seq("rid"), "left")
+      .select(col("rid"),
+        coalesce(col("tsi"), array().cast("array<bigint>")).as("tsi"))
+      .withColumn("sz", size(col("tsi")).cast("long"))
+      .localCheckpoint(true)
+    // one probe job over the checkpointed int sets serves BOTH data-
+    // dependent decisions: min set size (probe-prefix tightening
+    // below) and row/element totals (the broadcast-attach budget)
+    val probe = setsInt.agg(count(lit(1)), sum(col("sz")), min(col("sz"))).head()
+    val minSz = if (probe.isNullAt(2)) 1L else math.max(1L, probe.getLong(2))
     // intra-cluster pairs: identical sets, J = 1 ≥ τ always
     val intra = members.as("ma").join(members.as("mb"),
-        col("ma.h") === col("mb.h") && col("ma.doc_id") < col("mb.doc_id"))
-      .select(col("ma.h").as("h"), col("ma.doc_id").as("doc_a"),
+        col("ma.rid") === col("mb.rid") && col("ma.doc_id") < col("mb.doc_id"))
+      .select(col("ma.rid").as("rid"), col("ma.doc_id").as("doc_a"),
         col("mb.doc_id").as("doc_b"))
-      .join(sets.select(col("h"), col("sz")), "h")
+      .join(setsInt.select(col("rid"), col("sz")), "rid")
       .select(col("doc_a"), col("doc_b"), col("sz").as("inter"),
         col("sz").as("size_a"), col("sz").as("size_b"))
-    // cross-cluster pairs via the prefix filter on distinct texts
-    val tok = d.select(col("h"), explode(col("ts")).as("tok"))
-    val freq = tok.groupBy("tok").agg(count(lit(1)).as("f"))
-    // rank tokens inside each doc by global (freq, tok) order;
-    // prefix length for J ≥ n/d is |x| − ⌈(n/d)·|x|⌉ + 1
-    val ranked = tok.join(freq, "tok")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("h").orderBy(col("f"), col("tok"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("h")))
     // ASYMMETRIC prefixes (Xiao et al. 2008 §2.2, ppjoin's index/probe
     // split recast as a join): orient every pair so pa is the LARGER
-    // set (ties by h). Then for a true pair O ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉
+    // set (ties by rid). Then for a true pair O ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉
     // and |A| ≥ |B| give the first common token position ≤
     // |B| − ⌈2τ/(1+τ)·|B|⌉ + 1 on the smaller side — the INDEX prefix,
     // ~33% shorter at τ=½ than the classic probe prefix. The probe
@@ -1757,94 +1783,95 @@ object TextOps {
     // partner has ≥ max(⌈τ·|A|⌉, m) tokens where m = corpus-min set
     // size, so the probe prefix is |A| − ⌈τ/(1+τ)·(|A|+max(⌈τ|A|⌉,m))⌉
     // + 1 — on a uniform-length corpus (the fuzz probes) BOTH sides
-    // shrink to the index length and candidate enumeration on dense
-    // tokens drops ~2.25×. Candidate volume, not verify cost, is the
-    // 100 TB load in the dense-vocab regime, so every lossless token
-    // kept OUT of this self-join matters more than any post-join prune.
-    // one probe job over the checkpointed corpus serves BOTH data-
-    // dependent decisions: min set size (probe-prefix tightening here)
-    // and row/byte totals (the broadcast-attach budget below)
-    val probe = sets.agg(count(lit(1)), sum(aggregate(col("ts"), lit(0L),
-      (acc, t) => acc + length(t).cast("long") + lit(16L))), min(col("sz"))).head()
-    val minSz = if (probe.isNullAt(2)) 1L else math.max(1L, probe.getLong(2))
+    // shrink to the index length.
     // ⌈(n/d)·|x|⌉ for positive ints = (n·|x| + d − 1) div d
-    // carry (rn, n): rn is the token's 1-based position in the doc's
-    // canonical (freq, tok) order — the PPJoin positional group filter
-    // below needs it
     val oMinProbe = expr(
       s"($tauNum * (n + greatest(($tauNum * n + $tauDen - 1) div $tauDen, ${minSz}L))" +
         s" + $tauNum + $tauDen - 1) div ${tauNum + tauDen}")
     val oMinIdx = expr(
       s"(2 * $tauNum * n + $tauNum + $tauDen - 1) div ${tauNum + tauDen}")
+    // rank tokens inside each doc by global (freq, tok) order; carry
+    // (rn, n) — the positional filter needs them at the match site.
+    // n comes from the checkpointed set sizes (the SCALAR (rid, sz)
+    // projection, never the tsi arrays), not a second window pass
+    // over the token table; broadcast only while the rep count is
+    // driver-safe, else the equi-join rides the window's own rid
+    // partitioning.
+    val szByRid = setsInt.select(col("rid"), col("sz").as("n"))
+    val ranked = tokId
+      .join(if (probe.getLong(0) <= 4000000L) broadcast(szByRid) else szByRid, "rid")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("rid").orderBy(col("f"), col("tok"))))
     val prefix = ranked.where(col("rn") <= col("n") - oMinProbe + 1)
       .withColumn("in_idx", col("rn") <= col("n") - oMinIdx + 1)
-      .select(col("h"), col("tok"), col("rn"), col("n"), col("in_idx"))
+      .select(col("rid"), col("tid"), col("rn"), col("n"), col("in_idx"))
       // self-joined below: without materialization both legs re-run
       // the freq join + two windows
       .localCheckpoint(true)
-    // GROUP-LEVEL positional filter (Xiao et al. 2008 §3.2, aggregated
-    // over ALL prefix matches of a pair instead of any-single-match):
-    // the matched tokens are exactly the pair's common tokens up to
-    // the last match t* (everything earlier lies inside both prefix
-    // windows), so overlap ≤ cp + min(|A|−pos_A(t*), |B|−pos_B(t*)).
-    // This dominates the per-match bound — which must NOT also be
-    // applied inline: it can drop LATE matches of a true pair, and an
-    // undercounted cp would turn the group bound lossy. The aggregate
-    // subsumes the old distinct() (same scalar-pair shuffle, partial
-    // map-side) while pruning strictly more candidates before the
-    // array attach. The DuckDB all-pairs oracle re-checks losslessness.
-    val cand = prefix.as("pa").join(
+    // POSITIONAL filter (Xiao et al. 2008 §3.2) applied INLINE on each
+    // match: a token matched at positions (pa.rn, pb.rn) bounds the
+    // overlap by 1 + min(|A|−pa.rn, |B|−pb.rn); a match whose bound
+    // cannot reach the τ-required intersection generates no candidate.
+    // Lossless with the asymmetric prefixes: a true pair's FIRST
+    // common token lies in both windows and its bound ≥ O ≥ O_min.
+    // (A group-level bound — count of prefix matches + positional
+    // remainder — prunes strictly more PAIRS, but it must see the
+    // UNFILTERED match stream to stay lossless, and on dense corpora
+    // that stream is the load: measured 2.1× slower at fuzz-x30.)
+    val matches = prefix.as("pa").join(
         prefix.where(col("in_idx")).as("pb"),
-        col("pa.tok") === col("pb.tok") &&
+        col("pa.tid") === col("pb.tid") &&
           (col("pa.n") > col("pb.n") ||
-            (col("pa.n") === col("pb.n") && col("pa.h") > col("pb.h"))))
-      .select(col("pa.h").as("ha"), col("pb.h").as("hb"),
-        col("pa.rn").as("ra"), col("pb.rn").as("rb"),
-        col("pa.n").as("na"), col("pb.n").as("nb"))
-      .groupBy("ha", "hb")
-      .agg(count(lit(1)).as("cp"), max(col("ra")).as("ra"), max(col("rb")).as("rb"),
-        max(col("na")).as("na"), max(col("nb")).as("nb"))
-      .where((col("cp") + least(col("na") - col("ra"), col("nb") - col("rb"))) *
-        (tauNum + tauDen) >= (col("na") + col("nb")) * tauNum)
-      .select(col("ha"), col("hb"))
-    // Verify: the candidate dedup above shuffles SCALAR (ha,hb) rows —
-    // cheap even when prefixes collide heavily — but attaching the
-    // shingle ARRAYS to candidates through a sort-merge join sorts
-    // multi-KB rows (the x30 fuzzed-replication probe exhausted local
-    // spill disk exactly there). When the distinct-text corpus fits a
-    // broadcast budget, ship the sets table to the candidates instead:
-    // the array_intersect verify runs map-side inside codegen and no
-    // array-carrying row is ever sorted. Larger corpora fall back to
-    // the shuffle attach.
-    // broadcast budget in BYTES, not rows (round-5 ADVICE): each row
-    // carries a multi-KB shingle array, so a large-doc corpus under a
-    // row cap could still ship ~GB to every task on BOTH attach
-    // sides. One cheap agg over the checkpointed sets estimates
-    // payload bytes (UTF-8 chars + ~16B array-element overhead per
-    // shingle); the row cap (clamped, not wrapped, for Long inputs)
-    // still bounds the driver-side hash table entries.
+            (col("pa.n") === col("pb.n") && col("pa.rid") > col("pb.rid"))) &&
+          (lit(1) + least(col("pa.n") - col("pa.rn"), col("pb.n") - col("pb.rn"))) *
+            (tauNum + tauDen) >= (col("pa.n") + col("pb.n")) * tauNum)
+      .select(col("pa.rid").as("ra"), col("pb.rid").as("rb"))
+    // VERIFY-THEN-DEDUP (the q44 discipline, now measured here too):
+    // the fuzz-x30 match stream dedups 49.5M → ~45M — a ~1.1×
+    // reduction for which dedup-first paid the whole shuffle+hash
+    // bill up front. Verifying per MATCH costs that same ~1.1× in
+    // map-side intersections and shrinks the dedup input to the
+    // SURVIVORS (bounded by true-pair multiplicity), which is the
+    // cheap side of this corpus by 30×. The verify is deterministic,
+    // so dedup-after equals dedup-first row-for-row. Sets ride
+    // BROADCAST attaches when the int-set payload fits the byte
+    // budget (8 B/element + array overhead; the row cap — clamped,
+    // not wrapped, for Long inputs — still bounds driver hash
+    // entries); larger corpora fall back to dedup-first + shuffle
+    // attach, where only scalar long pairs and the small rep-keyed
+    // set table move — nothing multi-KB is ever sorted (the round-5
+    // ENOSPC shape).
     val maxAttachBytes = 256L << 20
     val rowCap = math.min(maxBroadcastSets, (Int.MaxValue - 1).toLong)
     val attachBroadcast = probe.getLong(0) <= rowCap &&
-      (if (probe.isNullAt(1)) 0L else probe.getLong(1)) <= maxAttachBytes
-    def wrap(df: DataFrame): DataFrame = if (attachBroadcast) broadcast(df) else df
-    val repPairs = cand
-      .join(wrap(sets.select(col("h").as("ha"), col("ts").as("set_a"), col("sz").as("sa"))), "ha")
-      .join(wrap(sets.select(col("h").as("hb"), col("ts").as("set_b"), col("sz").as("sb"))), "hb")
+      (if (probe.isNullAt(1)) 0L else probe.getLong(1)) * 16L +
+        probe.getLong(0) * 48L <= maxAttachBytes
+    def verified(cands: DataFrame, wrap: DataFrame => DataFrame): DataFrame = cands
+      .join(wrap(setsInt.select(col("rid").as("ra"), col("tsi").as("set_a"), col("sz").as("sa"))), "ra")
+      .join(wrap(setsInt.select(col("rid").as("rb"), col("tsi").as("set_b"), col("sz").as("sb"))), "rb")
       // PPJoin length filter (Xiao et al. 2008 §3.1): inter ≤ min(sa,sb),
       // so J ≥ n/d is only feasible when min·(n+d) ≥ n·(sa+sb) — filter
       // BEFORE the array_intersect so length-incompatible candidates
       // never pay the set intersection
       .where(least(col("sa"), col("sb")) * (tauNum + tauDen) >= (col("sa") + col("sb")) * tauNum)
-      .select(col("ha"), col("hb"),
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"),
+      // merge-walk intersection count over the sorted id arrays —
+      // identical to size(array_intersect) on these duplicate-free
+      // inputs, without its per-row boxed hash set (measured ~50 s of
+      // the fuzz-x30 wall)
+      .select(col("ra"), col("rb"),
+        call_function("dlx_sorted_inter", col("set_a"), col("set_b")).as("inter"),
         col("sa"), col("sb"))
       .where(col("inter") * (tauNum + tauDen) >= (col("sa") + col("sb")) * tauNum)
+    graft.spark.SortedIntersectSize.register(
+      org.apache.spark.sql.SparkSession.active)
+    val repPairs =
+      if (attachBroadcast) verified(matches, broadcast).distinct()
+      else verified(matches.distinct(), identity)
     // expand each qualifying cluster pair to all member pairs,
     // normalizing (doc_a < doc_b) and swapping sizes with the ids
     val cross = repPairs
-      .join(members.select(col("h").as("ha"), col("doc_id").as("ida")), "ha")
-      .join(members.select(col("h").as("hb"), col("doc_id").as("idb")), "hb")
+      .join(members.select(col("rid").as("ra"), col("doc_id").as("ida")), "ra")
+      .join(members.select(col("rid").as("rb"), col("doc_id").as("idb")), "rb")
       .select(least(col("ida"), col("idb")).as("doc_a"),
         greatest(col("ida"), col("idb")).as("doc_b"), col("inter"),
         when(col("ida") < col("idb"), col("sa")).otherwise(col("sb")).as("size_a"),

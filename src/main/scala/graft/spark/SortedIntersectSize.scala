@@ -1,0 +1,57 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** |A ∩ B| for two SORTED array<bigint> columns of distinct elements,
+  * as a single merge walk — no per-row hash set, no boxing.
+  *
+  * Built-in `size(array_intersect(a, b))` allocates a generic
+  * OpenHashSet[Any] and boxes every element PER ROW; on a similarity
+  * join's verify stream (fuzz-x30: 49.5M candidate pairs × ~56-element
+  * sets) that generic path measured ~50 s of the query's wall. The
+  * merge walk does the same count in O(|A|+|B|) primitive long
+  * compares inside whole-stage codegen. Callers must supply arrays
+  * that are sorted ascending and duplicate-free (setSimJoin builds
+  * them with sort_array over per-doc distinct token ids) — for such
+  * inputs the count is bit-for-bit `size(array_intersect)`. */
+object SortedIntersectOps {
+  def interSize(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+case class SortedIntersectSize(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectOps.interSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.spark.SortedIntersectOps.interSize($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dlx_sorted_inter"
+}
+
+object SortedIntersectSize {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dlx_sorted_inter", args => SortedIntersectSize(args(0), args(1)), "built-in")
+  }
+}

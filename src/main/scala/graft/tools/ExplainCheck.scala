@@ -631,13 +631,14 @@ object ExplainCheck {
     // round-5: the shingle-set attach onto candidates must be a
     // BroadcastHashJoin at gate scale — multi-KB array rows must
     // never be sorted for an SMJ (the fuzz-x30 ENOSPC shape).
-    // Pinned to the ha/hb attach keys (round-5 ADVICE): a broadcast
-    // join elsewhere in the plan must not satisfy this check.
-    assert("BroadcastHashJoin \\[ha#\\d+".r.findFirstIn(p142).isDefined &&
-      "BroadcastHashJoin \\[hb#\\d+".r.findFirstIn(p142).isDefined,
-      "q142: shingle-set attach lost the broadcast (arrays would be sorted)")
-    assert("SortMergeJoin \\[h[ab]#\\d+".r.findFirstIn(p142).isEmpty,
-      "q142: shingle-set attach regressed to a sort-merge join")
+    // Pinned to the attach keys (round-5 ADVICE): a broadcast join
+    // elsewhere in the plan must not satisfy this check. Keys are the
+    // long rep ids ra/rb since the round-6 long-key rewrite.
+    assert("BroadcastHashJoin \\[ra#\\d+".r.findFirstIn(p142).isDefined &&
+      "BroadcastHashJoin \\[rb#\\d+".r.findFirstIn(p142).isDefined,
+      "q142: int-set attach lost the broadcast (arrays would be sorted)")
+    assert("SortMergeJoin \\[r[ab]#\\d+".r.findFirstIn(p142).isEmpty,
+      "q142: int-set attach regressed to a sort-merge join")
     println("q142 prefix-filtered set-sim join OK")
 
     // ewma: join-free, one user-partitioned bounded-frame window

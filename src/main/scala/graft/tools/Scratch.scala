@@ -1,28 +1,98 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 object Scratch {
+  // stage-level profile of the LONG-KEYED setSimJoin pipeline on a
+  // fuzz corpus: stage walls + candidate/match volumes for the round
+  // artifacts
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = args.lift(0).getOrElse("/tmp/graft_scaled_x30")
-    import graft.queries.MarcOps
+    val dir = args.lift(0).getOrElse("/tmp/graft_fuzz_x30")
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"SCRATCH $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      println(f"SCRATCH $label: ${(System.nanoTime() - t0) / 1e9}%.3f s => $r"); r
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val raw = time("buildMarcBibs no-persist count") {
-      MarcOps.buildMarcBibs(spark, dir).count()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val (tauNum, tauDen) = (1, 2)
+    import graft.queries.TextOps.shingleArray
+    def toks(c: org.apache.spark.sql.Column) = split(c, " ")
+    val hashed = docs.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    val withRep = hashed.withColumn("rid",
+      min(col("doc_id")).over(Window.partitionBy("h")))
+    val members = withRep.select(col("rid"), col("doc_id"))
+    val reps = withRep.where(col("doc_id") === col("rid")).select(col("rid"), col("text"))
+    val d = time("1 shingle+checkpoint") {
+      val dd = reps.select(col("rid"), toks(col("text")).as("w"))
+        .select(col("rid"), shingleArray(col("w"), 3).as("ts")).localCheckpoint(true)
+      dd.count(); dd
     }
-    println(s"rows=$raw")
-    val bibs = MarcOps.marcBibs(spark, dir) // persists
-    time("persist materialize count")(println(bibs.count()))
-    time("q24 getters over cached")(println(MarcOps.q24MarcBuild(spark, dir).count()))
-    time("q24 again")(println(MarcOps.q24MarcBuild(spark, dir).count()))
+    val tok = d.select(col("rid"), explode(col("ts")).as("tok"))
+    val freq = time("2 freq+tid checkpoint") {
+      val f = tok.groupBy("tok").agg(count(lit(1)).as("f"))
+        .withColumn("tid", monotonically_increasing_id()).localCheckpoint(true)
+      f.count(); f
+    }
+    val tokId = tok.join(freq, "tok")
+    val setsInt = time("3 int sets checkpoint") {
+      val s = d.select(col("rid"))
+        .join(tokId.groupBy("rid").agg(collect_list(col("tid")).as("tsi")), Seq("rid"), "left")
+        .select(col("rid"), coalesce(col("tsi"), array().cast("array<bigint>")).as("tsi"))
+        .withColumn("sz", size(col("tsi")).cast("long"))
+        .localCheckpoint(true)
+      s.count(); s
+    }
+    val probe = time("4 probe")(
+      setsInt.agg(count(lit(1)), sum(col("sz")), min(col("sz"))).head())
+    println(s"rows=${probe.getLong(0)} elems=${probe.getLong(1)} minSz=${probe.getLong(2)}")
+    val minSz = math.max(1L, probe.getLong(2))
+    val oMinProbe = expr(
+      s"($tauNum * (n + greatest(($tauNum * n + $tauDen - 1) div $tauDen, ${minSz}L))" +
+        s" + $tauNum + $tauDen - 1) div ${tauNum + tauDen}")
+    val oMinIdx = expr(s"(2 * $tauNum * n + $tauNum + $tauDen - 1) div ${tauNum + tauDen}")
+    val ranked = tokId
+      .withColumn("rn", row_number().over(Window.partitionBy("rid").orderBy(col("f"), col("tok"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("rid")))
+    val prefix = time("5 prefix rank+checkpoint") {
+      val p = ranked.where(col("rn") <= col("n") - oMinProbe + 1)
+        .withColumn("in_idx", col("rn") <= col("n") - oMinIdx + 1)
+        .select(col("rid"), col("tid"), col("rn"), col("n"), col("in_idx"))
+        .localCheckpoint(true)
+      p.count(); p
+    }
+    println(s"prefix rows=${prefix.count()} idx rows=${prefix.where(col("in_idx")).count()}")
+    val matches = prefix.as("pa").join(
+      prefix.where(col("in_idx")).as("pb"),
+      col("pa.tid") === col("pb.tid") &&
+        (col("pa.n") > col("pb.n") ||
+          (col("pa.n") === col("pb.n") && col("pa.rid") > col("pb.rid"))) &&
+        (lit(1) + least(col("pa.n") - col("pa.rn"), col("pb.n") - col("pb.rn"))) *
+          (tauNum + tauDen) >= (col("pa.n") + col("pb.n")) * tauNum)
+      .select(col("pa.rid").as("ra"), col("pb.rid").as("rb"))
+    time("6 match-rows count")(matches.count())
+    def verified(cands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = cands
+      .join(broadcast(setsInt.select(col("rid").as("ra"), col("tsi").as("set_a"), col("sz").as("sa"))), "ra")
+      .join(broadcast(setsInt.select(col("rid").as("rb"), col("tsi").as("set_b"), col("sz").as("sb"))), "rb")
+      .where(least(col("sa"), col("sb")) * (tauNum + tauDen) >= (col("sa") + col("sb")) * tauNum)
+      .select(col("ra"), col("rb"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"),
+        col("sa"), col("sb"))
+      .where(col("inter") * (tauNum + tauDen) >= (col("sa") + col("sb")) * tauNum)
+    val repPairs = time("7 verify per-match + dedup count") {
+      val r = verified(matches).distinct().localCheckpoint(true); r.count()
+      r
+    }
+    val cross = repPairs
+      .join(members.select(col("rid").as("ra"), col("doc_id").as("ida")), "ra")
+      .join(members.select(col("rid").as("rb"), col("doc_id").as("idb")), "rb")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"))
+    time("8 expansion+sort count")(cross.orderBy("doc_a", "doc_b").count())
     spark.stop()
   }
 }
