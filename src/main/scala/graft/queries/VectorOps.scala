@@ -246,13 +246,19 @@ object VectorOps {
     * (count + approx-distinct over a 64-bit vector hash) decides:
     * collapse only when exact duplicates exceed ~10% of rows. The
     * probe's ±2% HLL error cannot flip correctness, only which of two
-    * equivalent plans runs. */
-  def repCollapseIfDup(all: DataFrame): (DataFrame, DataFrame) = {
+    * equivalent plans runs.
+    *
+    * Also returns the rep-table row count this probe already paid for
+    * (exact n uncollapsed, HLL-approximate d collapsed), so callers
+    * can thread it into [[verifiedRepPairs]]'s broadcast-budget
+    * decision instead of funding a second count job — safe because
+    * that cap also only picks between two answer-identical plans. */
+  def repCollapseIfDup(all: DataFrame): (DataFrame, DataFrame, Long) = {
     val r = all.agg(count(lit(1)), approx_count_distinct(xxhash64(col("v")))).head()
     val (n, d) = (r.getLong(0), r.getLong(1))
-    if (d < n - n / 10) repCollapse(all)
+    if (d < n - n / 10) { val (m, reps) = repCollapse(all); (m, reps, d) }
     else (all.select(col("vec_id"), col("vec_id").as("rep_id")),
-      all.select(col("vec_id"), col("v")))
+      all.select(col("vec_id"), col("v")), n)
   }
 
   /** explode a TopK result column into (payload struct, 1-based rank). */
@@ -317,8 +323,8 @@ object VectorOps {
   def q44EmbedNearDup(s: SparkSession, dir: String, tau: Double = 0.30): DataFrame = {
     require(tau <= 1.0, s"tau=$tau: exact duplicates must qualify as near-dups")
     val all = emb(s, dir)
-    val (members, reps) = repCollapseIfDup(all)
-    val repPairs = verifiedRepPairs(reps, tau)
+    val (members, reps, nReps) = repCollapseIfDup(all)
+    val repPairs = verifiedRepPairs(reps, tau, knownRepCount = Some(nReps))
     val ma = members.select(col("vec_id").as("ida"), col("rep_id").as("ra"))
     val mb = members.select(col("vec_id").as("idb"), col("rep_id").as("rb"))
     val cross = repPairs.join(ma, "ra").join(mb, "rb")
@@ -460,7 +466,7 @@ object VectorOps {
     // edges per group: the x100 probe corpus (100 exact copies of
     // each vector) collapses from 9.9M intra-group edges to zero
     // before the band join even runs.
-    val (members, reps) = repCollapseIfDup(all)
+    val (members, reps, nReps) = repCollapseIfDup(all)
     val cents = broadcast(all.where(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv")))
     val assigned = reps.crossJoin(cents)
@@ -476,7 +482,10 @@ object VectorOps {
     // banded candidates scoped to the centroid (the paper's semantic
     // scoping rides as an extra equi-join key); verify-then-dedup —
     // the candidate stream never hits a shuffle (see verifiedRepPairs)
-    val edges = verifiedRepPairs(g, tau, extraKeys = Seq("centroid_id"))
+    // g is reps inner-joined 1:1 to its centroid assignment, so the
+    // probe-paid rep count carries over exactly
+    val edges = verifiedRepPairs(g, tau, extraKeys = Seq("centroid_id"),
+        knownRepCount = Some(nReps))
       .select(col("ra").as("doc_a"), col("rb").as("doc_b"))
     val comp = TextOps.connectedComponents(edges)
     val repLab = g.join(comp, g("vec_id") === comp("node"), "left")
@@ -771,8 +780,8 @@ object VectorOps {
     val orig = emb(s, dir).select(col("vec_id"), col("v"))
     val all = orig.unionByName(
       orig.select((col("vec_id") + 100000L).as("vec_id"), col("v")))
-    val (members, reps) = repCollapseIfDup(all)
-    val repPairs = verifiedRepPairs(reps, tau)
+    val (members, reps, nReps) = repCollapseIfDup(all)
+    val repPairs = verifiedRepPairs(reps, tau, knownRepCount = Some(nReps))
     val ma = members.select(col("vec_id").as("ida"), col("rep_id").as("ra"))
     val mb = members.select(col("vec_id").as("idb"), col("rep_id").as("rb"))
     val cross = repPairs.join(ma, "ra").join(mb, "rb")
