@@ -1,0 +1,93 @@
+package graft.tools
+
+/** Per-round fuzzed-replication regression gate for the near-dup
+  * family — the probe that caught round 5's ENOSPC defect, promoted
+  * from a hand-run artifact into one command the round cadence runs
+  * and commits (`BENCH_fuzz_r0N.json`).
+  *
+  * Exact replication flatters dedup (the exact-first collapse absorbs
+  * every copy); fuzz mode perturbs each replica so the banding/prefix
+  * machinery itself carries the load. This tool runs the family at
+  * x10 and x30 on the SAME perturbed corpora (materialized once,
+  * `_SUCCESS`-guarded) and gates on the two properties a banding
+  * regression would break long before the sf0.1 battery noticed:
+  *
+  *  - planted-pair recall >= 0.9 at every factor (bandsFor's target);
+  *  - the x30/x10 wall ratio per query under a conservative ceiling —
+  *    3x data costing > ~6x wall means candidate generation went
+  *    super-quadratic (q142 pre-positional-filter measured ~9x).
+  *    q44 runs at tau=0.30 where candidates are provably near-
+  *    quadratic in reps (see bandsFor's weak-tau contract), so its
+  *    ceiling is documented-looser rather than silently excluded.
+  *
+  * Usage: runMain graft.tools.FuzzBench [roundLabel] [srcDir]
+  * Writes BENCH_fuzz_<roundLabel>.json; exits nonzero on any guard
+  * failure (recall floor, throughput floor, ratio ceiling, query
+  * error) so a driver/CI invocation fails loudly.
+  */
+object FuzzBench {
+  private val family = Seq("q19_minhash_lsh", "q44_embed_neardup",
+    "q114_fuzzy_decon", "q121_neardup_hightau", "q142_set_sim_join")
+  // x30/x10 wall ceilings for 3x data: linear-ish families get 6x
+  // (2x the ideal 3, under half the known-bad 9.67x regression shape);
+  // q44's tau=0.30 candidates grow ~quadratically in reps by
+  // construction, so its honest ceiling is 9x/... the output-bound
+  // regime's measured 2.44x plus the same 2x headroom on the
+  // quadratic component.
+  private val ratioCeil: Map[String, Double] =
+    family.map(q => q -> (if (q == "q44_embed_neardup") 12.0 else 6.0)).toMap
+
+  def main(args: Array[String]): Unit = {
+    val round = args.lift(0).getOrElse("r0X")
+    val srcDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val fam = family.mkString(",")
+    val fails = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def probe(factor: Int): ScaleBench.ScaleResult = {
+      val r = ScaleBench.run(Array(srcDir, factor.toString,
+        s"/tmp/graft_fuzz_x$factor", s"fuzz_x$factor", fam,
+        "documents,embeddings", "fuzz"))
+      fails ++= r.guardFails.map(f => s"x$factor $f")
+      r.plantedRecall match {
+        case Some(rec) if rec < 0.9 => // already a guardFail from ScaleBench
+        case None => fails += s"x$factor: LSH recall audit did not run"
+        case _ => ()
+      }
+      r
+    }
+
+    val r10 = probe(10)
+    val r30 = probe(30)
+    val t10 = r10.queries.toMap
+    val t30 = r30.queries.toMap
+    val ratios = family.flatMap { q =>
+      (t10.get(q), t30.get(q)) match {
+        case (Some(a), Some(b)) if a > 0 && b > 0 =>
+          val ratio = b / a
+          if (ratio > ratioCeil(q))
+            fails += f"RATIO FAIL $q: x30/x10 = $ratio%.2f > ceiling ${ratioCeil(q)}%.1f"
+          Some(q -> ratio)
+        case _ =>
+          fails += s"RATIO FAIL $q: missing or failed at one factor"
+          None
+      }
+    }
+
+    def fmt(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"fuzz_family","round":"$round","x10_total":${r10.total},"x30_total":${r30.total},""" +
+        s""""x10":${fmt(family.flatMap(q => t10.get(q).map(q -> _)))},""" +
+        s""""x30":${fmt(family.flatMap(q => t30.get(q).map(q -> _)))},""" +
+        s""""ratio_x30_x10":${fmt(ratios)},""" +
+        s""""planted_recall":{"x10":${r10.plantedRecall.getOrElse(-1.0)},"x30":${r30.plantedRecall.getOrElse(-1.0)}},""" +
+        s""""guard_fails":[${fails.map(f => "\"" + f.replace("\"", "'") + "\"").mkString(",")}]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"BENCH_fuzz_$round.json"), json + "\n")
+    println(json)
+    if (fails.nonEmpty) {
+      fails.foreach(f => System.err.println(s"[fuzzbench] $f"))
+      sys.exit(1)
+    }
+  }
+}

@@ -22,7 +22,22 @@ import org.apache.spark.sql.functions._
   * while the vec_id<10 query set stays fixed.
   */
 object ScaleBench {
+  /** One probe run's machine-readable outcome — what FuzzBench (the
+    * per-round fuzz regression artifact) consumes without re-parsing
+    * the BENCH json this run also writes. */
+  case class ScaleResult(label: String, total: Double,
+      queries: Seq[(String, Double)], plantedRecall: Option[Double],
+      guardFails: Seq[String])
+
   def main(args: Array[String]): Unit = {
+    val res = run(args)
+    if (res.guardFails.nonEmpty) {
+      res.guardFails.foreach(f => System.err.println(s"[scalebench] $f"))
+      sys.exit(1)
+    }
+  }
+
+  def run(args: Array[String]): ScaleResult = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val outDir = args.lift(2).getOrElse(s"/tmp/graft_scaled_x$factor")
@@ -115,10 +130,12 @@ object ScaleBench {
     // In native mode fact FKs follow their replicated dimension into
     // its shifted key range (replica-r bibs reference replica-r auths);
     // in exact/fuzz modes dims stay fixed, TPC-H-style.
-    val orderShifts =
+    // lazy: spans read the source tables, which need not exist when a
+    // tableFilter excludes them (e.g. a documents-only corpus dir)
+    lazy val orderShifts =
       Seq("o_orderkey" -> dimSpan("orders", "o_orderkey")) ++
         (if (isNative) Seq("o_custkey" -> dimSpan("customer", "c_custkey")) else Nil)
-    val lineitemShifts =
+    lazy val lineitemShifts =
       Seq("l_orderkey" -> dimSpan("orders", "o_orderkey")) ++
         (if (isNative) Seq(
           "l_partkey" -> dimSpan("part", "p_partkey"),
@@ -228,6 +245,7 @@ object ScaleBench {
     //      round-3 single-band design provably missed — must surface as
     //      candidates at ≥ the bandsFor recall target (0.9);
     //  (3) the per-(band,sig) census is committed for the record.
+    var plantedRecall: Option[Double] = None
     val lshJson = if (!battery.exists(_._1.startsWith("q44"))) "" else {
       import graft.queries.VectorOps
       val tau = 0.30
@@ -259,6 +277,7 @@ object ScaleBench {
         (col("ra") > maxId) && (col("rb") === col("ra") + 1) &&
           ((col("ra") - maxId - 1) % 2 === 0)).count()
       val recall = found.toDouble / kPlanted
+      plantedRecall = Some(recall)
       if (recall < 0.9)
         guardFails += f"LSH-RECALL FAIL: planted-pair recall $recall%.2f < 0.9 (r=$r, b=$bnd)"
       println(f"LSH-SCALE: n=$n reps=$nReps r=$r bands=$bnd buckets=$buckets " +
@@ -284,10 +303,7 @@ object ScaleBench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"PLANS_$label.md"), md.result())
     println(s"wrote BENCH_$label.json and PLANS_$label.md")
     spark.stop()
-    if (guardFails.nonEmpty) {
-      guardFails.foreach(f => System.err.println(s"[scalebench] $f"))
-      sys.exit(1)
-    }
+    ScaleResult(label, total, results, plantedRecall, guardFails.toSeq)
   }
 
   private def SparkEntry_queries = graft.SparkEntry.queries.toSeq.sortBy(_._1)
