@@ -1631,11 +1631,22 @@ object TextOps {
     // the probe and the members expand at the end. A boilerplate-heavy
     // corpus (and the exact-replication scale probes) would otherwise
     // pay candidate volume quadratic in the duplicate multiplicity.
-    val repOf = flagged.groupBy(col("is_eval"), col("gs"))
-      .agg(min(col("doc_id")).as("rep_id"))
-    val members = flagged.join(repOf, Seq("is_eval", "gs"))
-      .select(col("is_eval"), col("doc_id"), col("rep_id"))
-    val withSets = repOf.select(col("is_eval"), col("rep_id").as("doc_id"), col("gs"))
+    // The group key is an md5 of the serialized array, NEVER the array
+    // itself: the round-5 shape grouped AND re-joined on the multi-KB
+    // gs column, and the join's sort-merge sorted those arrays through
+    // a shuffle — measured 166 s of q114's 306 s wall at realistic-x30
+    // just to map members to reps. One window over the scalar hash
+    // assigns rep ids without any array ever entering a sort.
+    val withRep = flagged
+      // the U+0001 separator cannot appear inside whitespace-split
+      // tokens, so the serialization is injective: md5 equality is
+      // array equality
+      .withColumn("gh", md5(concat_ws("", col("gs"))))
+      .withColumn("rep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("is_eval"), col("gh"))))
+    val members = withRep.select(col("is_eval"), col("doc_id"), col("rep_id"))
+    val withSets = withRep.where(col("doc_id") === col("rep_id"))
+      .select(col("is_eval"), col("doc_id"), col("gs"))
     val mhCols = (0 until nHashes).map(h =>
       min(md5(concat(lit(s"$h|"), col("g")))).as(s"mh$h"))
     val sigs = withSets
@@ -1662,7 +1673,13 @@ object TextOps {
       .join(broadcast(evalSets), "eval_rep")
       .select(col("train_rep"), col("eval_rep"),
         size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("n_inter"),
-        size(array_union(col("set_a"), col("set_b"))).cast("long").as("n_union"))
+        (size(col("set_a")) + size(col("set_b"))).cast("long").as("n_ab"))
+      // |A∪B| = |A|+|B|−|A∩B| on these distinct arrays — identical to
+      // array_union's count without allocating the union array per
+      // candidate (union was the more expensive of the two hash-set
+      // passes on long-doc corpora)
+      .select(col("train_rep"), col("eval_rep"), col("n_inter"),
+        (col("n_ab") - col("n_inter")).as("n_union"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / col("n_union").cast("double"))
       .where(col("jaccard") >= tau)

@@ -96,3 +96,75 @@ object Scratch {
     spark.stop()
   }
 }
+
+object ScratchQ114 {
+  // stage-level profile of fuzzyDecon on a fuzz corpus: collapse
+  // groupBy on array keys vs minhash sigs vs band join vs verify
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.lift(0).getOrElse("/tmp/graft_real_x30")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCRATCH $label: ${(System.nanoTime() - t0) / 1e9}%.3f s => $r"); r
+    }
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    import graft.queries.TextOps.shingleArray
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val evalPred = col("doc_id") % 10 === 0
+    val nHashes = 8
+    val flagged = docs
+      .select(col("doc_id"), evalPred.as("is_eval"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("is_eval"), shingleArray(col("toks"), 3).as("gs"))
+    val repOf = time("1 collapse groupBy(gs)") {
+      val r = flagged.groupBy(col("is_eval"), col("gs"))
+        .agg(min(col("doc_id")).as("rep_id")).localCheckpoint(true)
+      r.count(); r
+    }
+    val members = time("2 members join(gs)") {
+      val m = flagged.join(repOf, Seq("is_eval", "gs"))
+        .select(col("is_eval"), col("doc_id"), col("rep_id")).localCheckpoint(true)
+      m.count(); m
+    }
+    val withSets = repOf.select(col("is_eval"), col("rep_id").as("doc_id"), col("gs"))
+    val mhCols = (0 until nHashes).map(h =>
+      min(md5(concat(lit(s"$h|"), col("g")))).as(s"mh$h"))
+    val sigs = time("3 minhash sigs") {
+      val s0 = withSets
+        .select(col("doc_id"), col("is_eval"), explode_outer(col("gs")).as("g"))
+        .groupBy("doc_id", "is_eval").agg(mhCols.head, mhCols.tail: _*)
+        .localCheckpoint(true)
+      s0.count(); s0
+    }
+    val bands = sigs.select(col("doc_id"), col("is_eval"),
+      explode(array((0 until nHashes / 2).map(b =>
+        struct(lit(b).as("band"),
+          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("is_eval"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val evalBands = bands.where(col("is_eval"))
+      .select(col("doc_id").as("eval_rep"), col("band"), col("band_key"))
+    val cands = time("4 band join + distinct") {
+      val c = bands.where(!col("is_eval"))
+        .select(col("doc_id").as("train_rep"), col("band"), col("band_key"))
+        .join(broadcast(evalBands), Seq("band", "band_key"))
+        .select("train_rep", "eval_rep").distinct().localCheckpoint(true)
+      c.count(); c
+    }
+    println(s"cands=${cands.count()}")
+    val trainSets = withSets.where(!col("is_eval"))
+      .select(col("doc_id").as("train_rep"), col("gs").as("set_a"))
+    val evalSets = withSets.where(col("is_eval"))
+      .select(col("doc_id").as("eval_rep"), col("gs").as("set_b"))
+    time("5 verify intersect+union") {
+      cands.join(trainSets, "train_rep").join(broadcast(evalSets), "eval_rep")
+        .select(col("train_rep"), col("eval_rep"),
+          size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("n_inter"),
+          size(array_union(col("set_a"), col("set_b"))).cast("long").as("n_union"))
+        .where(col("n_inter").cast("double") / col("n_union").cast("double") >= 0.5)
+        .count()
+    }
+    spark.stop()
+  }
+}
