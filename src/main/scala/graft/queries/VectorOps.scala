@@ -232,9 +232,22 @@ object VectorOps {
     * heavy corpus stops paying C(group, 2) band-join edges per group.
     * Returns (members: vec_id→rep_id, reps: rep vec_id + v). */
   def repCollapse(all: DataFrame): (DataFrame, DataFrame) = {
-    val repOf = all.groupBy(col("v")).agg(min(col("vec_id")).as("rep_id"))
-    val members = all.join(repOf, Seq("v")).select(col("vec_id"), col("rep_id"))
-    val reps = repOf.select(col("rep_id").as("vec_id"), col("v"))
+    // rep assignment rides ONE window over a scalar hash of the
+    // vector — grouping and then re-JOINING on the 512-byte array
+    // column itself would sort vectors through a shuffle (the q114
+    // shingle-array lesson; at an x100 probe's 6M rows that join is
+    // pure key-width overhead). The hash serialization normalizes
+    // -0.0 to 0.0 elementwise so hash equality matches Spark's own
+    // float-normalized grouping semantics; Double.toString is
+    // injective on the rest (NaNs all print "NaN", collapsing
+    // canonically like Spark's key normalization does).
+    val gh = md5(concat_ws("",
+      transform(col("v"), x => when(x === 0.0d, 0.0d).otherwise(x)).cast("array<string>")))
+    val withRep = all.withColumn("rep_id", min(col("vec_id")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(gh)))
+    val members = withRep.select(col("vec_id"), col("rep_id"))
+    val reps = withRep.where(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("v"))
     (members, reps)
   }
 
