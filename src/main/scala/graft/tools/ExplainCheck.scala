@@ -359,6 +359,14 @@ object ExplainCheck {
     val q114 = graft.queries.TextOps.q114FuzzyDecon(spark, sfDir)
     val p114 = planOf(q114)
     assert(p114.contains("BroadcastHashJoin"), "q114: eval side not broadcast")
+    // round-6: the exact-first collapse must assign rep ids via the
+    // scalar-hash window, never by re-joining on the multi-KB shingle
+    // array (an SMJ keyed on gs sorted those arrays through a shuffle
+    // — 166 s of the realistic-x30 wall)
+    assert("SortMergeJoin \\[gs#\\d+".r.findFirstIn(p114).isEmpty,
+      "q114: collapse re-joins on the shingle-array column")
+    assert("windowspecdefinition\\(is_eval#\\d+, gh#\\d+".r.findFirstIn(p114).isDefined,
+      "q114: collapse rep window over the scalar hash missing")
     assert(!p114.contains("Cartesian") && !p114.contains("BroadcastNestedLoop"),
       "q114: probe degenerated to a cross product")
     println("q114 broadcast fuzzy-decon probe OK")

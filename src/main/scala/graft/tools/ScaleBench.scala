@@ -176,6 +176,18 @@ object ScaleBench {
         "lineitem", "documents", "embeddings"))
       try spark.read.parquet(s"$outDir/$t.parquet").count()
       catch { case _: Throwable => }
+    // shared-cache warm phase, timed separately (same discipline as
+    // Bench): otherwise the alphabetically-first MARC/store consumer
+    // carries the x-factor-scaled corpus construction and its battery
+    // RATIO reads as its own super-linearity (q26 read 4.6x at x30
+    // purely from cache attribution). Total still includes warm.
+    // Documents-only corpus dirs throw here — fine, nothing to warm.
+    val w0 = System.nanoTime()
+    try {
+      graft.queries.MarcOps.prewarmGateCaches(spark, outDir)
+      graft.queries.StoreOps.prewarmGateCaches(spark, outDir)
+    } catch { case _: Throwable => () }
+    val warmSec = (System.nanoTime() - w0) / 1e9
 
     val plans = scala.collection.mutable.Map.empty[String, String]
     val rowCounts = scala.collection.mutable.Map.empty[String, Long]
@@ -201,7 +213,7 @@ object ScaleBench {
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum + warmSec
     // a thrown query is a failure, never a fast run (same discipline as Bench)
     results.collect { case (name, secs) if secs < 0 =>
       guardFails += s"QUERY FAIL $name: ${plans.getOrElse(name, "?").linesIterator.next()}"
@@ -285,7 +297,7 @@ object ScaleBench {
       s""","lsh":{"n":$n,"reps":$nReps,"r":$r,"bands":$bnd,"buckets":$buckets,"max_bucket":$maxB,"join_volume":$vol,"distinct_candidates":$cand,"planted_recall":$recall}"""
     }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$label-equivalent ($srcDir x$factor, $mode replication)"$tputJson$lshJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"queries":$qs,"sf":"$label-equivalent ($srcDir x$factor, $mode replication)"$tputJson$lshJson}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"BENCH_$label.json"), json + "\n")
 
