@@ -389,17 +389,31 @@ object AnalyticsOps {
     * the whole pipeline. */
   def entityMatch(dim: DataFrame, dirty: DataFrame, maxDist: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = dirty.withColumn("blk",
-      expr("substring(dirty_name, 1, length(dirty_name)-2)"))
-    val m = dim.withColumn("blk", expr("substring(c_name, 1, length(c_name)-2)"))
-    val cand = d.join(m, "blk")
+    // EXACT-FIRST COLLAPSE on both sides (the q104/q114 discipline
+    // applied to entity resolution): every dirty row with the same
+    // dirty_name gets the same match, and among dim rows sharing a
+    // c_name only the min-c_custkey copy can win the
+    // (edit_dist, c_custkey) tie-break — so blocking and the
+    // Levenshtein verify run once per DISTINCT name pair and batch
+    // keys expand at the end. A duplicate-heavy dimension (the
+    // native-x10 probe carries 10 identical copies of every c_name)
+    // otherwise pays block-join volume quadratic in the duplicate
+    // multiplicity — measured 29.6 s at native-x10 for answers
+    // identical to the collapsed plan's.
+    val dNames = dirty.select(col("dirty_name")).distinct()
+      .withColumn("blk", expr("substring(dirty_name, 1, length(dirty_name)-2)"))
+    val mReps = dim.groupBy(col("c_name")).agg(min(col("c_custkey")).as("c_custkey"))
+      .withColumn("blk", expr("substring(c_name, 1, length(c_name)-2)"))
+    val cand = dNames.join(mReps, "blk")
       .withColumn("edit_dist", levenshtein(col("dirty_name"), col("c_name")).cast("long"))
       .where(col("edit_dist") <= maxDist)
-    cand
+    val bestPerName = cand
       .withColumn("rn", row_number().over(
-        Window.partitionBy("batch_key").orderBy(col("edit_dist"), col("c_custkey"))))
+        Window.partitionBy("dirty_name").orderBy(col("edit_dist"), col("c_custkey"))))
       .where(col("rn") === 1)
-      .select(col("batch_key"), col("c_custkey").as("matched_key"), col("edit_dist"))
+      .select(col("dirty_name"), col("c_custkey").as("matched_key"), col("edit_dist"))
+    dirty.join(bestPerName, "dirty_name")
+      .select(col("batch_key"), col("matched_key"), col("edit_dist"))
       .orderBy("batch_key")
   }
 
