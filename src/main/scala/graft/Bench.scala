@@ -90,7 +90,10 @@ object Bench {
       }.toMap
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
-    def r3(x: Double): String = "%.3f".format(x)
+    // Locale.ROOT: a comma-decimal default locale would emit "0,123"
+    // and corrupt the committed JSON artifact
+    def r3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 

@@ -408,7 +408,7 @@ final case class Diff(recA: MarcRecord, recB: MarcRecord)(
         s.resolvedValue(auth).filter(_.nonEmpty)
           .map(v => s.code + "=" + v + s.xref.fold("")("@" + _))
       }
-      ("D", d.tag, d.ind1 + "" + d.ind2 + "" + subs.mkString(""))
+      ("D", d.tag, d.ind1 + "\u0001" + d.ind2 + "\u0001" + subs.mkString("\u0002"))
   }
   private def mrkKey(f: Field): String =
     graft.records.Serialization.fieldToMrk(recA.recordType, f)

@@ -1641,7 +1641,7 @@ object TextOps {
       // the U+0001 separator cannot appear inside whitespace-split
       // tokens, so the serialization is injective: md5 equality is
       // array equality
-      .withColumn("gh", md5(concat_ws("", col("gs"))))
+      .withColumn("gh", md5(concat_ws("\u0001", col("gs"))))
       .withColumn("rep_id", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("is_eval"), col("gh"))))
     val members = withRep.select(col("is_eval"), col("doc_id"), col("rep_id"))

@@ -241,7 +241,7 @@ object VectorOps {
     // float-normalized grouping semantics; Double.toString is
     // injective on the rest (NaNs all print "NaN", collapsing
     // canonically like Spark's key normalization does).
-    val gh = md5(concat_ws("",
+    val gh = md5(concat_ws("\u0001",
       transform(col("v"), x => when(x === 0.0d, 0.0d).otherwise(x)).cast("array<string>")))
     val withRep = all.withColumn("rep_id", min(col("vec_id")).over(
       org.apache.spark.sql.expressions.Window.partitionBy(gh)))

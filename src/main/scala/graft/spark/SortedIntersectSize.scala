@@ -2,8 +2,9 @@ package graft.spark
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** |A ∩ B| for two SORTED array<bigint> columns of distinct elements,
   * as a single merge walk — no per-row hash set, no boxing.
@@ -35,6 +36,24 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  // registered session-wide as SQL function dlx_sorted_inter, so
+  // analysis must reject anything but array<bigint> on both sides —
+  // the merge walk calls getLong and would return garbage or throw at
+  // runtime otherwise. (The sorted-ascending/distinct precondition is
+  // a value-level contract the type system can't see; callers build
+  // the arrays with sort_array over distinct ids.)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val want = ArrayType(LongType)
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two $want arguments (sorted ascending, distinct), " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     SortedIntersectOps.interSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

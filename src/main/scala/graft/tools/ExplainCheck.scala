@@ -599,8 +599,13 @@ object ExplainCheck {
     assert("hashpartitioning\\(blk".r.findFirstIn(p140).isDefined ||
       p140.contains("BroadcastHashJoin"),
       "q140: candidates not generated by a blk equi-join")
-    assert("windowspecdefinition\\(batch_key".r.findFirstIn(p140).isDefined,
-      "q140: best-match window not batch_key-partitioned")
+    // round-6 collapse: best-match runs once per DISTINCT dirty_name;
+    // batch keys re-expand via an equi-join on dirty_name afterwards
+    assert("windowspecdefinition\\(dirty_name".r.findFirstIn(p140).isDefined,
+      "q140: best-match window not dirty_name-partitioned (collapse regressed)")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[dirty_name#\\d+\\], \\[dirty_name#\\d+\\]".r
+      .findFirstIn(p140).isDefined,
+      "q140: batch-key expansion not an equi-join on dirty_name")
     println("q140 blocked entity match OK")
 
     // triangles: three equi-joins over the oriented edge list — never

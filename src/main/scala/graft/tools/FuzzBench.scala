@@ -73,8 +73,12 @@ object FuzzBench {
       }
     }
 
+    // Locale.ROOT: a comma-decimal default locale would emit "0,123"
+    // and corrupt the committed JSON artifact
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(m: Seq[(String, Double)]) =
-      m.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      m.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"fuzz_family","round":"$round","x10_total":${r10.total},"x30_total":${r30.total},""" +
         s""""x10":${fmt(family.flatMap(q => t10.get(q).map(q -> _)))},""" +

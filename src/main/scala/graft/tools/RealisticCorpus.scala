@@ -80,13 +80,17 @@ object RealisticCorpus {
       .select("doc_id", "text", "lang", "source", "n_chars")
 
     docs.repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    val stats = spark.read.parquet(s"$outDir/documents.parquet")
+    // avg_len is the PER-DOC mean, so aggregate doc lengths before
+    // exploding — averaging n on the exploded frame weights each doc
+    // by its own token count (biased high on a right-skewed corpus)
+    val words = spark.read.parquet(s"$outDir/documents.parquet")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), size(col("w")).as("n"), explode(col("w")).as("tok"))
-      .agg(count(lit(1)).as("tokens"), countDistinct(col("tok")).as("vocab"),
-        avg(col("n")).as("avg_len"))
+    val avgLen = words.select(size(col("w")).as("n"))
+      .agg(avg(col("n"))).head().getDouble(0)
+    val stats = words.select(explode(col("w")).as("tok"))
+      .agg(count(lit(1)).as("tokens"), countDistinct(col("tok")).as("vocab"))
       .head()
-    println(s"""{"docs":$nDocs,"tokens":${stats.getLong(0)},"vocab":${stats.getLong(1)},"avg_len":${stats.getDouble(2)},"out":"$outDir"}""")
+    println(s"""{"docs":$nDocs,"tokens":${stats.getLong(0)},"vocab":${stats.getLong(1)},"avg_len":$avgLen,"out":"$outDir"}""")
     spark.stop()
   }
 }

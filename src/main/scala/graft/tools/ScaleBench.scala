@@ -244,7 +244,10 @@ object ScaleBench {
           // cross-run wall ratios instead
           if (mode == "exact" && rps < floors(name))
             guardFails += f"TPUT FAIL $name: ${rps}%.0f rows/s < floor ${floors(name)}%.0f"
-          s""""$name":{"rows":${rowCounts(name)},"secs":$secs,"rows_per_sec":${f"$rps%.1f"}}"""
+          // Locale.ROOT keeps the committed JSON valid under a
+          // comma-decimal default locale
+          s""""$name":{"rows":${rowCounts(name)},"secs":$secs,"rows_per_sec":${
+            String.format(java.util.Locale.ROOT, "%.1f", Double.box(rps))}}"""
       }
       if (entries.isEmpty) "" else s""","throughput":{${entries.mkString(",")}}"""
     }

@@ -48,4 +48,21 @@ class SortedIntersectSpec extends AnyFunSuite {
     }
     assert(viaExpr(cases) == viaBuiltin(cases))
   }
+
+  test("non-array<bigint> inputs fail analysis, not at runtime") {
+    graft.spark.SortedIntersectSize.register(spark)
+    def analyze(aType: String): Unit =
+      spark.sql(s"SELECT dlx_sorted_inter(cast(array() as $aType), " +
+        "cast(array() as array<bigint>))").queryExecution.analyzed
+    analyze("array<bigint>") // well-typed: analysis succeeds
+    for (bad <- Seq("array<int>", "array<string>", "array<double>")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](analyze(bad))
+      assert(e.getMessage.contains("dlx_sorted_inter"), s"wrong error for $bad: $e")
+    }
+    // a non-array scalar must also be rejected at analysis
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT dlx_sorted_inter(1, cast(array() as array<bigint>))")
+        .queryExecution.analyzed)
+    assert(e.getMessage.contains("dlx_sorted_inter"))
+  }
 }
