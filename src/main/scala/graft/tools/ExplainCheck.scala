@@ -371,33 +371,31 @@ object ExplainCheck {
       "q114: probe degenerated to a cross product")
     println("q114 broadcast fuzzy-decon probe OK")
 
-    // banded near-dup: candidate generation must be a (band, sig)
-    // equi-join over collapsed representatives — no cross product, a
-    // dedup aggregate between the band join and the cosine verify,
-    // and the codegen'd cosine (no interpreted HOF in the verify path)
+    // weak-τ exact sweep (round 7): candidates come from the
+    // DenseSweep matrix kernel (a MapPartitions over the rep stream —
+    // never a row-pair cross join), survivors re-verify with the
+    // codegen'd cosine through BROADCAST vector attaches, and no
+    // dedup aggregate exists anywhere (kernel pairs are unique by
+    // construction — a distinct here means the kernel regressed)
     val q44 = graft.queries.VectorOps.q44EmbedNearDup(spark, sfDir)
     val p44 = planOf(q44)
-    assert(!p44.contains("Cartesian") && !p44.contains("BroadcastNestedLoop"),
-      "q44: banded candidates degenerated to a cross product")
+    assert(!p44.contains("CartesianProduct") && !p44.contains("BroadcastNestedLoop"),
+      "q44: sweep degenerated to a row-pair cross join")
+    assert(p44.contains("MapPartitions"),
+      "q44: margin candidates must come from the DenseSweep kernel")
     assert(p44.contains("dlx_cos4"),
-      "q44: cosine verify must run the codegen'd expression")
-    assert(p44.contains("HashAggregate(keys=[ra"),
-      "q44: verified pairs not deduped (distinct on ra/rb)")
-    // round-5 verify-then-dedup: at gate scale the rep table is under
-    // the broadcast budget, so the vector attach onto the candidate
-    // stream must be a BroadcastHashJoin — the candidate stream itself
-    // never feeds a sort-merge join or a pre-verify dedup shuffle
-    // (that shape exhausted spill disk at fuzz x30; see SCALING.md)
-    // pin the ATTACH joins specifically (round-5 ADVICE: a generic
-    // BroadcastHashJoin-anywhere check would pass even if the attach
-    // regressed): the ra/rb-keyed joins themselves must be broadcast,
-    // and must never appear under a sort-merge join
+      "q44: exact verify must run the codegen'd cosine")
+    assert(!p44.contains("HashAggregate(keys=[ra"),
+      "q44: kernel pairs are unique — a ra/rb dedup means double emission")
+    // the exact-verify attach onto the candidate stream must be a
+    // BroadcastHashJoin (the candidate stream never shuffles), and
+    // must never appear under a sort-merge join
     assert("BroadcastHashJoin \\[ra#\\d+".r.findFirstIn(p44).isDefined &&
       "BroadcastHashJoin \\[rb#\\d+".r.findFirstIn(p44).isDefined,
       "q44: vector attach lost the broadcast (candidate stream would shuffle)")
     assert("SortMergeJoin \\[r[ab]#\\d+".r.findFirstIn(p44).isEmpty,
       "q44: vector attach regressed to a sort-merge join")
-    println("q44 banded candidates + codegen cosine OK")
+    println("q44 exact sweep kernel + codegen cosine OK")
 
     // IVF-PQ: assignment/encode/score are map-only over literal
     // centroid+codebook+ADC tables — the only aggregation is the

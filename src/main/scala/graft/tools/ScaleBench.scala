@@ -252,52 +252,49 @@ object ScaleBench {
       if (entries.isEmpty) "" else s""","throughput":{${entries.mkString(",")}}"""
     }
 
-    // Banded-LSH scale audit. Three properties, measured not assumed:
-    //  (1) COLLAPSE: candidate pairs are enumerated over distinct-vector
-    //      representatives, so exact-duplicate replication (this tool's
-    //      scaling mode) must NOT grow the band-join volume;
-    //  (2) RECALL: planted pairs at cos ∈ [0.31, 0.49] — the band the
-    //      round-3 single-band design provably missed — must surface as
-    //      candidates at ≥ the bandsFor recall target (0.9);
-    //  (3) the per-(band,sig) census is committed for the record.
+    // Weak-τ sweep audit (round 7: q44 moved from banded candidates to
+    // the exact DenseSweep kernel). Three properties, measured:
+    //  (1) COLLAPSE: the sweep runs over distinct-vector
+    //      representatives, so exact-duplicate replication must NOT
+    //      grow the swept-pair volume (nReps², not n²);
+    //  (2) RECALL: planted pairs at cos ∈ [0.31, 0.49] must appear in
+    //      the sweep's VERIFIED output — the sweep is lossless, so the
+    //      bar is exactly 1.0, stricter than the old banded 0.9;
+    //  (3) the margin-candidate count is committed for the record (it
+    //      bounds the exact-verify work: output plus the thin
+    //      τ−1e-3 margin band).
     var plantedRecall: Option[Double] = None
     val lshJson = if (!battery.exists(_._1.startsWith("q44"))) "" else {
       import graft.queries.VectorOps
       val tau = 0.30
-      val (r, bnd) = VectorOps.bandsFor(tau)
       val all = spark.read.parquet(s"$outDir/embeddings.parquet")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       val n = all.count()
       val (_, reps) = VectorOps.repCollapse(all)
       val nReps = reps.count()
-      val census = VectorOps.bandExplode(reps, tau)
-        .groupBy("band", "sig").count()
-        .agg(count(lit(1)).as("buckets"), max("count").as("maxb"),
-          sum((col("count") * (col("count") - 1) / 2).cast("long")).as("vol"))
-        .head()
-      val (buckets, maxB, vol) = (census.getLong(0), census.getLong(1), census.getLong(2))
-      val cand = VectorOps.bandCandidates(reps, tau).count()
-      // (1) volume must be rep-bounded, not corpus-bounded: with f×
-      // exact replication nReps ~ n/f, so vol ≤ b·nReps²/2 always and
-      // must be << b·n²/2. Assert against the rep-level ceiling.
-      if (vol > bnd.toLong * nReps * nReps / 2 + 1)
-        guardFails += s"LSH-COLLAPSE FAIL: band-join volume $vol exceeds rep ceiling (b=$bnd, nReps=$nReps)"
-      // (2) planted recall
+      // (1) swept volume is rep-bounded by construction; assert the
+      // collapse actually bit under exact replication (factor > 1 in
+      // exact mode must leave nReps at the source cardinality)
+      if (mode == "exact" && factor > 1 && nReps * 2 > n)
+        guardFails += s"SWEEP-COLLAPSE FAIL: nReps=$nReps of n=$n — exact replication not collapsed"
+      val marginCands = graft.spark.DenseSweep.marginPairs(
+        reps.localCheckpoint(true), tau - graft.spark.DenseSweep.MarginSlack).count()
+      // (2) planted recall against the full verified pipeline output
       val maxId = all.agg(max(col("vec_id"))).head().getLong(0)
       val kPlanted = 100
       val planted = VectorOps.plantedPairs(spark, maxId + 1, kPlanted)
       val withPlanted = reps.unionByName(planted)
-      val candP = VectorOps.bandCandidates(withPlanted, tau)
-      val found = candP.where(
+      val verifiedP = VectorOps.exactSweepRepPairs(withPlanted, tau)
+      val found = verifiedP.where(
         (col("ra") > maxId) && (col("rb") === col("ra") + 1) &&
           ((col("ra") - maxId - 1) % 2 === 0)).count()
       val recall = found.toDouble / kPlanted
       plantedRecall = Some(recall)
-      if (recall < 0.9)
-        guardFails += f"LSH-RECALL FAIL: planted-pair recall $recall%.2f < 0.9 (r=$r, b=$bnd)"
-      println(f"LSH-SCALE: n=$n reps=$nReps r=$r bands=$bnd buckets=$buckets " +
-        f"maxBucket=$maxB joinVolume=$vol distinctCand=$cand plantedRecall=$recall%.2f")
-      s""","lsh":{"n":$n,"reps":$nReps,"r":$r,"bands":$bnd,"buckets":$buckets,"max_bucket":$maxB,"join_volume":$vol,"distinct_candidates":$cand,"planted_recall":$recall}"""
+      if (recall < 1.0)
+        guardFails += f"SWEEP-RECALL FAIL: planted-pair recall $recall%.2f < 1.0 (the sweep is lossless)"
+      println(f"SWEEP-SCALE: n=$n reps=$nReps sweptPairs=${nReps * (nReps - 1) / 2} " +
+        f"marginCands=$marginCands plantedRecall=$recall%.2f")
+      s""","sweep":{"n":$n,"reps":$nReps,"swept_pairs":${nReps * (nReps - 1) / 2},"margin_candidates":$marginCands,"planted_recall":$recall}"""
     }
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"queries":$qs,"sf":"$label-equivalent ($srcDir x$factor, $mode replication)"$tputJson$lshJson}"""

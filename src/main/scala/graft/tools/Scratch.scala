@@ -98,14 +98,16 @@ object Scratch {
 }
 
 object ScratchQ114 {
-  // stage-level profile of fuzzyDecon on a fuzz corpus: collapse
-  // groupBy on array keys vs minhash sigs vs band join vs verify
+  // stage-level profile of the CURRENT fuzzyDecon shape (round-6
+  // window-over-hash collapse) on a fuzz corpus: per-stage walls plus
+  // the volume counters that explain a super-linear x30/x10 ratio
+  // (rep counts, band-key cardinality, candidate pairs)
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = args.lift(0).getOrElse("/tmp/graft_real_x30")
+    val dir = args.lift(0).getOrElse("/tmp/graft_fuzz_x30")
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"SCRATCH $label: ${(System.nanoTime() - t0) / 1e9}%.3f s => $r"); r
@@ -118,17 +120,18 @@ object ScratchQ114 {
     val flagged = docs
       .select(col("doc_id"), evalPred.as("is_eval"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("is_eval"), shingleArray(col("toks"), 3).as("gs"))
-    val repOf = time("1 collapse groupBy(gs)") {
-      val r = flagged.groupBy(col("is_eval"), col("gs"))
-        .agg(min(col("doc_id")).as("rep_id")).localCheckpoint(true)
+    val withRep = time("1 collapse window over gh") {
+      val r = flagged
+        .withColumn("gh", md5(concat_ws("", col("gs"))))
+        .withColumn("rep_id", min(col("doc_id")).over(
+          Window.partitionBy(col("is_eval"), col("gh")))).localCheckpoint(true)
       r.count(); r
     }
-    val members = time("2 members join(gs)") {
-      val m = flagged.join(repOf, Seq("is_eval", "gs"))
-        .select(col("is_eval"), col("doc_id"), col("rep_id")).localCheckpoint(true)
-      m.count(); m
-    }
-    val withSets = repOf.select(col("is_eval"), col("rep_id").as("doc_id"), col("gs"))
+    val members = withRep.select(col("is_eval"), col("doc_id"), col("rep_id"))
+    val withSets = withRep.where(col("doc_id") === col("rep_id"))
+      .select(col("is_eval"), col("doc_id"), col("gs"))
+    println(s"docs=${members.count()} reps=${withSets.count()} " +
+      s"evalReps=${withSets.where(col("is_eval")).count()}")
     val mhCols = (0 until nHashes).map(h =>
       min(md5(concat(lit(s"$h|"), col("g")))).as(s"mh$h"))
     val sigs = time("3 minhash sigs") {
@@ -143,6 +146,8 @@ object ScratchQ114 {
         struct(lit(b).as("band"),
           concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))): _*)).as("bk"))
       .select(col("doc_id"), col("is_eval"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    println(s"distinct band keys=${bands.select("band", "band_key").distinct().count()} " +
+      s"evalBandRows=${bands.where(col("is_eval")).count()}")
     val evalBands = bands.where(col("is_eval"))
       .select(col("doc_id").as("eval_rep"), col("band"), col("band_key"))
     val cands = time("4 band join + distinct") {
@@ -157,12 +162,56 @@ object ScratchQ114 {
       .select(col("doc_id").as("train_rep"), col("gs").as("set_a"))
     val evalSets = withSets.where(col("is_eval"))
       .select(col("doc_id").as("eval_rep"), col("gs").as("set_b"))
-    time("5 verify intersect+union") {
-      cands.join(trainSets, "train_rep").join(broadcast(evalSets), "eval_rep")
+    val repPairs = time("5 verify intersect (current |A|+|B|-inter shape)") {
+      val r = cands.join(trainSets, "train_rep").join(broadcast(evalSets), "eval_rep")
         .select(col("train_rep"), col("eval_rep"),
           size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("n_inter"),
-          size(array_union(col("set_a"), col("set_b"))).cast("long").as("n_union"))
-        .where(col("n_inter").cast("double") / col("n_union").cast("double") >= 0.5)
+          (size(col("set_a")) + size(col("set_b"))).cast("long").as("n_ab"))
+        .select(col("train_rep"), col("eval_rep"), col("n_inter"),
+          (col("n_ab") - col("n_inter")).as("n_union"))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / col("n_union").cast("double"))
+        .where(col("jaccard") >= 0.5).localCheckpoint(true)
+      r.count(); r
+    }
+    time("6 member expansion + sort") {
+      repPairs
+        .join(members.where(!col("is_eval"))
+          .select(col("doc_id").as("train_doc"), col("rep_id").as("train_rep")), "train_rep")
+        .join(members.where(col("is_eval"))
+          .select(col("doc_id").as("eval_doc"), col("rep_id").as("eval_rep")), "eval_rep")
+        .select(col("train_doc"), col("eval_doc"), col("jaccard"))
+        .orderBy("train_doc", "eval_doc").count()
+    }
+    spark.stop()
+  }
+}
+
+object ScratchQ44Brute {
+  // measure: blocked exact all-pairs cosine sweep over the fuzz-x30
+  // embeddings vs the banded candidate pipeline it would replace
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.lift(0).getOrElse("/tmp/graft_fuzz_x30")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCRATCH $label: ${(System.nanoTime() - t0) / 1e9}%.3f s => $r"); r
+    }
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    graft.spark.CosSimExpr.register(spark)
+    val reps = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint(true)
+    println(s"n=${reps.count()}")
+    time("brute BNLJ broadcast sweep") {
+      reps.join(broadcast(reps.select(col("vec_id").as("rb"), col("v").as("vb"))),
+          col("vec_id") < col("rb"))
+        .select(col("vec_id").as("ra"), col("rb"),
+          call_function("dlx_cos4", col("v"), col("vb")).as("cos_sim"))
+        .where(col("cos_sim") >= 0.30)
         .count()
     }
     spark.stop()

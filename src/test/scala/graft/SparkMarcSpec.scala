@@ -1033,6 +1033,38 @@ class SparkMarcSpec extends AnyFunSuite {
       s"collapse failed: 3x exact replication changed rep candidates ($candTripled vs ${cand.count()})")
   }
 
+  test("exactSweepRepPairs: kernel path equals blocked path equals ground truth") {
+    import graft.queries.VectorOps
+    import org.apache.spark.sql.functions.col
+    // background spread across the threshold + planted pairs straddling
+    // τ=0.30 on both sides — boundary pairs are exactly what the
+    // float-margin kernel could get wrong without the exact re-verify
+    val bg = VectorOps.plantedPairs(spark, 0L, 150, lo = -0.2, hi = 0.2, seed = "es")
+    val straddle = VectorOps.plantedPairs(spark, 5000L, 40, lo = 0.25, hi = 0.35, seed = "st")
+    val corpus = bg.unionByName(straddle)
+    def run(cap: Long) = VectorOps.exactSweepRepPairs(corpus, 0.30, maxBroadcastReps = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val kernelPath = run(250000L)
+    val blockedPath = run(1L)
+    assert(kernelPath == blockedPath,
+      s"paths disagree: ${kernelPath.size} vs ${blockedPath.size} pairs")
+    // ground truth: every pair, exact shared arithmetic
+    val rows = corpus.collect().map(r => r.getLong(0) ->
+      r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = rows.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      c = cos(rows(ids(i)), rows(ids(j))) if c >= 0.30
+    } yield (ids(i), ids(j), c)).toSet
+    assert(kernelPath == truth,
+      s"sweep is not lossless: ${kernelPath.size} vs truth ${truth.size}")
+  }
+
   test("verifiedRepPairs: broadcast verify-then-dedup equals dedup-first fallback equals brute force") {
     import graft.queries.VectorOps
     import org.apache.spark.sql.functions.col
