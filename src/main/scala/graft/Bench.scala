@@ -112,7 +112,7 @@ object Bench {
     }.mkString(",")
     val eDetail = errors.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString(",")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"warm_sec":${r3(warm)},"n_queries":${names.size},"n_ok":${good.size},"queries":{$qDetail},"errors":{$eDetail}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"warm_sec":${r3(warm)},"n_queries":${names.size},"n_ok":${good.size},"queries":{$qDetail},"errors":{$eDetail}${graft.tools.GitStamp.jsonField}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes("UTF-8"))
 
@@ -121,7 +121,7 @@ object Bench {
       .map { case (n, v) => s"${jstr(n)}:${r3(v)}" }.mkString("{", ",", "}")
     val errNames = errors.keys.take(5).map(jstr).mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"warm_sec":${r3(warm)},"n_queries":${names.size},"n_ok":${good.size},"n_err":${errors.size},"err_names":$errNames,"queries":$slowest,"queries_truncated":true,"detail":${jstr(detailPath)}}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"warm_sec":${r3(warm)},"n_queries":${names.size},"n_ok":${good.size},"n_err":${errors.size},"err_names":$errNames,"queries":$slowest,"queries_truncated":true,"detail":${jstr(detailPath)}${graft.tools.GitStamp.jsonField}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1774,7 +1774,11 @@ object TextOps {
       .join(tokId.groupBy("rid").agg(sort_array(collect_list(col("tid"))).as("tsi")),
         Seq("rid"), "left")
       .select(col("rid"),
-        coalesce(col("tsi"), array().cast("array<bigint>")).as("tsi"))
+        // typed empty literal (containsNull=false), not a cast of
+        // array(): dlx_sorted_inter's analysis check rejects nullable
+        // elements, and sort_array(collect_list(..)) is already
+        // element-non-null — this keeps the coalesce that way
+        coalesce(col("tsi"), lit(Array.empty[Long])).as("tsi"))
       .withColumn("sz", size(col("tsi")).cast("long"))
       .localCheckpoint(true)
     // one probe job over the checkpointed int sets serves BOTH data-

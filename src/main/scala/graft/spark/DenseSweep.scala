@@ -68,6 +68,11 @@ object DenseSweep {
     val mat = new Array[Float](n * dims)
     var i = 0
     while (i < n) {
+      // fail loudly on ragged input: a short vector would misalign the
+      // flat matrix (arraycopy AIOOBE at best, silently truncated dot
+      // products at worst)
+      require(local(i)._2.length == dims,
+        s"dlx dense sweep: vector ${local(i)._1} has ${local(i)._2.length} dims, expected $dims")
       System.arraycopy(local(i)._2, 0, mat, i * dims, dims)
       i += 1
     }
@@ -78,6 +83,8 @@ object DenseSweep {
       val (bIds, bMat) = bc.value
       it.flatMap { case (id, vSeq) =>
         val a = normalized(vSeq)
+        require(a.length == d,
+          s"dlx dense sweep: vector $id has ${a.length} dims, expected $d")
         // ids are sorted ascending: sweep only j with id_j > id so each
         // unordered pair is visited exactly once across the whole job
         val pos = java.util.Arrays.binarySearch(bIds, id)

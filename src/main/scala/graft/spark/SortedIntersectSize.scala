@@ -45,6 +45,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   // the arrays with sort_array over distinct ids.)
   override def checkInputDataTypes(): TypeCheckResult = {
     val want = ArrayType(LongType)
+    // containsNull is deliberately NOT rejected: every real builder
+    // (sort_array(collect_list(..)), typed literals) is element-non-
+    // null, but join/coalesce/checkpoint plumbing widens the DECLARED
+    // flag to true, so a strict check would reject the production
+    // pipeline over a flag that carries no information here. An actual
+    // null slot is undefined behavior of the same class as an unsorted
+    // or non-distinct input (the value-level contract below): on
+    // unsafe rows getLong reads it as 0.
     def ok(dt: DataType) = dt match {
       case ArrayType(LongType, _) => true
       case _ => false

@@ -12,13 +12,18 @@ package graft.tools
   * `_SUCCESS`-guarded) and gates on the two properties a banding
   * regression would break long before the sf0.1 battery noticed:
   *
-  *  - planted-pair recall >= 0.9 at every factor (bandsFor's target);
+  *  - planted-pair recall at every factor. Since round 7 the audited
+  *    query (q44, tau=0.30) runs the EXACT DenseSweep kernel, which is
+  *    lossless by contract — the floor here is exactly 1.0, matching
+  *    ScaleBench's own sweep guard (a 0.94 would mean the margin/
+  *    re-verify arithmetic broke, not that banding got unlucky);
   *  - the x30/x10 wall ratio per query under a conservative ceiling —
   *    3x data costing > ~6x wall means candidate generation went
   *    super-quadratic (q142 pre-positional-filter measured ~9x).
-  *    q44 runs at tau=0.30 where candidates are provably near-
-  *    quadratic in reps (see bandsFor's weak-tau contract), so its
-  *    ceiling is documented-looser rather than silently excluded.
+  *    q44's ceiling is documented-looser rather than silently
+  *    excluded: the sweep visits all rep pairs by design, so its work
+  *    grows ~9x for 3x reps (quadratic), and the measured x30/x10
+  *    wall is ~2.8 (the exact-verify stage is output-bound).
   *
   * Usage: runMain graft.tools.FuzzBench [roundLabel] [srcDir]
   * Writes BENCH_fuzz_<roundLabel>.json; exits nonzero on any guard
@@ -30,10 +35,12 @@ object FuzzBench {
     "q114_fuzzy_decon", "q121_neardup_hightau", "q142_set_sim_join")
   // x30/x10 wall ceilings for 3x data: linear-ish families get 6x
   // (2x the ideal 3, under half the known-bad 9.67x regression shape);
-  // q44's tau=0.30 candidates grow ~quadratically in reps by
-  // construction, so its honest ceiling is 9x/... the output-bound
-  // regime's measured 2.44x plus the same 2x headroom on the
-  // quadratic component.
+  // q44's exact sweep is quadratic in reps BY CONSTRUCTION (3x reps =
+  // 9x swept pairs — the scaladoc on DenseSweep measures why nothing
+  // sub-quadratic exists at tau=0.30), so its ceiling stays at the
+  // theoretical 9x plus headroom = 12x; the measured calm-machine
+  // ratio is ~2.8 because the exact-verify stage is output-bound,
+  // so a trip of this ceiling still means a real regression.
   private val ratioCeil: Map[String, Double] =
     family.map(q => q -> (if (q == "q44_embed_neardup") 12.0 else 6.0)).toMap
 
@@ -49,8 +56,11 @@ object FuzzBench {
         "documents,embeddings", "fuzz"))
       fails ++= r.guardFails.map(f => s"x$factor $f")
       r.plantedRecall match {
-        case Some(rec) if rec < 0.9 => // already a guardFail from ScaleBench
-        case None => fails += s"x$factor: LSH recall audit did not run"
+        // the sweep is lossless: anything under 1.0 is a broken
+        // margin/verify, and ScaleBench has already recorded the
+        // guardFail — this arm just documents the single contract
+        case Some(rec) if rec < 1.0 => ()
+        case None => fails += s"x$factor: sweep recall audit did not run"
         case _ => ()
       }
       r
@@ -85,7 +95,7 @@ object FuzzBench {
         s""""x30":${fmt(family.flatMap(q => t30.get(q).map(q -> _)))},""" +
         s""""ratio_x30_x10":${fmt(ratios)},""" +
         s""""planted_recall":{"x10":${r10.plantedRecall.getOrElse(-1.0)},"x30":${r30.plantedRecall.getOrElse(-1.0)}},""" +
-        s""""guard_fails":[${fails.map(f => "\"" + f.replace("\"", "'") + "\"").mkString(",")}]}"""
+        s""""guard_fails":[${fails.map(f => "\"" + f.replace("\"", "'") + "\"").mkString(",")}]${GitStamp.jsonField}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"BENCH_fuzz_$round.json"), json + "\n")
     println(json)

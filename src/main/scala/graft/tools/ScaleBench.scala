@@ -181,9 +181,16 @@ object ScaleBench {
     // carries the x-factor-scaled corpus construction and its battery
     // RATIO reads as its own super-linearity (q26 read 4.6x at x30
     // purely from cache attribution). Total still includes warm.
-    // Documents-only corpus dirs throw here — fine, nothing to warm.
+    // Documents-only corpus dirs (the fuzz probes) skip the warm
+    // entirely: the MARC/store corpora derive from orders/lineitem/
+    // part, and probing them against a dir that deliberately lacks
+    // those tables used to dump five FileNotFoundException stack
+    // traces per battery from the executor side before the driver
+    // catch saw anything — noise that buried real errors.
     val w0 = System.nanoTime()
-    try {
+    val haveDims = Seq("orders", "lineitem", "part").forall(t =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/$t.parquet")))
+    if (haveDims) try {
       graft.queries.MarcOps.prewarmGateCaches(spark, outDir)
       graft.queries.StoreOps.prewarmGateCaches(spark, outDir)
     } catch { case _: Throwable => () }
@@ -297,13 +304,14 @@ object ScaleBench {
       s""","sweep":{"n":$n,"reps":$nReps,"swept_pairs":${nReps * (nReps - 1) / 2},"margin_candidates":$marginCands,"planted_recall":$recall}"""
     }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"queries":$qs,"sf":"$label-equivalent ($srcDir x$factor, $mode replication)"$tputJson$lshJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"queries":$qs,"sf":"$label-equivalent ($srcDir x$factor, $mode replication)"$tputJson$lshJson${GitStamp.jsonField}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"BENCH_$label.json"), json + "\n")
 
     val slowest = results.sortBy(-_._2).take(8)
     val md = new StringBuilder
     md.append(s"# Executed plans at $label-equivalent scale ($srcDir x$factor, local[$cpus])\n\n")
+    md.append(s"Generated from git ${GitStamp.sha}.\n\n")
     md.append("Post-AQE physical plans of the slowest queries — committed so plan\n")
     md.append("regressions (lost pushdown, broadcast->shuffle flips, window funnels)\n")
     md.append("show up in review, not just in wall time.\n\n")

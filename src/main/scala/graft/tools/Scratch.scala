@@ -122,7 +122,10 @@ object ScratchQ114 {
       .select(col("doc_id"), col("is_eval"), shingleArray(col("toks"), 3).as("gs"))
     val withRep = time("1 collapse window over gh") {
       val r = flagged
-        .withColumn("gh", md5(concat_ws("", col("gs"))))
+        // visible escape of the same U+0001 byte production uses
+        // (TextOps.fuzzyDecon) — a literal byte here was misread as ""
+        // in two successive reviews
+        .withColumn("gh", md5(concat_ws("\u0001", col("gs"))))
         .withColumn("rep_id", min(col("doc_id")).over(
           Window.partitionBy(col("is_eval"), col("gh")))).localCheckpoint(true)
       r.count(); r
