@@ -41,8 +41,17 @@ object FuzzBench {
   // theoretical 9x plus headroom = 12x; the measured calm-machine
   // ratio is ~2.8 because the exact-verify stage is output-bound,
   // so a trip of this ceiling still means a real regression.
+  // q114's ceiling is pinned to its round-8 stage profile (SCALING.md
+  // "Round 8: q114"): candidates grow ~9x per 3x data on this corpus
+  // but the verify is candidate-bound at ~3x wall and the measured
+  // end-to-end ratio is 1.5 — 5x trips only if verify stops being
+  // output-bound, not when the battery runs cold.
   private val ratioCeil: Map[String, Double] =
-    family.map(q => q -> (if (q == "q44_embed_neardup") 12.0 else 6.0)).toMap
+    family.map(q => q -> (q match {
+      case "q44_embed_neardup" => 12.0
+      case "q114_fuzzy_decon" => 5.0
+      case _ => 6.0
+    })).toMap
 
   def main(args: Array[String]): Unit = {
     val round = args.lift(0).getOrElse("r0X")
