@@ -20,7 +20,8 @@ object SparkEntry {
       (q.PipelineOps.queries, q.PipelineOps.oracle),
       (q.StoreOps.queries, q.StoreOps.oracle),
       (q.AnalyticsOps.queries, q.AnalyticsOps.oracle),
-      (q.EngineOps.queries, q.EngineOps.oracle))
+      (q.EngineOps.queries, q.EngineOps.oracle),
+      (q.RealCorpus.queries, q.RealCorpus.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

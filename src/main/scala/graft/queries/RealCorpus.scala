@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Realistic-text gates: the text family re-gated on a Zipfian corpus
+  * that BOTH engines generate independently, bit-for-bit.
+  *
+  * Why: the shipped documents table has a 31-token vocabulary and
+  * uniform ~50-token docs. Round 6 measured how that shape distorts
+  * the text family (every 3-shingle corpus-dense, length filters
+  * inert) and built `tools/RealisticCorpus` as a benchmark-side
+  * probe — but the CORRECTNESS gates kept running on the synthetic
+  * table only, which is how q114's collapse-key defect hid for five
+  * rounds. These gates close that hole: same production operators, a
+  * corpus with realistic statistics, a DuckDB oracle as ground truth.
+  *
+  * The cross-engine trick (the q173 discipline, scaled from a sort
+  * key to a whole corpus): the generator uses ONLY arithmetic both
+  * engines evaluate identically — 64-bit integer multiply/mod (a
+  * two-step MINSTD LCG, products ≤ 48271·2^31 ≪ 2^63, so DuckDB's
+  * checked BIGINT never overflows and Spark's wrapping semantics are
+  * never exercised) and string concatenation. No engine hash, no
+  * floating point, no pow: every draw is
+  * `lcg(doc·1000003 + pos·10007 + salt·7919)`. One Scala template
+  * emits both dialects, so the two corpora cannot drift
+  * independently.
+  *
+  * Corpus shape (N=2000 docs, ~20k-token vocabulary):
+  *  - per-token Zipf-ish mixture: 35% of tokens from 40 head words,
+  *    35% from 1,960 mid words, 30% from 17,999 tail words — head
+  *    tokens stopword-dense, tail tokens selective (what rare-first
+  *    prefix filters and band keys need to be measured against);
+  *  - right-skewed lengths: len = 25 + 375·u³ ∈ [25, 399], median
+  *    ~72, mean ~119 — the PPJoin length filter actually bites;
+  *  - ~30% of docs start with a shared 8-token high-frequency
+  *    boilerplate header (the q142 adversary: shared prefixes that a
+  *    rare-first canonical order must rank last);
+  *  - planted near-duplicates: every doc with doc_id % 7 == 3
+  *    re-generates doc_id−1's token stream with every 11th token
+  *    mutated (~3/11 of shingles change → shingle-set Jaccard ≈ 0.56,
+  *    above the τ=½ gates), so the dedup/decon gates have real
+  *    positives with known structure.
+  *
+  * The oracles are NOT hand-copied: each realistic gate splices the
+  * generated-corpus CTE in front of the SAME oracle SQL string its
+  * synthetic twin commits (`spliced`), so the two gates share one
+  * oracle body and cannot diverge. */
+object RealCorpus {
+
+  val nDocs = 2000L
+
+  // ---- the shared generator template ----------------------------------
+
+  private val M = 2147483647L // 2^31 - 1
+  private val A = 48271L // MINSTD multiplier
+
+  /** Two LCG steps over a salted linear seed — the only randomness
+    * source. All operands stay well under 2^63. */
+  private def rnd(doc: String, i: String, salt: Int): String = {
+    val seed = s"((($doc) * 1000003 + ($i) * 10007 + ${salt * 7919L}) % $M)"
+    s"(($A * (($A * $seed) % $M)) % $M)"
+  }
+
+  /** Zipf-ish rank ∈ [1, 19999] from one draw: the tier comes from the
+    * draw's low digits, the within-tier rank from one more LCG step. */
+  private def rankExpr(doc: String, i: String): String = {
+    val r = rnd(doc, i, 3)
+    val r2 = s"(($A * $r) % $M)"
+    s"(CASE WHEN ($r % 1000) < 350 THEN 1 + ($r2 % 40) " +
+      s"WHEN ($r % 1000) < 700 THEN 41 + ($r2 % 1960) " +
+      s"ELSE 2001 + ($r2 % 17999) END)"
+  }
+
+  /** The shared boilerplate header — computed once in Scala and
+    * inlined as a literal in both dialects (doc-independent, so it
+    * needs no SQL at all). */
+  val headerLiteral: String = (1 to 8).map { j =>
+    val seed = (j * 10007L + 5L * 7919L) % M
+    val r = (A * ((A * seed) % M)) % M
+    s"w${1 + r % 40}"
+  }.mkString(" ")
+
+  /** One SELECT producing (doc_id, text, lang, source, n_chars) —
+    * dialect differences are parameters, the math is shared text. */
+  private def corpusSelect(rangeSrc: String, div: String, seqTo: String => String,
+      xform: String, ajoin: String, strT: String): String = {
+    val lenR = rnd("b", "0", 1)
+    // mutated positions take their rank from the COPY's own doc_id —
+    // that is the near-duplicate perturbation
+    val tok = s"'w' || CAST(CASE WHEN doc_id % 7 = 3 AND i % 11 = 0 " +
+      s"THEN 1 + (${rnd("doc_id", "i", 4)} % 19999) " +
+      s"ELSE ${rankExpr("b", "i")} END AS $strT)"
+    s"""SELECT doc_id, text, lang, source, CAST(length(text) AS BIGINT) AS n_chars FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN boiler THEN '$headerLiteral ' || body ELSE body END AS text,
+       |    CASE li WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'es' ELSE 'de' END AS lang,
+       |    'src' || CAST(si AS $strT) AS source
+       |  FROM (
+       |    SELECT doc_id, boiler, li, si,
+       |      $ajoin($xform(${seqTo("len")}, i -> $tok), ' ') AS body
+       |    FROM (
+       |      SELECT doc_id, b,
+       |        25 + ((($lenR % 1000) * ($lenR % 1000) * ($lenR % 1000)) * 375) $div 1000000000 AS len,
+       |        (${rnd("b", "0", 2)} % 10) < 3 AS boiler,
+       |        ${rnd("b", "0", 6)} % 4 AS li,
+       |        ${rnd("b", "0", 7)} % 5 AS si
+       |      FROM (
+       |        SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END AS b
+       |        FROM ($rangeSrc) ids
+       |      ) based
+       |    ) dims
+       |  ) bodies
+       |) texts""".stripMargin
+  }
+
+  /** Spark dialect (DIV, sequence/transform/array_join). */
+  def sparkSql: String = corpusSelect(
+    rangeSrc = s"SELECT id AS doc_id FROM range(0, $nDocs)",
+    div = "DIV",
+    seqTo = len => s"sequence(CAST(1 AS BIGINT), $len)",
+    xform = "transform",
+    ajoin = "array_join",
+    strT = "STRING")
+
+  /** DuckDB dialect (//, range/list_transform/array_to_string). */
+  def duckSql: String = corpusSelect(
+    rangeSrc = s"SELECT range AS doc_id FROM range(0, $nDocs)",
+    div = "//",
+    seqTo = len => s"range(1, ($len) + 1)",
+    xform = "list_transform",
+    ajoin = "array_to_string",
+    strT = "VARCHAR")
+
+  /** The generated corpus as a DataFrame. dir-independent by design:
+    * the corpus IS the query, both engines derive it from row ids. */
+  def docs(s: SparkSession): DataFrame = s.sql(sparkSql)
+
+  /** Splice the generated corpus in front of an existing oracle whose
+    * body reads FROM documents — the realistic gate then shares the
+    * oracle BODY with its synthetic twin verbatim. */
+  def spliced(baseOracle: String): String = {
+    require(baseOracle.startsWith("WITH "),
+      "spliced expects an oracle starting with a WITH clause")
+    s"WITH documents AS (\n$duckSql\n), " + baseOracle.stripPrefix("WITH ")
+  }
+
+  // bm25 terms spanning the mixture tiers: a head stopword, a mid
+  // word, a tail rarity — the idf spread the synthetic corpus can't
+  // produce
+  val bm25Terms = Seq("w3", "w441", "w2071")
+
+  private def realBm25Oracle: String = {
+    val base = TextOps.oracle("q87_bm25")
+    val renamed = Seq("hash", "join", "merge").zip(bm25Terms)
+      .foldLeft(base) { case (sql, (from, to)) =>
+        sql.replace(s"'$from'", s"'$to'").replace(s"s_$from", s"s_$to")
+      }
+    spliced(renamed)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_real_minhash" -> ((s, _) => TextOps.minhashLsh(docs(s))),
+    "q175_real_fuzzy_decon" -> ((s, _) =>
+      TextOps.fuzzyDecon(docs(s).select("doc_id", "text"), col("doc_id") % 10 === 0)),
+    "q176_real_set_sim" -> ((s, _) =>
+      TextOps.setSimJoin(docs(s).select("doc_id", "text"))),
+    "q177_real_bm25" -> ((s, _) =>
+      TextOps.bm25(docs(s), bm25Terms)
+        .orderBy(col("score").desc, col("doc_id")).limit(20)),
+    "q178_real_vocab" -> ((s, _) => TextOps.vocabBuild(docs(s))),
+    "q179_real_dsir" -> ((s, _) =>
+      TextOps.dsirSelect(docs(s), col("source").isin("src0", "src1"))),
+    "q180_real_bpe_train" -> ((s, _) => TextOps.bpeTrain(docs(s).select("text"))),
+    "q181_real_bpe_encode" -> ((s, _) =>
+      TextOps.bpeEncode(docs(s).select("doc_id", "text"))))
+
+  val oracle: Map[String, String] = Map(
+    "q174_real_minhash" -> spliced(TextOps.oracle("q19_minhash_lsh")),
+    "q175_real_fuzzy_decon" -> spliced(TextOps.oracle("q114_fuzzy_decon")),
+    "q176_real_set_sim" -> spliced(TextOps.oracle("q142_set_sim_join")),
+    "q177_real_bm25" -> realBm25Oracle,
+    "q178_real_vocab" -> spliced(TextOps.oracle("q91_vocab_build")),
+    "q179_real_dsir" -> spliced(TextOps.oracle("q105_dsir")),
+    "q180_real_bpe_train" -> spliced(TextOps.oracle("q109_bpe_train")),
+    "q181_real_bpe_encode" -> spliced(TextOps.oracle("q110_bpe_encode")))
+}

@@ -525,14 +525,19 @@ object TextOps {
   /** MinHash signatures: 8 portable hash functions = min md5 over
     * 3-token shingles, seeded by function index. LSH banding pairs
     * docs agreeing on a 2-row band. */
-  def q19MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def q19MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLsh(documents(s, dir))
+
+  /** Core of q19 over any (doc_id, text) frame — also gated on the
+    * realistic Zipfian corpus (q174). */
+  def minhashLsh(docs: DataFrame): DataFrame = {
     val nHashes = 8
     val shingles = shingleArray(col("toks"), 3)
     // all 8 minhashes in ONE aggregation pass (no 8x row blowup, one
     // shuffle): min over shingles of md5(seed|shingle), per seed column
     val mhCols = (0 until nHashes).map(h =>
       min(md5(concat(lit(s"$h|"), col("shingle")))).as(s"mh$h"))
-    val sigs = documents(s, dir)
+    val sigs = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       // explode_outer: plain explode would let Catalyst infer
       // size>0/isnotnull filters whose pushdown re-inlines the whole
