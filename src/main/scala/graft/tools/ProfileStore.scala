@@ -63,6 +63,24 @@ object ProfileStore {
         store.read("bib").toDF().join(counts, col("_id") === col("c_id")).count()
       }
     }
+    // q102 phase breakdown: the merge itself (two re-commit legs + a
+    // guarded delete) is the battery's most expensive single call —
+    // per-phase walls + job counts make the fixed cost attributable
+    {
+      import graft.spark.{MarcRow, MarcSchema}
+      import graft.store.MarcStore
+      import MarcSchema.marcRowEncoder
+      val ts1 = java.sql.Timestamp.from(java.time.Instant.parse("2020-01-01T00:00:00Z"))
+      val ts2 = java.sql.Timestamp.from(java.time.Instant.parse("2020-02-01T00:00:00Z"))
+      val ts3 = java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T00:00:00Z"))
+      val ts4 = java.sql.Timestamp.from(java.time.Instant.parse("2020-04-01T00:00:00Z"))
+      val base = java.nio.file.Files.createTempDirectory("graft_prof102").toString
+      val store = new MarcStore(spark, base, numBuckets = graft.queries.StoreOps.gateBuckets)
+      time("q102.commit_auth") { store.commit(graft.queries.StoreOps.profAuthBatch(spark, dir).as[MarcRow], user = "alice", now = ts1) }
+      time("q102.commit_bibs") { store.commit(graft.queries.StoreOps.profBibBatch(spark, dir).as[MarcRow], user = "bob", now = ts2) }
+      time("q102.commit_changed") { store.commit(graft.queries.StoreOps.profChangedAuth(spark, dir).as[MarcRow], user = "editor", now = ts3) }
+      time("q102.merge") { store.merge(gaining = 1000L, losing = 500L, user = "editor2", now = ts4) }
+    }
     time("q62_cascade") { StoreOps.q62Cascade(spark, dir).count() }
     time("q36_store_commit") { StoreOps.q36StoreCommit(spark, dir).count() }
     time("q49_store_query") { StoreOps.q49StoreQuery(spark, dir).count() }

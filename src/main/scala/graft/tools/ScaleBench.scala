@@ -62,6 +62,12 @@ object ScaleBench {
     // broadcast-vs-join thresholds, and heading cardinality are
     // realistic rather than replication artifacts.
     val mode = args.lift(6).getOrElse("exact")
+    // optional candidates-per-true-pair ceiling for the q142 set-sim
+    // audit (RealBench passes it on the realistic corpus, where the
+    // boilerplate-resistance claim is falsifiable; on the dense-vocab
+    // synthetic corpora the ratio is honestly large and the metric is
+    // emitted un-gated)
+    val setsimCeil = args.lift(7).filter(_.nonEmpty).map(_.toDouble)
     val isNative = mode == "native"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -172,8 +178,12 @@ object ScaleBench {
 
     // warmup like Bench
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // existence-checked: reading an absent table logs a full executor
+    // FileNotFoundException trace before the catch sees it — on a
+    // documents-only corpus that was 8 stack traces of noise per run
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "documents", "embeddings"))
+        "lineitem", "documents", "embeddings")
+         if java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/$t.parquet")))
       try spark.read.parquet(s"$outDir/$t.parquet").count()
       catch { case _: Throwable => }
     // shared-cache warm phase, timed separately (same discipline as
@@ -304,7 +314,46 @@ object ScaleBench {
       s""","sweep":{"n":$n,"reps":$nReps,"swept_pairs":${nReps * (nReps - 1) / 2},"margin_candidates":$marginCands,"planted_recall":$recall}"""
     }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"queries":$qs,"sf":"$label-equivalent ($srcDir x$factor, $mode replication)"$tputJson$lshJson${GitStamp.jsonField}}"""
+    // q142 boilerplate-resistance audit (round-8): count the prefix
+    // join's CANDIDATE stream and the verified TRUE rep pairs on the
+    // same corpus the battery just ran. The rare-first canonical order
+    // exists so shared headers (boilerplate) never fan the candidate
+    // join out; candidates-per-true-pair is that claim as a number.
+    // Same stages as the gated query (TextOps.setSimStages is a pure
+    // extraction of setSimJoin).
+    val setsimJson = if (!battery.exists(_._1.startsWith("q142"))) "" else {
+      val docsDf = spark.read.parquet(s"$outDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val st = graft.queries.TextOps.setSimStages(docsDf)
+      val cands = st.matches.count()
+      val truePairs = st.repPairs.count()
+      // per-true-pair multiplicity: the candidate stream is one row per
+      // (pair, shared prefix token), so near-dup copies legitimately
+      // carry ~45-50 rows per pair (their shared RARE shingles) — what
+      // the ceiling catches is candidates WITHOUT pairs behind them,
+      // i.e. prefix tokens shared corpus-wide (boilerplate headers)
+      val ratio = cands.toDouble / math.max(truePairs, 1L)
+      // cross-origin diagnostic: replicas live at origin + r*span, so
+      // candidate pairs whose members come from DIFFERENT originals
+      // are exactly the header-fanout population (fuzz copies of
+      // unrelated docs share nothing else). Emitted for the record;
+      // the gate rides the ratio above.
+      val maxId = docsDf.agg(max(col("doc_id"))).head().getLong(0)
+      val span = math.max((maxId + 1) / factor, 1L)
+      val crossPairs = st.matches
+        .where(pmod(col("ra"), lit(span)) =!= pmod(col("rb"), lit(span)))
+        .select("ra", "rb").distinct().count()
+      setsimCeil.foreach { ceil =>
+        if (ratio > ceil)
+          guardFails += f"SETSIM-CAND FAIL: $cands%d candidates for $truePairs%d true pairs " +
+            f"(${ratio}%.1f per pair) > ceiling $ceil%.1f — prefix order is fanning out on shared headers"
+      }
+      println(f"SETSIM-AUDIT: candidates=$cands truePairs=$truePairs candPerPair=$ratio%.2f crossOriginPairs=$crossPairs")
+      s""","setsim":{"candidates":$cands,"true_rep_pairs":$truePairs,"cand_per_pair":${
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(ratio))},"cross_origin_cand_pairs":$crossPairs}"""
+    }
+
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"queries":$qs,"sf":"$label-equivalent ($srcDir x$factor, $mode replication)"$tputJson$lshJson$setsimJson${GitStamp.jsonField}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"BENCH_$label.json"), json + "\n")
 
