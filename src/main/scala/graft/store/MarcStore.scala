@@ -38,12 +38,21 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
 
   /** opt-in phase timing (GRAFT_STORE_PROFILE=1) for tools.ProfileStore. */
   private val profile = sys.env.contains("GRAFT_STORE_PROFILE")
+  private lazy val profileJobs: java.util.concurrent.atomic.AtomicInteger = {
+    val c = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        c.incrementAndGet()
+    })
+    c
+  }
   private def timed[A](label: String)(f: => A): A =
     if (!profile) f
     else {
+      val j0 = profileJobs.get()
       val t0 = System.nanoTime()
       val r = f
-      println(f"  STORE $label%-22s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      println(f"  STORE $label%-22s ${(System.nanoTime() - t0) / 1e9}%7.3f s  jobs=${profileJobs.get() - j0}")
       r
     }
 
@@ -146,6 +155,26 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     * dlx/marc/__init__.py:890-904): controlled subfields must carry a
     * resolvable xref; uncontrolled subfields must not carry one. One
     * join job against the heading dimension. */
+  // live-auth heading dimension, persisted per TABLE GENERATION:
+  // validation re-derived it per commit otherwise (a nested-explode
+  // plan over the full auth table — the round-8 store profile's
+  // largest repeated phase across a commit lifecycle). The generation
+  // counter bumps on every auth-table swap, so a stale entry can never
+  // be read — it is unpersisted and replaced on first access after a
+  // write. Per-store-instance, so gate queries on temp stores never
+  // share state.
+  private val headingsCache = scala.collection.concurrent.TrieMap.empty[Long, DataFrame]
+  private def liveAuthHeadings: DataFrame = {
+    val gen = MarcStore.generation(tablePath("auth"))
+    headingsCache.getOrElse(gen, {
+      headingsCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+      headingsCache.clear()
+      val df = MarcContext.authHeadings(read("auth").toDF()).persist()
+      headingsCache.put(gen, df)
+      df
+    })
+  }
+
   private def authValidate(recs: Dataset[MarcRow], rt: String): Unit = {
     val controlledKeys = graft.config.DlxConfig.authorityControlled(rt)
       .flatMap { case (tag, codes) => codes.keys.map(c => s"$tag|$c") }.toSeq
@@ -163,7 +192,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     val violations = if (controlledKeys.isEmpty) uncontrolledWithXref
     else {
       val missingXref = controlled.where(col("xref").isNull)
-      val headings = MarcContext.authHeadings(read("auth").toDF())
+      val headings = liveAuthHeadings
         .select(col("xref").as("h_xref"), col("code").as("h_code"))
       val badXref = controlled.where(col("xref").isNotNull)
         .join(headings, controlled("xref") === headings("h_xref") &&
@@ -192,21 +221,29 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()),
       authCheck: Boolean = true, updateAttached: Boolean = true,
       action: String = "commit"): Unit = StoreLock.withLock(basePath, lockWaitMs) {
+    // pin the caller's batch ONCE before anything reads it: the stats
+    // aggregate, validation, and the write path otherwise each
+    // re-evaluate the caller's construction lineage (a MARC build is
+    // typically scans + joins + struct transforms — the round-8 store
+    // profile measured that re-evaluation as the single largest share
+    // of commit wall). LAZY: the stats job right below computes every
+    // partition and materializes the blocks as a side effect.
+    val recsCk = recs.localCheckpoint(false)
     // ONE job answers "empty?", "which record type?", "how many rows
     // need ids?" AND "which buckets does the batch touch?" (each was
     // its own action before). The touched set is only authoritative
     // when no row needs an id — fresh ids land in buckets this
     // aggregate cannot see, so that path falls back to a post-
     // assignment collect.
-    val stats = timed("stats_agg") { recs.toDF().agg(count(lit(1)).as("n"),
+    val stats = timed("stats_agg") { recsCk.toDF().agg(count(lit(1)).as("n"),
       first(col("record_type")).as("rt"),
       count(when(col("_id") === -1L, lit(1))).as("need_ids"),
       collect_set(pmod(col("_id"), lit(numBuckets.toLong))).as("buckets")).head() }
     if (stats.getAs[Long]("n") == 0L) return
     val rt = stats.getAs[String]("rt")
-    if (authCheck) timed("auth_validate") { authValidate(recs, rt) }
+    if (authCheck) timed("auth_validate") { authValidate(recsCk, rt) }
     val needIds = stats.getAs[Long]("need_ids")
-    val incomingRaw = timed("assign_ids") { assignIds(recs, rt, needIds) }
+    val incomingRaw = timed("assign_ids") { assignIds(recsCk, rt, needIds) }
     val knownTouched =
       if (needIds == 0L) Some(stats.getSeq[Long](3)) else None
     commitPrepared(incomingRaw, user, now, rt, updateAttached, knownTouched, action)
@@ -335,9 +372,13 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     // no isEmpty pre-scan: an empty attached set costs nothing extra —
     // the re-commit's touched-bucket collect sees zero buckets and the
     // bucket swap + history append become no-ops
+    // pinned once: the attach scan (bucket read + nested exists filter)
+    // otherwise runs twice — for the update-log append below and again
+    // for the cascade pipeline's own materialization
     val attached = read("bib").toDF()
       .where(exists(col("datafields"), f =>
         exists(f.getField("subfields"), s => s.getField("xref").isin(changedIds: _*))))
+      .localCheckpoint(false)
     // structural cascade for ALL changed auths in ONE keyed pass: the
     // per-auth projection fold this replaces chained a plan node per
     // changed heading (Catalyst blowup on bulk retag batches)
@@ -412,13 +453,45 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       Seq(("auth", losing, "losing"), ("auth", gaining, "gaining"))
         .toDF("record_type", "record_id", "action")
         .withColumn("time", lit(now)).withColumn("user", lit(user)))
-    for (rt <- Seq("bib", "auth")) {
-      val referencing = read(rt).toDF().where(exists(col("datafields"), f =>
+    // FUSED legs (round-8 store profile): one scan finds the
+    // referencing records of BOTH types and the rewrite is pinned
+    // once; the per-type commits below read the shared blocks. The
+    // old shape ran the scan+rewrite lineage ~3x per leg (stats,
+    // validate, write).
+    val referencing = read("bib").toDF().unionByName(read("auth").toDF())
+      .where(exists(col("datafields"), f =>
         exists(f.getField("subfields"), sf => sf.getField("xref") === losing)))
-      commit(AuthOps.mergeAuthXrefs(referencing, losing, gaining).as[MarcRow],
-        user = user, now = now)
-    }
-    delete("auth", Seq(losing), user, now)
+    val rewritten = AuthOps.mergeAuthXrefs(referencing, losing, gaining)
+      .localCheckpoint(false)
+    // Validation precondition instead of two full validate joins: live
+    // records are valid by store invariant (every commit validates,
+    // deletes refuse in-use auths), and the rewrite's ONLY new fact is
+    // xref=gaining on subfields that were valid with xref=losing — so
+    // the batch revalidates iff gaining's heading carries every code
+    // now pointing at it. One tiny lookup against the cached heading
+    // dimension (this job also materializes the shared checkpoint).
+    val neededCodes = rewritten
+      .select(explode(col("datafields")).as("f"))
+      .select(explode(col("f.subfields")).as("s"))
+      .where(col("s.xref") === gaining)
+      .select(col("s.code")).distinct().collect().map(_.getString(0)).toSet
+    val gainingCodes = liveAuthHeadings.where(col("xref") === gaining)
+      .select(col("code")).collect().map(_.getString(0)).toSet
+    val missing = neededCodes -- gainingCodes
+    require(missing.isEmpty,
+      s"Auth merge failed: gaining auth $gaining has no heading subfield(s) " +
+        s"${missing.mkString(", ")} required by records referencing $losing")
+    for (rt <- Seq("bib", "auth"))
+      commit(rewritten.where(col("record_type") === rt).as[MarcRow],
+        user = user, now = now, authCheck = false)
+    // the in-use guard is PROVABLY satisfied here: the two re-commits
+    // above rewrote every record whose any-field xref equaled `losing`
+    // (the same predicate the guard's semi-join would probe), and the
+    // spanning lock excludes concurrent writers — so skip the guard's
+    // full bib∪auth heading explode instead of re-deriving an empty
+    // set (round-8 store profile: the guard was the largest single
+    // phase of the merge's delete leg)
+    deleteImpl("auth", col("_id").isin(losing), user, now, checkInUse = false)
   }
 
   /** Delete ids; refuse when an auth is still referenced (AuthInUse
@@ -437,8 +510,13 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     * list, bounded by numBuckets regardless of how many records the
     * predicate matches. */
   def delete(recordType: String, predicate: Column, user: String,
-      now: java.sql.Timestamp): Unit = StoreLock.withLock(basePath, lockWaitMs) {
-    if (recordType == "auth") {
+      now: java.sql.Timestamp): Unit =
+    deleteImpl(recordType, predicate, user, now, checkInUse = true)
+
+  private def deleteImpl(recordType: String, predicate: Column, user: String,
+      now: java.sql.Timestamp, checkInUse: Boolean): Unit =
+      StoreLock.withLock(basePath, lockWaitMs) {
+    if (recordType == "auth" && checkInUse) {
       val doomedIds = read(recordType).toDF().where(predicate)
         .select(col("_id").as("del_id"))
       val inUse = MarcContext.authUseCounts(read("bib").toDF().unionByName(read("auth").toDF()))
