@@ -54,6 +54,16 @@ object FuzzBench {
     })).toMap
 
   def main(args: Array[String]): Unit = {
+    val fails = run(args)
+    if (fails.nonEmpty) {
+      fails.foreach(f => System.err.println(s"[fuzzbench] $f"))
+      sys.exit(1)
+    }
+  }
+
+  /** Composable entry (RoundArtifacts chains the per-round gates in
+    * one JVM): returns the guard failures instead of exiting. */
+  def run(args: Array[String]): Seq[String] = {
     val round = args.lift(0).getOrElse("r0X")
     val srcDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val fam = family.mkString(",")
@@ -108,9 +118,6 @@ object FuzzBench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"BENCH_fuzz_$round.json"), json + "\n")
     println(json)
-    if (fails.nonEmpty) {
-      fails.foreach(f => System.err.println(s"[fuzzbench] $f"))
-      sys.exit(1)
-    }
+    fails.toSeq
   }
 }

@@ -53,6 +53,16 @@ object RealBench {
   private val candPerPairCeil = 150.0
 
   def main(args: Array[String]): Unit = {
+    val fails = run(args)
+    if (fails.nonEmpty) {
+      fails.foreach(f => System.err.println(s"[realbench] $f"))
+      sys.exit(1)
+    }
+  }
+
+  /** Composable entry (RoundArtifacts chains the per-round gates in
+    * one JVM): returns the guard failures instead of exiting. */
+  def run(args: Array[String]): Seq[String] = {
     val round = args.lift(0).getOrElse("r0X")
     val srcDir = args.lift(1).getOrElse("/tmp/graft_realistic_src")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$srcDir/documents.parquet"))) {
@@ -101,9 +111,6 @@ object RealBench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"BENCH_real_$round.json"), json + "\n")
     println(json)
-    if (fails.nonEmpty) {
-      fails.foreach(f => System.err.println(s"[realbench] $f"))
-      sys.exit(1)
-    }
+    fails.toSeq
   }
 }

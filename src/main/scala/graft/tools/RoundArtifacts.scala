@@ -1,0 +1,37 @@
+package graft.tools
+
+/** One command regenerates every per-round committed benchmark
+  * artifact on the CURRENT code, in one JVM, and fails loudly if any
+  * guard trips or if the worktree's code paths are dirty.
+  *
+  * Why this exists as a tool and not a checklist: rounds 6 and 7 both
+  * shipped BENCH_ and PLANS_ files generated from a different commit
+  * than HEAD — the drift was never malice, just friction (five
+  * separate invocations, easy to run one against stale classes). The
+  * end-of-round recipe is now:
+  *
+  *   git commit <code>          # clean HEAD
+  *   sbt "runMain graft.tools.RoundArtifacts r0N"
+  *   git add BENCH_* PLANS_* && python3 tools/stampcheck.py && git commit
+  *
+  * Regenerates: BENCH_fuzz_r0N + BENCH/PLANS_fuzz_x10/x30 (FuzzBench)
+  * and BENCH_real_r0N + BENCH/PLANS_real_x10/x30 (RealBench). The
+  * x100 probe is NOT part of the cadence (expensive; re-run it when
+  * the near-dup family's code changes).
+  */
+object RoundArtifacts {
+  def main(args: Array[String]): Unit = {
+    val round = args.lift(0).getOrElse("r0X")
+    if (GitStamp.sha.endsWith("-dirty")) {
+      System.err.println(s"[roundartifacts] REFUSING: code paths are dirty (${GitStamp.sha}) — " +
+        "commit first so the artifacts stamp a real commit")
+      sys.exit(2)
+    }
+    val fails = FuzzBench.run(Array(round)) ++ RealBench.run(Array(round))
+    if (fails.nonEmpty) {
+      fails.foreach(f => System.err.println(s"[roundartifacts] $f"))
+      sys.exit(1)
+    }
+    println(s"[roundartifacts] all gates green for $round at ${GitStamp.sha}")
+  }
+}
