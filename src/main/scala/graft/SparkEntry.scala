@@ -21,7 +21,8 @@ object SparkEntry {
       (q.StoreOps.queries, q.StoreOps.oracle),
       (q.AnalyticsOps.queries, q.AnalyticsOps.oracle),
       (q.EngineOps.queries, q.EngineOps.oracle),
-      (q.RealCorpus.queries, q.RealCorpus.oracle))
+      (q.RealCorpus.queries, q.RealCorpus.oracle),
+      (q.RealVec.queries, q.RealVec.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -139,10 +139,20 @@ object RealCorpus {
   /** Splice the generated corpus in front of an existing oracle whose
     * body reads FROM documents — the realistic gate then shares the
     * oracle BODY with its synthetic twin verbatim. */
-  def spliced(baseOracle: String): String = {
+  def spliced(baseOracle: String): String =
+    spliceCte("documents", duckSql, baseOracle)
+
+  /** Prepend `name AS (body)` to an oracle's WITH clause, keeping a
+    * leading RECURSIVE keyword in front (SQL requires RECURSIVE
+    * immediately after WITH; non-recursive CTEs may follow it). */
+  private[queries] def spliceCte(name: String, body: String, baseOracle: String): String = {
     require(baseOracle.startsWith("WITH "),
-      "spliced expects an oracle starting with a WITH clause")
-    s"WITH documents AS (\n$duckSql\n), " + baseOracle.stripPrefix("WITH ")
+      "spliceCte expects an oracle starting with a WITH clause")
+    val rest = baseOracle.stripPrefix("WITH ")
+    if (rest.startsWith("RECURSIVE "))
+      s"WITH RECURSIVE $name AS (\n$body\n), " + rest.stripPrefix("RECURSIVE ")
+    else
+      s"WITH $name AS (\n$body\n), " + rest
   }
 
   // bm25 terms spanning the mixture tiers: a head stopword, a mid

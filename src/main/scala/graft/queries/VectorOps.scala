@@ -347,8 +347,12 @@ object VectorOps {
       .withColumn("rank", (col("pos") + 1).cast("int")).drop("pos")
 
   /** Brute-force cosine top-5 neighbors for query vectors vec_id < 10. */
-  def q21AnnBrute(s: SparkSession, dir: String): DataFrame = {
-    val corpus = emb(s, dir)
+  def q21AnnBrute(s: SparkSession, dir: String): DataFrame =
+    annBrute(emb(s, dir))
+
+  /** Core of q21 over any (vec_id, v) corpus — also gated on the
+    * realistic clustered embeddings (q184). */
+  def annBrute(corpus: DataFrame): DataFrame = {
     val queries = broadcast(corpus.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv")))
     val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
@@ -534,10 +538,14 @@ object VectorOps {
     * fixed), one equi-join on (centroid, bucket) — never all-pairs —
     * bounded CC iterations on the (tiny) edge set, one hash agg for
     * the election. No windows over the corpus. */
-  def q104SemDedup(s: SparkSession, dir: String, tau: Double = 0.30): DataFrame = {
+  def q104SemDedup(s: SparkSession, dir: String, tau: Double = 0.30): DataFrame =
+    semDedup(emb(s, dir), tau)
+
+  /** Core of q104 over any (vec_id, v) corpus (centroids = vec_id < 8)
+    * — also gated on the realistic clustered embeddings (q183). */
+  def semDedup(all: DataFrame, tau: Double): DataFrame = {
     // exact-first collapse below relies on cos(x, x) = 1.0 >= tau
     require(tau <= 1.0, s"tau=$tau: exact duplicates must qualify as near-dups")
-    val all = emb(s, dir)
     // Exact-first collapse — the q61 idiom lifted to vectors: identical
     // embeddings share every band signature, centroid cosine, and
     // (cos = 1.0 >= tau) always one component, whose min-id member is
@@ -856,10 +864,14 @@ object VectorOps {
     * plus any original pairs ≥ 0.9) and the whole banded + collapsed
     * + expanded pipeline runs end-to-end under the oracle at the
     * parameters a production near-dup sweep uses. */
-  def q121NeardupHighTau(s: SparkSession, dir: String): DataFrame = {
+  def q121NeardupHighTau(s: SparkSession, dir: String): DataFrame =
+    neardupHighTau(emb(s, dir).select(col("vec_id"), col("v")))
+
+  /** Core of q121 over any (vec_id, v) corpus — also gated on the
+    * realistic clustered embeddings (q182). */
+  def neardupHighTau(orig: DataFrame): DataFrame = {
     val tau = 0.9
     require(tau <= 1.0)
-    val orig = emb(s, dir).select(col("vec_id"), col("v"))
     val all = orig.unionByName(
       orig.select((col("vec_id") + 100000L).as("vec_id"), col("v")))
     val (members, reps, nReps) = repCollapseIfDup(all)
