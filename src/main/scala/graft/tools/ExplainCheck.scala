@@ -910,6 +910,38 @@ object ExplainCheck {
       "q172: local rank window not partitioned by the pinned range pid")
     println("q172 two-pass collation rank OK")
 
+    // round-8 realistic-corpus gates: the cores are the SAME functions
+    // as their synthetic twins (pure extractions), but the generated
+    // input arrives as a spark.sql plan instead of a parquet scan —
+    // pin the same load-bearing shapes so a regression on the
+    // generated-input path can't hide behind the twin's green pin
+    val q176 = graft.SparkEntry.queries("q176_real_set_sim")(spark, sfDir)
+    val p176 = planOf(q176)
+    assert(!p176.contains("CartesianProduct") && !p176.contains("BroadcastNestedLoop"),
+      "q176: similarity join fell back to all-pairs")
+    assert("BroadcastHashJoin \\[ra#\\d+".r.findFirstIn(p176).isDefined &&
+      "BroadcastHashJoin \\[rb#\\d+".r.findFirstIn(p176).isDefined,
+      "q176: int-set attach lost the broadcast (arrays would be sorted)")
+    assert("SortMergeJoin \\[r[ab]#\\d+".r.findFirstIn(p176).isEmpty,
+      "q176: int-set attach regressed to a sort-merge join")
+    println("q176 realistic set-sim join OK")
+
+    val q182 = graft.SparkEntry.queries("q182_real_vec_neardup")(spark, sfDir)
+    val p182 = planOf(q182)
+    assert(!p182.contains("CartesianProduct") && !p182.contains("BroadcastNestedLoopJoin"),
+      "q182: banded near-dup fell back to all-pairs")
+    assert(p182.contains("dlx_lsh_bands"),
+      "q182: candidates must come from the banded signatures")
+    println("q182 realistic banded near-dup OK")
+
+    val q184 = graft.SparkEntry.queries("q184_real_vec_ann")(spark, sfDir)
+    val p184 = planOf(q184)
+    assert(p184.contains("BroadcastNestedLoopJoin") || p184.contains("BroadcastHashJoin"),
+      "q184: query set not broadcast")
+    assert(p184.contains("ObjectHashAggregate"), "q184: top-k not a partial aggregate")
+    assert(!p184.contains("Window"), "q184: scored corpus still flows through a window")
+    println("q184 realistic ANN brute top-k OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
