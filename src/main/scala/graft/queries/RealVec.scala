@@ -118,10 +118,12 @@ object RealVec {
     "q182_real_vec_neardup" -> ((s, _) =>
       VectorOps.neardupHighTau(vecs(s).select(col("vec_id"), col("v")))),
     "q183_real_vec_semdedup" -> ((s, _) => VectorOps.semDedup(vecs(s), 0.30)),
-    "q184_real_vec_ann" -> ((s, _) => VectorOps.annBrute(vecs(s))))
+    "q184_real_vec_ann" -> ((s, _) => VectorOps.annBrute(vecs(s))),
+    "q185_real_vec_knn" -> ((s, _) => VectorOps.knnClassify(vecs(s))))
 
   val oracle: Map[String, String] = Map(
     "q182_real_vec_neardup" -> spliced(VectorOps.oracle("q121_neardup_hightau")),
     "q183_real_vec_semdedup" -> spliced(VectorOps.oracle("q104_semdedup")),
-    "q184_real_vec_ann" -> spliced(VectorOps.oracle("q21_ann_brute")))
+    "q184_real_vec_ann" -> spliced(VectorOps.oracle("q21_ann_brute")),
+    "q185_real_vec_knn" -> spliced(VectorOps.oracle("q23_knn_classify")))
 }

@@ -468,9 +468,14 @@ object VectorOps {
 
   /** k-NN label vote: majority label among the 5 nearest neighbors of
     * each query vector (embedding-cosine classification). */
-  def q23KnnClassify(s: SparkSession, dir: String): DataFrame = {
+  def q23KnnClassify(s: SparkSession, dir: String): DataFrame =
+    knnClassify(emb(s, dir))
+
+  /** Core of q23 over any (vec_id, label, v) corpus — also gated on
+    * the realistic clustered embeddings (q185), where the labels ARE
+    * cluster ids and the vote measures real class structure. */
+  def knnClassify(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = emb(s, dir)
     val queries = broadcast(corpus.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("true_label")))
     val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
