@@ -19,10 +19,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * them with sort_array over per-doc distinct token ids) — for such
   * inputs the count is bit-for-bit `size(array_intersect)`. */
 object SortedIntersectOps {
+  /** Throws on a null element instead of silently reading it as 0
+    * (getLong's unsafe-row behavior) — checkInputDataTypes accepts the
+    * widened containsNull FLAG because plumbing declares it even for
+    * all-non-null values, so the loud-failure contract moves here. The
+    * bitmap probe is one extra word load per element against the walk's
+    * compare+branch; each element is touched at most once per row. */
   def interSize(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0L
     while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "dlx_sorted_inter: null array element (inputs must be sorted, distinct, non-null)")
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { c += 1L; i += 1; j += 1 }
       else if (x < y) i += 1
@@ -50,9 +59,8 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     // null, but join/coalesce/checkpoint plumbing widens the DECLARED
     // flag to true, so a strict check would reject the production
     // pipeline over a flag that carries no information here. An actual
-    // null slot is undefined behavior of the same class as an unsorted
-    // or non-distinct input (the value-level contract below): on
-    // unsafe rows getLong reads it as 0.
+    // null slot fails LOUDLY at runtime (interSize throws), matching
+    // the fail-fast contract of the unsorted/non-distinct cases.
     def ok(dt: DataType) = dt match {
       case ArrayType(LongType, _) => true
       case _ => false

@@ -446,6 +446,16 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   def merge(gaining: Long, losing: Long, user: String = "admin",
       now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()))
       : Unit = StoreLock.withLock(basePath, lockWaitMs) {
+    // guard BEFORE the merge_log stamp: gaining == losing would make
+    // the xref rewrite a no-op, let the heading precondition pass
+    // vacuously (losing's own heading carries the codes), and the
+    // final guard-skipped delete would orphan every referencing
+    // record's xref. Likewise a nonexistent gaining auth with a
+    // reference-free losing auth would pass the (empty) code check.
+    require(gaining != losing,
+      s"Auth merge refused: gaining and losing are the same auth ($gaining)")
+    require(!read("auth").where(col("_id") === gaining).isEmpty,
+      s"Auth merge refused: gaining auth $gaining does not exist")
     // the lock spans the whole stamp -> rewrite -> delete sequence
     // (re-entrant for the inner commits), so a concurrent writer can
     // never observe a half-merged store

@@ -65,8 +65,12 @@ object RealBench {
   def run(args: Array[String]): Seq[String] = {
     val round = args.lift(0).getOrElse("r0X")
     val srcDir = args.lift(1).getOrElse("/tmp/graft_realistic_src")
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$srcDir/documents.parquet"))) {
-      // deterministic: same args always regenerate byte-identical rows
+    // fingerprint check, not mere existence: a corpus left behind by an
+    // OLDER RealisticCorpus version (or a partial write) must not
+    // silently feed the gate — the same stale-input class GitStamp
+    // closes for artifacts. Regeneration is cheap and deterministic
+    // (same args -> byte-identical rows).
+    if (!RealisticCorpus.isCurrent(srcDir)) {
       RealisticCorpus.main(Array(srcDir))
     }
     val fam = family.mkString(",")

@@ -38,6 +38,25 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.RealisticCorpus [outDir] [nDocs] [vocab]
   */
 object RealisticCorpus {
+  /** Generation-formula version — bump on ANY change to the column
+    * expressions below (Zipf exponent, header scheme, hash salts, …).
+    * Combined with the args into the fingerprint that consumers
+    * (RealBench) compare before trusting a pre-existing corpus dir, so
+    * a stale corpus from an older generator regenerates instead of
+    * silently feeding the gate. */
+  val generatorVersion = 1
+
+  def fingerprint(nDocs: Long, vocab: Long): String =
+    s"realistic-corpus-v$generatorVersion-docs$nDocs-vocab$vocab"
+
+  /** True iff outDir holds a corpus written by THIS generator version
+    * with these params (the _SUCCESS-style stamp main() writes last). */
+  def isCurrent(outDir: String, nDocs: Long = 5000L, vocab: Long = 50000L): Boolean = {
+    val p = java.nio.file.Paths.get(s"$outDir/GENERATOR.fp")
+    java.nio.file.Files.exists(p) &&
+      java.nio.file.Files.readString(p).trim == fingerprint(nDocs, vocab)
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.lift(0).getOrElse("/tmp/graft_realistic_src")
     val nDocs = args.lift(1).map(_.toLong).getOrElse(5000L)
@@ -91,6 +110,9 @@ object RealisticCorpus {
       .agg(count(lit(1)).as("tokens"), countDistinct(col("tok")).as("vocab"))
       .head()
     println(s"""{"docs":$nDocs,"tokens":${stats.getLong(0)},"vocab":${stats.getLong(1)},"avg_len":$avgLen,"out":"$outDir"}""")
+    // stamp LAST so a crashed/partial generation never looks current
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/GENERATOR.fp"), fingerprint(nDocs, vocab) + "\n")
     spark.stop()
   }
 }

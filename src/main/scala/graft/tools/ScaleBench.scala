@@ -280,8 +280,19 @@ object ScaleBench {
     //  (3) the margin-candidate count is committed for the record (it
     //      bounds the exact-verify work: output plus the thin
     //      τ−1e-3 margin band).
+    // Both post-battery audits run even when their query FAILED in the
+    // battery (already a QUERY FAIL) — an audit exception must become a
+    // guardFail entry, not abort run() before the BENCH json and guard
+    // summary are written (that would lose the failure record).
+    def auditSafe(name: String)(body: => String): String =
+      try body catch {
+        case e: Throwable =>
+          guardFails += s"AUDIT FAIL $name: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()}"
+          ""
+      }
+
     var plantedRecall: Option[Double] = None
-    val lshJson = if (!battery.exists(_._1.startsWith("q44"))) "" else {
+    val lshJson = if (!battery.exists(_._1.startsWith("q44"))) "" else auditSafe("sweep") {
       import graft.queries.VectorOps
       val tau = 0.30
       val all = spark.read.parquet(s"$outDir/embeddings.parquet")
@@ -321,7 +332,7 @@ object ScaleBench {
     // join out; candidates-per-true-pair is that claim as a number.
     // Same stages as the gated query (TextOps.setSimStages is a pure
     // extraction of setSimJoin).
-    val setsimJson = if (!battery.exists(_._1.startsWith("q142"))) "" else {
+    val setsimJson = if (!battery.exists(_._1.startsWith("q142"))) "" else auditSafe("setsim") {
       val docsDf = spark.read.parquet(s"$outDir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val st = graft.queries.TextOps.setSimStages(docsDf)

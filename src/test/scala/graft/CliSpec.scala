@@ -54,6 +54,25 @@ class CliSpec extends AnyFunSuite {
     assert(ml == Set((2L, "losing", "auth-merge"), (1L, "gaining", "auth-merge")))
   }
 
+  test("auth merge refuses gaining == losing and nonexistent gaining") {
+    val dir = java.nio.file.Files.createTempDirectory("climergeguard").toString
+    val store = new graft.store.MarcStore(spark, dir)
+    store.commit(MarcSchema.toDataset(spark, Seq(auth1, auth2)), user = "t")
+    store.commit(MarcSchema.toDataset(spark, Seq(bib1, bib2)), user = "t")
+    // self-merge would no-op the rewrite, pass the heading precondition
+    // vacuously, and guard-skip-delete an auth records still reference
+    val e1 = intercept[IllegalArgumentException](store.merge(gaining = 1L, losing = 1L))
+    assert(e1.getMessage.contains("same auth"))
+    // nonexistent gaining + reference-free losing would pass the
+    // (empty) needed-codes check and delete losing for nothing
+    val e2 = intercept[IllegalArgumentException](store.merge(gaining = 999L, losing = 2L))
+    assert(e2.getMessage.contains("does not exist"))
+    // neither refused merge touched the store: no merge_log rows, both
+    // auths still live, bib xrefs unchanged
+    assert(store.mergeLog.count() == 0)
+    assert(store.read("auth").count() == 2)
+  }
+
   test("heading-change cascade appends auth_linked_update_log rows") {
     val dir = java.nio.file.Files.createTempDirectory("clilog").toString
     val store = new graft.store.MarcStore(spark, dir)

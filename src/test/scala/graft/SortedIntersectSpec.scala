@@ -49,6 +49,23 @@ class SortedIntersectSpec extends AnyFunSuite {
     assert(viaExpr(cases) == viaBuiltin(cases))
   }
 
+  test("a null array ELEMENT throws loudly instead of reading as 0") {
+    graft.spark.SortedIntersectSize.register(spark)
+    // analysis accepts the widened containsNull flag (plumbing declares
+    // it even for non-null values), so an actual null slot must fail at
+    // runtime — getLong would otherwise silently read it as 0 and the
+    // intersect count would be wrong, not an error
+    val e = intercept[Exception] {
+      spark.sql("SELECT dlx_sorted_inter(array(1L, cast(null as bigint), 3L), array(1L, 2L, 3L))")
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("null array element"))),
+      s"expected the loud null-element failure, got: $e")
+  }
+
   test("non-array<bigint> inputs fail analysis, not at runtime") {
     graft.spark.SortedIntersectSize.register(spark)
     def analyze(aType: String): Unit =
