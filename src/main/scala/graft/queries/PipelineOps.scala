@@ -372,6 +372,62 @@ object PipelineOps {
     }
   }
 
+  /** CHECKPOINT-RESTART recovery under the oracle — the one
+    * Structured-Streaming property the single-process replay gates
+    * (q85/q86/q119/q125/q144/q163) cannot see: a production stream
+    * dies and restarts, and the answer must come out as if it never
+    * had. The gate runs q119's stateful sessionizer
+    * (flatMapGroupsWithState, the state-heaviest operator here) in TWO
+    * query incarnations against one checkpoint + file sink:
+    *
+    *   1. stream over the FIRST HALF of events (split by event time),
+    *      Trigger.AvailableNow drains it and the query stops — open
+    *      sessions live only in the checkpointed state store;
+    *   2. the second half is appended to the source dir and the SAME
+    *      query (same checkpoint, same sink) restarts: sessions
+    *      spanning the split must continue from recovered state.
+    *
+    * The oracle is q119's VERBATIM (single-run emission rule on the
+    * full corpus), so the gate is exactly restart-equivalence. The
+    * time split makes recovery provably lossless under the 0s
+    * watermark: run 1's final watermark is maxTs(A) ≤ mid, so a
+    * session that times out in run 1 has end + gap < maxTs(A) < every
+    * batch-B timestamp — any batch-B same-user event would start a
+    * new session in a single run too, and no batch-B row is ever
+    * late. The parquet sink's commit log makes the two runs' output
+    * exactly-once; the batch read-back honors _spark_metadata. */
+  def q186StreamRecovery(s: SparkSession, dir: String): DataFrame = {
+    withStreamSession(s, 8) { ss =>
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(ss, dir)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("event_id").cast("long").as("event_id"))
+      val b = ev.agg(min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val base = java.nio.file.Files.createTempDirectory("graft_q186_").toString
+      val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+      ev.where(col("ts").cast("long") <= mid).write.mode("overwrite").parquet(srcDir)
+      val schema = ss.read.parquet(srcDir).schema
+      def runOnce(): Unit = {
+        val src = ss.readStream.schema(schema).parquet(srcDir)
+        val out = graft.streaming.Streaming.streamSessions(src, gapSeconds = 1800L)
+        val q = out.toDF().writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce() // first incarnation: drains batch A, stops
+      ev.where(col("ts").cast("long") > mid).write.mode("append").parquet(srcDir)
+      runOnce() // restart: state + source offsets recover from ckpt
+      ss.read.parquet(outDir)
+        .select(col("user_id"), col("session_start_s"), col("session_end_s"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_s")
+    }
+  }
+
   /** Stream-stream interval join under the oracle: REAL self-join of
     * two streaming legs off one events readStream (click→purchase
     * attribution within 30 min, `Streaming.attributionJoin`), Append
@@ -563,10 +619,38 @@ object PipelineOps {
     "q85_stream_windows" -> (q85StreamWindows _),
     "q125_stream_join" -> (q125StreamJoin _),
     "q86_stream_decon" -> (q86StreamDecon _),
-    "q119_stream_sessionize" -> (q119StreamSessionize _))
+    "q119_stream_sessionize" -> (q119StreamSessionize _),
+    "q186_stream_recovery" -> (q186StreamRecovery _))
 
   private def markerList(lang: String): String =
     LanguageId.markers.toMap.apply(lang).toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
+  /** Shared by q119 (single-run) and q186 (checkpoint restart) — the
+    * restart gate's contract IS that one oracle body fits both. */
+  private val streamSessionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+      |mx AS (SELECT MAX(ts_s) AS max_s FROM e),
+      |t AS (
+      |  SELECT *, LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_s
+      |  FROM e),
+      |s AS (
+      |  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS brk
+      |  FROM t),
+      |n AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM s),
+      |per AS (
+      |  SELECT user_id, session_no, MIN(ts_s) AS session_start_s,
+      |         MAX(ts_s) AS session_end_s, COUNT(*) AS n_events
+      |  FROM n GROUP BY 1, 2),
+      |lastno AS (SELECT user_id, MAX(session_no) AS max_no FROM per GROUP BY 1)
+      |SELECT p.user_id, p.session_start_s, p.session_end_s,
+      |       CAST(p.n_events AS BIGINT) AS n_events
+      |FROM per p JOIN lastno l USING (user_id) CROSS JOIN mx
+      |WHERE p.session_no < l.max_no OR p.session_end_s + 1800 < mx.max_s
+      |ORDER BY p.user_id, p.session_start_s""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the complete-mode final emission equals the batch aggregate
@@ -720,30 +804,12 @@ object PipelineOps {
     // the final session iff end + gap < corpus max ts (the final
     // 0s-delay watermark; Spark fires the event-time timeout on
     // STRICTLY-passed timestamps)
-    "q119_stream_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s FROM events),
-        |mx AS (SELECT MAX(ts_s) AS max_s FROM e),
-        |t AS (
-        |  SELECT *, LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_s
-        |  FROM e),
-        |s AS (
-        |  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS brk
-        |  FROM t),
-        |n AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS session_no
-        |  FROM s),
-        |per AS (
-        |  SELECT user_id, session_no, MIN(ts_s) AS session_start_s,
-        |         MAX(ts_s) AS session_end_s, COUNT(*) AS n_events
-        |  FROM n GROUP BY 1, 2),
-        |lastno AS (SELECT user_id, MAX(session_no) AS max_no FROM per GROUP BY 1)
-        |SELECT p.user_id, p.session_start_s, p.session_end_s,
-        |       CAST(p.n_events AS BIGINT) AS n_events
-        |FROM per p JOIN lastno l USING (user_id) CROSS JOIN mx
-        |WHERE p.session_no < l.max_no OR p.session_end_s + 1800 < mx.max_s
-        |ORDER BY p.user_id, p.session_start_s""".stripMargin,
+    "q119_stream_sessionize" -> streamSessionOracle,
+    // RESTART-EQUIVALENCE by construction: q186 runs the same
+    // sessionizer through a kill + checkpoint-recovery, and its oracle
+    // is the single-run rule VERBATIM — any state lost or replayed
+    // across the restart shows as a hash mismatch on this row
+    "q186_stream_recovery" -> streamSessionOracle,
     // replays the interval join on integer seconds: purchase in
     // [click, click+1800) same user — the batch form of the
     // watermarked stream-stream join

@@ -115,30 +115,25 @@ object RealVec {
     RealCorpus.spliceCte("embeddings", duckSql, baseOracle)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // first 1000 vectors: the oracle replays the banding over the
-    // DOUBLED corpus and pays a cosine per in-cluster candidate —
-    // 23 s on the full 2000, ~6 s on the subset; the upper-tail
-    // cluster pairs and planted dups both survive
+    // FULL corpus (round-9: the subset is gone — re-measured, the
+    // banding-replay oracle over the doubled 2000-vector corpus costs
+    // 25.9 s in DuckDB, affordable): ~80k true pairs through the dense
+    // cluster cores, upper-tail cluster pairs and planted dups all in
     "q182_real_vec_neardup" -> ((s, _) =>
-      VectorOps.neardupHighTau(vecs(s).where(col("vec_id") < 1000)
-        .select(col("vec_id"), col("v")))),
-    // first 600 vectors only: at τ=0.30 the clustered corpus's edge
-    // set is whole-cluster-dense, and the oracle's recursive
-    // component walk on the full 2000 measured ~34 s and ~giant
-    // memory — the subset keeps every structural property (4 giant
-    // clusters, planted dups, centroid scoping) at a tenth the edges
-    "q183_real_vec_semdedup" -> ((s, _) =>
-      VectorOps.semDedup(vecs(s).where(col("vec_id") < 600), 0.30)),
+      VectorOps.neardupHighTau(vecs(s).select(col("vec_id"), col("v")))),
+    // FULL corpus (round-9: the subset is gone here too — q104's
+    // oracle replaced its recursive component walk, whose node×label
+    // closure was quadratic in component size and OOM-flaked DuckDB,
+    // with unrolled materialized min-label propagation; the full-2000
+    // oracle now measures 2.6 s where the 600-subset recursive form
+    // took 7-34 s and sometimes died)
+    "q183_real_vec_semdedup" -> ((s, _) => VectorOps.semDedup(vecs(s), 0.30)),
     "q184_real_vec_ann" -> ((s, _) => VectorOps.annBrute(vecs(s))),
     "q185_real_vec_knn" -> ((s, _) => VectorOps.knnClassify(vecs(s))))
 
   val oracle: Map[String, String] = Map(
-    "q182_real_vec_neardup" -> RealCorpus.spliceCte("embeddings",
-      s"SELECT * FROM (\n$duckSql\n) full_corpus WHERE vec_id < 1000",
-      VectorOps.oracle("q121_neardup_hightau")),
-    "q183_real_vec_semdedup" -> RealCorpus.spliceCte("embeddings",
-      s"SELECT * FROM (\n$duckSql\n) full_corpus WHERE vec_id < 600",
-      VectorOps.oracle("q104_semdedup")),
+    "q182_real_vec_neardup" -> spliced(VectorOps.oracle("q121_neardup_hightau")),
+    "q183_real_vec_semdedup" -> spliced(VectorOps.oracle("q104_semdedup")),
     "q184_real_vec_ann" -> spliced(VectorOps.oracle("q21_ann_brute")),
     "q185_real_vec_knn" -> spliced(VectorOps.oracle("q23_knn_classify")))
 }

@@ -1722,7 +1722,7 @@ object TextOps {
     * DuckDB oracle is the all-pairs ground truth, so a single missed
     * pair (a losslessness bug) fails the gate. */
   def setSimJoin(docs: DataFrame, tauNum: Int = 1, tauDen: Int = 2,
-      maxBroadcastSets: Long = 200000L): DataFrame =
+      maxBroadcastSets: Long = graft.config.ScaleKnobs.maxBroadcastSets): DataFrame =
     setSimStages(docs, tauNum, tauDen, maxBroadcastSets).result
 
   /** The q142 pipeline with its two load-bearing intermediates
@@ -1737,7 +1737,7 @@ object TextOps {
       matches: DataFrame, repPairs: DataFrame, result: DataFrame)
 
   private[graft] def setSimStages(docs: DataFrame, tauNum: Int = 1, tauDen: Int = 2,
-      maxBroadcastSets: Long = 200000L): SetSimStages = {
+      maxBroadcastSets: Long = graft.config.ScaleKnobs.maxBroadcastSets): SetSimStages = {
     import org.apache.spark.sql.expressions.Window
     // 3-token shingle sets, not unigram sets: on a corpus with a
     // shared vocabulary, unigram Jaccard ≥ ½ matches most of the
@@ -1907,7 +1907,12 @@ object TextOps {
       org.apache.spark.sql.SparkSession.active)
     val repPairs =
       if (attachBroadcast) verified(matches, broadcast).distinct()
-      else verified(matches.distinct(), identity)
+      // dedup-first + shuffle attach; the shuffle_hash hint builds the
+      // hash table from the (small) rep-keyed set table so the deduped
+      // candidate stream is PROBED, not sorted — the round-9 fallback
+      // probe measured the un-hinted SMJ sorting the 45M-row stream
+      // twice (q142 fallback 143 s; scalar sorts + set-table sorts)
+      else verified(matches.distinct(), _.hint("shuffle_hash"))
     // expand each qualifying cluster pair to all member pairs,
     // normalizing (doc_a < doc_b) and swapping sizes with the ids
     val cross = repPairs

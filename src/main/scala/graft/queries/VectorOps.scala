@@ -167,7 +167,8 @@ object VectorOps {
     * anyway (production near-dup sweeps run τ≥0.7, where candidates
     * track true pairs and the dedup-first stream is linear-ish). */
   def verifiedRepPairs(vecs0: DataFrame, tau: Double, extraKeys: Seq[String] = Nil,
-      maxBroadcastReps: Long = 250000L, knownRepCount: Option[Long] = None): DataFrame = {
+      maxBroadcastReps: Long = graft.config.ScaleKnobs.maxBroadcastReps,
+      knownRepCount: Option[Long] = None): DataFrame = {
     // materialize ONCE: the rep table feeds the band self-join (both
     // legs) and both vector attaches — 4 evaluations of the caller's
     // lineage otherwise (q104's centroid assignment re-ran per leg),
@@ -190,7 +191,11 @@ object VectorOps {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("ra"), col("y.vec_id").as("rb"))
       attach(cands, broadcast).distinct()
-    } else attach(bandCandidates(vecs, tau, extraKeys), identity)
+    } else
+      // dedup-first + shuffle attach; the hint builds the hash table
+      // from the rep table side so the candidate stream is probed, not
+      // sorted (round-9 fallback probe: SMJ sorted the stream twice)
+      attach(bandCandidates(vecs, tau, extraKeys), _.hint("shuffle_hash"))
   }
 
   /** EXACT all-pairs near-dup rep pairs (ra < rb, round-4 cos ≥ τ) —
@@ -216,48 +221,42 @@ object VectorOps {
     * Measured 71.6 s → kernel path well under the banded 56.9 s.
     *
     * Above `maxBroadcastReps` (the same ~64 MB matrix budget class as
-    * verifiedRepPairs) the plan falls back to a BLOCKED DataFrame
-    * sweep — identical output, no driver collect: block-pair
-    * replication bounded by B·n rows, the cosine filter pipelined
-    * map-side after the block equi-join. Still quadratic — at τ=0.30
-    * the OUTPUT is near-quadratic (measured 0.75% of all pairs at
-    * 1σ=0.125 background), so no engine outruns its own output; the
+    * verifiedRepPairs) the margin candidates come from
+    * [[graft.spark.DenseSweep.tiledMarginPairs]] — the SAME float
+    * kernel tiled over block pairs (bit-identical candidate set, no
+    * driver collect) — and the exact verify's vector attaches ride
+    * shuffled hash joins instead of broadcasts. The round-9 probe
+    * measured why the tiling matters: the previous row-at-a-time
+    * blocked DataFrame sweep paid ~30× the kernel (275 s vs 9 s for
+    * 1.8 B pairs) in per-pair join machinery. Still quadratic — at
+    * τ=0.30 the OUTPUT is near-quadratic (measured 0.75% of all pairs
+    * at 1σ=0.125 background), so no engine outruns its own output; the
     * τ-floor contract ([[bandsFor]]) stands, now with the sweep as
     * its measured-optimal floor. */
   def exactSweepRepPairs(vecs0: DataFrame, tau: Double,
-      maxBroadcastReps: Long = 250000L, knownRepCount: Option[Long] = None): DataFrame = {
+      maxBroadcastReps: Long = graft.config.ScaleKnobs.maxBroadcastReps,
+      knownRepCount: Option[Long] = None): DataFrame = {
     val vecs = vecs0.localCheckpoint(true)
     val cap = math.min(maxBroadcastReps, (Int.MaxValue - 1).toLong)
-    val small = knownRepCount.getOrElse(vecs.count()) <= cap
-    if (small) {
-      val cands = graft.spark.DenseSweep.marginPairs(
-        vecs.select(col("vec_id"), col("v")), tau - graft.spark.DenseSweep.MarginSlack)
-      cands
-        .join(broadcast(vecs.select(col("vec_id").as("ra"), col("v").as("va"))), "ra")
-        .join(broadcast(vecs.select(col("vec_id").as("rb"), col("v").as("vb"))), "rb")
-        .select(col("ra"), col("rb"), cosSim(col("va"), col("vb")).as("cos_sim"))
-        .where(col("cos_sim") >= tau)
-    } else {
-      // blocked exact sweep: every unordered rep pair appears exactly
-      // once — same-block pairs at (i,i) under ida < idb, cross-block
-      // pairs at the single ordered block pair (i<j) their blocks form
-      val nBlocks = 16
-      val s = vecs.sparkSession
-      val withBk = vecs.withColumn("bk",
-        pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int"))
-      val blockPairs = broadcast(
-        s.range(nBlocks).selectExpr("cast(id as int) as i").crossJoin(
-          s.range(nBlocks).selectExpr("cast(id as int) as j"))
-          .where(col("i") <= col("j")))
-      blockPairs
-        .join(withBk.select(col("bk").as("i"), col("vec_id").as("ida"), col("v").as("va")), "i")
-        .join(withBk.select(col("bk").as("j"), col("vec_id").as("idb"), col("v").as("vb")), "j")
-        .where(col("i") < col("j") || col("ida") < col("idb"))
-        .select(least(col("ida"), col("idb")).as("ra"),
-          greatest(col("ida"), col("idb")).as("rb"),
-          cosSim(col("va"), col("vb")).as("cos_sim"))
-        .where(col("cos_sim") >= tau)
-    }
+    val n = knownRepCount.getOrElse(vecs.count())
+    val small = n <= cap
+    val tm = tau - graft.spark.DenseSweep.MarginSlack
+    val cands =
+      if (small)
+        graft.spark.DenseSweep.marginPairs(vecs.select(col("vec_id"), col("v")), tm)
+      else
+        graft.spark.DenseSweep.tiledMarginPairs(vecs.select(col("vec_id"), col("v")),
+          tm, graft.spark.DenseSweep.blocksFor(n))
+    // exact re-verify of the margin candidates (output-bound plus the
+    // thin margin band) with the shared double arithmetic; above the
+    // cap the attach builds a hash table from the rep table instead of
+    // sorting the candidate stream through an SMJ
+    def wrap(df: DataFrame): DataFrame = if (small) broadcast(df) else df.hint("shuffle_hash")
+    cands
+      .join(wrap(vecs.select(col("vec_id").as("ra"), col("v").as("va"))), "ra")
+      .join(wrap(vecs.select(col("vec_id").as("rb"), col("v").as("vb"))), "rb")
+      .select(col("ra"), col("rb"), cosSim(col("va"), col("vb")).as("cos_sim"))
+      .where(col("cos_sim") >= tau)
   }
 
   /** Deterministic planted near-pairs for recall audits: `k` pairs
@@ -546,9 +545,15 @@ object VectorOps {
   def q104SemDedup(s: SparkSession, dir: String, tau: Double = 0.30): DataFrame =
     semDedup(emb(s, dir), tau)
 
-  /** Core of q104 over any (vec_id, v) corpus (centroids = vec_id < 8)
-    * — also gated on the realistic clustered embeddings (q183). */
-  def semDedup(all: DataFrame, tau: Double): DataFrame = {
+  /** semDedup's load-bearing intermediates exposed for plan pinning
+    * (the setSimStages discipline): the final executed plan hides the
+    * banded edge join behind verifiedRepPairs' localCheckpoint, so
+    * ExplainCheck pins `edges` directly — and because this is a pure
+    * extraction, the pinned stage IS the gated query's stage. */
+  private[graft] case class SemDedupStages(members: DataFrame, g: DataFrame,
+      edges: DataFrame)
+
+  private[graft] def semDedupStages(all: DataFrame, tau: Double): SemDedupStages = {
     // exact-first collapse below relies on cos(x, x) = 1.0 >= tau
     require(tau <= 1.0, s"tau=$tau: exact duplicates must qualify as near-dups")
     // Exact-first collapse — the q61 idiom lifted to vectors: identical
@@ -582,6 +587,14 @@ object VectorOps {
     val edges = verifiedRepPairs(g, tau, extraKeys = Seq("centroid_id"),
         knownRepCount = Some(nReps))
       .select(col("ra").as("doc_a"), col("rb").as("doc_b"))
+    SemDedupStages(members, g, edges)
+  }
+
+  /** Core of q104 over any (vec_id, v) corpus (centroids = vec_id < 8)
+    * — also gated on the realistic clustered embeddings (q183). */
+  def semDedup(all: DataFrame, tau: Double): DataFrame = {
+    val st = semDedupStages(all, tau)
+    val (members, g, edges) = (st.members, st.g, st.edges)
     val comp = TextOps.connectedComponents(edges)
     val repLab = g.join(comp, g("vec_id") === comp("node"), "left")
       .select(g("vec_id").as("rep_id"), col("centroid_id"), col("cos_centroid"),
@@ -965,6 +978,42 @@ object VectorOps {
        |  FROM sigbit GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Connected components as UNROLLED min-label propagation — the
+    * non-recursive oracle formulation for DuckDB (replacing the
+    * `WITH RECURSIVE walk` whose node×label closure table is quadratic
+    * in component size and blew DuckDB's memory on the realistic
+    * clustered corpus, q183). Emits CTEs `l0..l$steps`, `l_last`
+    * (alias of the last step) and `conv` (count of labels that would
+    * still move on one MORE step). The CALLER must gate on
+    * `(SELECT bad FROM conv) = 0` so an under-unrolled run fails
+    * loudly, never silently: min labels reach everything within
+    * `steps` hops on these corpora (near-clique cluster cores,
+    * 2-node planted chains), and if a future corpus ever needs more,
+    * the gate hash-mismatches instead of shipping wrong components.
+    * `edgesRel` must hold BOTH directions of every edge (a, b). */
+  private[queries] def ccUnrolledSql(edgesRel: String, steps: Int = 12): String = {
+    // AS MATERIALIZED is load-bearing: each step references its
+    // predecessor twice, and DuckDB's default CTE inlining would
+    // duplicate the whole upstream pipeline per reference — 2^steps
+    // copies by the last step (measured: the un-materialized form ran
+    // for minutes; materialized, the full chain is sub-second)
+    val l0 = s"l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM $edgesRel),"
+    val ls = (1 to steps + 1).map { t =>
+      s"""l$t AS MATERIALIZED (
+         |  SELECT n.node, MIN(n.label) AS label FROM (
+         |    SELECT node, label FROM l${t - 1}
+         |    UNION ALL
+         |    SELECT e$t.a AS node, l.label FROM $edgesRel e$t JOIN l${t - 1} l ON l.node = e$t.b
+         |  ) n GROUP BY n.node),""".stripMargin
+    }.mkString("\n")
+    s"""$l0
+       |$ls
+       |l_last AS (SELECT node, label FROM l$steps),
+       |conv AS (
+       |  SELECT COUNT(*) AS bad FROM l$steps x JOIN l${steps + 1} y
+       |  ON x.node = y.node AND x.label <> y.label),""".stripMargin
+  }
+
   /** K-means centroid assignment (the Lloyd assignment step): every
     * vector goes to its max-cosine centroid among the 8 broadcast
     * seeds (vec_id < 8). Same two-phase bounded-aggregate shape as
@@ -1178,7 +1227,16 @@ object VectorOps {
         |UNION ALL SELECT query_id, CAST(5 AS INT), cand_id, rel_q, mmr_q FROM sel5
         |ORDER BY query_id, rank""".stripMargin,
     "q104_semdedup" ->
-      s"""WITH RECURSIVE e AS (
+      // connected components WITHOUT a recursive CTE (round-9): the
+      // old `WITH RECURSIVE walk` enumerated node x reachable-label
+      // pairs — quadratic in component size on the realistic clustered
+      // corpus's near-clique cores, and the proximate cause of q183's
+      // DuckDB out-of-memory flakes. The unrolled min-label
+      // propagation below is linear per step (|nodes| + |edges| rows),
+      // and the convergence check makes an under-unrolled run FAIL
+      // LOUDLY (comp empties -> every component coalesces to vec_id ->
+      // hash mismatch) instead of silently wrong.
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |${bandSigSql(0.30)},
@@ -1201,19 +1259,17 @@ object VectorOps {
         |  FROM gsig a JOIN gsig b
         |    ON a.centroid_id = b.centroid_id AND a.j = b.j AND a.sg = b.sg
         |   AND a.vec_id < b.vec_id),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT cd.doc_a, cd.doc_b
         |  FROM cand cd JOIN e a ON a.vec_id = cd.doc_a JOIN e b ON b.vec_id = cd.doc_b
         |  WHERE ROUND(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) /
         |      (SQRT(list_sum(list_transform(a.v, (x,i) -> x * a.v[i]))) *
         |       SQRT(list_sum(list_transform(b.v, (x,i) -> x * b.v[i])))), 4) >= 0.30),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |walk(node, label) AS (
-        |  SELECT a AS node, a AS label FROM edges
-        |  UNION
-        |  SELECT e2.b AS node, w.label FROM walk w JOIN edges e2 ON e2.a = w.node),
-        |comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+        |${ccUnrolledSql("edges")}
+        |comp AS (SELECT node, label AS component FROM l_last
+        |         WHERE (SELECT bad FROM conv) = 0),
         |lab AS (
         |  SELECT a.vec_id, a.centroid_id, a.cos_centroid,
         |         COALESCE(c.component, a.vec_id) AS component

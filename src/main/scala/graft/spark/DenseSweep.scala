@@ -33,8 +33,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * Scale shape: one executor-side broadcast of the rep matrix (caller
   * enforces the row cap) and one linear pass over the stream side —
   * n·|matrix| dots, embarrassingly parallel over stream partitions.
-  * Above the broadcast cap, use the blocked DataFrame sweep
-  * (VectorOps.exactSweepRepPairs' fallback), not this kernel. */
+  * Above the broadcast cap, use [[tiledMarginPairs]] — the SAME float
+  * arithmetic tiled over block pairs, no driver collect. */
 object DenseSweep {
 
   /** Float margin slack the kernel's callers must subtract from τ —
@@ -102,4 +102,87 @@ object DenseSweep {
       }
     }.toDF("ra", "rb")
   }
+
+  /** [[marginPairs]] above the broadcast cap: the rep set is hashed
+    * into `nBlocks` blocks, each block packed into ONE row carrying a
+    * flat primitive-float matrix, and every unordered block pair
+    * (i ≤ j) runs the same tight dot loop over its tile — a
+    * distributed tiled GEMM, not a row-at-a-time join (the round-9
+    * probe measured the DataFrame blocked sweep at ~30× the kernel:
+    * 275 s vs 9 s for 1.8 B pairs, all of it per-pair row machinery).
+    *
+    * Float arithmetic is IDENTICAL to the broadcast kernel (same
+    * normalization, same k-ascending accumulation), so the candidate
+    * set — and after the caller's exact re-verify, the output — is
+    * bit-equal to the kernel path's.
+    *
+    * Scale shape: each block row is ~(n/nBlocks)·(8+4·dims) bytes and
+    * is shuffled to nBlocks block-pair tasks — total traffic
+    * n·rowBytes·nBlocks, the standard O(√P)-reads-per-tile GEMM
+    * trade; task count nBlocks·(nBlocks+1)/2 keeps every executor
+    * busy. No driver materialization anywhere. */
+  def tiledMarginPairs(reps: DataFrame, tauMargin: Double, nBlocks: Int): DataFrame = {
+    require(nBlocks >= 1, s"nBlocks=$nBlocks")
+    val spark = reps.sparkSession
+    import spark.implicits._
+    val nb = nBlocks
+    val rows: Dataset[(Long, Seq[Double])] =
+      reps.selectExpr("vec_id", "v").as[(Long, Seq[Double])]
+    // mix before mod: replica ids arrive as origin + r·span (highly
+    // structured), a plain mod would stripe them into few blocks
+    def blockOf(id: Long): Int =
+      java.lang.Math.floorMod(id * -7046029254386353131L, nb.toLong).toInt
+    val packed: Dataset[(Int, Array[Long], Array[Float])] = rows
+      .groupByKey { case (id, _) => blockOf(id) }
+      .mapGroups { (bk, it) =>
+        val buf = it.toArray.sortBy(_._1)
+        val d = if (buf.isEmpty) 0 else buf(0)._2.length
+        val ids = new Array[Long](buf.length)
+        val mat = new Array[Float](buf.length * d)
+        var i = 0
+        while (i < buf.length) {
+          val (id, v) = buf(i)
+          require(v.length == d,
+            s"dlx dense sweep: vector $id has ${v.length} dims, expected $d")
+          ids(i) = id
+          System.arraycopy(normalized(v), 0, mat, i * d, d)
+          i += 1
+        }
+        (bk, ids, mat)
+      }
+    val tm = tauMargin.toFloat
+    packed.as("A").joinWith(packed.as("B"), $"A._1" <= $"B._1")
+      .flatMap { case ((ba, idsA, matA), (bb, idsB, matB)) =>
+        val d = if (idsA.isEmpty) 0 else matA.length / idsA.length
+        val same = ba == bb
+        // ids are sorted within a block, so the same-block upper
+        // triangle emits each unordered pair once; cross blocks every
+        // (a, b) is one pair, ordered by min/max. The j/k loops stay
+        // bare while loops — iterator machinery per pair would cost as
+        // much as the 64-FMA dot it wraps.
+        idsA.indices.iterator.flatMap { i =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          val bi = i * d
+          var j = if (same) i + 1 else 0
+          while (j < idsB.length) {
+            var acc = 0f
+            var k = 0
+            val bj = j * d
+            while (k < d) { acc += matA(bi + k) * matB(bj + k); k += 1 }
+            if (acc >= tm) {
+              val a = idsA(i); val b = idsB(j)
+              out += ((math.min(a, b), math.max(a, b)))
+            }
+            j += 1
+          }
+          out.iterator
+        }
+      }.toDF("ra", "rb")
+  }
+
+  /** Block count for [[tiledMarginPairs]]: ~25k vectors per tile side
+    * (a ~13 MB packed row at 64 dims), floored at 16 so the block-pair
+    * grid (≥136 tasks) keeps a 32-way executor pool busy. */
+  def blocksFor(n: Long): Int =
+    math.max(16L, (n + 24999L) / 25000L).toInt
 }

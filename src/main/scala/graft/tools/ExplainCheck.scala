@@ -942,6 +942,111 @@ object ExplainCheck {
     assert(!p184.contains("Window"), "q184: scored corpus still flows through a window")
     println("q184 realistic ANN brute top-k OK")
 
+    // round-9: pins for the remaining nine realistic gates. The cores
+    // are the twins' functions (pure extractions), but the realistic
+    // gates wrap them differently — corpus CTE instead of a parquet
+    // scan, prefix subsets, different thresholds/terms — so a plan
+    // regression specific to the realistic shape (the q183 centroid
+    // scoping losing its broadcast, say) would not trip the twin's pin.
+    val q174 = graft.SparkEntry.queries("q174_real_minhash")(spark, sfDir)
+    val p174 = planOf(q174)
+    assert(!p174.contains("CartesianProduct") && !p174.contains("BroadcastNestedLoop"),
+      "q174: band candidate generation must stay an equi-join on the generated corpus")
+    println("q174 realistic minhash band equi-join OK")
+
+    val q175 = graft.SparkEntry.queries("q175_real_fuzzy_decon")(spark, sfDir)
+    val p175 = planOf(q175)
+    assert(p175.contains("BroadcastHashJoin"), "q175: eval side not broadcast")
+    assert("SortMergeJoin \\[gs#\\d+".r.findFirstIn(p175).isEmpty,
+      "q175: collapse re-joins on the shingle-array column")
+    assert("windowspecdefinition\\(is_eval#\\d+, gh#\\d+".r.findFirstIn(p175).isDefined,
+      "q175: collapse rep window over the scalar hash missing")
+    assert(!p175.contains("Cartesian") && !p175.contains("BroadcastNestedLoop"),
+      "q175: probe degenerated to a cross product")
+    println("q175 realistic broadcast fuzzy-decon probe OK")
+
+    val q177 = graft.SparkEntry.queries("q177_real_bm25")(spark, sfDir)
+    val p177 = planOf(q177)
+    assert(p177.contains("BroadcastHashJoin"), "q177: df/corpus stats not broadcast")
+    assert(p177.contains("TakeOrderedAndProject"), "q177: top-k not TakeOrderedAndProject")
+    assert(!p177.contains("Window"), "q177: scored docs flow through a window")
+    println("q177 realistic BM25 broadcast stats + bounded top-k OK")
+
+    val q178 = graft.SparkEntry.queries("q178_real_vocab")(spark, sfDir)
+    val p178 = planOf(q178)
+    assert(p178.contains("TakeOrderedAndProject"), "q178: top-K vocab not TakeOrderedAndProject")
+    assert(p178.contains("HashAggregate"), "q178: token counting not a partial hash aggregate")
+    println("q178 realistic vocab top-K + partial agg OK")
+
+    val q179 = graft.SparkEntry.queries("q179_real_dsir")(spark, sfDir)
+    val p179 = planOf(q179)
+    assert(p179.contains("TakeOrderedAndProject"),
+      "q179: top-N selection must be TakeOrderedAndProject, not a corpus sort")
+    assert(p179.contains("BroadcastHashJoin"),
+      "q179: the <=512-row feature-weight dimension must broadcast")
+    assert(!p179.matches("(?s).*Filter [^\\n]*split\\(.*"),
+      "q179: bigram lambda re-inlined into a pushed filter (O(tokens^2) pathology)")
+    println("q179 realistic DSIR broadcast weights + bounded top-N OK")
+
+    // q180's driver merge loop precludes asserting its output plan
+    // (same as q109); pin the one corpus-cardinality pass — the word
+    // dict over the GENERATED corpus must be a single hash agg with no
+    // join and no re-inlined token lambda in a filter
+    val d180 = graft.queries.TextOps.bpeDict(
+      graft.queries.RealCorpus.docs(spark).select("text"))
+    val p180 = planOf(d180)
+    assert(p180.contains("HashAggregate"), "q180: word dict must hash-aggregate")
+    assert(!p180.contains("Join"), "q180: dict pass must be join-free")
+    assert(!p180.matches("(?s).*Filter [^\\n]*split\\(.*"),
+      "q180: token lambda re-inlined into a pushed filter (O(tokens^2) pathology)")
+    println("q180 realistic BPE dict single-pass agg OK")
+
+    val q181 = graft.SparkEntry.queries("q181_real_bpe_encode")(spark, sfDir)
+    val p181 = planOf(q181)
+    assert(!p181.contains("Exchange hashpartitioning") && !p181.contains("SortMergeJoin"),
+      "q181: BPE encoding must be map-only (only the final sort repartitions)")
+    println("q181 realistic BPE encode map-only OK")
+
+    // the judge-named regression to watch: semdedup's k=8 centroid
+    // scoping must stay a BROADCAST nested loop (it is the only
+    // legitimate nested loop in the plan), assignment top-1 stays a
+    // bounded aggregate, and the banded candidates must carry the
+    // centroid as an extra equi-join key so edges never cross cells
+    val q183 = graft.SparkEntry.queries("q183_real_vec_semdedup")(spark, sfDir)
+    val p183 = planOf(q183)
+    assert(!p183.contains("CartesianProduct"),
+      "q183: edge enumeration must stay a (centroid,band,sig) equi-join")
+    assert(p183.contains("BroadcastNestedLoopJoin"),
+      "q183: centroid scoping lost its broadcast")
+    assert(p183.contains("ObjectHashAggregate"),
+      "q183: centroid assignment top-1 not a bounded aggregate")
+    assert(!p183.contains("Window"),
+      "q183: keeper election must be a hash agg, not a corpus window")
+    // the banded edge join hides behind verifiedRepPairs' checkpoint in
+    // the final plan — pin the edges STAGE (a pure extraction, so this
+    // is the gated query's own stage) for the centroid equi-join key
+    val e183 = graft.queries.VectorOps.semDedupStages(
+      graft.queries.RealVec.vecs(spark), 0.30).edges
+    val pe183 = planOf(e183)
+    assert("centroid_id#\\d+L?, band#\\d+".r.findFirstIn(pe183).isDefined,
+      "q183: banded candidates lost the centroid equi-join key")
+    assert(!pe183.contains("CartesianProduct") && !pe183.contains("BroadcastNestedLoop"),
+      "q183: edge candidates must stay a (centroid,band,sig) equi-join")
+    println("q183 realistic SemDeDup centroid broadcast + keyed edges OK")
+
+    val q185 = graft.SparkEntry.queries("q185_real_vec_knn")(spark, sfDir)
+    val p185 = planOf(q185)
+    assert(p185.contains("BroadcastNestedLoopJoin") || p185.contains("BroadcastHashJoin"),
+      "q185: query set not broadcast")
+    assert(p185.contains("ObjectHashAggregate"), "q185: k-NN top-k not a bounded aggregate")
+    // the only window allowed is the vote rank over queries x k rows —
+    // partitioned by query_id, never a corpus-global spec
+    assert("windowspecdefinition\\(query_id#\\d+".r.findFirstIn(p185).isDefined,
+      "q185: vote window not partitioned by query_id")
+    assert("windowspecdefinition\\((?!query_id)".r.findFirstIn(p185).isEmpty,
+      "q185: a non-vote window flows over the scored corpus")
+    println("q185 realistic k-NN broadcast queries + bounded top-k OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }

@@ -1,0 +1,116 @@
+package graft.tools
+
+/** Fresh-JVM isolated walls for the two store-lifecycle claims the
+  * battery cannot gate (round-8 verdict "What's wrong" #1/#2).
+  *
+  * Battery medians carry documented ±30% host variance plus
+  * battery-position cache attribution (q24 read 34.5 s in one battery,
+  * 7.75 s alone), so a per-query target claimed from an isolated run
+  * but checked against the battery never moves: q102's profiled
+  * plan-compilation floor and q172's ≤2.5 s target both sat in that
+  * gap for two rounds. This tool measures each query the way the claim
+  * is made — its own JVM (spawned with the same classpath and
+  * add-opens as the sbt fork), several in-JVM reps, median — and GATES
+  * the number, so a regression from the floor shows up as a failed
+  * round artifact instead of more battery noise.
+  *
+  * Ceilings:
+  *  - q102_merge_audit: the round-8 profile pins the floor at five
+  *    commit lifecycles × ~40 driver-side plan compilations ≈ 10.3 s
+  *    isolated (SCALING.md "Round 8: commit-lifecycle"); round 9 adds
+  *    the merge existence guard (+1 tiny job). Ceiling = floor + ~15%.
+  *  - q172_collation_sort: the round-7 target, ≤2.5 s (claimed 2.05 s
+  *    isolated via ScalableRank's lazy checkpoint; never gated until
+  *    now).
+  *
+  * Usage: runMain graft.tools.IsolatedBench [roundLabel] [sfDir]
+  * Writes BENCH_isolated_<roundLabel>.json; exits nonzero on any
+  * ceiling breach or child-JVM failure.
+  */
+object IsolatedBench {
+  private val gates: Seq[(String, Double)] = Seq(
+    "q102_merge_audit" -> 11.8,
+    "q172_collation_sort" -> 2.5)
+  private val repsPerJvm = 5
+
+  def main(args: Array[String]): Unit = {
+    val fails = run(args)
+    if (fails.nonEmpty) {
+      fails.foreach(f => System.err.println(s"[isolatedbench] $f"))
+      sys.exit(1)
+    }
+  }
+
+  /** Composable entry (RoundArtifacts chains the per-round gates). */
+  def run(args: Array[String]): Seq[String] = {
+    val round = args.lift(0).getOrElse("r0X")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val fails = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = gates.map { case (name, ceil) =>
+      val out = spawnTimeQuery(sfDir, name)
+      val parsed = out.flatMap(parseTime(name, _))
+      parsed match {
+        case Some((med, all)) =>
+          if (med > ceil)
+            fails += f"ISOLATED WALL FAIL $name: median $med%.2f s > ceiling $ceil%.2f s"
+          println(f"ISOLATED $name median=$med%.3f ceiling=$ceil%.2f all=${all.mkString(",")}")
+          name -> Some((med, all, ceil))
+        case None =>
+          fails += s"ISOLATED FAIL $name: child JVM produced no TIME line" +
+            out.map(o => s" (tail: ${o.linesIterator.toSeq.takeRight(3).mkString(" | ")})").getOrElse("")
+          name -> None
+      }
+    }
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qJson = results.collect { case (n, Some((med, all, ceil))) =>
+      s""""$n":{"median":${r3(med)},"ceiling":$ceil,"reps":[${all.map(r3).mkString(",")}]}"""
+    }.mkString(",")
+    val json =
+      s"""{"metric":"isolated_walls","round":"$round","sf":"$sfDir","reps_per_jvm":$repsPerJvm,""" +
+        s""""queries":{$qJson},""" +
+        s""""guard_fails":[${fails.map(f => "\"" + f.replace("\"", "'") + "\"").mkString(",")}]${GitStamp.jsonField}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"BENCH_isolated_$round.json"), json + "\n")
+    println(json)
+    fails.toSeq
+  }
+
+  /** One fresh JVM running TimeQuery for a single query: same
+    * classpath as this process, the sbt fork's add-opens set, and a
+    * cold everything (codegen caches, gate caches, page state all per
+    * child). Returns the child's combined output, None on nonzero. */
+  private def spawnTimeQuery(sfDir: String, query: String): Option[String] = {
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.io", "java.base/java.lang",
+      "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx24g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.tools.TimeQuery", sfDir, query, repsPerJvm.toString)
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes,
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (p.waitFor() == 0) Some(out) else {
+      System.err.println(s"[isolatedbench] child for $query exited nonzero; tail:\n" +
+        out.linesIterator.toSeq.takeRight(10).mkString("\n"))
+      None
+    }
+  }
+
+  /** Parses TimeQuery's `TIME <q> median=X all=a,b,c` line. */
+  private def parseTime(name: String, out: String): Option[(Double, Seq[Double])] =
+    out.linesIterator.collectFirst {
+      case l if l.startsWith(s"TIME $name ") =>
+        val med = l.split("median=")(1).split(" ")(0).toDouble
+        val all = l.split("all=")(1).split(",").map(_.toDouble).toSeq
+        (med, all)
+    }
+}

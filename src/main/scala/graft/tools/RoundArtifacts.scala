@@ -14,10 +14,12 @@ package graft.tools
   *   sbt "runMain graft.tools.RoundArtifacts r0N"
   *   git add BENCH_* PLANS_* && python3 tools/stampcheck.py && git commit
   *
-  * Regenerates: BENCH_fuzz_r0N + BENCH/PLANS_fuzz_x10/x30 (FuzzBench)
-  * and BENCH_real_r0N + BENCH/PLANS_real_x10/x30 (RealBench). The
-  * x100 probe is NOT part of the cadence (expensive; re-run it when
-  * the near-dup family's code changes).
+  * Regenerates: BENCH_fuzz_r0N + BENCH/PLANS_fuzz_x10/x30/fb_x30
+  * (FuzzBench incl. the cap-lowered fallback probe), BENCH_real_r0N +
+  * BENCH/PLANS_real_x10/x30 (RealBench), and BENCH_isolated_r0N
+  * (IsolatedBench fresh-JVM walls). The x100 probe is NOT part of the
+  * cadence (expensive; re-run it when the near-dup family's code
+  * changes).
   */
 object RoundArtifacts {
   def main(args: Array[String]): Unit = {
@@ -27,7 +29,8 @@ object RoundArtifacts {
         "commit first so the artifacts stamp a real commit")
       sys.exit(2)
     }
-    val fails = FuzzBench.run(Array(round)) ++ RealBench.run(Array(round))
+    val fails = FuzzBench.run(Array(round)) ++ RealBench.run(Array(round)) ++
+      IsolatedBench.run(Array(round))
     if (fails.nonEmpty) {
       fails.foreach(f => System.err.println(s"[roundartifacts] $f"))
       sys.exit(1)

@@ -27,7 +27,13 @@ object ScaleBench {
     * the BENCH json this run also writes. */
   case class ScaleResult(label: String, total: Double,
       queries: Seq[(String, Double)], plantedRecall: Option[Double],
-      guardFails: Seq[String])
+      guardFails: Seq[String],
+      // per-query output row counts (FuzzBench's fallback phase gates
+      // primary-path == fallback-path output equality on them) and the
+      // sweep audit's distinct-rep count (proves a cap-lowered probe
+      // actually crossed the cap — i.e. the fallback branch RAN)
+      rowCounts: Map[String, Long] = Map.empty,
+      sweepReps: Option[Long] = None)
 
   def main(args: Array[String]): Unit = {
     val res = run(args)
@@ -292,6 +298,7 @@ object ScaleBench {
       }
 
     var plantedRecall: Option[Double] = None
+    var sweepReps: Option[Long] = None
     val lshJson = if (!battery.exists(_._1.startsWith("q44"))) "" else auditSafe("sweep") {
       import graft.queries.VectorOps
       val tau = 0.30
@@ -300,6 +307,7 @@ object ScaleBench {
       val n = all.count()
       val (_, reps) = VectorOps.repCollapse(all)
       val nReps = reps.count()
+      sweepReps = Some(nReps)
       // (1) swept volume is rep-bounded by construction; assert the
       // collapse actually bit under exact replication (factor > 1 in
       // exact mode must leave nReps at the source cardinality)
@@ -383,7 +391,8 @@ object ScaleBench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"PLANS_$label.md"), md.result())
     println(s"wrote BENCH_$label.json and PLANS_$label.md")
     spark.stop()
-    ScaleResult(label, total, results, plantedRecall, guardFails.toSeq)
+    ScaleResult(label, total, results, plantedRecall, guardFails.toSeq,
+      rowCounts.toMap, sweepReps)
   }
 
   private def SparkEntry_queries = graft.SparkEntry.queries.toSeq.sortBy(_._1)

@@ -60,6 +60,56 @@ class RealCorpusSpec extends AnyFunSuite {
     assert(stats.getDouble(3) < 0.95, s"max J ${stats.getDouble(3)}")
   }
 
+  test("q176 oracle subset (1000 docs) preserves the corpus structure") {
+    // the gate's all-pairs DuckDB oracle runs on doc_id < 1000 to
+    // bound driver cost; this pins what that prefix provably keeps —
+    // the quantities the set-sim algorithm is graded against
+    val sub = docs.where(col("doc_id") < 1000)
+    // planted near-dup pairs: both members of a (b, b+1 with b+1%7==3)
+    // pair land in the prefix together, so density carries over
+    val planted = sub.where(col("doc_id") % 7 === 3).count()
+    assert(planted >= 140, s"planted pairs in subset: $planted")
+    // boilerplate representation matches the full corpus (~30%)
+    val frac = sub.where(col("text").startsWith(RealCorpus.headerLiteral + " "))
+      .count().toDouble / 1000
+    assert(frac > 0.25 && frac < 0.35, s"subset boiler fraction $frac")
+    // right-skewed length spectrum survives (median and mean within
+    // 15% of the full corpus — the PPJoin length filter sees the same
+    // distribution the full gate would)
+    def lenStats(df: org.apache.spark.sql.DataFrame) = df
+      .select(size(split(col("text"), " ")).as("n"))
+      .agg(expr("percentile(n, 0.5)"), avg("n")).head()
+    val (fm, fa) = { val r = lenStats(docs); (r.getDouble(0), r.getDouble(1)) }
+    val (sm, sa) = { val r = lenStats(sub); (r.getDouble(0), r.getDouble(1)) }
+    assert(math.abs(sm - fm) / fm < 0.15, s"median drift $sm vs $fm")
+    assert(math.abs(sa - fa) / fa < 0.15, s"mean drift $sa vs $fa")
+  }
+
+  test("realistic vector corpus: Zipf cluster spectrum, planted dups, centroid seeds") {
+    // the vector twin of the text-shape tests above: the q182-q185
+    // gates prove Spark == DuckDB on results; this pins that the
+    // clustered corpus actually HAS the structure those gates are
+    // graded against (an isotropic corpus passing the oracles would
+    // measure nothing about banding selectivity or centroid scoping)
+    import graft.queries.RealVec
+    val all = RealVec.vecs(spark).cache()
+    assert(all.count() === RealVec.nVecs)
+    // the k=8 centroid seed set exists (semdedup scopes on vec_id < 8)
+    assert(all.where(col("vec_id") < 8).count() === 8)
+    // planted near-dups at gate-relevant volume (vec_id % 7 == 3
+    // jitters its predecessor: ~285 pairs across the corpus)
+    val planted = all.where(col("vec_id") % 7 === 3).count()
+    assert(planted >= 280, s"planted dups: $planted")
+    // Zipf cluster spectrum: 4 giant clusters carry ~35% of vectors
+    // (the generator's tier split) and all 40 clusters are populated
+    val giants = all.where(col("label").isin("c1", "c2", "c3", "c4")).count()
+    val gf = giants.toDouble / RealVec.nVecs
+    assert(gf > 0.28 && gf < 0.42, s"giant-cluster mass: $gf")
+    val clusters = all.select(countDistinct(col("label"))).head().getLong(0)
+    assert(clusters === 40L, s"clusters populated: $clusters of 40")
+    all.unpersist()
+  }
+
   test("generator is deterministic: same rows on re-generation") {
     // bit_xor, not sum: an order-free fold that cannot overflow under
     // ANSI arithmetic

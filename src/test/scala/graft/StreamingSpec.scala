@@ -93,6 +93,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(!afterBatch2.exists(r => r.getAs[Long]("user_id") == 3L))
   }
 
+  test("checkpointed restart: sessions spanning two kills recover from state, exactly once") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // user 1's FIRST session spans incarnations 1+2 (00:00, 00:10 |
+    // 00:20) and its second spans 2+3 (02:00 | 02:10); user 2 lives
+    // entirely in incarnation 1 and times out at the final watermark.
+    // Any lost state splits a spanning session in two (wrong n_events,
+    // extra row); any replayed input double-emits (dup rows) — both
+    // fail the set equality below.
+    val slices: Seq[Seq[Ev]] = Seq(
+      Seq(Ev(1, ts("2026-01-01T00:00:00Z"), 1, "click", 1.0),
+        Ev(2, ts("2026-01-01T00:10:00Z"), 1, "click", 1.0),
+        Ev(3, ts("2026-01-01T00:05:00Z"), 2, "view", 1.0)),
+      Seq(Ev(4, ts("2026-01-01T00:20:00Z"), 1, "click", 1.0),
+        Ev(5, ts("2026-01-01T02:00:00Z"), 1, "click", 1.0)),
+      Seq(Ev(6, ts("2026-01-01T02:10:00Z"), 1, "click", 1.0),
+        Ev(7, ts("2026-01-01T09:00:00Z"), 3, "view", 1.0)))
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    slices.head.toDF().write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runIncarnation(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+      val out = graft.streaming.Streaming.streamSessions(src, gapSeconds = 1800L)
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runIncarnation() // dies with user 1+2's sessions open in state
+    val afterRun1 = spark.read.parquet(outDir).count()
+    slices(1).toDF().write.mode("append").parquet(srcDir)
+    runIncarnation() // recovers; user 1's session continues across the kill
+    slices(2).toDF().write.mode("append").parquet(srcDir)
+    runIncarnation()
+    val rows = spark.read.parquet(outDir)
+      .select("user_id", "session_start_s", "session_end_s", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def s(t: String) = ts(t).toInstant.getEpochSecond
+    // single-run emission rule: user 1's two closed sessions (the first
+    // stitched ACROSS the first kill: 3 events), user 2's timed-out
+    // singleton; user 3's stays open (end + gap not strictly passed)
+    val expected = Set(
+      (1L, s("2026-01-01T00:00:00Z"), s("2026-01-01T00:20:00Z"), 3L),
+      (1L, s("2026-01-01T02:00:00Z"), s("2026-01-01T02:10:00Z"), 2L),
+      (2L, s("2026-01-01T00:05:00Z"), s("2026-01-01T00:05:00Z"), 1L))
+    assert(rows.length == rows.toSet.size, s"restart double-emitted: ${rows.toSeq}")
+    assert(rows.toSet == expected, s"restart-equivalence broken: ${rows.toSeq}")
+    // the spanning session must NOT have been emitted before the kill —
+    // i.e. it really lived in the checkpointed state store, not the sink
+    assert(afterRun1 == 0, s"incarnation 1 emitted $afterRun1 rows; nothing should close yet")
+  }
+
   test("streaming exact dedup keeps the first-seen doc per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
