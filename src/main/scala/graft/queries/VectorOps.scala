@@ -965,17 +965,26 @@ object VectorOps {
     * cannot drift. `sig` has (vec_id, j band index, sg signature). */
   private def bandSigSql(tau: Double): String = {
     val (r, b) = bandsFor(tau)
+    // one row per (vec, band) — NOT per (vec, bit): the old
+    // e CROSS JOIN coefl intermediate was |corpus| x b·r rows (5M at
+    // q182's doubled realistic corpus) and drove the oracle's peak RSS
+    // to 5.3 GB, squarely in this sandbox's allocation-flake zone; the
+    // band-granular form computes the same r dot products inside one
+    // list_transform against a single nested coefficient row (~5 MB)
+    // and peaks an order of magnitude lower. Output is value-identical:
+    // bit k of band j reads coefficient row pl = j·r + k, ascending.
     s"""coefl AS (
        |  SELECT p.range AS pl, list_transform(range(0, 64), d ->
        |    CAST(CAST(('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 AS DOUBLE)/1000 - 0.5) AS cl
        |  FROM range(0, ${b * r}) p),
-       |sigbit AS (
-       |  SELECT e.vec_id, c.pl,
-       |    CASE WHEN list_sum(list_transform(e.v, (x,i) -> x * c.cl[i])) > 0 THEN '1' ELSE '0' END AS bit
-       |  FROM e CROSS JOIN coefl c),
+       |coefm AS MATERIALIZED (SELECT list(cl ORDER BY pl) AS cls FROM coefl),
        |sig AS (
-       |  SELECT vec_id, pl // $r AS j, string_agg(bit, '' ORDER BY pl) AS sg
-       |  FROM sigbit GROUP BY 1, 2)""".stripMargin
+       |  SELECT e.vec_id, jj.range AS j,
+       |    list_aggregate(list_transform(range(0, $r), k ->
+       |      CASE WHEN list_sum(list_transform(e.v,
+       |        (x,i) -> x * m.cls[CAST(jj.range * $r + k AS BIGINT) + 1][i])) > 0
+       |      THEN '1' ELSE '0' END), 'string_agg', '') AS sg
+       |  FROM e CROSS JOIN range(0, $b) jj CROSS JOIN coefm m)""".stripMargin
   }
 
   /** Connected components as UNROLLED min-label propagation — the

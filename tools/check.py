@@ -8,19 +8,106 @@ Assumes `graft.Verify` already wrote <out_dir>/<name>/ parquet dirs and
 view, runs every oracle, and compares (columns sorted by name, rows
 sorted, values stringified) against the Spark output.
 """
-import sys, json, glob, math
+import os, subprocess, sys, json, glob, math
 import duckdb
 import pandas as pd
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-con = duckdb.connect()
-for p in glob.glob(f"{sf}/*.parquet"):
-    name = p.split("/")[-1].replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+# Subprocess pool (round-9, after the round-8 flake class reproduced
+# locally): a single process running ~190 oracles accretes allocator/
+# map state until even 2 KB DuckDB allocations fail — with 120 GB
+# free. Parent mode slices the sorted query list into chunks and runs
+# each chunk in a PRISTINE child process (this same file with
+# --chunk); children do the actual compare work below.
+CHUNK = 20
+# the historically-heaviest oracles run ALONE in their child so any
+# RSS spike lands in a pristine address space. After the round-9
+# band-signature restructure (bandSigSql: one row per (vec, band))
+# every one of these peaks under 700 MB — q182 measured 5.3 GB before,
+# 185 MB after — but the isolation stays: it costs ~1 s per query and
+# protects the gate if a corpus grows
+HEAVY = {"q182_real_vec_neardup", "q183_real_vec_semdedup",
+         "q176_real_set_sim", "q121_neardup_hightau", "q44_embed_neardup",
+         "q108_mmr_rerank"}
+chunk_names = None
+if "--chunk" in sys.argv:
+    chunk_names = set(sys.argv[sys.argv.index("--chunk") + 1].split(","))
+# heavy singletons get a roomier buffer pool (they own the process);
+# light chunks stay tight so 20 queries never accrete a big pool
+mem_limit = sys.argv[sys.argv.index("--mem") + 1] if "--mem" in sys.argv else "4GB"
 
-oracles = json.load(open(f"{out}/oracle_sql.json"))
+if chunk_names is None:
+    all_names = sorted(json.load(open(f"{out}/oracle_sql.json")))
+    light = [n for n in all_names if n not in HEAVY]
+    chunks = [light[i:i + CHUNK] for i in range(0, len(light), CHUNK)] + \
+        [[n] for n in all_names if n in HEAVY]
+    names = all_names
+    fails = 0
+    for chunk in chunks:
+        mem = "8GB" if chunk[0] in HEAVY else "4GB"
+        # the sandbox's lazily-backed memory makes fast multi-GB RSS
+        # ramps fail malloc nondeterministically (~4 KB blocks refused
+        # with 120 GB "free") — an environmental flake, so a failed
+        # child gets fresh-process retries before counting as FAIL
+        for attempt in range(3):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sf, out,
+                 "--chunk", ",".join(chunk), "--mem", mem],
+                capture_output=True, text=True)
+            if r.returncode == 0:
+                break
+            import time
+            print(f"WARN chunk {chunk[0]}..: child attempt {attempt + 1} failed, retrying")
+            time.sleep(5 * (attempt + 1))
+        sys.stdout.write(r.stdout)
+        if r.returncode != 0:
+            # a crashed child (not just FAIL lines) must surface too
+            failed_lines = r.stdout.count("FAIL ")
+            if failed_lines == 0:
+                print(f"FAIL chunk {chunk[0]}..{chunk[-1]}: child crashed: "
+                      f"{r.stderr.strip().splitlines()[-1] if r.stderr.strip() else 'no stderr'}")
+                fails += len(chunk)
+            else:
+                fails += failed_lines
+    print(f"\n{len(names) - fails}/{len(names)} pass")
+    sys.exit(1 if fails else 0)
+
+def fresh_con(retries=5):
+    # connecting right after a big JVM teardown can transiently fail
+    # allocation (the round-8 environmental flake) — back off and retry
+    import time
+    for attempt in range(retries):
+        try:
+            c = duckdb.connect()
+            # modest limits: the default (80% of host RAM) makes DuckDB
+            # allocate greedily, which trips the sandbox's transient
+            # post-JVM allocation failures; 6 GB + spill covers every
+            # oracle here (heaviest measured ~26 s banding replay)
+            c.execute(f"SET memory_limit='{mem_limit}'")
+            # heavy singletons ramp allocation slower on fewer threads
+            # (the sandbox's lazily-backed memory punishes fast ramps)
+            c.execute(f"SET threads={8 if mem_limit == '8GB' else 16}")
+            c.execute("SET temp_directory='/tmp/duckdb_check_spill'")
+            for p in glob.glob(f"{sf}/*.parquet"):
+                name = p.split("/")[-1].replace(".parquet", "")
+                c.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+            return c
+        except Exception as e:
+            if attempt == retries - 1:
+                raise
+            print(f"WARN: duckdb connect/view setup failed (attempt {attempt + 1}): {e}")
+            time.sleep(5 * (attempt + 1))
+
+# Within a child: still recycle the connection periodically and retry
+# a failed oracle once on a fresh connection (transient bad_alloc
+# right after a big JVM teardown is environmental).
+RECYCLE_EVERY = 10
+con = fresh_con()
+
+oracles = {k: v for k, v in json.load(open(f"{out}/oracle_sql.json")).items()
+           if k in chunk_names}
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -33,13 +120,25 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.map(cell)
 
 fails = 0
-for name, sql in sorted(oracles.items()):
+for qi, (name, sql) in enumerate(sorted(oracles.items())):
+    if qi and qi % RECYCLE_EVERY == 0:
+        con.close()
+        con = fresh_con()
     try:
         want = con.execute(sql).df()
     except Exception as e:
-        print(f"FAIL {name}: oracle error: {e}")
-        fails += 1
-        continue
+        try:
+            con.close()
+        except Exception:
+            pass
+        con = fresh_con()
+        try:
+            want = con.execute(sql).df()
+            print(f"WARN {name}: oracle retried on a fresh connection after: {e}")
+        except Exception as e2:
+            print(f"FAIL {name}: oracle error: {e2}")
+            fails += 1
+            continue
     try:
         got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{out}/{name}/*.parquet"))])
     except Exception as e:
