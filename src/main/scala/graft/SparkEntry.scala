@@ -22,7 +22,8 @@ object SparkEntry {
       (q.AnalyticsOps.queries, q.AnalyticsOps.oracle),
       (q.EngineOps.queries, q.EngineOps.oracle),
       (q.RealCorpus.queries, q.RealCorpus.oracle),
-      (q.RealVec.queries, q.RealVec.oracle))
+      (q.RealVec.queries, q.RealVec.oracle),
+      (q.RealMarc.queries, q.RealMarc.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

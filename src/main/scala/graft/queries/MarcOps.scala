@@ -28,10 +28,10 @@ import Tables._
   */
 object MarcOps {
 
-  private def sub(code: String, value: Column, xref: Column = lit(null).cast("long")): Column =
+  private[queries] def sub(code: String, value: Column, xref: Column = lit(null).cast("long")): Column =
     struct(lit(code).as("code"), value.as("value"), xref.cast("long").as("xref"))
 
-  private def field(tag: String, subs: Column*): Column =
+  private[queries] def field(tag: String, subs: Column*): Column =
     struct(lit(tag).as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
       array(subs: _*).as("subfields"))
 

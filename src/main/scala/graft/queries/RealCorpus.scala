@@ -57,14 +57,14 @@ object RealCorpus {
 
   /** Two LCG steps over a salted linear seed — the only randomness
     * source. All operands stay well under 2^63. */
-  private def rnd(doc: String, i: String, salt: Int): String = {
+  private[queries] def rnd(doc: String, i: String, salt: Int): String = {
     val seed = s"((($doc) * 1000003 + ($i) * 10007 + ${salt * 7919L}) % $M)"
     s"(($A * (($A * $seed) % $M)) % $M)"
   }
 
   /** Zipf-ish rank ∈ [1, 19999] from one draw: the tier comes from the
     * draw's low digits, the within-tier rank from one more LCG step. */
-  private def rankExpr(doc: String, i: String): String = {
+  private[queries] def rankExpr(doc: String, i: String): String = {
     val r = rnd(doc, i, 3)
     val r2 = s"(($A * $r) % $M)"
     s"(CASE WHEN ($r % 1000) < 350 THEN 1 + ($r2 % 40) " +

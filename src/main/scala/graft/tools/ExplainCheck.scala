@@ -1047,6 +1047,47 @@ object ExplainCheck {
       "q185: a non-vote window flows over the scored corpus")
     println("q185 realistic k-NN broadcast queries + bounded top-k OK")
 
+    // round-9 realistic-MARC gates (q187-q192): the operators are the
+    // synthetic twins' own code paths, but the Zipfian dimension and
+    // skewed attachment change what the optimizer sees — pin the plan
+    // shapes that must survive realistic selectivities
+    val q187 = graft.SparkEntry.queries("q187_real_marc_dsl")(spark, sfDir)
+    val p187 = planOf(q187)
+    assert(p187.contains("LeftSemi"),
+      "q187: the 245 regex must ride the left-semi index path")
+    assert(!p187.contains("CartesianProduct"),
+      "q187: DSL compilation produced a cross product")
+    println("q187 realistic DSL semi-join + xref in-list OK")
+
+    val q189 = graft.SparkEntry.queries("q189_real_auth_resolve")(spark, sfDir)
+    val p189 = planOf(q189)
+    assert(!p189.contains("SortMergeJoin") && !p189.contains("ShuffledHashJoin") &&
+      !p189.contains("CartesianProduct"),
+      "q189: dimension-sized resolve must take the broadcast-map path (zero shuffle joins)")
+    println("q189 realistic auth resolve broadcast-map OK")
+
+    val q190 = graft.SparkEntry.queries("q190_real_partial_lookup")(spark, sfDir)
+    val p190 = planOf(q190)
+    assert(p190.contains("TakeOrderedAndProject"),
+      "q190: typeahead on the Zipfian dimension not a bounded TakeOrderedAndProject")
+    println("q190 realistic typeahead top-k OK")
+
+    val q191 = graft.SparkEntry.queries("q191_real_cascade")(spark, sfDir)
+    val p191 = planOf(q191)
+    assert(p191.contains("BroadcastHashJoin"),
+      "q191: linked-value refresh must broadcast the heading dimension")
+    assert(!p191.contains("CartesianProduct"),
+      "q191: cascade/refresh produced a cross product")
+    println("q191 realistic cascade broadcast refresh OK")
+
+    val q192 = graft.SparkEntry.queries("q192_real_auth_use")(spark, sfDir)
+    val p192 = planOf(q192)
+    assert(p192.contains("HashAggregate") || p192.contains("ObjectHashAggregate"),
+      "q192: auth-use counts must be a partial hash aggregate")
+    assert(!p192.contains("Window"),
+      "q192: auth-use counts flowed through a window")
+    println("q192 realistic auth-use partial agg OK")
+
     println("ALL PLAN CHECKS PASS")
     spark.stop()
   }
