@@ -80,32 +80,43 @@ object RealMarc {
       .mkString(" || ' ' || ")
 
   /** Tiered-skew xref: 50% head (20 auths), 30% mid (580), 20% tail
-    * (2,400) — all ids < nAuths so every bib resolves. */
-  private def xrefSql(doc: String): String = {
+    * (nA − 600) — all ids < nA so every bib resolves. */
+  private def xrefSql(doc: String, nA: Long): String = {
     val t = RealCorpus.rnd(mixed(doc, 301), "0", 8)
     val r2 = RealCorpus.rnd(mixed(doc, 302), "1", 9)
     s"(CASE WHEN ($t % 1000) < 500 THEN ($r2 % 20) " +
       s"WHEN ($t % 1000) < 800 THEN 20 + ($r2 % 580) " +
-      s"ELSE 600 + ($r2 % 2400) END)"
+      s"ELSE 600 + ($r2 % ${nA - 600}) END)"
   }
 
   private def authsSelect(rangeSrc: String, strT: String): String =
     s"""SELECT auth_id, ${headingSql("auth_id", strT)} AS heading
        |FROM ($rangeSrc) ids""".stripMargin
 
-  private def bibsSelect(rangeSrc: String, strT: String): String =
+  /** `nA` parametrizes the tail tier so xref stays < nA at any corpus
+    * scale (RealMarcBench runs x10/x30); head/mid tier SIZES stay
+    * fixed, so scaling the corpus DEEPENS the skew (head auths carry
+    * 10x/30x more bibs) — the production shape, not a rescaled
+    * uniform. id ≤ 2e6 keeps (id+i)²·1000003 < 2^63. */
+  private def bibsSelect(rangeSrc: String, strT: String, nA: Long): String =
     s"""SELECT bib_id, ${titleSql("bib_id", strT)} AS title,
-       |  ${xrefSql("bib_id")} AS xref
+       |  ${xrefSql("bib_id", nA)} AS xref
        |FROM ($rangeSrc) ids""".stripMargin
 
-  def sparkAuthsSql: String =
-    authsSelect(s"SELECT id AS auth_id FROM range(0, $nAuths)", "STRING")
-  def sparkBibsSql: String =
-    bibsSelect(s"SELECT id AS bib_id FROM range(0, $nBibs)", "STRING")
+  def sparkAuthsSqlN(nA: Long): String = {
+    require(nA <= 2000000L, "quadratic seed bound")
+    authsSelect(s"SELECT id AS auth_id FROM range(0, $nA)", "STRING")
+  }
+  def sparkBibsSqlN(nA: Long, nB: Long): String = {
+    require(nB <= 2000000L, "quadratic seed bound")
+    bibsSelect(s"SELECT id AS bib_id FROM range(0, $nB)", "STRING", nA)
+  }
+  def sparkAuthsSql: String = sparkAuthsSqlN(nAuths)
+  def sparkBibsSql: String = sparkBibsSqlN(nAuths, nBibs)
   def duckAuthsSql: String =
     authsSelect(s"SELECT range AS auth_id FROM range(0, $nAuths)", "VARCHAR")
   def duckBibsSql: String =
-    bibsSelect(s"SELECT range AS bib_id FROM range(0, $nBibs)", "VARCHAR")
+    bibsSelect(s"SELECT range AS bib_id FROM range(0, $nBibs)", "VARCHAR", nAuths)
 
   // ---- Scala replica of the generator arithmetic (for query literals
   // and the spec's corpus pins; RealMarcSpec proves it equals the SQL)
@@ -154,10 +165,16 @@ object RealMarc {
 
   def authsRel(s: SparkSession): DataFrame = s.sql(sparkAuthsSql)
   def bibsRel(s: SparkSession): DataFrame = s.sql(sparkBibsSql)
+  def authsRelN(s: SparkSession, nA: Long): DataFrame = s.sql(sparkAuthsSqlN(nA))
+  def bibsRelN(s: SparkSession, nA: Long, nB: Long): DataFrame =
+    s.sql(sparkBibsSqlN(nA, nB))
 
   /** Auth dimension as MarcRows; `changed` swaps the target auth's
     * heading (value AND tag 150→151) for the cascade gate. */
-  def marcAuths(s: SparkSession, changed: Boolean = false): DataFrame = {
+  def marcAuths(s: SparkSession, changed: Boolean = false): DataFrame =
+    marcAuthsFrom(authsRel(s), changed)
+
+  def marcAuthsFrom(rel: DataFrame, changed: Boolean = false): DataFrame = {
     val headingVal =
       if (changed) when(col("auth_id") === targetAuth, lit(changedHeading))
         .otherwise(col("heading"))
@@ -165,7 +182,7 @@ object RealMarc {
     val headingTag =
       if (changed) when(col("auth_id") === targetAuth, lit("151")).otherwise(lit("150"))
       else lit("150")
-    authsRel(s).select(
+    rel.select(
       (lit("auth").as("record_type") +: col("auth_id").cast("long").as("_id") +:
         nullCols :+
         array(struct(headingTag.as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
@@ -177,8 +194,11 @@ object RealMarc {
   /** Bib corpus with the linked 650$a materialized (value + xref) —
     * the committed-store shape every search gate reads. */
   def marcBibs(s: SparkSession): DataFrame =
-    bibsRel(s)
-      .join(authsRel(s).withColumnRenamed("auth_id", "a_id"),
+    marcBibsFrom(bibsRel(s), authsRel(s))
+
+  def marcBibsFrom(bibsR: DataFrame, authsR: DataFrame): DataFrame =
+    bibsR
+      .join(authsR.withColumnRenamed("auth_id", "a_id"),
         col("xref") === col("a_id"))
       .select(
         (lit("bib").as("record_type") +: col("bib_id").cast("long").as("_id") +:
@@ -191,7 +211,10 @@ object RealMarc {
   /** Bib corpus with linked values stripped (xref only) — what a raw
     * store read looks like before resolution (q189's input). */
   def marcBibsStripped(s: SparkSession): DataFrame =
-    bibsRel(s).select(
+    marcBibsStrippedFrom(bibsRel(s))
+
+  def marcBibsStrippedFrom(bibsR: DataFrame): DataFrame =
+    bibsR.select(
       (lit("bib").as("record_type") +: col("bib_id").cast("long").as("_id") +:
         nullCols :+
         array(

@@ -16,10 +16,11 @@ package graft.tools
   *
   * Regenerates: BENCH_fuzz_r0N + BENCH/PLANS_fuzz_x10/x30/fb_x30
   * (FuzzBench incl. the cap-lowered fallback probe), BENCH_real_r0N +
-  * BENCH/PLANS_real_x10/x30 (RealBench), and BENCH_isolated_r0N
-  * (IsolatedBench fresh-JVM walls). The x100 probe is NOT part of the
-  * cadence (expensive; re-run it when the near-dup family's code
-  * changes).
+  * BENCH/PLANS_real_x10/x30 (RealBench), BENCH_realmarc_r0N
+  * (RealMarcBench verified walls over the scaled Zipfian authority
+  * dimension), and BENCH_isolated_r0N (IsolatedBench fresh-JVM
+  * walls). The x100 probe is NOT part of the cadence (expensive;
+  * re-run it when the near-dup family's code changes).
   */
 object RoundArtifacts {
   def main(args: Array[String]): Unit = {
@@ -30,7 +31,7 @@ object RoundArtifacts {
       sys.exit(2)
     }
     val fails = FuzzBench.run(Array(round)) ++ RealBench.run(Array(round)) ++
-      IsolatedBench.run(Array(round))
+      RealMarcBench.run(Array(round)) ++ IsolatedBench.run(Array(round))
     if (fails.nonEmpty) {
       fails.foreach(f => System.err.println(s"[roundartifacts] $f"))
       sys.exit(1)
@@ -41,7 +42,7 @@ object RoundArtifacts {
     val staged = Seq("BENCH_fuzz_x10.json", "BENCH_fuzz_x30.json",
       s"BENCH_fuzz_$round.json", "BENCH_fuzz_fb_x30.json",
       "BENCH_real_x10.json", "BENCH_real_x30.json", s"BENCH_real_$round.json",
-      s"BENCH_isolated_$round.json",
+      s"BENCH_realmarc_$round.json", s"BENCH_isolated_$round.json",
       "PLANS_fuzz_x10.md", "PLANS_fuzz_x30.md", "PLANS_fuzz_fb_x30.md",
       "PLANS_real_x10.md", "PLANS_real_x30.md")
       .filter(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
