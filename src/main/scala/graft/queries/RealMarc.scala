@@ -248,13 +248,8 @@ object RealMarc {
     * realistic cap margin), matched back against each record's own
     * logical values. */
   def q188RealBrowse(s: SparkSession, dir: String): DataFrame = {
-    def oneField(df: DataFrame, rt: String): DataFrame = {
-      val spec = graft.config.DlxConfig.logicalFields(rt).toMap.apply("subject")
-      df.withColumn("logical",
-        map(lit("subject"), LogicalFields.fieldValues("subject", spec)))
-    }
     val compiler = new SparkQueryCompiler(s,
-      oneField(marcBibs(s), "bib"), oneField(marcAuths(s), "auth"))
+      subjectField(marcBibs(s), "bib"), subjectField(marcAuths(s), "auth"))
     compiler.run("subject:/w44/").select("_id").orderBy("_id")
   }
 
@@ -301,13 +296,60 @@ object RealMarc {
   def q192RealAuthUse(s: SparkSession, dir: String): DataFrame =
     MarcContext.authUseCounts(marcBibs(s)).orderBy("xref")
 
+  // ---- over-cap degradation gates ---------------------------------------
+  // At 100 TB the resolved value sets EXCEED the reference's in-list
+  // cap (dlx/marc/query.py:194-199) routinely, and the compiler
+  // degrades to direct predicates over the record's own values — a
+  // path no gate had ever run under the oracle (the round-9 theme:
+  // gate the fallbacks a real deployment actually takes). Forcing
+  // maxResolvedValues low makes the degradation deterministic at gate
+  // scale; the oracle is the SAME relational answer, so the gate is
+  // exactly "the fallback equals the primary path".
+
+  private def subjectField(df: DataFrame, rt: String): DataFrame = {
+    val spec = graft.config.DlxConfig.logicalFields(rt).toMap.apply("subject")
+    df.withColumn("logical",
+      map(lit("subject"), LogicalFields.fieldValues("subject", spec)))
+  }
+
+  /** q188's query through the browse-index OVER-CAP fallback
+    * (SparkQueryCompiler LogicalRx None branch: regex the record's own
+    * logical values) — must produce exactly q188's rows. */
+  def q193RealBrowseFallback(s: SparkSession, dir: String): DataFrame = {
+    val compiler = new SparkQueryCompiler(s,
+      subjectField(marcBibs(s), "bib"), subjectField(marcAuths(s), "auth"),
+      maxResolvedValues = 10)
+    compiler.run("subject:/w44/").select("_id").orderBy("_id")
+  }
+
+  /** Negated regex through the over-cap fallback (directRegexPredicate
+    * not=true): keep bibs whose title does NOT start with a w3-prefix
+    * token. The positive twin is q187's regex leg. */
+  def q194RealNotRegexFallback(s: SparkSession, dir: String): DataFrame = {
+    val compiler = new SparkQueryCompiler(s, marcBibs(s), marcAuths(s),
+      maxResolvedValues = 10)
+    compiler.run("650__a:* AND NOT 245__a:/^w3/").select("_id").orderBy("_id")
+  }
+
+  /** Negated fielded TEXT through the over-cap fallback
+    * (directTextPredicate not=true): tokenized word-level containment
+    * evaluated against the record's own field, not an in-list. */
+  def q195RealNotTextFallback(s: SparkSession, dir: String): DataFrame = {
+    val compiler = new SparkQueryCompiler(s, marcBibs(s), marcAuths(s),
+      maxResolvedValues = 10)
+    compiler.run("650__a:* AND NOT 245__a:w3").select("_id").orderBy("_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q187_real_marc_dsl" -> (q187RealMarcDsl _),
     "q188_real_browse" -> (q188RealBrowse _),
     "q189_real_auth_resolve" -> (q189RealAuthResolve _),
     "q190_real_partial_lookup" -> (q190RealPartialLookup _),
     "q191_real_cascade" -> (q191RealCascade _),
-    "q192_real_auth_use" -> (q192RealAuthUse _))
+    "q192_real_auth_use" -> (q192RealAuthUse _),
+    "q193_real_browse_fallback" -> (q193RealBrowseFallback _),
+    "q194_real_not_regex_fallback" -> (q194RealNotRegexFallback _),
+    "q195_real_not_text_fallback" -> (q195RealNotTextFallback _))
 
   private def withCorpus(body: String): String =
     s"""WITH real_auths AS (
@@ -345,5 +387,20 @@ object RealMarc {
          |ORDER BY _id""".stripMargin),
     "q192_real_auth_use" -> withCorpus(
       """SELECT CAST(xref AS BIGINT) AS xref, COUNT(*) AS use_count
-        |FROM real_bibs GROUP BY 1 ORDER BY xref""".stripMargin))
+        |FROM real_bibs GROUP BY 1 ORDER BY xref""".stripMargin),
+    // the fallback gates share their primary-path twins' oracle BODIES
+    // — the gate is exactly "the degraded plan computes the same set"
+    "q193_real_browse_fallback" -> withCorpus(
+      """SELECT bib_id AS _id
+        |FROM real_bibs b JOIN real_auths a ON b.xref = a.auth_id
+        |WHERE regexp_matches(a.heading, 'w44')
+        |ORDER BY _id""".stripMargin),
+    "q194_real_not_regex_fallback" -> withCorpus(
+      """SELECT bib_id AS _id FROM real_bibs
+        |WHERE NOT regexp_matches(title, '^w3')
+        |ORDER BY _id""".stripMargin),
+    "q195_real_not_text_fallback" -> withCorpus(
+      """SELECT bib_id AS _id FROM real_bibs
+        |WHERE NOT list_contains(string_split(title, ' '), 'w3')
+        |ORDER BY _id""".stripMargin))
 }

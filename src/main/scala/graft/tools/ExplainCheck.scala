@@ -1080,6 +1080,29 @@ object ExplainCheck {
       "q191: cascade/refresh produced a cross product")
     println("q191 realistic cascade broadcast refresh OK")
 
+    // the two LogicalRx resolution regimes, pinned against each other:
+    // under the cap the browse regex resolves to a collected in-list
+    // (INSET over normalized values); OVER the cap (forced low in
+    // q193) it must degrade to the record's own values under RLIKE —
+    // never to a driver materialization or a join explosion
+    val q188 = graft.SparkEntry.queries("q188_real_browse")(spark, sfDir)
+    val p188 = planOf(q188)
+    assert(p188.contains("INSET") || p188.contains(" IN ("),
+      "q188: browse regex under the cap must resolve to an in-list")
+    println("q188 realistic browse in-list OK")
+    val q193 = graft.SparkEntry.queries("q193_real_browse_fallback")(spark, sfDir)
+    val p193 = planOf(q193)
+    assert(p193.contains("RLIKE"),
+      "q193: over-cap browse fallback must regex the record's own values")
+    assert(!p193.contains("INSET"),
+      "q193: over-cap fallback still materialized an in-list")
+    println("q193 over-cap browse RLIKE fallback OK")
+    val q194 = graft.SparkEntry.queries("q194_real_not_regex_fallback")(spark, sfDir)
+    val p194 = planOf(q194)
+    assert(p194.contains("RLIKE"),
+      "q194: negated over-cap regex must evaluate against the record's own subfields")
+    println("q194 over-cap negated regex fallback OK")
+
     val q192 = graft.SparkEntry.queries("q192_real_auth_use")(spark, sfDir)
     val p192 = planOf(q192)
     assert(p192.contains("HashAggregate") || p192.contains("ObjectHashAggregate"),

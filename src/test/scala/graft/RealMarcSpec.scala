@@ -76,4 +76,22 @@ class RealMarcSpec extends AnyFunSuite {
     assert(changed > 280 && changed < 480, s"cascaded rows $changed")
     assert(casc.count() === RealMarc.nBibs)
   }
+
+  test("over-cap fallback gates actually engage the fallback (cap 10 < resolved set)") {
+    // q193's browse regex resolves >10 distinct heading values, so the
+    // forced maxResolvedValues=10 provably routes through the
+    // direct-predicate branch (a vacuous gate would pass with an
+    // in-list too — this pins that it CANNOT be the in-list)
+    val browseVals = auths.where(col("heading").rlike("w44")).count()
+    assert(browseVals > 10, s"browse regex resolves only $browseVals values")
+    // q194/q195: the 245 regex/text resolution sees >10 distinct titles
+    val titleVals = bibs.where(col("title").rlike("^w3"))
+      .select(countDistinct(col("title"))).head().getLong(0)
+    assert(titleVals > 10, s"title regex resolves only $titleVals values")
+    // and the fallback answers equal their primary-path complements
+    val all = RealMarc.nBibs
+    val pos187style = bibs.where(col("title").rlike("^w3")).count()
+    val neg = RealMarc.q194RealNotRegexFallback(spark, "").count()
+    assert(neg === all - pos187style, s"q194 $neg + positive $pos187style != $all")
+  }
 }
