@@ -25,22 +25,27 @@ import org.apache.spark.sql.functions._
   *    timer.
   *
   * Ceilings: measured medians on this rig (local[32], sf-independent
-  * generated corpus) x ~2.5 headroom for host variance; ratio
-  * ceilings allow the ~3x data growth plus index-build log factors
-  * but fail a quadratic blow-up.
+  * generated corpus) x ~4 headroom for host variance; ratio ceilings
+  * allow the ~3x data growth plus index-build log factors but fail a
+  * quadratic blow-up.
   *
-  * Usage: runMain graft.tools.RealMarcBench [roundLabel]
-  * Writes BENCH_realmarc_<roundLabel>.json; exits nonzero on any
-  * wall/ratio/verification failure.
+  * Usage:
+  *   runMain graft.tools.RealMarcBench [roundLabel]  — the gated
+  *     x10/x30 cadence; writes BENCH_realmarc_<roundLabel>.json,
+  *     exits nonzero on any wall/ratio/verification failure.
+  *   runMain graft.tools.RealMarcBench probe [factor] — the
+  *     out-of-cadence scale probe (x100 analog of the text family's):
+  *     verified walls at one factor, written to
+  *     BENCH_realmarc_x<factor>.json, verification-gated but not
+  *     ceiling-gated; document the numbers in SCALING.md. factor ≤ 133
+  *     keeps nBibs·factor under the generator's 2e6
+  *     quadratic-seed bound.
   */
 object RealMarcBench {
 
   /** (wall name, x10 ceiling sec, x30 ceiling sec, x30/x10 ratio
-    * ceiling). Measured after the x1 warmup pass: x10 all ≤ 1.3 s,
-    * x30 all ≤ 3.0 s (local[32]); ceilings ≈ 4x measured for host
-    * variance. The ratio ceiling of 6 allows the 3x data plus
-    * index-build log factors but fails anything super-linear in the
-    * deepened head-auth skew. */
+    * ceiling). Measured after the x1 warmup pass: x10 all ≤ 1.6 s,
+    * x30 all ≤ 3.4 s (local[32]). */
   private val gates: Seq[(String, Double, Double, Double)] = Seq(
     ("resolve", 6.0, 12.0, 6.0),
     ("dsl_search", 8.0, 15.0, 6.0),
@@ -48,11 +53,25 @@ object RealMarcBench {
     ("cascade", 8.0, 15.0, 6.0))
 
   def main(args: Array[String]): Unit = {
-    val fails = run(args)
+    val fails =
+      if (args.headOption.contains("probe")) probe(args.lift(1).map(_.toInt).getOrElse(100))
+      else run(args)
     if (fails.nonEmpty) {
       fails.foreach(f => System.err.println(s"[realmarcbench] $f"))
       sys.exit(1)
     }
+  }
+
+  private def session(): SparkSession = {
+    val s = SparkSession.getActiveSession.getOrElse(
+      SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+    s.sparkContext.setLogLevel("WARN")
+    s
   }
 
   private def time[A](body: => A): (A, Double) = {
@@ -61,97 +80,102 @@ object RealMarcBench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** One factor's verified walls: (times by wall name, verification
+    * failures). Corpus construction and the relational replays run
+    * OUTSIDE the timers. */
+  private def wallsAt(spark: SparkSession, factor: Int): (Map[String, Double], Seq[String]) = {
+    val fails = scala.collection.mutable.ArrayBuffer.empty[String]
+    val nA = RealMarc.nAuths * factor
+    val nB = RealMarc.nBibs * factor
+    val authsR = RealMarc.authsRelN(spark, nA).cache()
+    val bibsR = RealMarc.bibsRelN(spark, nA, nB).cache()
+    authsR.count(); bibsR.count()
+    val auths = RealMarc.marcAuthsFrom(authsR)
+    val bibs = RealMarc.marcBibsFrom(bibsR, authsR)
+
+    // --- resolve (q189 core): broadcast-map over deepened skew
+    val (resolvedNulls, tResolve) = time {
+      import graft.spark.MarcSchema.marcRowEncoder
+      val r = graft.spark.MarcContext.resolveLinkedAuto(
+        RealMarc.marcBibsStrippedFrom(bibsR)
+          .as[graft.spark.MarcRow](marcRowEncoder), auths).toDF()
+      val subj = try_element_at(flatten(transform(
+        filter(col("datafields"), f => f.getField("tag") === "650"),
+        f => transform(f.getField("subfields"), sf => sf.getField("value")))), lit(1))
+      r.select(subj.as("s")).where(col("s").isNull).count()
+    }
+    if (resolvedNulls != 0L)
+      fails += s"VERIFY FAIL x$factor resolve: $resolvedNulls unresolved subjects"
+
+    // --- dsl search (q187 core): exact heading + regex at scale
+    val (dslRows, tDsl) = time {
+      val compiler = new graft.spark.SparkQueryCompiler(spark, bibs, auths)
+      compiler.run(
+        s"650__a:'${RealMarc.headingOf(RealMarc.targetAuth).toUpperCase}' AND 245__a:/^w3/")
+        .count()
+    }
+    val dslExpect = bibsR
+      .join(authsR.where(col("heading") === RealMarc.headingOf(RealMarc.targetAuth))
+        .select(col("auth_id").as("m_id")), col("xref") === col("m_id"))
+      .where(col("title").rlike("^w3")).count()
+    if (dslRows != dslExpect)
+      fails += s"VERIFY FAIL x$factor dsl_search: $dslRows rows, replay expects $dslExpect"
+
+    // --- browse (q188 core): browse-index regex resolution
+    val (browseRows, tBrowse) = time {
+      def oneField(df: DataFrame, rt: String): DataFrame = {
+        val spec = graft.config.DlxConfig.logicalFields(rt).toMap.apply("subject")
+        df.withColumn("logical",
+          map(lit("subject"), graft.spark.LogicalFields.fieldValues("subject", spec)))
+      }
+      val compiler = new graft.spark.SparkQueryCompiler(spark,
+        oneField(bibs, "bib"), oneField(auths, "auth"))
+      compiler.run("subject:/w44/").count()
+    }
+    val browseExpect = bibsR
+      .join(authsR.where(col("heading").rlike("w44"))
+        .select(col("auth_id").as("m_id")), col("xref") === col("m_id")).count()
+    if (browseRows != browseExpect)
+      fails += s"VERIFY FAIL x$factor browse: $browseRows rows, replay expects $browseExpect"
+
+    // --- cascade (q191 core): head-auth retag + linked refresh
+    val (cascChanged, tCasc) = time {
+      val cascaded = graft.spark.AuthOps.cascadeHeadingChange(bibs,
+        RealMarc.targetAuth, "150", Seq("a"), "151", Seq("a"))
+      val refreshed = graft.spark.AuthOps.refreshLinkedValues(
+        cascaded, RealMarc.marcAuthsFrom(authsR, changed = true))
+      refreshed.where(exists(col("datafields"), f => f.getField("tag") === "651"))
+        .count()
+    }
+    val cascExpect = bibsR.where(col("xref") === RealMarc.targetAuth).count()
+    if (cascChanged != cascExpect)
+      fails += s"VERIFY FAIL x$factor cascade: $cascChanged retagged, replay expects $cascExpect"
+
+    authsR.unpersist(); bibsR.unpersist()
+    (Map("resolve" -> tResolve, "dsl_search" -> tDsl,
+      "browse" -> tBrowse, "cascade" -> tCasc), fails.toSeq)
+  }
+
+  private def r3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def fmt(m: Seq[(String, Double)]) =
+    m.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+  private def failsJson(fails: Seq[String]) =
+    fails.map(f => "\"" + f.replace("\"", "'") + "\"").mkString(",")
+
+  /** Composable entry (RoundArtifacts chains the per-round gates). */
   def run(args: Array[String]): Seq[String] = {
     val round = args.lift(0).getOrElse("r0X")
-    val spark = SparkSession.getActiveSession.getOrElse(
-      SparkSession.builder()
-        .master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate())
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = session()
     val fails = scala.collection.mutable.ArrayBuffer.empty[String]
-
-    def walls(factor: Int): Map[String, Double] = {
-      val nA = RealMarc.nAuths * factor
-      val nB = RealMarc.nBibs * factor
-      val authsR = RealMarc.authsRelN(spark, nA).cache()
-      val bibsR = RealMarc.bibsRelN(spark, nA, nB).cache()
-      authsR.count(); bibsR.count() // corpus construction outside timers
-      val auths = RealMarc.marcAuthsFrom(authsR)
-      val bibs = RealMarc.marcBibsFrom(bibsR, authsR)
-
-      // --- resolve (q189 core): broadcast-map over deepened skew
-      val (resolvedNulls, tResolve) = time {
-        import graft.spark.MarcSchema.marcRowEncoder
-        val r = graft.spark.MarcContext.resolveLinkedAuto(
-          RealMarc.marcBibsStrippedFrom(bibsR)
-            .as[graft.spark.MarcRow](marcRowEncoder), auths).toDF()
-        val subj = try_element_at(flatten(transform(
-          filter(col("datafields"), f => f.getField("tag") === "650"),
-          f => transform(f.getField("subfields"), sf => sf.getField("value")))), lit(1))
-        r.select(subj.as("s")).where(col("s").isNull).count()
-      }
-      if (resolvedNulls != 0L)
-        fails += s"VERIFY FAIL x$factor resolve: $resolvedNulls unresolved subjects"
-
-      // --- dsl search (q187 core): exact heading + regex at scale
-      val (dslRows, tDsl) = time {
-        val compiler = new graft.spark.SparkQueryCompiler(spark, bibs, auths)
-        compiler.run(
-          s"650__a:'${RealMarc.headingOf(RealMarc.targetAuth).toUpperCase}' AND 245__a:/^w3/")
-          .count()
-      }
-      // independent replay on the generator tables (outside the timer)
-      val dslExpect = bibsR
-        .join(authsR.where(col("heading") === RealMarc.headingOf(RealMarc.targetAuth))
-          .select(col("auth_id").as("m_id")), col("xref") === col("m_id"))
-        .where(col("title").rlike("^w3")).count()
-      if (dslRows != dslExpect)
-        fails += s"VERIFY FAIL x$factor dsl_search: $dslRows rows, replay expects $dslExpect"
-
-      // --- browse (q188 core): browse-index regex resolution
-      val (browseRows, tBrowse) = time {
-        def oneField(df: DataFrame, rt: String): DataFrame = {
-          val spec = graft.config.DlxConfig.logicalFields(rt).toMap.apply("subject")
-          df.withColumn("logical",
-            map(lit("subject"), graft.spark.LogicalFields.fieldValues("subject", spec)))
-        }
-        val compiler = new graft.spark.SparkQueryCompiler(spark,
-          oneField(bibs, "bib"), oneField(auths, "auth"))
-        compiler.run("subject:/w44/").count()
-      }
-      val browseExpect = bibsR
-        .join(authsR.where(col("heading").rlike("w44"))
-          .select(col("auth_id").as("m_id")), col("xref") === col("m_id")).count()
-      if (browseRows != browseExpect)
-        fails += s"VERIFY FAIL x$factor browse: $browseRows rows, replay expects $browseExpect"
-
-      // --- cascade (q191 core): head-auth retag + linked refresh
-      val (cascChanged, tCasc) = time {
-        val cascaded = graft.spark.AuthOps.cascadeHeadingChange(bibs,
-          RealMarc.targetAuth, "150", Seq("a"), "151", Seq("a"))
-        val refreshed = graft.spark.AuthOps.refreshLinkedValues(
-          cascaded, RealMarc.marcAuthsFrom(authsR, changed = true))
-        refreshed.where(exists(col("datafields"), f => f.getField("tag") === "651"))
-          .count()
-      }
-      val cascExpect = bibsR.where(col("xref") === RealMarc.targetAuth).count()
-      if (cascChanged != cascExpect)
-        fails += s"VERIFY FAIL x$factor cascade: $cascChanged retagged, replay expects $cascExpect"
-
-      authsR.unpersist(); bibsR.unpersist()
-      Map("resolve" -> tResolve, "dsl_search" -> tDsl,
-        "browse" -> tBrowse, "cascade" -> tCasc)
-    }
 
     // untimed x1 warmup: whole-stage codegen + encoder/JIT cost
     // otherwise lands on whichever factor runs first (the first probe
     // read x10 SLOWER than x30 — pure attribution noise)
-    walls(1)
-    val t10 = walls(10)
-    val t30 = walls(30)
+    wallsAt(spark, 1)
+    val (t10, v10) = wallsAt(spark, 10)
+    val (t30, v30) = wallsAt(spark, 30)
+    fails ++= v10; fails ++= v30
     val ratios = gates.map { case (name, c10, c30, rCeil) =>
       val (a, b) = (t10(name), t30(name))
       if (a > c10) fails += f"WALL FAIL x10 $name: $a%.2f s > ceiling $c10%.1f s"
@@ -161,19 +185,30 @@ object RealMarcBench {
       name -> ratio
     }
 
-    def r3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def fmt(m: Seq[(String, Double)]) =
-      m.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"realmarc_family","round":"$round",""" +
         s""""x10":${fmt(gates.map(g => g._1 -> t10(g._1)))},""" +
         s""""x30":${fmt(gates.map(g => g._1 -> t30(g._1)))},""" +
         s""""ratio_x30_x10":${fmt(ratios)},""" +
-        s""""guard_fails":[${fails.map(f => "\"" + f.replace("\"", "'") + "\"").mkString(",")}]${GitStamp.jsonField}}"""
+        s""""guard_fails":[${failsJson(fails.toSeq)}]${GitStamp.jsonField}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"BENCH_realmarc_$round.json"), json + "\n")
     println(json)
     fails.toSeq
+  }
+
+  /** Out-of-cadence verified scale probe at one factor. */
+  def probe(factor: Int): Seq[String] = {
+    val spark = session()
+    wallsAt(spark, 1) // warmup
+    val (t, fails) = wallsAt(spark, factor)
+    val json =
+      s"""{"metric":"realmarc_probe","factor":$factor,""" +
+        s""""walls":${fmt(t.toSeq.sortBy(_._1))},""" +
+        s""""guard_fails":[${failsJson(fails)}]${GitStamp.jsonField}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"BENCH_realmarc_x$factor.json"), json + "\n")
+    println(json)
+    fails
   }
 }
