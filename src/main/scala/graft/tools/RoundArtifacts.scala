@@ -30,8 +30,15 @@ object RoundArtifacts {
         "commit first so the artifacts stamp a real commit")
       sys.exit(2)
     }
-    val fails = FuzzBench.run(Array(round)) ++ RealBench.run(Array(round)) ++
-      RealMarcBench.run(Array(round)) ++ IsolatedBench.run(Array(round))
+    // IsolatedBench FIRST: its fresh-JVM children share the host with
+    // this parent, and after three in-JVM bench families the parent's
+    // heap is large enough that its GC measurably steals CPU from the
+    // children (observed: q102 walls 8-10 s from a lean parent,
+    // 19-20 s bimodal from a post-battery parent — a 2x attribution
+    // error on a gated number). Walls are measured before the parent
+    // bloats; the in-JVM families are insensitive to ordering.
+    val fails = IsolatedBench.run(Array(round)) ++ FuzzBench.run(Array(round)) ++
+      RealBench.run(Array(round)) ++ RealMarcBench.run(Array(round))
     if (fails.nonEmpty) {
       fails.foreach(f => System.err.println(s"[roundartifacts] $f"))
       sys.exit(1)
