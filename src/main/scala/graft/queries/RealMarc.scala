@@ -340,6 +340,53 @@ object RealMarc {
     compiler.run("650__a:* AND NOT 245__a:w3").select("_id").orderBy("_id")
   }
 
+  /** q62 twin — the STORE-level cascade under realistic skew: q191
+    * gates the AuthOps transform, but production cascades run inside
+    * MarcStore.commit (auth validation, history versioning, linked
+    * refresh on the touched buckets). q62's corpus attaches EVERY bib
+    * to one auth, so "cascade" there means "rewrite the whole table";
+    * here the changed head auth touches only its ~2% attached slice
+    * and the gate asserts exactly that: attached bibs get the new
+    * heading AND a second history version, unattached bibs keep
+    * version 1 — the touched-bucket write path under skew. */
+  def q196RealStoreCascade(s: SparkSession, dir: String): DataFrame = {
+    import graft.spark.MarcSchema.marcRowEncoder
+    val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2021-01-01T00:00:00Z"))
+    val t2 = java.sql.Timestamp.from(java.time.Instant.parse("2021-02-01T00:00:00Z"))
+    val t3 = java.sql.Timestamp.from(java.time.Instant.parse("2021-03-01T00:00:00Z"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q196").toString
+    val store = new graft.store.MarcStore(s, base, numBuckets = StoreOps.gateBuckets)
+    store.commit(marcAuths(s).as[graft.spark.MarcRow](marcRowEncoder),
+      user = "alice", now = t1)
+    // every 5th bib (3,000): the store pays per-touched-bucket, and
+    // the skewed attachment survives subsetting (head ~75 each)
+    val bibs = marcBibsStrippedFrom(bibsRel(s).where(col("bib_id") % 5 === 0))
+    store.commit(bibs.as[graft.spark.MarcRow](marcRowEncoder), user = "bob", now = t2)
+    // heading VALUE change on the head auth -> cascade on commit
+    val changed = marcAuthsFrom(authsRel(s).where(col("auth_id") === targetAuth))
+      .withColumn("datafields",
+        transform(col("datafields"), f => struct(
+          f.getField("tag").as("tag"), f.getField("ind1").as("ind1"),
+          f.getField("ind2").as("ind2"),
+          transform(f.getField("subfields"), sf => struct(
+            sf.getField("code").as("code"),
+            lit(changedHeading).as("value"),
+            sf.getField("xref").as("xref"))).as("subfields"))))
+    store.commit(changed.as[graft.spark.MarcRow](marcRowEncoder),
+      user = "editor", now = t3)
+    val counts = store.readHistory("bib").groupBy(col("_id").as("c_id"))
+      .agg(count(lit(1)).as("n_versions"))
+    // live linked subfields store NO value (reference BSON semantics);
+    // a reader resolves through the auth dimension, which after the
+    // cascade commit carries the changed heading
+    val resolved = MarcContext.resolveLinkedAuto(
+      store.read("bib"), store.read("auth").toDF()).toDF()
+    resolved
+      .select(col("_id"), firstVal("650").as("subject"))
+      .join(counts, col("_id") === col("c_id")).drop("c_id")
+      .orderBy("_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q187_real_marc_dsl" -> (q187RealMarcDsl _),
     "q188_real_browse" -> (q188RealBrowse _),
@@ -349,7 +396,8 @@ object RealMarc {
     "q192_real_auth_use" -> (q192RealAuthUse _),
     "q193_real_browse_fallback" -> (q193RealBrowseFallback _),
     "q194_real_not_regex_fallback" -> (q194RealNotRegexFallback _),
-    "q195_real_not_text_fallback" -> (q195RealNotTextFallback _))
+    "q195_real_not_text_fallback" -> (q195RealNotTextFallback _),
+    "q196_real_store_cascade" -> (q196RealStoreCascade _))
 
   private def withCorpus(body: String): String =
     s"""WITH real_auths AS (
@@ -402,5 +450,12 @@ object RealMarc {
     "q195_real_not_text_fallback" -> withCorpus(
       """SELECT bib_id AS _id FROM real_bibs
         |WHERE NOT list_contains(string_split(title, ' '), 'w3')
-        |ORDER BY _id""".stripMargin))
+        |ORDER BY _id""".stripMargin),
+    "q196_real_store_cascade" -> withCorpus(
+      s"""SELECT bib_id AS _id,
+         |  CASE WHEN xref = $targetAuth THEN '$changedHeading' ELSE heading END AS subject,
+         |  CAST(CASE WHEN xref = $targetAuth THEN 2 ELSE 1 END AS BIGINT) AS n_versions
+         |FROM real_bibs b JOIN real_auths a ON b.xref = a.auth_id
+         |WHERE bib_id % 5 = 0
+         |ORDER BY _id""".stripMargin))
 }
