@@ -56,7 +56,11 @@ if chunk_names is None:
                 [sys.executable, os.path.abspath(__file__), sf, out,
                  "--chunk", ",".join(chunk), "--mem", mem],
                 capture_output=True, text=True)
-            if r.returncode == 0:
+            if r.returncode in (0, 3):
+                # 0 = clean; 3 = DETERMINISTIC compare failure — a real
+                # mismatch reproduces identically, so retrying it three
+                # times only delays the verdict (observed on q196's
+                # first cut: 3 full runs before the FAIL surfaced)
                 break
             import time
             print(f"WARN chunk {chunk[0]}..: child attempt {attempt + 1} failed, retrying")
@@ -120,6 +124,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.map(cell)
 
 fails = 0
+env_fails = 0  # oracle-side errors (possibly environmental): parent may retry
 for qi, (name, sql) in enumerate(sorted(oracles.items())):
     if qi and qi % RECYCLE_EVERY == 0:
         con.close()
@@ -138,6 +143,7 @@ for qi, (name, sql) in enumerate(sorted(oracles.items())):
         except Exception as e2:
             print(f"FAIL {name}: oracle error: {e2}")
             fails += 1
+            env_fails += 1
             continue
     try:
         got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{out}/{name}/*.parquet"))])
@@ -168,4 +174,6 @@ for qi, (name, sql) in enumerate(sorted(oracles.items())):
     print(f"PASS {name} ({len(g2)} rows)")
 
 print(f"\n{len(oracles) - fails}/{len(oracles)} pass")
-sys.exit(1 if fails else 0)
+# rc 3 = at least one deterministic mismatch (do not retry);
+# rc 1 = only environmental/oracle errors (parent retries fresh)
+sys.exit(0 if not fails else (1 if fails == env_fails else 3))
