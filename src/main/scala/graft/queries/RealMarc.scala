@@ -306,7 +306,7 @@ object RealMarc {
   // scale; the oracle is the SAME relational answer, so the gate is
   // exactly "the fallback equals the primary path".
 
-  private def subjectField(df: DataFrame, rt: String): DataFrame = {
+  private[graft] def subjectField(df: DataFrame, rt: String): DataFrame = {
     val spec = graft.config.DlxConfig.logicalFields(rt).toMap.apply("subject")
     df.withColumn("logical",
       map(lit("subject"), LogicalFields.fieldValues("subject", spec)))

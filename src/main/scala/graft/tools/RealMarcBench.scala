@@ -121,15 +121,11 @@ object RealMarcBench {
     if (dslRows != dslExpect)
       fails += s"VERIFY FAIL x$factor dsl_search: $dslRows rows, replay expects $dslExpect"
 
-    // --- browse (q188 core): browse-index regex resolution
+    // --- browse (q188 core): browse-index regex resolution (the gate's
+    // own subjectField, so the wall measures the gated query shape)
     val (browseRows, tBrowse) = time {
-      def oneField(df: DataFrame, rt: String): DataFrame = {
-        val spec = graft.config.DlxConfig.logicalFields(rt).toMap.apply("subject")
-        df.withColumn("logical",
-          map(lit("subject"), graft.spark.LogicalFields.fieldValues("subject", spec)))
-      }
       val compiler = new graft.spark.SparkQueryCompiler(spark,
-        oneField(bibs, "bib"), oneField(auths, "auth"))
+        RealMarc.subjectField(bibs, "bib"), RealMarc.subjectField(auths, "auth"))
       compiler.run("subject:/w44/").count()
     }
     val browseExpect = bibsR
@@ -171,11 +167,13 @@ object RealMarcBench {
 
     // untimed x1 warmup: whole-stage codegen + encoder/JIT cost
     // otherwise lands on whichever factor runs first (the first probe
-    // read x10 SLOWER than x30 — pure attribution noise)
-    wallsAt(spark, 1)
+    // read x10 SLOWER than x30 — pure attribution noise). Its TIMES
+    // are discarded; its VERIFICATIONS are not (a defect visible only
+    // at the gate-scale corpus must not vanish into the warmup)
+    val (_, v1) = wallsAt(spark, 1)
     val (t10, v10) = wallsAt(spark, 10)
     val (t30, v30) = wallsAt(spark, 30)
-    fails ++= v10; fails ++= v30
+    fails ++= v1; fails ++= v10; fails ++= v30
     val ratios = gates.map { case (name, c10, c30, rCeil) =>
       val (a, b) = (t10(name), t30(name))
       if (a > c10) fails += f"WALL FAIL x10 $name: $a%.2f s > ceiling $c10%.1f s"
@@ -200,8 +198,9 @@ object RealMarcBench {
   /** Out-of-cadence verified scale probe at one factor. */
   def probe(factor: Int): Seq[String] = {
     val spark = session()
-    wallsAt(spark, 1) // warmup
-    val (t, fails) = wallsAt(spark, factor)
+    val (_, vWarm) = wallsAt(spark, 1) // warmup: times discarded, checks kept
+    val (t, vMain) = wallsAt(spark, factor)
+    val fails = vWarm ++ vMain
     val json =
       s"""{"metric":"realmarc_probe","factor":$factor,""" +
         s""""walls":${fmt(t.toSeq.sortBy(_._1))},""" +

@@ -84,14 +84,22 @@ class RealMarcSpec extends AnyFunSuite {
     // in-list too — this pins that it CANNOT be the in-list)
     val browseVals = auths.where(col("heading").rlike("w44")).count()
     assert(browseVals > 10, s"browse regex resolves only $browseVals values")
-    // q194/q195: the 245 regex/text resolution sees >10 distinct titles
+    // q194: the 245 regex resolution sees >10 distinct titles
     val titleVals = bibs.where(col("title").rlike("^w3"))
       .select(countDistinct(col("title"))).head().getLong(0)
     assert(titleVals > 10, s"title regex resolves only $titleVals values")
+    // q195: the 245 TEXT resolution (exact token 'w3', a different and
+    // smaller set than the regex prefix match) also exceeds the cap
+    val tokenVals = bibs.where(array_contains(split(col("title"), " "), "w3"))
+      .select(countDistinct(col("title"))).head().getLong(0)
+    assert(tokenVals > 10, s"title token resolution resolves only $tokenVals values")
     // and the fallback answers equal their primary-path complements
     val all = RealMarc.nBibs
     val pos187style = bibs.where(col("title").rlike("^w3")).count()
     val neg = RealMarc.q194RealNotRegexFallback(spark, "").count()
     assert(neg === all - pos187style, s"q194 $neg + positive $pos187style != $all")
+    val posToken = bibs.where(array_contains(split(col("title"), " "), "w3")).count()
+    val negText = RealMarc.q195RealNotTextFallback(spark, "").count()
+    assert(negText === all - posToken, s"q195 $negText + positive $posToken != $all")
   }
 }

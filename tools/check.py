@@ -148,8 +148,12 @@ for qi, (name, sql) in enumerate(sorted(oracles.items())):
     try:
         got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{out}/{name}/*.parquet"))])
     except Exception as e:
+        # possibly the same transient-allocation flake as the oracle
+        # path (parquet read allocates buffers too) — classify as
+        # environmental so the parent's fresh-process retry applies
         print(f"FAIL {name}: spark output missing: {e}")
         fails += 1
+        env_fails += 1
         continue
     w, g = norm(want), norm(got)
     if list(w.columns) != list(g.columns):
@@ -174,6 +178,8 @@ for qi, (name, sql) in enumerate(sorted(oracles.items())):
     print(f"PASS {name} ({len(g2)} rows)")
 
 print(f"\n{len(oracles) - fails}/{len(oracles)} pass")
-# rc 3 = at least one deterministic mismatch (do not retry);
-# rc 1 = only environmental/oracle errors (parent retries fresh)
-sys.exit(0 if not fails else (1 if fails == env_fails else 3))
+# rc 1 = at least one environmental failure (oracle error / parquet
+# read): parent retries in a fresh process — deterministic mismatches
+# in the same chunk simply reproduce there. rc 3 = ONLY deterministic
+# mismatches: never retried.
+sys.exit(0 if not fails else (1 if env_fails > 0 else 3))
