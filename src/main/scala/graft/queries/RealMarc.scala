@@ -298,13 +298,16 @@ object RealMarc {
 
   // ---- over-cap degradation gates ---------------------------------------
   // At 100 TB the resolved value sets EXCEED the reference's in-list
-  // cap (dlx/marc/query.py:194-199) routinely, and the compiler
-  // degrades to direct predicates over the record's own values — a
-  // path no gate had ever run under the oracle (the round-9 theme:
-  // gate the fallbacks a real deployment actually takes). Forcing
-  // maxResolvedValues low makes the degradation deterministic at gate
-  // scale; the oracle is the SAME relational answer, so the gate is
-  // exactly "the fallback equals the primary path".
+  // cap (dlx/marc/query.py:194-199) routinely. The reference's split:
+  // REGEX conditions degrade to a direct predicate over the record's
+  // own values (query.py:194-206); TEXT conditions RAISE
+  // InvalidQueryString (query.py:313-318) — both paths gated here.
+  // Resolved XREF lists (which the reference collects uncapped,
+  // query.py:340-358) are capped at maxResolvedXrefs with a
+  // distributed flag-join fallback — q197/q198 force that cap low.
+  // Forcing a cap low makes the degradation deterministic at gate
+  // scale; the oracle is the SAME relational answer, so each gate is
+  // exactly "the degraded plan equals the primary path".
 
   private[graft] def subjectField(df: DataFrame, rt: String): DataFrame = {
     val spec = graft.config.DlxConfig.logicalFields(rt).toMap.apply("subject")
@@ -331,13 +334,48 @@ object RealMarc {
     compiler.run("650__a:* AND NOT 245__a:/^w3/").select("_id").orderBy("_id")
   }
 
-  /** Negated fielded TEXT through the over-cap fallback
-    * (directTextPredicate not=true): tokenized word-level containment
-    * evaluated against the record's own field, not an in-list. */
-  def q195RealNotTextFallback(s: SparkSession, dir: String): DataFrame = {
-    val compiler = new SparkQueryCompiler(s, marcBibs(s), marcAuths(s),
+  /** Over-cap fielded TEXT must RAISE, not silently degrade — the
+    * reference raises InvalidQueryString ("too many hits ... Try
+    * narrowing", dlx/marc/query.py:313-318; the silent fallback is
+    * regex-only). The gate proves both halves: the capped compiler
+    * raises on the negated text leg (a `require`, so a silent result
+    * turns the gate red), and the same query under the default cap
+    * returns the primary-path rows the oracle checks. */
+  def q195RealTextOvercapRaise(s: SparkSession, dir: String): DataFrame = {
+    val capped = new SparkQueryCompiler(s, marcBibs(s), marcAuths(s),
       maxResolvedValues = 10)
-    compiler.run("650__a:* AND NOT 245__a:w3").select("_id").orderBy("_id")
+    val raised =
+      try { capped.run("650__a:* AND NOT 245__a:w3"); false }
+      catch { case _: graft.query.InvalidQueryString => true }
+    require(raised,
+      "over-cap text resolution must raise InvalidQueryString (dlx/marc/query.py:313-318)")
+    val full = new SparkQueryCompiler(s, marcBibs(s), marcAuths(s))
+    full.run("650__a:* AND NOT 245__a:w3").select("_id").orderBy("_id")
+  }
+
+  /** Over-cap XREF in-list (round-9 verdict #1): nested in an OR, the
+    * 650$a regex must compile to a Column predicate (the semi-join
+    * path only takes top-level positive conditions), so its ~30
+    * resolved heading xrefs normally become a driver INSET. Forcing
+    * maxResolvedXrefs below that makes the compiler keep the matching
+    * heading slice as a DataFrame and evaluate membership as a
+    * distributed flag join composed INSIDE the OR — no driver INSET,
+    * same answer as the in-list path. */
+  def q197RealXrefOvercap(s: SparkSession, dir: String): DataFrame = {
+    val compiler = new SparkQueryCompiler(s, marcBibs(s), marcAuths(s),
+      maxResolvedXrefs = 5)
+    compiler.run("245__a:/^w3/ OR 650__a:/w44/").select("_id").orderBy("_id")
+  }
+
+  /** The over-cap xref flag join under NEGATION and collation
+    * (TagValue not=true): cap 0 forces even the single-xref exact
+    * heading through the flag-join branch, and the NOT must read the
+    * flag's complement — bibs NOT attached to the matched auth. */
+  def q198RealXrefOvercapNot(s: SparkSession, dir: String): DataFrame = {
+    val compiler = new SparkQueryCompiler(s, marcBibs(s), marcAuths(s),
+      maxResolvedXrefs = 0)
+    compiler.run(s"NOT 650:'${headingOf(targetAuth).toUpperCase}'")
+      .select("_id").orderBy("_id")
   }
 
   /** q62 twin — the STORE-level cascade under realistic skew: q191
@@ -349,31 +387,52 @@ object RealMarc {
     * and the gate asserts exactly that: attached bibs get the new
     * heading AND a second history version, unattached bibs keep
     * version 1 — the touched-bucket write path under skew. */
+  // q196 replays 3 commits to build its store; cache it per session
+  // (the StoreOps.lifecycleStore discipline) so Verify + specs +
+  // repeated bench reps don't rebuild it, and delete the temp tree on
+  // JVM exit so gate runs don't accrete /tmp dirs (ADVICE r9)
+  private val cascadeStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.store.MarcStore]
+
+  private def cascadeStore(s: SparkSession): graft.store.MarcStore =
+    cascadeStoreCache.getOrElseUpdate("store", {
+      import graft.spark.MarcSchema.marcRowEncoder
+      val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2021-01-01T00:00:00Z"))
+      val t2 = java.sql.Timestamp.from(java.time.Instant.parse("2021-02-01T00:00:00Z"))
+      val t3 = java.sql.Timestamp.from(java.time.Instant.parse("2021-03-01T00:00:00Z"))
+      val baseDir = java.nio.file.Files.createTempDirectory("graft_q196")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+          f.delete(): Unit
+        }
+        rm(baseDir.toFile)
+      }
+      val store = new graft.store.MarcStore(s, baseDir.toString,
+        numBuckets = StoreOps.gateBuckets)
+      store.commit(marcAuths(s).as[graft.spark.MarcRow](marcRowEncoder),
+        user = "alice", now = t1)
+      // every 5th bib (3,000): the store pays per-touched-bucket, and
+      // the skewed attachment survives subsetting (head ~75 each)
+      val bibs = marcBibsStrippedFrom(bibsRel(s).where(col("bib_id") % 5 === 0))
+      store.commit(bibs.as[graft.spark.MarcRow](marcRowEncoder), user = "bob", now = t2)
+      // heading VALUE change on the head auth -> cascade on commit
+      val changed = marcAuthsFrom(authsRel(s).where(col("auth_id") === targetAuth))
+        .withColumn("datafields",
+          transform(col("datafields"), f => struct(
+            f.getField("tag").as("tag"), f.getField("ind1").as("ind1"),
+            f.getField("ind2").as("ind2"),
+            transform(f.getField("subfields"), sf => struct(
+              sf.getField("code").as("code"),
+              lit(changedHeading).as("value"),
+              sf.getField("xref").as("xref"))).as("subfields"))))
+      store.commit(changed.as[graft.spark.MarcRow](marcRowEncoder),
+        user = "editor", now = t3)
+      store
+    })
+
   def q196RealStoreCascade(s: SparkSession, dir: String): DataFrame = {
-    import graft.spark.MarcSchema.marcRowEncoder
-    val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2021-01-01T00:00:00Z"))
-    val t2 = java.sql.Timestamp.from(java.time.Instant.parse("2021-02-01T00:00:00Z"))
-    val t3 = java.sql.Timestamp.from(java.time.Instant.parse("2021-03-01T00:00:00Z"))
-    val base = java.nio.file.Files.createTempDirectory("graft_q196").toString
-    val store = new graft.store.MarcStore(s, base, numBuckets = StoreOps.gateBuckets)
-    store.commit(marcAuths(s).as[graft.spark.MarcRow](marcRowEncoder),
-      user = "alice", now = t1)
-    // every 5th bib (3,000): the store pays per-touched-bucket, and
-    // the skewed attachment survives subsetting (head ~75 each)
-    val bibs = marcBibsStrippedFrom(bibsRel(s).where(col("bib_id") % 5 === 0))
-    store.commit(bibs.as[graft.spark.MarcRow](marcRowEncoder), user = "bob", now = t2)
-    // heading VALUE change on the head auth -> cascade on commit
-    val changed = marcAuthsFrom(authsRel(s).where(col("auth_id") === targetAuth))
-      .withColumn("datafields",
-        transform(col("datafields"), f => struct(
-          f.getField("tag").as("tag"), f.getField("ind1").as("ind1"),
-          f.getField("ind2").as("ind2"),
-          transform(f.getField("subfields"), sf => struct(
-            sf.getField("code").as("code"),
-            lit(changedHeading).as("value"),
-            sf.getField("xref").as("xref"))).as("subfields"))))
-    store.commit(changed.as[graft.spark.MarcRow](marcRowEncoder),
-      user = "editor", now = t3)
+    val store = cascadeStore(s)
     val counts = store.readHistory("bib").groupBy(col("_id").as("c_id"))
       .agg(count(lit(1)).as("n_versions"))
     // live linked subfields store NO value (reference BSON semantics);
@@ -396,8 +455,10 @@ object RealMarc {
     "q192_real_auth_use" -> (q192RealAuthUse _),
     "q193_real_browse_fallback" -> (q193RealBrowseFallback _),
     "q194_real_not_regex_fallback" -> (q194RealNotRegexFallback _),
-    "q195_real_not_text_fallback" -> (q195RealNotTextFallback _),
-    "q196_real_store_cascade" -> (q196RealStoreCascade _))
+    "q195_real_text_overcap_raise" -> (q195RealTextOvercapRaise _),
+    "q196_real_store_cascade" -> (q196RealStoreCascade _),
+    "q197_real_xref_overcap" -> (q197RealXrefOvercap _),
+    "q198_real_xref_overcap_not" -> (q198RealXrefOvercapNot _))
 
   private def withCorpus(body: String): String =
     s"""WITH real_auths AS (
@@ -447,7 +508,7 @@ object RealMarc {
       """SELECT bib_id AS _id FROM real_bibs
         |WHERE NOT regexp_matches(title, '^w3')
         |ORDER BY _id""".stripMargin),
-    "q195_real_not_text_fallback" -> withCorpus(
+    "q195_real_text_overcap_raise" -> withCorpus(
       """SELECT bib_id AS _id FROM real_bibs
         |WHERE NOT list_contains(string_split(title, ' '), 'w3')
         |ORDER BY _id""".stripMargin),
@@ -457,5 +518,15 @@ object RealMarc {
          |  CAST(CASE WHEN xref = $targetAuth THEN 2 ELSE 1 END AS BIGINT) AS n_versions
          |FROM real_bibs b JOIN real_auths a ON b.xref = a.auth_id
          |WHERE bib_id % 5 = 0
+         |ORDER BY _id""".stripMargin),
+    "q197_real_xref_overcap" -> withCorpus(
+      """SELECT bib_id AS _id
+        |FROM real_bibs b JOIN real_auths a ON b.xref = a.auth_id
+        |WHERE regexp_matches(b.title, '^w3') OR regexp_matches(a.heading, 'w44')
+        |ORDER BY _id""".stripMargin),
+    "q198_real_xref_overcap_not" -> withCorpus(
+      s"""SELECT bib_id AS _id FROM real_bibs
+         |WHERE xref NOT IN (SELECT auth_id FROM real_auths
+         |                   WHERE heading = '${headingOf(targetAuth)}')
          |ORDER BY _id""".stripMargin))
 }

@@ -108,8 +108,8 @@ object StoreOps {
     val store = lifecycleStore(s, dir)
     val live = store.read("bib").toDF()
     val compiler = new graft.spark.SparkQueryCompiler(s, live, store.read("auth").toDF())
-    live.where(compiler.compile(graft.query.QueryParser.parse(
-        "updated>2020-01-15 AND user:bob", "bib")))
+    compiler.filterFrame(live, graft.query.QueryParser.parse(
+        "updated>2020-01-15 AND user:bob", "bib"))
       .select("_id").orderBy("_id")
   }
 
@@ -449,7 +449,70 @@ object StoreOps {
     ()
   }
 
+  /** Crash-point recovery gate (round-9 verdict #3): drive a commit
+    * into an injected crash at EVERY stage-and-swap protocol point,
+    * reopen the store (which runs the recovery sweep under the store
+    * lock), and REQUIRE an all-or-nothing read after each crash: one
+    * distinct `user` across the live rows (a mixed bucket set would
+    * show two), unchanged row count, no dangling `_staging`. q186
+    * proved restart-equivalence for streaming; this is the batch
+    * store's twin. The oracle replays only the final clean commit —
+    * every all-or-nothing claim is a `require`, so a torn state turns
+    * the gate red via the error column. Built once per session (the
+    * lifecycleStore discipline); the temp tree dies with the JVM. */
+  private val crashStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, MarcStore]
+
+  private def crashedStore(s: SparkSession, dir: String): MarcStore =
+    crashStoreCache.getOrElseUpdate(dir, {
+      import MarcSchema.marcRowEncoder
+      val baseDir = java.nio.file.Files.createTempDirectory("graft_q199")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+          f.delete(): Unit
+        }
+        rm(baseDir.toFile)
+      }
+      val base = baseDir.toString
+      var store = new MarcStore(s, base, numBuckets = gateBuckets)
+      store.commit(batch(s, dir, 97L, "").as[MarcRow], user = "alice", now = ts1)
+      val n0 = store.read("bib").count()
+      require(n0 > 0, "crash gate needs a non-empty base commit")
+      var prevUsers = Set("alice")
+      val points = Seq("post_staging", "post_journal", "mid_rename", "post_rename")
+      for ((p, i) <- points.zipWithIndex) {
+        MarcStore.failpoint = Some(p)
+        val crashed =
+          try {
+            store.commit(batch(s, dir, 97L, s"C$i-").as[MarcRow], user = s"crash_$p",
+              now = new java.sql.Timestamp(ts2.getTime + i * 1000L))
+            false
+          } catch { case _: MarcStore.CrashInjected => true }
+        require(crashed, s"failpoint $p did not fire")
+        // "reopen": a fresh store on the same path = the recovery sweep
+        store = new MarcStore(s, base, numBuckets = gateBuckets)
+        val users = store.read("bib").toDF().select("user").distinct()
+          .collect().map(_.getString(0)).toSet
+        require(users.size == 1, s"mixed bucket state after $p recovery: $users")
+        require(store.read("bib").count() == n0, s"row count changed after $p recovery")
+        require(users == prevUsers || users == Set(s"crash_$p"),
+          s"state after $p is neither old nor new: $users")
+        require(!new java.io.File(s"$base/bibs_staging").exists(),
+          s"recovery left a dangling staging dir after $p")
+        prevUsers = users
+      }
+      store.commit(batch(s, dir, 97L, "F-").as[MarcRow], user = "final", now = ts4)
+      store
+    })
+
+  def q199StoreCrashRecovery(s: SparkSession, dir: String): DataFrame =
+    crashedStore(s, dir).read("bib").toDF()
+      .select(col("_id"), col("user"), col("created_user"), titleCol.as("title"))
+      .orderBy("_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_store_crash_recovery" -> (q199StoreCrashRecovery _),
     "q100_browse_eviction" -> (q100BrowseEviction _),
     "q102_merge_audit" -> (q102MergeAudit _),
     "q103_encode_fn" -> (q103EncodeFn _),
@@ -464,6 +527,11 @@ object StoreOps {
     "q62_cascade" -> (q62Cascade _))
 
   val oracle: Map[String, String] = Map(
+    "q199_store_crash_recovery" ->
+      """SELECT o_orderkey AS _id, 'final' AS "user", 'alice' AS created_user,
+        |  'F-' || o_orderpriority AS title
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY _id""".stripMargin,
     "q103_encode_fn" ->
       """SELECT o_orderkey AS record_id,
         |  translate('S/' || o_orderkey, ' /[]*:;', '__^^!#%') || '&' ||

@@ -22,16 +22,27 @@ import org.apache.spark.sql.functions._
   *    materialization, so an arbitrarily broad term is safe at 100 TB.
   *  - Conditions that must become Column predicates (nested in OR,
   *    negated, logical-field text/regex) resolve to `isin` in-lists
-  *    capped at the reference's limit (dlx/marc/query.py:194-199);
-  *    past the cap they degrade to a direct predicate over the
-  *    record's own values, exactly as the reference degrades to a raw
-  *    regex condition.
+  *    capped at the reference's limit (dlx/marc/query.py:194-199).
+  *    Past the cap the behavior mirrors the reference exactly: REGEX
+  *    conditions degrade to a direct regex predicate over the record's
+  *    own values (query.py:194-206 falls back to a raw Condition);
+  *    TEXT conditions RAISE InvalidQueryString ("too many hits ...
+  *    Try narrowing the search", query.py:313-318, 452-458). The
+  *    semi-join path above is the deliberate divergence: a top-level
+  *    positive text search never resolves an in-list at all, so it
+  *    has no cap to exceed.
+  *  - Resolved auth XREF lists (the reference collects these uncapped,
+  *    query.py:340-358) are capped at `maxResolvedXrefs`; past the cap
+  *    the matching heading slice stays a DataFrame and the predicate
+  *    becomes a distributed flag join (`filterFrame`) — never a
+  *    megabyte-scale driver INSET against a grown authority file.
   * Structural conditions compile to pure higher-order-function
   * expressions (exists/filter over the datafields array) — fully
   * codegen'd, no UDFs on the hot path.
   */
 final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: DataFrame,
-    maxResolvedValues: Int = 10000, maxResolvedBytes: Int = 1 << 20) {
+    maxResolvedValues: Int = 10000, maxResolvedBytes: Int = 1 << 20,
+    maxResolvedXrefs: Int = 131072) {
 
   import MarcContext._
 
@@ -95,7 +106,7 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
   /** The pure-predicate path (collected in-lists, capped): used by
     * history queries and tests; `run` prefers the semi-join plan. */
   def runInList(ast: QueryAst): DataFrame =
-    records(ast.recordType).where(compile(ast))
+    filterFrame(records(ast.recordType), ast)
 
   def runInList(query: String, recordType: String = "bib"): DataFrame =
     runInList(QueryParser.parse(query, recordType))
@@ -114,7 +125,11 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
       case _ => false
     }
     var df = records(rt)
-    if (rest.nonEmpty) df = df.where(rest.map(compileCond(_, rt)).reduce(_ && _))
+    if (rest.nonEmpty) {
+      val p = new Pending
+      val pred = rest.map(compileCond(_, rt, p)).reduce(_ && _)
+      df = applyFlags(df, p, pred, Seq("_id"))
+    }
 
     for (cond <- joinable) {
       val (tag, code, matchedValues: DataFrame) = cond match {
@@ -178,13 +193,92 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
       col("_id").asc)
   }
 
-  def compile(ast: QueryAst): Column =
-    ast.conditions.map(compileCond(_, ast.recordType)).reduceOption(_ && _).getOrElse(lit(true))
+  /** Pure-Column compile, for callers that AND the predicate into
+    * their own plan (q58's Raw escape hatch). Over-cap xref branches
+    * need a join the caller would have to apply, so this path refuses
+    * them — production queries run through `run`/`filterFrame`, which
+    * degrade distributively instead. */
+  def compile(ast: QueryAst): Column = {
+    val p = new Pending
+    val c = ast.conditions.map(compileCond(_, ast.recordType, p))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    if (p.flags.nonEmpty) throw new InvalidQueryString(
+      s"Query resolves more than $maxResolvedXrefs auth xrefs; " +
+        "run it through run/filterFrame (distributed xref join) or narrow the search")
+    c
+  }
 
-  // ---- resolution against the derived DataFrames. Collected in-lists
-  // are capped at the reference's limit (dlx/marc/query.py:194-199:
-  // 1 MB serialized); past the cap the caller falls back to a direct
-  // predicate over the record — same degradation the reference applies.
+  /** Apply the compiled predicate of `ast` to `df` — any frame with
+    * the canonical `datafields` column and a unique `keys` tuple
+    * (live records: `_id`; history: `(_id, version_no)`). Over-cap
+    * xref branches become per-flag joins: df's tag-scoped subfield
+    * xrefs join the matching heading slice, the distinct key set
+    * left-joins back as a boolean column, and the predicate reads the
+    * flag — composable under NOT/OR, never a driver materialization. */
+  def filterFrame(df: DataFrame, ast: QueryAst, keys: Seq[String] = Seq("_id")): DataFrame = {
+    val p = new Pending
+    val pred = ast.conditions.map(compileCond(_, ast.recordType, p))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    applyFlags(df, p, pred, keys)
+  }
+
+  private def applyFlags(df: DataFrame, p: Pending, pred: Column, keys: Seq[String]): DataFrame = {
+    if (p.flags.isEmpty) return df.where(pred)
+    var out = df
+    for (fl <- p.flags) {
+      val sub = df.select(keys.map(col) :+
+          explode(filter(col("datafields"), f => f.getField("tag") === fl.tag)).as("__f"): _*)
+        .select(keys.map(col) :+ explode(col("__f.subfields")).as("__s"): _*)
+      val scoped = fl.code.map(c => sub.where(col("__s.code") === c)).getOrElse(sub)
+      val hits = scoped.join(fl.hits, col("__s.xref") === col("mxref"))
+        .select(keys.map(col): _*).distinct()
+        .withColumn(fl.name, lit(true))
+      out = out.join(hits, keys, "left")
+    }
+    out.where(pred).drop(p.flags.map(_.name).toSeq: _*)
+  }
+
+  // ---- resolution against the derived DataFrames. Collected VALUE
+  // in-lists are capped at the reference's limit (dlx/marc/query.py:
+  // 194-199: 1 MB serialized); past the cap, regex conditions fall
+  // back to a direct predicate over the record (query.py:194-206) and
+  // text conditions raise (query.py:313-318) — the reference's exact
+  // split. Resolved XREF lists (uncapped driver lists in the
+  // reference) are capped at maxResolvedXrefs (131,072 longs = the
+  // same 1 MB discipline); past the cap the branch becomes a pending
+  // flag join instead of an INSET.
+
+  /** A resolved xref branch: a driver in-list while it fits, or —
+    * past maxResolvedXrefs — the matching heading slice kept as a
+    * DataFrame (col "mxref") for a distributed flag join. */
+  private sealed trait XrefSet { def nonEmpty: Boolean }
+  private case class XrefList(xrefs: Seq[Long]) extends XrefSet { def nonEmpty = xrefs.nonEmpty }
+  private case class XrefFrame(hits: DataFrame) extends XrefSet { def nonEmpty = true }
+
+  /** One pending flag join: records whose `tag` field carries a
+    * subfield (optionally code-scoped) with an xref in `hits`. */
+  private final case class XrefFlag(name: String, tag: String, code: Option[String],
+      hits: DataFrame)
+
+  private final class Pending {
+    val flags = scala.collection.mutable.ArrayBuffer.empty[XrefFlag]
+    private var n = 0
+    def flag(tag: String, code: Option[String], hits: DataFrame): Column = {
+      val nm = s"__xref_hit_$n"; n += 1
+      flags += XrefFlag(nm, tag, code, hits)
+      coalesce(col(nm), lit(false))
+    }
+  }
+
+  /** Collect the distinct xrefs of a heading-dimension hit frame
+    * unless they exceed maxResolvedXrefs (longs are fixed-width, so
+    * the row cap IS the reference-style byte cap). */
+  private def resolveXrefSet(hit: DataFrame): XrefSet = {
+    val distinctXrefs = hit.select("xref").distinct()
+    val rows = distinctXrefs.limit(maxResolvedXrefs + 1).collect()
+    if (rows.length > maxResolvedXrefs) XrefFrame(distinctXrefs.select(col("xref").as("mxref")))
+    else XrefList(rows.iterator.map(_.getLong(0)).toSeq)
+  }
 
   /** Collect a single-string-column DataFrame unless it exceeds the
     * caps (row-count guard + the reference's 1 MB byte cap);
@@ -244,9 +338,9 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
     collectCapped(tagTextValues(tag, code, tq))
 
   /** auth ids whose source-tag heading subfield (code-scoped) matches. */
-  private def authXrefs(rt: String, tag: String, code: String, value: Either[String, Rx]): Seq[Long] = {
+  private def authXrefs(rt: String, tag: String, code: String, value: Either[String, Rx]): XrefSet = {
     DlxConfig.authoritySourceTag(rt, tag, code) match {
-      case None => Nil
+      case None => XrefList(Nil)
       case Some(src) =>
         val base = headings.where(col("tag") === src && col("code") === code)
         val hit = value match {
@@ -256,19 +350,18 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
             col("value").rlike(pattern)
           })
         }
-        hit.select("xref").distinct().collect().map(_.getLong(0)).toSeq
+        resolveXrefSet(hit)
     }
   }
 
   /** auth ids whose FIRST source tag of `tag` has any subfield value in
     * the set (TagOnly/TagText resolution, dlx/marc/query.py:210-228). */
-  private def xrefsForValues(rt: String, tag: String, values: Seq[String]): Seq[Long] =
+  private def xrefsForValues(rt: String, tag: String, values: Seq[String]): XrefSet =
     DlxConfig.authorityControlled(rt).get(tag).map(_.values.head) match {
-      case None => Nil
+      case None => XrefList(Nil)
       case Some(src) =>
-        headings.where(col("tag") === src &&
-          col("norm_value").isin(values.map(normalize): _*))
-          .select("xref").distinct().collect().map(_.getLong(0)).toSeq
+        resolveXrefSet(headings.where(col("tag") === src &&
+          col("norm_value").isin(values.map(normalize): _*)))
     }
 
   // ---- Column predicate builders over the canonical schema
@@ -299,21 +392,35 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
   private def xrefIn(xrefs: Seq[Long]): Column => Column =
     s => if (xrefs.isEmpty) lit(false) else s.getField("xref").isin(xrefs: _*)
 
-  def compileCond(cond: Cond, rt: String): Column = cond match {
-    case AndCond(cs) => cs.map(compileCond(_, rt)).reduce(_ && _)
-    case OrCond(cs) => cs.map(compileCond(_, rt)).reduce(_ || _)
+  def compileCond(cond: Cond, rt: String): Column = {
+    val p = new Pending
+    val c = compileCond(cond, rt, p)
+    if (p.flags.nonEmpty) throw new InvalidQueryString(
+      s"Condition resolves more than $maxResolvedXrefs auth xrefs; " +
+        "run it through run/filterFrame (distributed xref join) or narrow the search")
+    c
+  }
+
+  private def compileCond(cond: Cond, rt: String, pnd: Pending): Column = cond match {
+    case AndCond(cs) => cs.map(compileCond(_, rt, pnd)).reduce(_ && _)
+    case OrCond(cs) => cs.map(compileCond(_, rt, pnd)).reduce(_ || _)
     case MatchNothing => lit(false)
 
     case FieldCond(tag, subs, modifier, _) =>
-      def pairPred(code: String, cv: CondVal): Column => Column = {
+      // Left = subfield-level predicate; Right = record-level flag
+      // column (over-cap xref branch, code-scoped flag join)
+      def pairPred(code: String, cv: CondVal): Either[Column => Column, Column] = {
         if (DlxConfig.isAuthorityControlled(rt, tag, code)) {
           val xrefs = cv match {
             case Exact(s) => authXrefs(rt, tag, code, Left(s))
             case TextMode(s) => authXrefs(rt, tag, code, Left(s))
             case rx: Rx => authXrefs(rt, tag, code, Right(rx))
-            case Star => Nil
+            case Star => XrefList(Nil)
           }
-          s => s.getField("code") === code && xrefIn(xrefs)(s)
+          xrefs match {
+            case XrefList(xs) => Left(s => s.getField("code") === code && xrefIn(xs)(s))
+            case XrefFrame(hits) => Right(pnd.flag(tag, Some(code), hits))
+          }
         } else {
           val valuePred: Column => Column = cv match {
             case Exact(v) => s => normalizeCol(s.getField("value")) === normalize(v)
@@ -323,15 +430,32 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
               s => s.getField("value").rlike(pattern)
             case Star => _ => lit(true)
           }
-          s => s.getField("code") === code && literalOnly(valuePred)(s)
+          Left(s => s.getField("code") === code && literalOnly(valuePred)(s))
         }
       }
-      val preds = subs.map { case (c, v) => pairPred(c, v) }
+      lazy val preds = subs.map { case (c, v) => pairPred(c, v) }
       modifier match {
         case None =>
-          preds.map(p => existsField(tag, f => exists(f.getField("subfields"), p))).reduce(_ && _)
+          // each pair independently requires SOME field of the tag to
+          // match it, so a record-level flag substitutes directly
+          preds.map {
+            case Left(p) => existsField(tag, f => exists(f.getField("subfields"), p))
+            case Right(flag) => flag
+          }.reduce(_ && _)
         case Some("not") =>
-          !existsField(tag, f => preds.map(p => exists(f.getField("subfields"), p)).reduce(_ && _))
+          // all pairs must match within the SAME field; a record-level
+          // flag loses that constraint, so it only composes when it is
+          // the lone pair (then field-level and record-level coincide)
+          preds match {
+            case Seq(Right(flag)) => !flag
+            case ps if ps.forall(_.isLeft) =>
+              val fns = ps.collect { case Left(fn) => fn }
+              !existsField(tag, f =>
+                fns.map(fn => exists(f.getField("subfields"), fn)).reduce(_ && _))
+            case _ => throw new InvalidQueryString(
+              s"NOT condition on $tag resolves more than $maxResolvedXrefs auth xrefs " +
+                "alongside other subfield constraints. Try narrowing the search")
+          }
         case Some("exists") => size(fieldsOf(tag)) > 0
         case Some("not_exists") => size(fieldsOf(tag)) === 0
         case Some(m) => throw new InvalidQueryString(s"Invalid modifier: $m")
@@ -346,21 +470,20 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
           s => s.getField("value").rlike(pattern)
         case Star => _ => lit(true)
       }
-      val xrefs: Seq[Long] = cv match {
+      val xrefs: XrefSet = cv match {
         case Exact(v) => xrefsForValues(rt, tag, Seq(v))
         case TextMode(v) => xrefsForValues(rt, tag, Seq(v))
         case rx: Rx =>
           DlxConfig.authorityControlled(rt).get(tag).map(_.values.head) match {
-            case None => Nil
+            case None => XrefList(Nil)
             case Some(src) =>
               val pattern = if (rx.ci) "(?i)" + rx.pattern else rx.pattern
-              headings.where(col("tag") === src && col("value").rlike(pattern))
-                .select("xref").distinct().collect().map(_.getLong(0)).toSeq
+              resolveXrefSet(headings.where(col("tag") === src && col("value").rlike(pattern)))
           }
-        case Star => Nil
+        case Star => XrefList(Nil)
       }
       val valueHit = existsField(tag, subMatch(None, literalOnly(valuePred)))
-      val xrefHit = existsField(tag, subMatch(None, xrefIn(xrefs)))
+      val xrefHit = xrefHitCol(tag, xrefs, pnd)
       if (!not) (if (xrefs.nonEmpty) valueHit || xrefHit else valueHit)
       else !valueHit && !xrefHit
 
@@ -368,15 +491,16 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
       resolveTagRegex(tag, code, rx) match {
         // reference quirk: zero matches = match-nothing, even under NOT
         case Some(matched) if matched.isEmpty => lit(false)
-        case Some(matched) => inSetPredicate(rt, tag, code, matched, not)
-        case None => directRegexPredicate(rt, tag, code, rx, not)
+        case Some(matched) => inSetPredicate(rt, tag, code, matched, not, pnd)
+        case None => directRegexPredicate(rt, tag, code, rx, not, pnd)
       }
 
     case TagText(tag, code, tq, not, _) =>
       resolveTagText(tag, code, tq) match {
         case Some(matched) if matched.isEmpty => lit(false)
-        case Some(matched) => inSetPredicate(rt, tag, code, matched, not)
-        case None => directTextPredicate(rt, tag, code, tq, not)
+        case Some(matched) => inSetPredicate(rt, tag, code, matched, not, pnd)
+        case None => throw new InvalidQueryString(
+          s"""Text search "${tq.terms}" has too many hits on field "$tag". Try narrowing the search""")
       }
 
     case SubfieldExists(tag, code, not) =>
@@ -490,10 +614,18 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
         .reduceOption(_ && _).getOrElse(lit(true))
   }
 
+  /** The xref OR-branch as a Column: an INSET while the resolved set
+    * fits, a pending flag join past the cap (any-code scope — the
+    * shape every non-FieldCond site uses). */
+  private def xrefHitCol(tag: String, xrefs: XrefSet, pnd: Pending): Column = xrefs match {
+    case XrefList(xs) => existsField(tag, subMatch(None, xrefIn(xs)))
+    case XrefFrame(hits) => pnd.flag(tag, None, hits)
+  }
+
   /** value-in-set / xref OR shape shared by the direct fallbacks. */
   private def directShape(rt: String, tag: String, code: Option[String],
-      valueHit: Column, xrefs: Seq[Long], not: Boolean): Column = {
-    val xrefHit = existsField(tag, subMatch(None, xrefIn(xrefs)))
+      valueHit: Column, xrefs: XrefSet, not: Boolean, pnd: Pending): Column = {
+    val xrefHit = xrefHitCol(tag, xrefs, pnd)
     if (!not) (if (xrefs.nonEmpty) valueHit || xrefHit else valueHit)
     else if (xrefs.nonEmpty) !valueHit && !xrefHit
     else !valueHit
@@ -510,69 +642,31 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
   /** Fallback when a regex condition's resolved in-list exceeds the cap
     * (the reference falls back to a direct regex condition,
     * dlx/marc/query.py:194-206): regex the record's own subfield
-    * values. The xref branch still resolves through the heading
-    * dimension — dimension-bounded by design (SCALING.md). */
+    * values. The xref branch resolves through the heading dimension,
+    * itself capped at maxResolvedXrefs with the flag-join fallback. */
   private def directRegexPredicate(rt: String, tag: String, code: Option[String],
-      rx: Rx, not: Boolean): Column = {
+      rx: Rx, not: Boolean, pnd: Pending): Column = {
     val pattern = if (rx.ci) "(?i)" + rx.pattern else rx.pattern
     val valueHit = existsField(tag,
       subMatch(code, literalOnly(s => s.getField("value").rlike(pattern))))
-    val xrefs: Seq[Long] = controlledSourceTag(rt, tag, code) match {
-      case None => Nil
+    val xrefs: XrefSet = controlledSourceTag(rt, tag, code) match {
+      case None => XrefList(Nil)
       case Some(src) =>
-        headings.where(col("tag") === src && col("value").rlike(pattern))
-          .select("xref").distinct().collect().map(_.getLong(0)).toSeq
+        resolveXrefSet(headings.where(col("tag") === src && col("value").rlike(pattern)))
     }
-    directShape(rt, tag, code, valueHit, xrefs, not)
-  }
-
-  /** Fallback when a text condition's resolved in-list exceeds the cap:
-    * evaluate field-level term/negation/phrase constraints and
-    * value-level term containment against the record's own fields
-    * (the per-record form of the tag-index entry tests). */
-  private def directTextPredicate(rt: String, tag: String, code: Option[String],
-      tq: TextQuery, not: Boolean): Column = {
-    val terms = Tokenizer.tokenize(tq.terms)
-    val negated = Tokenizer.tokenize(tq.negated.mkString(" "))
-    def fieldTextCol(f: Column): Column =
-      concat_ws(" ", transform(f.getField("subfields"),
-        s => coalesce(s.getField("value"), lit(""))))
-    val fieldPred: Column => Column = f => {
-      val words = tokenizeUdf(fieldTextCol(f))
-      val termsOk = terms.map(t => array_contains(words, t))
-      val negOk = negated.map(t => !array_contains(words, t))
-      val phrasesOk = tq.phrases.map(p =>
-        concat(lit(" "), scrubUdf(fieldTextCol(f)), lit(" "))
-          .rlike("\\b" + java.util.regex.Pattern.quote(p) + "\\b"))
-      val valueOk = exists(f.getField("subfields"), s =>
-        code.map(c => s.getField("code") === c).getOrElse(lit(true)) &&
-          s.getField("xref").isNull &&
-          terms.map(t => array_contains(tokenizeUdf(s.getField("value")), t))
-            .reduceOption(_ && _).getOrElse(lit(true)))
-      (termsOk ++ negOk ++ phrasesOk :+ valueOk).reduce(_ && _)
-    }
-    val valueHit = existsField(tag, fieldPred)
-    val xrefs: Seq[Long] = controlledSourceTag(rt, tag, code) match {
-      case None => Nil
-      case Some(src) =>
-        var h = headings.where(col("tag") === src)
-        terms.foreach(t => h = h.where(array_contains(tokenizeUdf(col("value")), t)))
-        negated.foreach(t => h = h.where(!array_contains(tokenizeUdf(col("value")), t)))
-        h.select("xref").distinct().collect().map(_.getLong(0)).toSeq
-    }
-    directShape(rt, tag, code, valueHit, xrefs, not)
+    directShape(rt, tag, code, valueHit, xrefs, not, pnd)
   }
 
   /** value-in-set predicate with the auth xref OR branch. */
   private def inSetPredicate(rt: String, tag: String, code: Option[String],
-      matched: Seq[String], not: Boolean): Column = {
+      matched: Seq[String], not: Boolean, pnd: Pending): Column = {
     val valueHit = existsField(tag, subMatch(code, normValueIn(matched)))
-    val xrefs =
+    val xrefs: XrefSet =
       if (DlxConfig.authorityControlled(rt).contains(tag) &&
           code.forall(c => DlxConfig.isAuthorityControlled(rt, tag, c)))
         xrefsForValues(rt, tag, matched)
-      else Nil
-    val xrefHit = existsField(tag, subMatch(None, xrefIn(xrefs)))
+      else XrefList(Nil)
+    val xrefHit = xrefHitCol(tag, xrefs, pnd)
     if (!not) (if (xrefs.nonEmpty) valueHit || xrefHit else valueHit)
     else if (xrefs.nonEmpty) !valueHit && !xrefHit
     else !valueHit

@@ -321,25 +321,89 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     swapBuckets(path, survivors.unionByName(withBucket), touched)
   }
 
-  /** stage → swap: write the partitioned replacement to `_staging`,
-    * then move each touched bucket dir into place. */
+  /** stage → swap, CRASH-SAFE (round-10): after the staging parquet
+    * completes, a journal (`_staging/_commit_journal`: one
+    * "bucket,hasData" line per touched bucket) is written; only then
+    * do the per-bucket renames start. `recoverStaging` — run at store
+    * open (under the store lock) and at the start of every swap — has
+    * an unambiguous rule: journal ABSENT → the crash predates any
+    * rename, roll BACK (drop staging; the live table is untouched);
+    * journal PRESENT → staging is complete, roll FORWARD (idempotently
+    * finish the renames — a bucket whose staged dir is gone was
+    * already moved). A reader through a recovered store therefore sees
+    * the OLD bucket set or the NEW one, never a mix (gated by q199 +
+    * StoreStress crash mode at every injected point). Residual window,
+    * documented: the history append runs AFTER the live swap, so a
+    * crash between them loses the version row but never live rows. */
   private def swapBuckets(path: String, replacement: DataFrame, touched: Seq[Long]): Unit = {
     val staging = path + "_staging"
+    recoverStaging(path) // finish or roll back any dangling prior swap
     rmDir(new java.io.File(staging))
     // cluster rows by bucket before the write: ONE file per touched
     // bucket instead of one per shuffle task — without this, file
     // count grows ~taskCount per commit and reads degrade
     timed("staging_write") { replacement.repartition(math.max(touched.size, 1), col("id_bucket"))
       .write.partitionBy("id_bucket").mode(SaveMode.Overwrite).parquet(staging) }
+    maybeCrash("post_staging")
+    val journal = touched.map(b =>
+      s"$b,${if (new java.io.File(s"$staging/id_bucket=$b").exists()) 1 else 0}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(staging, "_commit_journal"),
+      journal.mkString("\n").getBytes("UTF-8"))
+    maybeCrash("post_journal")
     new java.io.File(path).mkdirs()
+    var renamed = 0
     for (b <- touched) {
       val dst = new java.io.File(s"$path/id_bucket=$b")
       rmDir(dst)
       val src = new java.io.File(s"$staging/id_bucket=$b")
       if (src.exists()) require(src.renameTo(dst), s"bucket swap failed: $src -> $dst")
+      renamed += 1
+      if (renamed == 1) maybeCrash("mid_rename")
     }
+    maybeCrash("post_rename")
     rmDir(new java.io.File(staging))
     invalidate(path)
+  }
+
+  private def maybeCrash(point: String): Unit =
+    if (MarcStore.failpoint.contains(point)) {
+      MarcStore.failpoint = None // one-shot, so recovery itself runs clean
+      throw new MarcStore.CrashInjected(point)
+    }
+
+  /** Roll a dangling `_staging` forward (journal present → staging was
+    * complete; finish the renames) or back (no journal → no rename
+    * ever started; drop it). Idempotent; no-op when no staging dir. */
+  private def recoverStaging(path: String): Unit = {
+    val staging = new java.io.File(path + "_staging")
+    if (!staging.exists()) return
+    val journal = new java.io.File(staging, "_commit_journal")
+    if (journal.exists()) {
+      val entries = new String(java.nio.file.Files.readAllBytes(journal.toPath), "UTF-8")
+        .split("\n").iterator.filter(_.nonEmpty)
+        .map { l => val parts = l.split(","); (parts(0).trim, parts(1).trim == "1") }.toSeq
+      for ((b, has) <- entries) {
+        val src = new java.io.File(s"${staging.getPath}/id_bucket=$b")
+        val dst = new java.io.File(s"$path/id_bucket=$b")
+        if (has) {
+          if (src.exists()) { rmDir(dst); require(src.renameTo(dst), s"recovery swap failed: $src -> $dst") }
+          // staged dir gone + journal says hasData → already renamed
+        } else rmDir(dst) // bucket emptied by this commit (delete path)
+      }
+    }
+    rmDir(staging)
+    invalidate(path)
+  }
+
+  // store open: finish or roll back any swap a dead writer left behind
+  // (under the store lock, so an ACTIVE writer's staging is never
+  // mistaken for a dangling one — its lock is held across the swap)
+  StoreLock.withLock(basePath, lockWaitMs) {
+    val baseDir = new java.io.File(basePath)
+    val names = baseDir.listFiles()
+    if (names != null)
+      names.iterator.filter(f => f.isDirectory && f.getName.endsWith("_staging"))
+        .foreach(f => recoverStaging(f.getPath.stripSuffix("_staging")))
   }
 
   private def rmDir(f: java.io.File): Unit = {
@@ -598,7 +662,10 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     val hist = readHistory(recordType)
     val compiler = new graft.spark.SparkQueryCompiler(spark,
       hist.drop("version_no", "action"), read("auth").toDF())
-    hist.where(compiler.compile(graft.query.QueryParser.parse(query, recordType)))
+    // filterFrame, not compile: over-cap xref resolutions degrade to a
+    // distributed flag join keyed on the version-unique tuple
+    compiler.filterFrame(hist, graft.query.QueryParser.parse(query, recordType),
+      keys = Seq("_id", "version_no"))
   }
 
   /** Deleted record ids matching a query (History.find_deleted). */
@@ -651,6 +718,14 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
 object MarcStore {
   private def generation(path: String): Long = TableGenerations.generation(path)
   private def bumpGeneration(path: String): Unit = TableGenerations.bump(path)
+
+  /** Fault injection for the swap protocol (StoreStress crash mode +
+    * the q199 recovery gate): the next swap throws CrashInjected at
+    * the named point — "post_staging", "post_journal", "mid_rename"
+    * (after the first bucket rename), "post_rename". One-shot. */
+  @volatile var failpoint: Option[String] = None
+  final class CrashInjected(point: String)
+    extends RuntimeException(s"injected crash at $point")
 }
 
 /** Cross-writer exclusion for one store path. The staging-dir swap

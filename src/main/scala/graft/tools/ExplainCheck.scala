@@ -20,6 +20,8 @@ object ExplainCheck {
       df.collect() // materialize so AQE finalizes the physical plan
       df.queryExecution.executedPlan.toString
     }
+    def countOf(plan: String, needle: String): Int =
+      needle.r.findAllMatchIn(plan).size
 
     val q2 = graft.queries.Relational.q2Filter(spark, sfDir)
     val p2 = planOf(q2)
@@ -1102,6 +1104,31 @@ object ExplainCheck {
     assert(p194.contains("RLIKE"),
       "q194: negated over-cap regex must evaluate against the record's own subfields")
     println("q194 over-cap negated regex fallback OK")
+
+    // the two XREF resolution regimes pinned against each other
+    // (round-9 verdict #1): under maxResolvedXrefs, a predicate-path
+    // xref resolution compiles to a driver in-list (INSET / IN) and no
+    // flag join; OVER the cap the SAME compound query must evaluate
+    // the xref branch as a distributed flag join against the heading
+    // slice ("mxref" join keys in the plan — q197 has no semi-join
+    // legs, so mxref can only come from the flag join)
+    val q197in = {
+      val c = new graft.spark.SparkQueryCompiler(spark,
+        graft.queries.RealMarc.marcBibs(spark), graft.queries.RealMarc.marcAuths(spark))
+      c.run("245__a:/^w3/ OR 650__a:/w44/").select("_id")
+    }
+    val p197in = planOf(q197in)
+    assert(p197in.contains("INSET") || p197in.contains(" IN ("),
+      "under-cap xref resolution must compile to an in-list")
+    assert(!p197in.contains("mxref"),
+      "under-cap xref resolution must not take the flag-join branch")
+    val q197 = graft.SparkEntry.queries("q197_real_xref_overcap")(spark, sfDir)
+    val p197 = planOf(q197)
+    assert(p197.contains("mxref"),
+      "q197: over-cap xref branch must evaluate through the flag join")
+    assert(countOf(p197, "Join") >= 2, // subfield-xref join + flag left join
+      "q197: flag-join plan is missing its joins")
+    println("q197 over-cap xref flag join vs INSET primary OK")
 
     val q192 = graft.SparkEntry.queries("q192_real_auth_use")(spark, sfDir)
     val p192 = planOf(q192)

@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * wall times. */
 object StoreStress {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("crash")) { crashMain(args.drop(1)); return }
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -69,6 +70,51 @@ object StoreStress {
 
     timed("history query")(
       println(s"history q hits=${store.queryHistory("bib", "245__a:'1-urgent'").count()}"))
+    spark.stop()
+  }
+
+  /** `StoreStress crash [sfDir]` — kill the swap protocol at every
+    * injected point AT VOLUME (full corpus commits), reopen, and
+    * verify all-or-nothing recovery: one distinct audit user, stable
+    * row count, no dangling staging. The q199 gate runs the same
+    * sequence under the DuckDB oracle at gate scale; this mode is the
+    * volume probe. */
+  def crashMain(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import MarcSchema.marcRowEncoder
+
+    val base = java.nio.file.Files.createTempDirectory("storestress_crash").toString
+    var store = new graft.store.MarcStore(spark, base)
+    val bibs = graft.queries.MarcOps.marcBibs(spark, sfDir).as[MarcRow]
+    store.commit(bibs.map(_.copy(basket = "v0")), user = "u0", authCheck = false)
+    val n0 = store.read("bib").count()
+    println(s"base commit: $n0 bibs")
+    var prev = Set("u0")
+    for ((p, i) <- Seq("post_staging", "post_journal", "mid_rename", "post_rename").zipWithIndex) {
+      graft.store.MarcStore.failpoint = Some(p)
+      val t0 = System.nanoTime()
+      val crashed =
+        try { store.commit(bibs.map(_.copy(basket = s"v$i")), user = s"u_$p"); false }
+        catch { case _: graft.store.MarcStore.CrashInjected => true }
+      require(crashed, s"failpoint $p did not fire")
+      store = new graft.store.MarcStore(spark, base) // reopen = recovery sweep
+      val users = store.read("bib").toDF().select("user").distinct()
+        .collect().map(_.getString(0)).toSet
+      val n = store.read("bib").count()
+      require(users.size == 1, s"MIXED state after $p: $users")
+      require(n == n0, s"row count drifted after $p: $n != $n0")
+      require(users == prev || users == Set(s"u_$p"), s"state after $p neither old nor new")
+      require(!new java.io.File(s"$base/bibs_staging").exists(), s"$p left staging")
+      println(f"$p%-13s -> recovered to ${users.head}%-15s " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.1f s incl. crash+reopen)")
+      prev = users
+    }
+    println("ALL CRASH POINTS RECOVER ALL-OR-NOTHING")
     spark.stop()
   }
 }

@@ -89,7 +89,9 @@ class RealMarcSpec extends AnyFunSuite {
       .select(countDistinct(col("title"))).head().getLong(0)
     assert(titleVals > 10, s"title regex resolves only $titleVals values")
     // q195: the 245 TEXT resolution (exact token 'w3', a different and
-    // smaller set than the regex prefix match) also exceeds the cap
+    // smaller set than the regex prefix match) also exceeds the cap —
+    // so the capped compiler provably hits the over-cap raise, not an
+    // in-list that happens to fit
     val tokenVals = bibs.where(array_contains(split(col("title"), " "), "w3"))
       .select(countDistinct(col("title"))).head().getLong(0)
     assert(tokenVals > 10, s"title token resolution resolves only $tokenVals values")
@@ -99,7 +101,32 @@ class RealMarcSpec extends AnyFunSuite {
     val neg = RealMarc.q194RealNotRegexFallback(spark, "").count()
     assert(neg === all - pos187style, s"q194 $neg + positive $pos187style != $all")
     val posToken = bibs.where(array_contains(split(col("title"), " "), "w3")).count()
-    val negText = RealMarc.q195RealNotTextFallback(spark, "").count()
+    val negText = RealMarc.q195RealTextOvercapRaise(spark, "").count()
     assert(negText === all - posToken, s"q195 $negText + positive $posToken != $all")
+  }
+
+  test("over-cap XREF gates engage the flag join (q197/q198)") {
+    // q197: the heading regex resolves well over the forced cap of 5
+    val regexAuths = auths.where(col("heading").rlike("w44")).count()
+    assert(regexAuths > 5, s"heading regex resolves only $regexAuths xrefs")
+    // the flag join computes the same set as the default INSET path
+    // (same compound query, OR-nested so both legs compile to
+    // predicates; only the xref cap differs between the two runs)
+    val viaFlag = RealMarc.q197RealXrefOvercap(spark, "")
+      .collect().map(_.getLong(0)).toSeq
+    val viaInList = {
+      val c = new graft.spark.SparkQueryCompiler(spark,
+        RealMarc.marcBibs(spark), RealMarc.marcAuths(spark))
+      c.run("245__a:/^w3/ OR 650__a:/w44/").select("_id").orderBy("_id")
+        .collect().map(_.getLong(0)).toSeq
+    }
+    assert(viaFlag === viaInList, "over-cap flag join diverges from the INSET path")
+    assert(viaFlag.nonEmpty)
+    // q198: NOT through the flag join = exact complement of attachment
+    val attached = bibs.where(col("xref") === RealMarc.targetAuth).count()
+    assert(attached > 280, s"target auth attachment $attached")
+    val notAttached = RealMarc.q198RealXrefOvercapNot(spark, "").count()
+    assert(notAttached === RealMarc.nBibs - attached,
+      s"q198 $notAttached + attached $attached != ${RealMarc.nBibs}")
   }
 }

@@ -115,19 +115,51 @@ class SparkMarcSpec extends AnyFunSuite {
 
   test("over-cap fallback predicates match the row engine") {
     // cap of zero forces every text/regex in-list over the limit, so
-    // every condition degrades to the direct predicate
+    // every REGEX condition degrades to the direct predicate (the
+    // reference's fallback is regex-only, dlx/marc/query.py:194-206)
     val capped = new SparkQueryCompiler(spark, bibsDs.toDF(), authsDs.toDF(),
       maxResolvedValues = 0)
     val rowEngine = new graft.query.RowQueryEngine(Seq(bib1, bib2), Seq(auth1, auth2))
     val queries = Seq(
       "650__a:/[Hh]eader/", "650:/eader/", "245:titl*", "650:head*",
-      "520__a:\"another description\"", "245__c:*itl*",
+      "245__c:*itl*",
       "245__a:'This' OR 650__a:head*", "NOT 650:/eader/",
       "title:*is*", "title:this*")
     for (q <- queries) {
       val expected = rowEngine.runString(q).flatMap(_.id).toSet
       val got = capped.runInList(q).select("_id").collect().map(_.getLong(0)).toSet
       assert(got == expected, s"fallback query '$q': spark=$got row=$expected")
+    }
+  }
+
+  test("over-cap TEXT resolution raises like the reference") {
+    // text (incl. phrase) searches have NO silent fallback: the
+    // reference raises InvalidQueryString (dlx/marc/query.py:313-318
+    // fielded, 452-458 logical) — the capped compiler must too
+    val capped = new SparkQueryCompiler(spark, bibsDs.toDF(), authsDs.toDF(),
+      maxResolvedValues = 0)
+    for (q <- Seq("520__a:\"another description\"", "NOT 245__a:this"))
+      intercept[graft.query.InvalidQueryString] { capped.runInList(q) }
+    // zero-match text still takes the reference's match-nothing quirk
+    // (an empty resolution can never be over-cap), even under NOT
+    assert(capped.runInList("NOT 245__a:zzznothing").count() === 0)
+  }
+
+  test("over-cap xref sets degrade to a flag join, same answer") {
+    // maxResolvedXrefs=0 forces every auth-controlled resolution
+    // through the XrefFrame branch; answers must match the in-list path
+    val capped = new SparkQueryCompiler(spark, bibsDs.toDF(), authsDs.toDF(),
+      maxResolvedXrefs = 0)
+    val default = new SparkQueryCompiler(spark, bibsDs.toDF(), authsDs.toDF())
+    for (q <- Seq("650__a:'Header'", "650:'Header'", "NOT 650:'Header'",
+        "650__a:/Head/", "NOT 650__a:/Head/")) {
+      val got = capped.runInList(q).select("_id").collect().map(_.getLong(0)).toSet
+      val want = default.runInList(q).select("_id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"flag-join query '$q': capped=$got default=$want")
+    }
+    // the pure-Column compile path refuses what it cannot join
+    intercept[graft.query.InvalidQueryString] {
+      capped.compile(graft.query.QueryParser.parse("650__a:'Header'", "bib"))
     }
   }
 
