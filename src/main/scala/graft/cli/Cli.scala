@@ -90,19 +90,29 @@ object InitIndexes {
 }
 
 /** marc-import analog (dlx/scripts/marc_import.py): read .mrk/.xml
-  * files into the store. */
+  * files into the store. Auth control runs AFTER the parse as a batch
+  * join against the auth dimension ([[graft.spark.BatchAuthResolve]])
+  * — the parse itself is auth-free, so the import never collects the
+  * auth table to the driver (round-9 verdict #4; the old path built a
+  * row-level AuthIndex from `store.read("auth").collect()`, a driver
+  * OOM against a real authority file). Same per-subfield xlookup /
+  * $0-capture / resolve_ambiguous semantics, same raises. */
 object MarcImport {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: MarcImport <base> <recordType> <file.mrk|file.xml>")
     val Array(base, recordType, path) = args.take(3)
     val (spark, preExisting) = Cli.obtainSession()
     val store = new MarcStore(spark, base)
-    implicit val auth: AuthLookup = new graft.auth.AuthIndex(
-      store.read("auth").collect().map(MarcSchema.fromRow).toSeq)
+    implicit val auth: AuthLookup = AuthLookup.Empty
     val content = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
-    val records =
-      if (path.endsWith(".xml")) Serialization.setFromXml(recordType, content, authControl = true)
-      else Serialization.setFromMrk(recordType, content)
+    val parsed =
+      if (path.endsWith(".xml"))
+        Serialization.setFromXml(recordType, content, authControl = false,
+          deleteSubfieldZero = false)
+      else Serialization.setFromMrk(recordType, content, authControl = false,
+        deleteSubfieldZero = false)
+    val records = graft.spark.BatchAuthResolve.resolve(
+      spark, store.read("auth").toDF(), recordType, parsed)
     store.commit(MarcSchema.toDataset(spark, records), user = "marc-import")
     println(s"imported ${records.length} $recordType records")
     Cli.release(spark, preExisting)

@@ -113,10 +113,11 @@ object Serialization {
 
   /** Records split on blank lines (MarcSet.from_mrk,
     * dlx/marc/__init__.py:309-320). */
-  def setFromMrk(recordType: String, string: String, authControl: Boolean = true)
+  def setFromMrk(recordType: String, string: String, authControl: Boolean = true,
+      deleteSubfieldZero: Boolean = true)
       (implicit auth: AuthLookup): Seq[MarcRecord] =
     string.split("\n\n").toSeq
-      .map(fromMrk(recordType, _, authControl))
+      .map(fromMrk(recordType, _, authControl, deleteSubfieldZero))
       .filter(_.fields.nonEmpty)
 
   // ---------------------------------------------------------------- MRC
@@ -301,10 +302,11 @@ object Serialization {
     rec
   }
 
-  def setFromXml(recordType: String, string: String, authControl: Boolean = false)
+  def setFromXml(recordType: String, string: String, authControl: Boolean = false,
+      deleteSubfieldZero: Boolean = true)
       (implicit auth: AuthLookup): Seq[MarcRecord] = {
     val root = scala.xml.XML.loadString(string)
-    (root \ "record").map(fromXmlNode(recordType, _, authControl))
+    (root \ "record").map(fromXmlNode(recordType, _, authControl, deleteSubfieldZero))
   }
 
   // ---------------------------------------------------------------- JSON (JMARC / MIJ)

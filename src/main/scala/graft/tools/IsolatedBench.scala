@@ -16,7 +16,9 @@ package graft.tools
   * SECOND-SMALLEST rep (floors are one-sided: host stalls only add
   * time, so the median flips red whenever 3 of 5 reps land in a stall
   * window while the floor itself still holds); the median is reported
-  * alongside for drift-watching.
+  * alongside AND gated coarsely at 2x the ceiling — a backstop so a
+  * bimodal CODE regression (3 slow reps behind two lucky fast ones)
+  * cannot hide behind the robust min.
   *
   * Ceilings:
   *  - q102_merge_audit: the round-8 profile pins the floor at five
@@ -68,6 +70,14 @@ object IsolatedBench {
           val robust = all.sorted.apply(1 min (all.size - 1))
           if (robust > ceil)
             fails += f"ISOLATED WALL FAIL $name: 2nd-smallest $robust%.2f s > ceiling $ceil%.2f s"
+          // coarse MEDIAN backstop (round-9 verdict #7 / advice): the
+          // robust min alone would pass a bimodal regression that
+          // stalls 3 of 5 reps for CODE reasons behind two lucky fast
+          // ones. Host noise has never pushed a healthy median past
+          // ~1.6x its ceiling (observed worst: q102 9.47 vs 11.8 with
+          // stalls); 2x is a real regression, not weather.
+          if (med > ceil * 2.0)
+            fails += f"ISOLATED MEDIAN FAIL $name: median $med%.2f s > 2x ceiling ${ceil * 2.0}%.2f s (bimodal regression?)"
           println(f"ISOLATED $name robust=$robust%.3f median=$med%.3f ceiling=$ceil%.2f all=${all.mkString(",")}")
           name -> Some((robust, med, all, ceil))
         case None =>

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+import graft.spark.{BatchAuthResolve, MarcSchema}
+import Fixtures.authLookup
+
+/** Batch parse-time auth resolution equals the row-level AuthIndex
+  * semantics (xlookup / $0 capture / resolve_ambiguous,
+  * dlx/marc/__init__.py:1676-1700, 1913-1993) — including both
+  * disambiguation outcomes. */
+class BatchAuthResolveSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  private def auth(id: Long, tag: String, subs: (String, String)*) = MarcRecord(
+    recordType = "auth", id = Some(id),
+    fields = Vector(DataField(tag, " ", " ",
+      subs.toVector.map { case (c, v) => Subfield(c, Some(v)) })))
+
+  private def bib(id: Long, subjectValue: String) = MarcRecord(
+    recordType = "bib", id = Some(id),
+    fields = Vector(
+      DataField("245", " ", " ", Vector(Subfield("a", Some("T")))),
+      DataField("650", " ", " ", Vector(Subfield("a", Some(subjectValue))))))
+
+  private def xrefOf(rec: MarcRecord): Option[Long] =
+    rec.fields.collectFirst { case d: DataField if d.tag == "650" => d }
+      .flatMap(_.subfields.headOption).flatMap(_.xref)
+
+  test("unique single match resolves; zero matches raise InvalidAuthValue") {
+    val auths = MarcSchema.toDataset(spark,
+      Seq(auth(1L, "150", "a" -> "Header"))).toDF()
+    val out = BatchAuthResolve.resolve(spark, auths, "bib", Seq(bib(10L, "Header")))
+    assert(xrefOf(out.head) === Some(1L))
+    // resolved controlled subfields carry NO value (reference BSON)
+    assert(out.head.fields.collect { case d: DataField if d.tag == "650" => d }
+      .head.subfields.head.value.isEmpty)
+    intercept[graft.records.InvalidAuthValue] {
+      BatchAuthResolve.resolve(spark, auths, "bib", Seq(bib(11L, "Nope")))
+    }
+  }
+
+  test("ambiguous match disambiguates by exact heading equality, or raises") {
+    // auth 1 = exactly [a Header]; auth 4 = [a Header, x Extra]:
+    // single-lookup sees two, the exact rule picks auth 1
+    val resolvable = MarcSchema.toDataset(spark, Seq(
+      auth(1L, "150", "a" -> "Header"),
+      auth(4L, "150", "a" -> "Header", "x" -> "Extra"))).toDF()
+    val out = BatchAuthResolve.resolve(spark, resolvable, "bib", Seq(bib(10L, "Header")))
+    assert(xrefOf(out.head) === Some(1L))
+    // two EXACT duplicates: nothing can disambiguate -> raise
+    val dup = MarcSchema.toDataset(spark, Seq(
+      auth(1L, "150", "a" -> "Header"),
+      auth(5L, "150", "a" -> "Header"))).toDF()
+    intercept[graft.records.AmbiguousAuthValue] {
+      BatchAuthResolve.resolve(spark, dup, "bib", Seq(bib(10L, "Header")))
+    }
+  }
+
+  test("$0 capture short-circuits every controlled subfield of the field") {
+    val auths = MarcSchema.toDataset(spark,
+      Seq(auth(1L, "150", "a" -> "Header"))).toDF()
+    val rec = MarcRecord(recordType = "bib", id = Some(10L),
+      fields = Vector(DataField("650", " ", " ", Vector(
+        Subfield("a", Some("Totally unrelated")), Subfield("0", Some("7"))))))
+    val out = BatchAuthResolve.resolve(spark, auths, "bib", Seq(rec))
+    val d = out.head.fields.collect { case d: DataField => d }.head
+    assert(d.subfields.map(_.code) === Vector("a"), "$0 must be stripped")
+    assert(d.subfields.head.xref === Some(7L), "capture must win over lookup")
+  }
+}

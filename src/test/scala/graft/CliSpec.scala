@@ -17,13 +17,45 @@ class CliSpec extends AnyFunSuite {
     store.commit(MarcSchema.toDataset(spark, Seq(auth1, auth2)), user = "t")
     store.commit(MarcSchema.toDataset(spark, Seq(bib1, bib2)), user = "t")
 
-    // marc-import from an .mrk file
+    // marc-import from an .mrk file: plain fields, an auth-controlled
+    // 650$a that must resolve to a heading xref through the BATCH join
+    // (never a driver collect of the auth table), and a $0-captured
+    // field that must short-circuit resolution
     val mrk = graft.records.Serialization.setToMrk(Seq(
-      model.MarcRecord(recordType = "bib", id = Some(10L)).set("245", "a", "Imported title")))
+      model.MarcRecord(recordType = "bib", id = Some(10L)).set("245", "a", "Imported title"),
+      model.MarcRecord(recordType = "bib", id = Some(11L))
+        .set("245", "a", "Imported linked").set("650", "a", "Header"),
+      model.MarcRecord(recordType = "bib", id = Some(12L))
+        .set("245", "a", "Imported captured")
+        .setXref("650", "a", 2L)))
     val mrkFile = s"$dir/import.mrk"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(mrkFile), mrk)
     graft.cli.MarcImport.main(Array(dir, "bib", mrkFile))
     assert(store.read("bib").where(col("_id") === 10L).count() == 1)
+    def importedXref(id: Long): Set[Long] =
+      store.read("bib").where(col("_id") === id)
+        .select(explode(col("datafields")).as("f"))
+        .where(col("f.tag") === "650")
+        .select(explode(col("f.subfields")).as("s"))
+        .select("s.xref").collect().flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).toSet
+    assert(importedXref(11L) == Set(1L), "650$a Header must batch-resolve to auth 1")
+    assert(importedXref(12L) == Set(2L), "$0 capture must short-circuit to xref 2")
+
+    // plan pin (round-9 verdict #4): the resolution is a JOIN against
+    // the store's parquet-backed auth dimension — optimizer-visible,
+    // no AuthIndex built from a driver collect
+    {
+      import spark.implicits._
+      val probes = broadcast(Seq((0, 0, 0, "150", "a", "Header"))
+        .toDF("rec", "fld", "sub", "src", "code", "value"))
+      val frame = graft.spark.BatchAuthResolve.singlesFrame(
+        probes, graft.spark.BatchAuthResolve.authSubs(store.read("auth").toDF()))
+      frame.collect()
+      val plan = frame.queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), "batch auth resolution must be a join")
+      assert(plan.toLowerCase.contains("parquet"),
+        "batch auth resolution must scan the auth store, not a collected copy")
+    }
 
     // index rebuilds
     graft.cli.BuildTextCollections.main(Array(dir))

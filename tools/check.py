@@ -129,9 +129,20 @@ for qi, (name, sql) in enumerate(sorted(oracles.items())):
     if qi and qi % RECYCLE_EVERY == 0:
         con.close()
         con = fresh_con()
+    # Deterministic SQL errors (a typo in a newly added oracle) must
+    # NOT take the environmental-retry path: rc 1 triggers the
+    # parent's 3 fresh-process retries with backoff — minutes of
+    # sleeps for a failure retrying cannot fix (round-9 advice).
+    def deterministic(e):
+        return isinstance(e, (duckdb.ParserException, duckdb.BinderException,
+                              duckdb.CatalogException, duckdb.SyntaxException))
     try:
         want = con.execute(sql).df()
     except Exception as e:
+        if deterministic(e):
+            print(f"FAIL {name}: oracle SQL error (deterministic, no retry): {e}")
+            fails += 1
+            continue
         try:
             con.close()
         except Exception:
@@ -141,6 +152,10 @@ for qi, (name, sql) in enumerate(sorted(oracles.items())):
             want = con.execute(sql).df()
             print(f"WARN {name}: oracle retried on a fresh connection after: {e}")
         except Exception as e2:
+            if deterministic(e2):
+                print(f"FAIL {name}: oracle SQL error (deterministic, no retry): {e2}")
+                fails += 1
+                continue
             print(f"FAIL {name}: oracle error: {e2}")
             fails += 1
             env_fails += 1
