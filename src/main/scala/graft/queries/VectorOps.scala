@@ -37,7 +37,7 @@ object VectorOps {
     call_function("dlx_cos4", a, b)
   }
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
 
@@ -528,30 +528,33 @@ object VectorOps {
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     * scoped to k-means clusters. Every vector is assigned to its
     * max-cosine centroid (the q71 Lloyd step — broadcast seeds,
-    * bounded top-1); near-dup EDGES are enumerated only between
-    * members of the same (cluster, LSH-bucket) — the bucket key is the
-    * scale bound (planesFor keeps pair volume ~linear in N; the
-    * cluster key adds the paper's semantic scoping); edges become
-    * components via min-label propagation, and each component elects
-    * ONE keeper — the member with the LOWEST cosine to its centroid
-    * (the paper's election: keep the least prototypical example,
-    * tiebreak vec_id). Output is a per-document verdict, not just the
-    * pair list q44 emits.
+    * bounded top-1); near-dup EDGES come from the exact-sweep rep-pair
+    * kernel (the gate's τ=0.30 is below the banding prunability floor,
+    * where banded candidates are near-quadratic anyway — q44's
+    * measured regime split; at τ≥~0.5 a production sweep would take
+    * [[verifiedRepPairs]]'s banded path with centroid as an extra
+    * key), filtered to same-centroid pairs (the paper's semantic
+    * scoping); edges become components via min-label propagation, and
+    * each component elects ONE keeper — the member with the LOWEST
+    * cosine to its centroid (the paper's election: keep the least
+    * prototypical example, tiebreak vec_id). Output is a per-document
+    * verdict, not just the pair list q44 emits.
     *
     * 100 TB shape: one broadcast assignment pass (N·k cosines, k
-    * fixed), one equi-join on (centroid, bucket) — never all-pairs —
-    * bounded CC iterations on the (tiny) edge set, one hash agg for
-    * the election. No windows over the corpus. */
+    * fixed), exact-first rep collapse, the output-bound sweep kernel
+    * over reps (tiled + shuffled past the rep cap) — bounded CC
+    * iterations on the edge set, one hash agg for the election. No
+    * windows over the corpus. */
   def q104SemDedup(s: SparkSession, dir: String, tau: Double = 0.30): DataFrame =
     semDedup(emb(s, dir), tau)
 
   /** semDedup's load-bearing intermediates exposed for plan pinning
     * (the setSimStages discipline): the final executed plan hides the
-    * banded edge join behind verifiedRepPairs' localCheckpoint, so
+    * sweep kernel behind exactSweepRepPairs' localCheckpoint, so
     * ExplainCheck pins `edges` directly — and because this is a pure
     * extraction, the pinned stage IS the gated query's stage. */
   private[graft] case class SemDedupStages(members: DataFrame, g: DataFrame,
-      edges: DataFrame)
+      edges: DataFrame, gPlan: DataFrame)
 
   private[graft] def semDedupStages(all: DataFrame, tau: Double): SemDedupStages = {
     // exact-first collapse below relies on cos(x, x) = 1.0 >= tau
@@ -577,17 +580,36 @@ object VectorOps {
       .select(col("vec_id"),
         element_at(col("top"), 1).getField("id").as("centroid_id"),
         element_at(col("top"), 1).getField("score").as("cos_centroid"))
-    val g = reps.join(assigned, "vec_id")
+    // gPlan = the assignment lineage (ExplainCheck pins the bounded
+    // top-1 aggregate + centroid broadcast there — the lazy checkpoint
+    // hides both from every downstream plan); g = the checkpointed
+    // frame that feeds the sweep AND two centroid attaches
+    val gPlan = reps.join(assigned, "vec_id")
       .select("vec_id", "v", "centroid_id", "cos_centroid")
-    // banded candidates scoped to the centroid (the paper's semantic
-    // scoping rides as an extra equi-join key); verify-then-dedup —
-    // the candidate stream never hits a shuffle (see verifiedRepPairs)
-    // g is reps inner-joined 1:1 to its centroid assignment, so the
-    // probe-paid rep count carries over exactly
-    val edges = verifiedRepPairs(g, tau, extraKeys = Seq("centroid_id"),
-        knownRepCount = Some(nReps))
+    val g = gPlan.localCheckpoint(false)
+    // Rep pairs via the exact sweep (round-10): the gate's τ=0.30 sits
+    // below the banding prunability floor (bandsFor: r=6 < 8 sign
+    // bits), where banded candidates are near-quadratic ANYWAY — the
+    // round-10 profile measured 300k admitted candidates for 230k true
+    // pairs on the 2000-vector realistic corpus, i.e. the banding paid
+    // signature+join machinery to prune 24%. q44 already takes the
+    // sweep in this regime; semDedup now matches, and the oracle is
+    // ground truth (every same-centroid pair at round-4 cos ≥ τ)
+    // instead of a banding replay. The paper's semantic scoping
+    // (edges never cross centroid cells) applies as a broadcast
+    // attach + equality filter on the output-bound pair stream.
+    // no broadcast hint on the attaches: the checkpointed two-long-col
+    // assignment frame is size-known, so AQE broadcasts it while the
+    // dimension fits and shuffles past the rep cap (the same regime
+    // split exactSweepRepPairs makes internally)
+    val repPairs = exactSweepRepPairs(g.select(col("vec_id"), col("v")), tau,
+      knownRepCount = Some(nReps))
+    val edges = repPairs
+      .join(g.select(col("vec_id").as("ra"), col("centroid_id").as("ca")), "ra")
+      .join(g.select(col("vec_id").as("rb"), col("centroid_id").as("cb")), "rb")
+      .where(col("ca") === col("cb"))
       .select(col("ra").as("doc_a"), col("rb").as("doc_b"))
-    SemDedupStages(members, g, edges)
+    SemDedupStages(members, g, edges, gPlan)
   }
 
   /** Core of q104 over any (vec_id, v) corpus (centroids = vec_id < 8)
@@ -1245,10 +1267,13 @@ object VectorOps {
       // and the convergence check makes an under-unrolled run FAIL
       // LOUDLY (comp empties -> every component coalesces to vec_id ->
       // hash mismatch) instead of silently wrong.
+      // Edges are GROUND TRUTH (round-10, matching the Spark sweep
+      // swap): every same-centroid pair at round-4 cos >= tau — no
+      // banding replay (the weak-tau regime where banding prunes
+      // nothing; measured 4.8 s over the full 2000-vector corpus).
       s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |${bandSigSql(0.30)},
         |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
         |centcos AS (
         |  SELECT c.vec_id, q.centroid_id,
@@ -1260,17 +1285,11 @@ object VectorOps {
         |  SELECT vec_id, centroid_id, cos_c AS cos_centroid FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, centroid_id) AS rn
         |    FROM centcos) WHERE rn = 1),
-        |gsig AS (
-        |  SELECT s.vec_id, s.j, s.sg, a.centroid_id
-        |  FROM sig s JOIN asg a USING (vec_id)),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
-        |  FROM gsig a JOIN gsig b
-        |    ON a.centroid_id = b.centroid_id AND a.j = b.j AND a.sg = b.sg
-        |   AND a.vec_id < b.vec_id),
         |pairs AS MATERIALIZED (
-        |  SELECT cd.doc_a, cd.doc_b
-        |  FROM cand cd JOIN e a ON a.vec_id = cd.doc_a JOIN e b ON b.vec_id = cd.doc_b
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  JOIN asg aa ON aa.vec_id = a.vec_id
+        |  JOIN asg ab ON ab.vec_id = b.vec_id AND ab.centroid_id = aa.centroid_id
         |  WHERE ROUND(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) /
         |      (SQRT(list_sum(list_transform(a.v, (x,i) -> x * a.v[i]))) *
         |       SQRT(list_sum(list_transform(b.v, (x,i) -> x * b.v[i])))), 4) >= 0.30),

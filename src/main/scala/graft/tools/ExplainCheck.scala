@@ -251,13 +251,20 @@ object ExplainCheck {
     val q104 = graft.queries.VectorOps.q104SemDedup(spark, sfDir)
     val p104 = planOf(q104)
     assert(!p104.contains("CartesianProduct"),
-      "q104: edge enumeration must stay a (centroid,band,sig) equi-join " +
-        "(the k=8 centroid broadcast is the only nested loop)")
-    assert(p104.contains("ObjectHashAggregate"),
-      "q104: centroid assignment top-1 not a bounded aggregate")
+      "q104: edge enumeration degenerated to a row-pair cross join")
     assert(!p104.contains("Window"),
       "q104: keeper election must be a hash agg, not a corpus window")
-    println("q104 SemDeDup keyed edges + agg election OK")
+    // the assignment aggregate + centroid broadcast hide behind g's
+    // lazy checkpoint in the final plan — pin them on the assignment
+    // STAGE (gPlan, the same lineage pre-checkpoint)
+    val st104 = graft.queries.VectorOps.semDedupStages(
+      graft.queries.VectorOps.emb(spark, sfDir), 0.30)
+    val pg104 = planOf(st104.gPlan)
+    assert(pg104.contains("ObjectHashAggregate"),
+      "q104: centroid assignment top-1 not a bounded aggregate")
+    assert(pg104.contains("BroadcastNestedLoopJoin"),
+      "q104: centroid scoping lost its broadcast")
+    println("q104 SemDeDup sweep edges + agg election OK")
 
     val q105 = graft.queries.TextOps.q105Dsir(spark, sfDir)
     val p105 = planOf(q105)
@@ -1017,24 +1024,34 @@ object ExplainCheck {
     val q183 = graft.SparkEntry.queries("q183_real_vec_semdedup")(spark, sfDir)
     val p183 = planOf(q183)
     assert(!p183.contains("CartesianProduct"),
-      "q183: edge enumeration must stay a (centroid,band,sig) equi-join")
-    assert(p183.contains("BroadcastNestedLoopJoin"),
-      "q183: centroid scoping lost its broadcast")
-    assert(p183.contains("ObjectHashAggregate"),
-      "q183: centroid assignment top-1 not a bounded aggregate")
+      "q183: edge enumeration degenerated to a row-pair cross join")
     assert(!p183.contains("Window"),
       "q183: keeper election must be a hash agg, not a corpus window")
-    // the banded edge join hides behind verifiedRepPairs' checkpoint in
+    // the sweep kernel hides behind exactSweepRepPairs' checkpoint in
     // the final plan — pin the edges STAGE (a pure extraction, so this
-    // is the gated query's own stage) for the centroid equi-join key
-    val e183 = graft.queries.VectorOps.semDedupStages(
-      graft.queries.RealVec.vecs(spark), 0.30).edges
-    val pe183 = planOf(e183)
-    assert("centroid_id#\\d+L?, band#\\d+".r.findFirstIn(pe183).isDefined,
-      "q183: banded candidates lost the centroid equi-join key")
-    assert(!pe183.contains("CartesianProduct") && !pe183.contains("BroadcastNestedLoop"),
-      "q183: edge candidates must stay a (centroid,band,sig) equi-join")
-    println("q183 realistic SemDeDup centroid broadcast + keyed edges OK")
+    // is the gated query's own stage): margin candidates from the
+    // DenseSweep kernel (MapPartitions), exact verify through the
+    // codegen'd cosine, centroid scoping as equi-joins on the pair
+    // stream — never a row-pair cross join
+    val st183 = graft.queries.VectorOps.semDedupStages(
+      graft.queries.RealVec.vecs(spark), 0.30)
+    val pg183 = planOf(st183.gPlan)
+    assert(pg183.contains("ObjectHashAggregate"),
+      "q183: centroid assignment top-1 not a bounded aggregate")
+    assert(pg183.contains("BroadcastNestedLoopJoin"),
+      "q183: centroid scoping lost its broadcast")
+    val pe183 = planOf(st183.edges)
+    assert(pe183.contains("MapPartitions"),
+      "q183: edge candidates must come from the DenseSweep kernel")
+    assert(pe183.contains("dlx_cos4"),
+      "q183: exact verify must run the codegen'd cosine")
+    // Catalyst folds the ca = cb equality into the second attach's
+    // join KEYS (co-hashed with rb) — assert the keyed form
+    assert("Join \\[[^\\]]*ca#[^\\]]*\\], \\[[^\\]]*cb#[^\\]]*\\]".r.findFirstIn(pe183).isDefined,
+      "q183: edges lost the same-centroid scoping join keys")
+    assert(!pe183.contains("CartesianProduct"),
+      "q183: edge candidates degenerated to a row-pair cross join")
+    println("q183 realistic SemDeDup sweep kernel + centroid scoping OK")
 
     val q185 = graft.SparkEntry.queries("q185_real_vec_knn")(spark, sfDir)
     val p185 = planOf(q185)
