@@ -972,7 +972,59 @@ object VectorOps {
     "q71_kmeans_assign" -> (q71KmeansAssign _),
     "q95_kmeans_update" -> (q95KmeansUpdate _),
     "q104_semdedup" -> ((s, d) => q104SemDedup(s, d)),
-    "q108_mmr_rerank" -> ((s, d) => q108MmrRerank(s, d)))
+    "q108_mmr_rerank" -> ((s, d) => q108MmrRerank(s, d)),
+    "q200_hybrid_rrf" -> (q200HybridRrf _))
+
+  /** Hybrid retrieval with Reciprocal-Rank Fusion (Cormack et al.
+    * 2009, the standard lexical+vector fusion in RAG stacks): per
+    * query, a BM25 lexical ranking (TextOps.bm25 — one scan + hash
+    * aggs) and a cosine vector ranking (broadcast query side, exact
+    * scores) each keep their top 20; fusion scores every candidate
+    * 1/(60+rank) per leg it appears in (missing leg contributes 0 —
+    * the canonical RRF form) and the top 5 fused per query ship.
+    *
+    * Determinism across engines: ranks derive from the gated BM25
+    * doubles (one pivoted row per (doc, term) — no accumulation-order
+    * freedom) and the round-4 cosine; the RRF sum is TWO terms in a
+    * fixed scalar expression, so IEEE addition is order-free.
+    *
+    * 100 TB shape: the corpus is touched once per leg (lexical: tf
+    * hash agg; vector: broadcast-query scan — swap in the IVF/PQ
+    * candidates for the gated brute scan unchanged); every window is
+    * partitioned by query_id over ≤ top-k rows, never the corpus. */
+  def q200HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queryTerms = Seq(0L -> Seq("hash", "join", "merge"),
+      1L -> Seq("filter", "scan"), 2L -> Seq("stream", "window", "batch"))
+    val docs = documents(s, dir)
+    val lex = queryTerms.map { case (qid, ts) =>
+      TextOps.bm25(docs, ts).withColumn("query_id", lit(qid)) }
+      .reduce(_ unionByName _)
+    val wLex = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    val lexRank = lex.where(col("doc_id") =!= col("query_id"))
+      .withColumn("r", row_number().over(wLex)).where(col("r") <= 20)
+      .select(col("query_id"), col("doc_id"), col("r").as("lex_rank"))
+    val corpus = emb(s, dir)
+    val queries = broadcast(corpus
+      .where(col("vec_id").isin(queryTerms.map(_._1): _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val vscored = corpus.crossJoin(queries)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        cosSim(col("qv"), col("v")).as("cos"))
+    val wVec = Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))
+    val vecRank = vscored.withColumn("r", row_number().over(wVec)).where(col("r") <= 20)
+      .select(col("query_id"), col("doc_id"), col("r").as("vec_rank"))
+    val fused = lexRank.join(vecRank, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)))
+    val wF = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wF)).where(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("rrf"))
+      .orderBy("query_id", "rank")
+  }
 
   private val cosSql =
     """ROUND(list_sum(list_transform(q.qv, (x,i) -> x * c.v[i])) /
@@ -1067,6 +1119,74 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // RRF hybrid: the q87 BM25 CTEs generalized to three query term
+    // sets (per-leg FIXED-ORDER pivot addition — the reduceLeft chain
+    // the Spark side folds, so no double-accumulation freedom), the
+    // exact-cosine vector leg, ROW_NUMBER ranks capped at 20, and the
+    // two-term RRF sum (IEEE addition of two scalars is order-free)
+    "q200_hybrid_rrf" -> {
+      val qts = Seq(0 -> Seq("hash", "join", "merge"),
+        1 -> Seq("filter", "scan"), 2 -> Seq("stream", "window", "batch"))
+      val allTerms = qts.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      def sumCase(t: String) =
+        s"SUM(CASE WHEN term = '$t' THEN tscore ELSE CAST(0.0 AS DOUBLE) END)"
+      val lexLegs = qts.map { case (q, ts) =>
+        val in = ts.map(t => s"'$t'").mkString(", ")
+        val pivot = ts.map(sumCase).reduceLeft((a, b) => s"($a + $b)")
+        s"""  SELECT CAST($q AS BIGINT) AS query_id, doc_id, $pivot AS score
+           |  FROM scored WHERE term IN ($in) GROUP BY doc_id""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |docs AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM docs)
+        |  WHERE t IN ($allTerms)
+        |  GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM docs),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |    ((CAST(tf AS DOUBLE) * 2.2) /
+        |     (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS tscore
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+        |lex AS (
+        |$lexLegs),
+        |lexrank AS (
+        |  SELECT query_id, doc_id, CAST(rn AS INT) AS lex_rank FROM (
+        |    SELECT query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        |    FROM lex WHERE doc_id <> query_id) WHERE rn <= 20),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+        |vscored AS (
+        |  SELECT q.query_id, c.vec_id AS doc_id, $cosSql AS cos
+        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |vrank AS (
+        |  SELECT query_id, doc_id, CAST(rn AS INT) AS vec_rank FROM (
+        |    SELECT query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
+        |    FROM vscored) WHERE rn <= 20),
+        |fused AS (
+        |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+        |         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |         COALESCE(1.0 / (60.0 + l.lex_rank), 0.0) +
+        |         COALESCE(1.0 / (60.0 + v.vec_rank), 0.0) AS rrf
+        |  FROM lexrank l FULL OUTER JOIN vrank v
+        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     // IVF-PQ replay: same fixed-point quantization, first-8 coarse
     // centroids (argmin L2, tie -> lower cid), residual PQ codebook
     // from the first 16 vectors, 2-cell probes, per-(query, cell)

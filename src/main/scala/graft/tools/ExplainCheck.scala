@@ -1066,6 +1066,21 @@ object ExplainCheck {
       "q185: a non-vote window flows over the scored corpus")
     println("q185 realistic k-NN broadcast queries + bounded top-k OK")
 
+    // hybrid RRF (round-10): query side broadcast on the vector leg,
+    // exact cosine codegen'd, and every window partitioned by
+    // query_id over <= top-k rows — never a corpus-global spec
+    val q200 = graft.SparkEntry.queries("q200_hybrid_rrf")(spark, sfDir)
+    val p200 = planOf(q200)
+    assert(p200.contains("BroadcastNestedLoopJoin") || p200.contains("BroadcastHashJoin"),
+      "q200: vector-leg query side not broadcast")
+    assert(p200.contains("dlx_cos4"),
+      "q200: vector scores must run the codegen'd cosine")
+    assert("windowspecdefinition\\(query_id#\\d+".r.findFirstIn(p200).isDefined,
+      "q200: rank windows not partitioned by query_id")
+    assert("windowspecdefinition\\((?!query_id)".r.findFirstIn(p200).isEmpty,
+      "q200: a window flows over something other than the per-query candidates")
+    println("q200 hybrid RRF broadcast legs + query-partitioned ranks OK")
+
     // round-9 realistic-MARC gates (q187-q192): the operators are the
     // synthetic twins' own code paths, but the Zipfian dimension and
     // skewed attachment change what the optimizer sees — pin the plan
