@@ -99,7 +99,8 @@ object StoreStress {
       graft.store.MarcStore.failpoint = Some(p)
       val t0 = System.nanoTime()
       val crashed =
-        try { store.commit(bibs.map(_.copy(basket = s"v$i")), user = s"u_$p"); false }
+        try { store.commit(bibs.map(_.copy(basket = s"v$i")), user = s"u_$p",
+          authCheck = false); false } // no auth dim in this scratch store
         catch { case _: graft.store.MarcStore.CrashInjected => true }
       require(crashed, s"failpoint $p did not fire")
       store = new graft.store.MarcStore(spark, base) // reopen = recovery sweep
