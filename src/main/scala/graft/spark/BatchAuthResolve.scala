@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   *   1. singles: each controlled (code, value) joins the exploded
   *      source-tag subfields — exactly one matching auth resolves the
   *      subfield; zero raises InvalidAuthValue; several go to step 2;
-  *   2. ambiguous fields: the field's ambiguous pairs run a
-  *      set-containment join (all pairs within ONE auth field — the
-  *      xlookup_multi shape, AuthOps.xlookupMultiBatch's idiom); a
-  *      unique match resolves the field, several fall back to the
-  *      exact-heading-equality rule, none raises AmbiguousAuthValue.
+  *   2. ambiguous fields: the field's ambiguous pairs — deduped by
+  *      code, last value wins, the xlookup_multi dict(zip(...)) shape
+  *      (dlx/marc/__init__.py:1941-1965) — run a set-containment join
+  *      against the auth's source-tag subfields; a unique match
+  *      resolves the field, several fall back to the
+  *      exact-heading-equality rule (ALL pairs, document order, vs the
+  *      first 1XX field), none raises AmbiguousAuthValue.
   * `$0N` in a field short-circuits its controlled subfields to xref N
   * with no lookup, mirroring the parse-time capture.
   */
@@ -89,14 +91,33 @@ object BatchAuthResolve {
       }
 
       // ---- step 2: per-field disambiguation (set-containment join +
-      // exact-heading-equality tiebreak), only for the ambiguous pairs
+      // exact-heading-equality tiebreak), only for the ambiguous pairs.
+      // Probes sort by SUBFIELD INDEX: step 1's collect order is
+      // nondeterministic post-shuffle, while the reference compares
+      // (code, value) pairs in subfield document order
+      // (resolve_ambiguous, dlx/marc/__init__.py:1967-1993).
       val ambByField = ambiguous.result().groupBy(p => (p.rec, p.fld))
+        .map { case (k, ps) => k -> ps.sortBy(_.sub) }
       if (ambByField.nonEmpty) {
-        val pairProbes = broadcast(ambByField.iterator.flatMap { case ((ri, fi), ps) =>
+        // the reference's xlookup_multi collapses repeated codes via
+        // dict(zip(codes, values)) — LAST value per code wins
+        // (dlx/marc/__init__.py:1941-1965) — so the containment join
+        // probes only the deduped pairs; the exact-heading tiebreak
+        // below still compares ALL pairs in document order. The match
+        // scope stays "any source-tag field of the auth": the compiled
+        // Mongo shape ({tag.subfields: {$all: [$elemMatch, ...]}},
+        // dlx/marc/query.py:653-674) lets each pair be satisfied by a
+        // different field occurrence, exactly like this engine's own
+        // FieldCond compile — so no per-occurrence scoping here.
+        val dedupByField = ambByField.map { case (k, ps) =>
+          k -> ps.foldLeft(scala.collection.immutable.ListMap.empty[String, Probe]) {
+            (m, p) => m.updated(p.code, p)
+          }.values.toVector
+        }
+        val pairProbes = broadcast(dedupByField.iterator.flatMap { case ((ri, fi), ps) =>
           ps.map(p => (ri, fi, p.src, p.code, p.value))
         }.toSeq.toDF("rec", "fld", "src", "code", "value"))
-        val nPairs = ambByField.map { case (k, ps) =>
-          k -> ps.map(p => (p.code, p.value)).distinct.size }
+        val nPairs = dedupByField.map { case (k, ps) => k -> ps.size }
         // one row per (field, candidate auth) with every pair matched
         val multi = pairProbes
           .join(dim, col("src") === col("a_tag") && col("code") === col("a_code") &&
@@ -106,14 +127,15 @@ object BatchAuthResolve {
           .collect()
           .groupBy(r => (r.getAs[Int]("rec"), r.getAs[Int]("fld")))
         // exact-heading pairs for the many-candidates rule: the FIRST
-        // src-tag field's ordered (code, value) list (the reference's
-        // headingField, dlx resolve_ambiguous). Scoped to the
-        // candidate xrefs — a bounded pull, never the dimension.
-        def headingPairs(src: String, cands: Seq[Long]): Map[Long, Seq[(String, String)]] =
+        // 1XX field's ordered (code, value) list (the reference's
+        // heading_field, dlx/marc/__init__.py:2049-2057, as
+        // resolve_ambiguous reads it). Scoped to the candidate xrefs —
+        // a bounded pull, never the dimension.
+        def headingPairs(cands: Seq[Long]): Map[Long, Seq[(String, String)]] =
           auths.where(col("_id").isin(cands: _*))
             .select(col("_id").as("a_xref"),
               try_element_at(filter(col("datafields"),
-                f => f.getField("tag") === src), lit(1)).as("hf"))
+                f => f.getField("tag").startsWith("1")), lit(1)).as("hf"))
             .where(col("hf").isNotNull)
             .select(col("a_xref"), transform(col("hf.subfields"),
               s => struct(s.getField("code").as("c"),
@@ -132,7 +154,7 @@ object BatchAuthResolve {
             case Seq(one) => Some(one)
             case Seq() => None
             case many =>
-              val hp = headingPairs(ps.head.src, many)
+              val hp = headingPairs(many)
               val exact = many.filter(x => hp.get(x).contains(pairs))
               if (exact.length == 1) Some(exact.head) else None
           }

@@ -256,16 +256,18 @@ final class SparkQueryCompiler(spark: SparkSession, bibs: DataFrame, auths: Data
   private case class XrefFrame(hits: DataFrame) extends XrefSet { def nonEmpty = true }
 
   /** One pending flag join: records whose `tag` field carries a
-    * subfield (optionally code-scoped) with an xref in `hits`. */
-  private final case class XrefFlag(name: String, tag: String, code: Option[String],
-      hits: DataFrame)
+    * subfield (optionally code-scoped) with an xref in `hits`.
+    * (A plain class, not a case class: 2.13 deprecates the widened
+    * `apply` a private case class constructor would generate.) */
+  private final class XrefFlag(val name: String, val tag: String,
+      val code: Option[String], val hits: DataFrame)
 
   private final class Pending {
     val flags = scala.collection.mutable.ArrayBuffer.empty[XrefFlag]
     private var n = 0
     def flag(tag: String, code: Option[String], hits: DataFrame): Column = {
       val nm = s"__xref_hit_$n"; n += 1
-      flags += XrefFlag(nm, tag, code, hits)
+      flags += new XrefFlag(nm, tag, code, hits)
       coalesce(col(nm), lit(false))
     }
   }

@@ -58,6 +58,33 @@ class BatchAuthResolveSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated ambiguous codes: last value wins in lookup; tiebreak uses document order") {
+    // field 650 $aP $aQ — both pairs individually ambiguous. The
+    // containment lookup probes dict(zip(codes, values)) = {a: Q}
+    // (LAST value per code, dlx xlookup_multi, __init__.py:1941-1965);
+    // the exact tiebreak compares ALL pairs in DOCUMENT order against
+    // the first-1XX heading field (resolve_ambiguous, 1967-1993).
+    val auths = MarcSchema.toDataset(spark, Seq(
+      auth(1L, "150", "a" -> "P"),
+      auth(2L, "150", "a" -> "P"),
+      auth(5L, "150", "a" -> "Q"),
+      auth(7L, "150", "a" -> "P", "a" -> "Q"))).toDF()
+    val rec = MarcRecord(recordType = "bib", id = Some(10L),
+      fields = Vector(DataField("650", " ", " ",
+        Vector(Subfield("a", Some("P")), Subfield("a", Some("Q"))))))
+    val out = BatchAuthResolve.resolve(spark, auths, "bib", Seq(rec))
+    val subs = out.head.fields.collect { case d: DataField => d }.head.subfields
+    assert(subs.map(_.xref) === Vector(Some(7L), Some(7L)))
+    // reversed document order [(a,Q),(a,P)] equals no heading exactly
+    // (auth 7's heading is [(a,P),(a,Q)]) -> AmbiguousAuthValue
+    val rev = MarcRecord(recordType = "bib", id = Some(11L),
+      fields = Vector(DataField("650", " ", " ",
+        Vector(Subfield("a", Some("Q")), Subfield("a", Some("P"))))))
+    intercept[graft.records.AmbiguousAuthValue] {
+      BatchAuthResolve.resolve(spark, auths, "bib", Seq(rev))
+    }
+  }
+
   test("$0 capture short-circuits every controlled subfield of the field") {
     val auths = MarcSchema.toDataset(spark,
       Seq(auth(1L, "150", "a" -> "Header"))).toDF()
