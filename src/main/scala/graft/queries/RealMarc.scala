@@ -391,11 +391,14 @@ object RealMarc {
   // (the StoreOps.lifecycleStore discipline) so Verify + specs +
   // repeated bench reps don't rebuild it, and delete the temp tree on
   // JVM exit so gate runs don't accrete /tmp dirs (ADVICE r9)
+  // keyed by the CALLER'S session (ADVICE r10): a constant key would
+  // capture the first session and hand a later/restarted session a
+  // store bound to a stopped one
   private val cascadeStoreCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.store.MarcStore]
+    scala.collection.concurrent.TrieMap.empty[SparkSession, graft.store.MarcStore]
 
   private def cascadeStore(s: SparkSession): graft.store.MarcStore =
-    cascadeStoreCache.getOrElseUpdate("store", {
+    cascadeStoreCache.getOrElseUpdate(s, {
       import graft.spark.MarcSchema.marcRowEncoder
       val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2021-01-01T00:00:00Z"))
       val t2 = java.sql.Timestamp.from(java.time.Instant.parse("2021-02-01T00:00:00Z"))
@@ -431,6 +434,71 @@ object RealMarc {
       store
     })
 
+  /** q201 (round-11 verdict #1): BULK re-heading through the store
+    * write path with the cascade's driver cap FORCED LOW. One commit
+    * changes EVERY auth's heading (value suffix on all 3,000; heading
+    * tag 150→151 on the lower half) — a vocabulary-migration batch.
+    * With maxChangedAuths = 10 the commit must take the over-cap
+    * DISTRIBUTED cascade: attach scan by flag join (no changed-id
+    * INSET), update-log rows by join, struct changes joined per bib —
+    * and produce exactly the state the under-cap path (q196/q62) would:
+    * every attached bib re-tagged where its auth's tag moved, linked
+    * values refreshed, one extra history version. The oracle replays
+    * the migration relationally. */
+  private val bulkStoreCache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, graft.store.MarcStore]
+
+  private[graft] def bulkCascadeStore(s: SparkSession): graft.store.MarcStore =
+    bulkStoreCache.getOrElseUpdate(s, {
+      import graft.spark.MarcSchema.marcRowEncoder
+      val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2022-01-01T00:00:00Z"))
+      val t2 = java.sql.Timestamp.from(java.time.Instant.parse("2022-02-01T00:00:00Z"))
+      val t3 = java.sql.Timestamp.from(java.time.Instant.parse("2022-03-01T00:00:00Z"))
+      val baseDir = java.nio.file.Files.createTempDirectory("graft_q201")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+          f.delete(): Unit
+        }
+        rm(baseDir.toFile)
+      }
+      val store = new graft.store.MarcStore(s, baseDir.toString,
+        numBuckets = StoreOps.gateBuckets, maxChangedAuths = 10)
+      store.commit(marcAuths(s).as[graft.spark.MarcRow](marcRowEncoder),
+        user = "alice", now = t1)
+      val bibs = marcBibsStrippedFrom(bibsRel(s).where(col("bib_id") % 5 === 0))
+      store.commit(bibs.as[graft.spark.MarcRow](marcRowEncoder), user = "bob", now = t2)
+      // the migration batch: every heading value gains " v2"; auths
+      // below 1500 also move 150 -> 151 (struct change -> bib retag)
+      val migrated = marcAuthsFrom(
+          authsRel(s).withColumn("heading", concat(col("heading"), lit(" v2"))))
+        .withColumn("datafields", transform(col("datafields"), f => struct(
+          when(col("_id") < 1500, lit("151")).otherwise(f.getField("tag")).as("tag"),
+          f.getField("ind1").as("ind1"), f.getField("ind2").as("ind2"),
+          f.getField("subfields").as("subfields"))))
+      store.commit(migrated.as[graft.spark.MarcRow](marcRowEncoder),
+        user = "migrator", now = t3)
+      store
+    })
+
+  def q201BulkRecascade(s: SparkSession, dir: String): DataFrame = {
+    val store = bulkCascadeStore(s)
+    val counts = store.readHistory("bib").groupBy(col("_id").as("c_id"))
+      .agg(count(lit(1)).as("n_versions"))
+    val resolved = MarcContext.resolveLinkedAuto(
+      store.read("bib"), store.read("auth").toDF()).toDF()
+    val subjTag = try_element_at(transform(
+      filter(col("datafields"), f => f.getField("tag").isin("650", "651")),
+      f => f.getField("tag")), lit(1))
+    val subjVal = try_element_at(flatten(transform(
+      filter(col("datafields"), f => f.getField("tag").isin("650", "651")),
+      f => transform(filter(f.getField("subfields"), sf => sf.getField("code") === "a"),
+        sf => sf.getField("value")))), lit(1))
+    resolved.select(col("_id"), subjTag.as("subject_tag"), subjVal.as("subject"))
+      .join(counts, col("_id") === col("c_id")).drop("c_id")
+      .orderBy("_id")
+  }
+
   def q196RealStoreCascade(s: SparkSession, dir: String): DataFrame = {
     val store = cascadeStore(s)
     val counts = store.readHistory("bib").groupBy(col("_id").as("c_id"))
@@ -458,7 +526,8 @@ object RealMarc {
     "q195_real_text_overcap_raise" -> (q195RealTextOvercapRaise _),
     "q196_real_store_cascade" -> (q196RealStoreCascade _),
     "q197_real_xref_overcap" -> (q197RealXrefOvercap _),
-    "q198_real_xref_overcap_not" -> (q198RealXrefOvercapNot _))
+    "q198_real_xref_overcap_not" -> (q198RealXrefOvercapNot _),
+    "q201_bulk_recascade" -> (q201BulkRecascade _))
 
   private def withCorpus(body: String): String =
     s"""WITH real_auths AS (
@@ -528,5 +597,13 @@ object RealMarc {
       s"""SELECT bib_id AS _id FROM real_bibs
          |WHERE xref NOT IN (SELECT auth_id FROM real_auths
          |                   WHERE heading = '${headingOf(targetAuth)}')
+         |ORDER BY _id""".stripMargin),
+    "q201_bulk_recascade" -> withCorpus(
+      s"""SELECT bib_id AS _id,
+         |  CASE WHEN xref < 1500 THEN '651' ELSE '650' END AS subject_tag,
+         |  heading || ' v2' AS subject,
+         |  CAST(2 AS BIGINT) AS n_versions
+         |FROM real_bibs b JOIN real_auths a ON b.xref = a.auth_id
+         |WHERE bib_id % 5 = 0
          |ORDER BY _id""".stripMargin))
 }

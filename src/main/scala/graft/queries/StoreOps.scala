@@ -60,13 +60,16 @@ object StoreOps {
   // q36/q49/q50 all read the same committed lifecycle; build it once
   // per input dir (the gate invokes each query independently but
   // shares the session).
+  // caches key on (session, dir) — ADVICE r10: a dir-only key captures
+  // the first session and hands a restarted session a store bound to a
+  // stopped one
   private val storeCache =
-    scala.collection.concurrent.TrieMap.empty[String, MarcStore]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), MarcStore]
 
   /** commit v1 (1/97 of orders) → commit v2 (half of those, retitled)
     * → delete a quarter. */
   private def lifecycleStore(s: SparkSession, dir: String): MarcStore =
-    storeCache.getOrElseUpdate(dir, {
+    storeCache.getOrElseUpdate((s, dir), {
       import MarcSchema.marcRowEncoder
       val base = java.nio.file.Files.createTempDirectory("graft_q36").toString
       val store = new MarcStore(s, base, numBuckets = gateBuckets)
@@ -245,10 +248,10 @@ object StoreOps {
     * the same batch proving checksum-dedup is a no-op. DuckDB replays
     * md5/length relationally. */
   private val fileStoreCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.files.FileStore]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.files.FileStore]
 
   private def importedFileStore(s: SparkSession, dir: String): graft.files.FileStore =
-    fileStoreCache.getOrElseUpdate(dir, {
+    fileStoreCache.getOrElseUpdate((s, dir), {
       import graft.files.{FileStore, HadoopBlobStore}
       val base = java.nio.file.Files.createTempDirectory("graft_q40").toString
       val store = new FileStore(s, base, new HadoopBlobStore(s"file://$base/blobs"),
@@ -461,10 +464,10 @@ object StoreOps {
     * the gate red via the error column. Built once per session (the
     * lifecycleStore discipline); the temp tree dies with the JVM. */
   private val crashStoreCache =
-    scala.collection.concurrent.TrieMap.empty[String, MarcStore]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), MarcStore]
 
   private def crashedStore(s: SparkSession, dir: String): MarcStore =
-    crashStoreCache.getOrElseUpdate(dir, {
+    crashStoreCache.getOrElseUpdate((s, dir), {
       import MarcSchema.marcRowEncoder
       val baseDir = java.nio.file.Files.createTempDirectory("graft_q199")
       sys.addShutdownHook {
@@ -480,7 +483,9 @@ object StoreOps {
       val n0 = store.read("bib").count()
       require(n0 > 0, "crash gate needs a non-empty base commit")
       var prevUsers = Set("alice")
-      val points = Seq("post_staging", "post_journal", "mid_rename", "post_rename")
+      var expVersions = 1L
+      val points = Seq("post_staging", "post_journal", "mid_rename", "post_rename",
+        "post_history")
       for ((p, i) <- points.zipWithIndex) {
         MarcStore.failpoint = Some(p)
         val crashed =
@@ -498,8 +503,18 @@ object StoreOps {
         require(store.read("bib").count() == n0, s"row count changed after $p recovery")
         require(users == prevUsers || users == Set(s"crash_$p"),
           s"state after $p is neither old nor new: $users")
+        // version rows are all-or-nothing WITH the live swap (round-11:
+        // history stages under the same commit journal; post_rename is
+        // exactly the old live-swapped-history-lost window)
+        if (users == Set(s"crash_$p")) expVersions += 1
+        val histRows = store.readHistory("bib").count()
+        require(histRows == n0 * expVersions,
+          s"history rows $histRows != ${n0 * expVersions} after $p recovery " +
+            "(version rows must commit atomically with the live swap)")
         require(!new java.io.File(s"$base/bibs_staging").exists(),
           s"recovery left a dangling staging dir after $p")
+        require(!new java.io.File(s"$base/bib_history_staging").exists(),
+          s"recovery left a dangling history staging dir after $p")
         prevUsers = users
       }
       store.commit(batch(s, dir, 97L, "F-").as[MarcRow], user = "final", now = ts4)

@@ -129,6 +129,53 @@ object AuthOps {
     }
   }
 
+  /** One struct-change row of the distributed cascade's per-record
+    * change list (nullable newSuffix = heading tag unchanged). */
+  final case class CascadeChange(xref: Long, newSuffix: String,
+      removed: Seq[String], added: Seq[String])
+
+  /** A record paired with the heading-struct changes that apply to it
+    * (null/empty = value-only cascade, structure untouched). */
+  final case class CascadeInput(rec: MarcRow, changes: Seq[CascadeChange])
+
+  /** Structural cascade with the change dimension JOINED per record —
+    * the over-cap twin of [[cascadeHeadingChangesBulk]] (round-11
+    * verdict #1): instead of a closure-captured Map of every changed
+    * auth, each record arrives with exactly ITS relevant changes
+    * (sorted by xref — the same deterministic application order), so
+    * driver state is O(1) regardless of how many auths a bulk
+    * re-heading batch touched. Same per-field effects: retag when the
+    * heading tag moved, drop removed-code subfields, append added
+    * codes as unresolved linked subfields. */
+  def cascadeHeadingChangesJoined(input: DataFrame)
+      : org.apache.spark.sql.Dataset[MarcRow] = {
+    import MarcSchema.marcRowEncoder
+    implicit val inputEnc: org.apache.spark.sql.Encoder[CascadeInput] =
+      org.apache.spark.sql.Encoders.product[CascadeInput]
+    input.as[CascadeInput].map { ci =>
+      if (ci.changes == null || ci.changes.isEmpty) ci.rec
+      else {
+        val byId = ci.changes.iterator.map(c => c.xref -> c).toMap
+        ci.rec.copy(datafields = ci.rec.datafields.map { f =>
+          val hit = f.subfields.flatMap(s => Option(s.xref)).map(_.longValue)
+            .distinct.filter(byId.contains).sorted
+          hit.foldLeft(f) { (fld, id) =>
+            val ch = byId(id)
+            val tag2 = Option(ch.newSuffix).fold(fld.tag)(sfx => fld.tag.substring(0, 1) + sfx)
+            val afterDrop =
+              if (ch.removed == null || ch.removed.isEmpty) fld.subfields
+              else { val rm = ch.removed.toSet; fld.subfields.filterNot(s => rm.contains(s.code)) }
+            val afterAdd =
+              if (ch.added == null || ch.added.isEmpty) afterDrop
+              else afterDrop ++ ch.added.map(c =>
+                SubfieldRow(c, null, java.lang.Long.valueOf(id)))
+            fld.copy(tag = tag2, subfields = afterAdd)
+          }
+        })
+      }
+    }
+  }
+
   /** null out the materialized values of linked subfields so a resolve
     * pass re-derives them from the current heading state. */
   def stripLinkedValues(records: DataFrame): DataFrame =

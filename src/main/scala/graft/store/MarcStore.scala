@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   *      exactly the reference's update_attached_records default.
   */
 final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 64,
-    historyPartitions: Int = 8, lockWaitMs: Long = 600000L) {
+    historyPartitions: Int = 8, lockWaitMs: Long = 600000L,
+    maxChangedAuths: Int = 100000) {
   import spark.implicits._
   import MarcSchema.marcRowEncoder
 
@@ -277,28 +278,65 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       // it — still strictly before the swap — without a dedicated pass.
       .localCheckpoint(false)
 
-    // heading state for the attached-record cascade: OLD (live rows the
-    // batch replaces) and NEW (the batch itself) in ONE collect, both
-    // read strictly before the write
-    val headings =
+    // heading-change dimension for the attached-record cascade: OLD
+    // (live heading the batch replaces) vs NEW (the batch's heading)
+    // compared PER AUTH in one distributed job, read strictly before
+    // the write. The driver materialization is CAPPED (round-11
+    // verdict #1 — the write-path sibling of the query compiler's
+    // maxResolvedXrefs): up to `maxChangedAuths` change rows collect
+    // and the cascade runs the reference-shaped driver path (INSET
+    // attach scan + broadcast struct-change map); past the cap — a
+    // bulk re-heading, e.g. a vocabulary migration — the change frame
+    // stays a DataFrame (localCheckpoint'd eagerly, still strictly
+    // before the swap) and the cascade runs as joins end-to-end.
+    val pendingCascade: Option[Either[Array[org.apache.spark.sql.Row], DataFrame]] =
       if (rt == "auth" && updateAttached) {
-        val old = MarcContext.authHeadings(
-          read("auth").toDF().join(incoming.select(col("_id").as("i_id")),
-            col("_id") === col("i_id"), "left_semi"))
-          .withColumn("which", lit("old"))
-        val neu = MarcContext.authHeadings(incoming.toDF()).withColumn("which", lit("new"))
-        timed("headings_collect") { old.unionByName(neu).select("which", "xref", "tag", "code", "value").collect() }
-          .groupBy(_.getString(0))
-          .map { case (w, rows) => w -> groupHeadings(rows) }
-      } else Map.empty[String, Map[Long, (String, Seq[(String, String)])]]
+        val changes = headingChanges(incoming.toDF())
+        val head = timed("changes_collect") { changes.limit(maxChangedAuths + 1).collect() }
+        if (head.length <= maxChangedAuths) Some(Left(head))
+        else Some(Right(timed("changes_checkpoint") { changes.localCheckpoint(true) }))
+      } else None
 
-    timed("write_live") { writeLiveBuckets(incoming.toDF(), rt, knownTouched) }
-    timed("append_history") { appendHistory(incoming.toDF(), rt, action, now) }
+    timed("write_live") {
+      writeLiveBuckets(incoming.toDF(), rt, knownTouched,
+        history = Some((versionedHistory(incoming.toDF(), rt, action, now), historyPath(rt))))
+    }
 
-    if (rt == "auth" && updateAttached)
-      cascadeToAttached(
-        headings.getOrElse("old", Map.empty),
-        headings.getOrElse("new", Map.empty), user, now)
+    pendingCascade match {
+      case Some(Left(rows)) if rows.nonEmpty => cascadeToAttached(rows, user, now)
+      case Some(Right(changes)) => cascadeToAttachedDistributed(changes, user, now)
+      case _ => ()
+    }
+  }
+
+  /** Per-auth heading delta between the live rows a batch replaces and
+    * the batch itself: one row per CHANGED auth —
+    * (xref, new_suffix when the heading tag moved, removed codes,
+    * added codes; value-only changes carry null/empty struct columns).
+    * Heading = the first 1XX field's non-null-value (code, value)
+    * pairs in document order, the same shape MarcContext.authHeadings
+    * derives. New auths (no live row) and auths without a heading
+    * field produce no row — nothing is attached to them yet. */
+  private def headingChanges(incoming: DataFrame): DataFrame = {
+    def headingOf(df: DataFrame): DataFrame =
+      df.select(col("_id").as("xref"),
+          element_at(filter(col("datafields"), f => f.getField("tag").startsWith("1")), 1).as("hf"))
+        .where(col("hf").isNotNull)
+        .select(col("xref"), col("hf.tag").as("htag"),
+          transform(filter(col("hf.subfields"), s => s.getField("value").isNotNull),
+            s => struct(s.getField("code").as("code"), s.getField("value").as("value"))).as("pairs"))
+    val old = headingOf(read("auth").toDF()
+        .join(incoming.select(col("_id").as("i_id")), col("_id") === col("i_id"), "left_semi"))
+      .select(col("xref"), col("htag").as("o_htag"), col("pairs").as("o_pairs"))
+    val neu = headingOf(incoming)
+    val newCodes = transform(col("pairs"), p => p.getField("code"))
+    val oldCodes = transform(col("o_pairs"), p => p.getField("code"))
+    neu.join(old, "xref")
+      .where(col("htag") =!= col("o_htag") || col("pairs") =!= col("o_pairs"))
+      .select(col("xref"),
+        when(col("htag") =!= col("o_htag"), substring(col("htag"), 2, 10)).as("new_suffix"),
+        filter(oldCodes, c => !array_contains(newCodes, c)).as("removed"),
+        filter(newCodes, c => !array_contains(oldCodes, c)).as("added"))
   }
 
   /** Rewrite ONLY the buckets the batch touches: each touched bucket =
@@ -309,7 +347,8 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     * (On a rename-less object store, dynamic partition overwrite of a
     * localCheckpoint'd plan is the drop-in alternative.) */
   private def writeLiveBuckets(incoming: DataFrame, recordType: String,
-      knownTouched: Option[Seq[Long]] = None): Unit = {
+      knownTouched: Option[Seq[Long]] = None,
+      history: Option[(DataFrame, String)] = None): Unit = {
     val path = tablePath(recordType)
     val withBucket = incoming.withColumn("id_bucket", pmod(col("_id"), lit(numBuckets.toLong)))
     val touched = knownTouched.getOrElse(
@@ -318,24 +357,33 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       .where(col("id_bucket").isin(touched: _*)) // partition-pruned scan
       .join(incoming.select(col("_id").as("i_id")), col("_id") === col("i_id"), "left_anti")
       .select((canonicalCols :+ "id_bucket").map(col): _*)
-    swapBuckets(path, survivors.unionByName(withBucket), touched)
+    swapBuckets(path, survivors.unionByName(withBucket), touched, history)
   }
 
-  /** stage → swap, CRASH-SAFE (round-10): after the staging parquet
-    * completes, a journal (`_staging/_commit_journal`: one
-    * "bucket,hasData" line per touched bucket) is written; only then
-    * do the per-bucket renames start. `recoverStaging` — run at store
-    * open (under the store lock) and at the start of every swap — has
-    * an unambiguous rule: journal ABSENT → the crash predates any
-    * rename, roll BACK (drop staging; the live table is untouched);
+  /** stage → swap, CRASH-SAFE (round-10, tightened round-11): the
+    * replacement buckets AND the commit's history rows are both staged
+    * (`<table>_staging/id_bucket=N`, `<history>_staging/`), then ONE
+    * journal (`_staging/_commit_journal`: a "bucket,hasData" line per
+    * touched bucket plus a trailing "history,0|1" line) is written —
+    * to a temp name and atomically renamed into place, so a torn
+    * write can never present as a complete journal — and only then do
+    * the per-bucket renames and the history-file promotion start.
+    * `recoverStaging` — run at store open (under the store lock) and
+    * at the start of every swap — has an unambiguous rule: journal
+    * ABSENT or unparseable → the crash predates any rename, roll BACK
+    * (drop both stagings; live table and history are untouched);
     * journal PRESENT → staging is complete, roll FORWARD (idempotently
     * finish the renames — a bucket whose staged dir is gone was
-    * already moved). A reader through a recovered store therefore sees
-    * the OLD bucket set or the NEW one, never a mix (gated by q199 +
-    * StoreStress crash mode at every injected point). Residual window,
-    * documented: the history append runs AFTER the live swap, so a
-    * crash between them loses the version row but never live rows. */
-  private def swapBuckets(path: String, replacement: DataFrame, touched: Seq[Long]): Unit = {
+    * already moved — and promote any still-staged history files). A
+    * reader through a recovered store therefore sees the OLD (buckets,
+    * history) pair or the NEW one, never a mix: the round-10 residual
+    * window (history appended after the swap, lost on a crash between
+    * them) is closed because the version rows commit under the same
+    * journal. Gated by q199 + StoreStress crash mode at every injected
+    * point, including post_rename (= after swap, before history
+    * promotion — exactly the old window) and post_history. */
+  private def swapBuckets(path: String, replacement: DataFrame, touched: Seq[Long],
+      history: Option[(DataFrame, String)] = None): Unit = {
     val staging = path + "_staging"
     recoverStaging(path) // finish or roll back any dangling prior swap
     rmDir(new java.io.File(staging))
@@ -344,11 +392,22 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     // count grows ~taskCount per commit and reads degrade
     timed("staging_write") { replacement.repartition(math.max(touched.size, 1), col("id_bucket"))
       .write.partitionBy("id_bucket").mode(SaveMode.Overwrite).parquet(staging) }
+    // history rows staged BEFORE the journal: the journal commits both
+    // (reads of the prior history for version numbering completed here,
+    // strictly before any rename)
+    for ((rows, hPath) <- history) {
+      rmDir(new java.io.File(hPath + "_staging"))
+      timed("history_stage") { rows.coalesce(historyPartitions)
+        .write.mode(SaveMode.Overwrite).parquet(hPath + "_staging") }
+    }
     maybeCrash("post_staging")
     val journal = touched.map(b =>
-      s"$b,${if (new java.io.File(s"$staging/id_bucket=$b").exists()) 1 else 0}")
-    java.nio.file.Files.write(java.nio.file.Paths.get(staging, "_commit_journal"),
-      journal.mkString("\n").getBytes("UTF-8"))
+      s"$b,${if (new java.io.File(s"$staging/id_bucket=$b").exists()) 1 else 0}") :+
+      s"history,${if (history.isDefined) 1 else 0}"
+    val tmp = java.nio.file.Paths.get(staging, "_commit_journal.tmp")
+    java.nio.file.Files.write(tmp, journal.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(staging, "_commit_journal"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     maybeCrash("post_journal")
     new java.io.File(path).mkdirs()
     var renamed = 0
@@ -360,9 +419,31 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       renamed += 1
       if (renamed == 1) maybeCrash("mid_rename")
     }
-    maybeCrash("post_rename")
+    maybeCrash("post_rename") // live swapped, history not yet promoted
+    history.foreach { case (_, hPath) => promoteStagedHistory(hPath) }
+    maybeCrash("post_history")
     rmDir(new java.io.File(staging))
     invalidate(path)
+  }
+
+  /** Move the staged history part files into the live history dir —
+    * an append by file promotion, idempotent under recovery re-runs
+    * (part names are job-unique; a file is either still staged or
+    * already moved, never both). */
+  private def promoteStagedHistory(hPath: String): Unit = {
+    val st = new java.io.File(hPath + "_staging")
+    if (!st.exists()) return
+    val dst = new java.io.File(hPath)
+    dst.mkdirs()
+    val fs = st.listFiles()
+    if (fs != null)
+      fs.iterator.filter(f => f.isFile && f.getName.endsWith(".parquet")).foreach { f =>
+        val t = new java.io.File(dst, f.getName)
+        rmDir(t)
+        require(f.renameTo(t), s"history promote failed: $f -> $t")
+      }
+    rmDir(st)
+    invalidate(hPath)
   }
 
   private def maybeCrash(point: String): Unit =
@@ -371,25 +452,54 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       throw new MarcStore.CrashInjected(point)
     }
 
+  /** The history dir paired with a live table path (`<base>/<rt>s` →
+    * `<base>/<rt>_history`); None for non-live-table paths. */
+  private def historyPathOf(tablePath: String): Option[String] = {
+    val f = new java.io.File(tablePath)
+    val name = f.getName
+    if (name.endsWith("_history") || !name.endsWith("s")) None
+    else Some(new java.io.File(f.getParentFile, name.dropRight(1) + "_history").getPath)
+  }
+
   /** Roll a dangling `_staging` forward (journal present → staging was
-    * complete; finish the renames) or back (no journal → no rename
-    * ever started; drop it). Idempotent; no-op when no staging dir. */
+    * complete; finish the renames and promote staged history) or back
+    * (journal absent or malformed → no rename ever started; drop both
+    * stagings). Idempotent. */
   private def recoverStaging(path: String): Unit = {
+    val hStaging = historyPathOf(path).map(h => new java.io.File(h + "_staging"))
     val staging = new java.io.File(path + "_staging")
-    if (!staging.exists()) return
+    if (!staging.exists()) {
+      // an orphan history staging (no live staging → no journal → the
+      // crash predates any rename) rolls back
+      hStaging.filter(_.exists()).foreach(rmDir)
+      return
+    }
     val journal = new java.io.File(staging, "_commit_journal")
-    if (journal.exists()) {
-      val entries = new String(java.nio.file.Files.readAllBytes(journal.toPath), "UTF-8")
-        .split("\n").iterator.filter(_.nonEmpty)
-        .map { l => val parts = l.split(","); (parts(0).trim, parts(1).trim == "1") }.toSeq
-      for ((b, has) <- entries) {
-        val src = new java.io.File(s"${staging.getPath}/id_bucket=$b")
-        val dst = new java.io.File(s"$path/id_bucket=$b")
-        if (has) {
-          if (src.exists()) { rmDir(dst); require(src.renameTo(dst), s"recovery swap failed: $src -> $dst") }
-          // staged dir gone + journal says hasData → already renamed
-        } else rmDir(dst) // bucket emptied by this commit (delete path)
-      }
+    // a malformed/unparseable journal is treated as ABSENT (roll back):
+    // the journal itself is written atomically, so a torn journal can
+    // only be pre-protocol debris, never a post-rename state (ADVICE r10)
+    val entries: Option[Seq[(String, Boolean)]] =
+      if (!journal.exists()) None
+      else try {
+        Some(new String(java.nio.file.Files.readAllBytes(journal.toPath), "UTF-8")
+          .split("\n").iterator.filter(_.nonEmpty)
+          .map { l => val parts = l.split(","); (parts(0).trim, parts(1).trim == "1") }.toSeq)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    entries match {
+      case Some(es) =>
+        for ((b, has) <- es if b != "history") {
+          val src = new java.io.File(s"${staging.getPath}/id_bucket=$b")
+          val dst = new java.io.File(s"$path/id_bucket=$b")
+          if (has) {
+            if (src.exists()) { rmDir(dst); require(src.renameTo(dst), s"recovery swap failed: $src -> $dst") }
+            // staged dir gone + journal says hasData → already moved
+          } else rmDir(dst) // bucket emptied by this commit (delete path)
+        }
+        if (es.exists { case (k, v) => k == "history" && v })
+          historyPathOf(path).foreach(promoteStagedHistory)
+        else hStaging.filter(_.exists()).foreach(rmDir)
+      case None =>
+        hStaging.filter(_.exists()).foreach(rmDir)
     }
     rmDir(staging)
     invalidate(path)
@@ -397,13 +507,19 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
 
   // store open: finish or roll back any swap a dead writer left behind
   // (under the store lock, so an ACTIVE writer's staging is never
-  // mistaken for a dangling one — its lock is held across the swap)
+  // mistaken for a dangling one — its lock is held across the swap).
+  // History stagings recover THROUGH their table's recoverStaging (the
+  // live journal decides their fate), so `<rt>_history_staging` maps
+  // back to the `<rt>s` table path.
   StoreLock.withLock(basePath, lockWaitMs) {
     val baseDir = new java.io.File(basePath)
     val names = baseDir.listFiles()
     if (names != null)
       names.iterator.filter(f => f.isDirectory && f.getName.endsWith("_staging"))
-        .foreach(f => recoverStaging(f.getPath.stripSuffix("_staging")))
+        .map(_.getPath.stripSuffix("_staging"))
+        .map(p => if (p.endsWith("_history")) p.stripSuffix("_history") + "s" else p)
+        .toSet[String]
+        .foreach(recoverStaging)
   }
 
   private def rmDir(f: java.io.File): Unit = {
@@ -411,49 +527,58 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     if (f.exists()) f.delete()
   }
 
-  /** (auth id -> (heading tag, heading (code, value) pairs)) from
-    * collected (which, xref, tag, code, value) rows — bounded by the
-    * commit batch size. */
-  private def groupHeadings(rows: Array[org.apache.spark.sql.Row])
-      : Map[Long, (String, Seq[(String, String)])] =
-    rows.groupBy(_.getLong(1))
-      .map { case (id, rs) =>
-        id -> (rs.head.getString(2), rs.map(r => (r.getString(3), r.getString(4))).toSeq)
-      }
+  // ---- attach scans, both regimes (exposed package-private for the
+  // q201 plan pin in tools.ExplainCheck)
+
+  /** Attached bibs via a driver in-list — the under-cap regime. */
+  private[graft] def attachedBibsInList(changedIds: Seq[Long]): DataFrame =
+    read("bib").toDF()
+      .where(exists(col("datafields"), f =>
+        exists(f.getField("subfields"), s => s.getField("xref").isin(changedIds: _*))))
+
+  private def subfieldXrefs: Column =
+    array_distinct(flatten(transform(col("datafields"),
+      f => transform(f.getField("subfields"), sf => sf.getField("xref")))))
+
+  /** Attached bibs via a distributed flag join against the changed-auth
+    * frame (`xref` column) — the over-cap regime: exploded subfield
+    * xrefs equi-join the change dimension, the distinct hit ids
+    * semi-join back. Never a driver materialization. */
+  private[graft] def attachedBibsJoined(changes: DataFrame): DataFrame = {
+    val hitIds = read("bib").toDF()
+      .select(col("_id"), explode(subfieldXrefs).as("__x"))
+      .join(changes.select(col("xref").as("__x")), "__x")
+      .select("_id").distinct()
+    read("bib").toDF().join(hitIds, Seq("_id"), "left_semi")
+  }
 
   /** The reference's update_attached_records default
-    * (dlx/marc/__init__.py:1155-1232): for every committed auth whose
-    * heading changed, rewrite attached bibs — retag on heading-tag
-    * change, drop/add subfields on code-set change, refresh the
-    * materialized linked values — then re-commit them (which appends
-    * their history versions). */
-  private def cascadeToAttached(oldH: Map[Long, (String, Seq[(String, String)])],
-      newH: Map[Long, (String, Seq[(String, String)])],
+    * (dlx/marc/__init__.py:1155-1232), UNDER-CAP regime: for every
+    * committed auth whose heading changed (≤ maxChangedAuths of them,
+    * collected as change rows), rewrite attached bibs — retag on
+    * heading-tag change, drop/add subfields on code-set change,
+    * refresh the materialized linked values — then re-commit them
+    * (which appends their history versions). */
+  private def cascadeToAttached(changeRows: Array[org.apache.spark.sql.Row],
       user: String, now: java.sql.Timestamp): Unit = {
-    val changed = newH.filter { case (id, h) => oldH.get(id).exists(_ != h) }
-    if (changed.isEmpty) return
-    val changedIds = changed.keys.toSeq
+    val changedIds = changeRows.map(_.getLong(0)).toSeq
     // no isEmpty pre-scan: an empty attached set costs nothing extra —
     // the re-commit's touched-bucket collect sees zero buckets and the
     // bucket swap + history append become no-ops
     // pinned once: the attach scan (bucket read + nested exists filter)
     // otherwise runs twice — for the update-log append below and again
     // for the cascade pipeline's own materialization
-    val attached = read("bib").toDF()
-      .where(exists(col("datafields"), f =>
-        exists(f.getField("subfields"), s => s.getField("xref").isin(changedIds: _*))))
-      .localCheckpoint(false)
+    val attached = attachedBibsInList(changedIds).localCheckpoint(false)
     // structural cascade for ALL changed auths in ONE keyed pass: the
     // per-auth projection fold this replaces chained a plan node per
     // changed heading (Catalyst blowup on bulk retag batches)
-    val structChanges = changed.flatMap { case (id, (newTag, newCodes)) =>
-      val (oldTag, oldCodes) = oldH(id)
-      val removed = oldCodes.map(_._1).filterNot(newCodes.map(_._1).contains)
-      val added = newCodes.map(_._1).filterNot(oldCodes.map(_._1).contains)
-      if (oldTag == newTag && removed.isEmpty && added.isEmpty) None
-      else Some(id -> AuthOps.HeadingStructChange(
-        if (oldTag != newTag) Some(newTag.substring(1)) else None, removed.toSet, added))
-    }
+    val structChanges = changeRows.iterator.flatMap { r =>
+      val sfx = Option(r.getString(1))
+      val removed = r.getSeq[String](2)
+      val added = r.getSeq[String](3)
+      if (sfx.isEmpty && removed.isEmpty && added.isEmpty) None
+      else Some(r.getLong(0) -> AuthOps.HeadingStructChange(sfx, removed.toSet, added.toSeq))
+    }.toMap
     // the reference's auth_linked_update_log debug rows
     // (dlx/marc/__init__.py:1205): one row per (attached record,
     // triggering auth) pair. Appended BEFORE the re-commit so the scan
@@ -468,8 +593,51 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
           lit("updated").as("action"), col("triggered_by"), lit(now).as("time")))
     val restructured = AuthOps.cascadeHeadingChangesBulk(
       attached.select(canonicalCols.map(col): _*).as[MarcRow], structChanges)
-    // refresh materialized linked values against the NEW heading state,
-    // then recompute the derived text/words/logical columns
+    finishCascade(restructured, user, now)
+  }
+
+  /** OVER-CAP regime (round-11 verdict #1): the same cascade with the
+    * change dimension kept distributed — attach scan by flag join,
+    * update-log rows by join, struct changes JOINED per attached bib
+    * (sorted change list per record) instead of a closure-captured
+    * map. A 10⁶-auth re-heading batch runs with O(1) driver state. */
+  private def cascadeToAttachedDistributed(changes: DataFrame,
+      user: String, now: java.sql.Timestamp): Unit = {
+    val attached = attachedBibsJoined(changes).localCheckpoint(false)
+    appendLog("auth_linked_update_log",
+      attached.select(col("_id").as("record_id"),
+          explode(subfieldXrefs).as("triggered_by"))
+        .join(changes.select(col("xref").as("triggered_by")), "triggered_by")
+        .distinct()
+        .select(lit("bib").as("record_type"), col("record_id"),
+          lit("updated").as("action"), col("triggered_by"), lit(now).as("time")))
+    val structDim = changes.where(col("new_suffix").isNotNull ||
+      size(col("removed")) > 0 || size(col("added")) > 0)
+    val changeType = "array<struct<xref:bigint,newSuffix:string," +
+      "removed:array<string>,added:array<string>>>"
+    val perBib = attached
+      .select(col("_id").as("__cid"), explode(subfieldXrefs).as("__x"))
+      .join(structDim.select(col("xref").as("__x"), col("new_suffix"),
+        col("removed"), col("added")), "__x")
+      .groupBy(col("__cid"))
+      // sort_array orders by the leading xref field: the same
+      // deterministic ascending application order as the under-cap map
+      .agg(sort_array(collect_list(struct(col("__x").as("xref"),
+        col("new_suffix").as("newSuffix"), col("removed"), col("added")))).as("__changes"))
+    val withChanges = attached
+      .join(perBib, col("_id") === col("__cid"), "left").drop("__cid")
+      .withColumn("__changes", coalesce(col("__changes"), lit(null).cast(changeType)))
+    val restructured = AuthOps.cascadeHeadingChangesJoined(
+      withChanges.select(struct(canonicalCols.map(col): _*).as("rec"),
+        col("__changes").as("changes")))
+    finishCascade(restructured, user, now)
+  }
+
+  /** Shared cascade tail: refresh materialized linked values against
+    * the NEW heading state, recompute the derived text/words/logical
+    * columns, and re-commit the attached bibs. */
+  private def finishCascade(restructured: Dataset[MarcRow],
+      user: String, now: java.sql.Timestamp): Unit = {
     val refreshed = AuthOps.refreshLinkedValuesTyped(restructured, read("auth").toDF())
       .map(r => MarcSchema.toRow(MarcSchema.fromRow(r))(graft.model.AuthLookup.Empty))
     // attached ids are already assigned and validation is moot (only
@@ -604,15 +772,16 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       .select(pmod(col("_id"), lit(numBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
     // stamp the deletion time on the history marker (reference records
-    // deleted.user/time, dlx/marc/__init__.py:1288-1308). History is
-    // appended FIRST, while the live bucket files still exist — the
-    // marker plan reads them exactly once and no checkpoint is needed.
+    // deleted.user/time, dlx/marc/__init__.py:1288-1308). The marker
+    // frame reads the live bucket files; swapBuckets stages it (one
+    // read, strictly before any rename) and promotes it under the same
+    // journal as the bucket swap — the 'deleted' version row and the
+    // live-row removal are all-or-nothing.
     val deleted = read(recordType).toDF().where(predicate)
       .withColumn("updated", lit(now))
       // the DELETING user, not the last committer (reference stamps
       // deleted.user, dlx/marc/__init__.py:1236,1300)
       .withColumn("user", lit(user))
-    appendHistory(deleted, recordType, "deleted", now)
     // NULL-predicate rows are NOT deleted (where() drops them from the
     // doomed set), so they must stay in the survivors: coalesce, or
     // `!NULL` would silently drop them from the rewrite
@@ -620,7 +789,9 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       .where(col("id_bucket").isin(buckets: _*) && !coalesce(predicate, lit(false)))
     // a bucket whose rows were all deleted has no staging dir and
     // swapBuckets removes it outright
-    swapBuckets(path, survivors, buckets)
+    swapBuckets(path, survivors, buckets,
+      history = Some((versionedHistory(deleted, recordType, "deleted", now),
+        historyPath(recordType))))
   }
 
   /** Recreate the last history version of a deleted record
@@ -695,23 +866,22 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
 
   /** One row per version, APPENDED — never a table rewrite. The
     * version number is prior-count + 1, computed from a read-only
-    * aggregate restricted (semi-join) to the batch's ids. */
-  private def appendHistory(batch: DataFrame, recordType: String,
-      action: String, now: java.sql.Timestamp): Unit = {
+    * aggregate restricted (semi-join) to the batch's ids. The frame is
+    * consumed by [[swapBuckets]], which stages it next to the bucket
+    * staging and promotes the files under the same commit journal —
+    * live rows and their version rows are all-or-nothing. */
+  private def versionedHistory(batch: DataFrame, recordType: String,
+      action: String, now: java.sql.Timestamp): DataFrame = {
     val existing = readHistory(recordType)
     val ids = batch.select(col("_id").as("h_id")).distinct()
     val counts = existing
       .join(broadcast(ids), col("_id") === col("h_id"), "left_semi")
       .groupBy(col("_id").as("h_id")).agg(count(lit(1)).as("prev_versions"))
-    val versioned = batch
+    batch
       .join(counts, batch("_id") === counts("h_id"), "left")
       .withColumn("version_no", coalesce(col("prev_versions"), lit(0L)) + 1)
       .withColumn("action", lit(action))
       .drop("h_id", "prev_versions")
-    // cap files per append (small-file hygiene; raise for huge batches)
-    versioned.coalesce(historyPartitions)
-      .write.mode(SaveMode.Append).parquet(historyPath(recordType))
-    invalidate(historyPath(recordType))
   }
 }
 

@@ -1162,6 +1162,28 @@ object ExplainCheck {
       "q197: flag-join plan is missing its joins")
     println("q197 over-cap xref flag join vs INSET primary OK")
 
+    // the two CASCADE attach-scan regimes pinned against each other
+    // (round-11 verdict #1, the write-path sibling of q197): under
+    // maxChangedAuths the attach scan is a changed-id in-list inside
+    // the nested exists; over the cap it must be a distributed flag
+    // join of exploded subfield xrefs against the change frame — no
+    // INSET of changed ids anywhere in the plan. Uses the q201 store
+    // (built over-cap: maxChangedAuths=10, 3,000 changed auths).
+    val q201store = graft.queries.RealMarc.bulkCascadeStore(spark)
+    val p201in = planOf(q201store.attachedBibsInList((1L to 20L).map(identity)))
+    assert(p201in.contains("INSET") || p201in.contains(" IN ("),
+      "q201: under-cap attach scan must be a changed-id in-list")
+    assert(countOf(p201in, "Join") == 0,
+      "q201: under-cap attach scan must not join")
+    import org.apache.spark.sql.functions.col
+    val changesDf = spark.range(0, 3000L).select(col("id").as("xref"))
+    val p201j = planOf(q201store.attachedBibsJoined(changesDf))
+    assert(!p201j.contains("INSET"),
+      "q201: over-cap attach scan must not compile a changed-id INSET")
+    assert(countOf(p201j, "Join") >= 2, // xref equi-join + semi-join back
+      "q201: over-cap attach scan is missing its flag joins")
+    println("q201 bulk-cascade attach scan: INSET under-cap vs flag join over-cap OK")
+
     val q192 = graft.SparkEntry.queries("q192_real_auth_use")(spark, sfDir)
     val p192 = planOf(q192)
     assert(p192.contains("HashAggregate") || p192.contains("ObjectHashAggregate"),

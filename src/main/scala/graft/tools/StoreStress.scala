@@ -95,7 +95,10 @@ object StoreStress {
     val n0 = store.read("bib").count()
     println(s"base commit: $n0 bibs")
     var prev = Set("u0")
-    for ((p, i) <- Seq("post_staging", "post_journal", "mid_rename", "post_rename").zipWithIndex) {
+    var expVersions = 1L
+    val points = Seq("post_staging", "post_journal", "mid_rename", "post_rename",
+      "post_history")
+    for ((p, i) <- points.zipWithIndex) {
       graft.store.MarcStore.failpoint = Some(p)
       val t0 = System.nanoTime()
       val crashed =
@@ -110,12 +113,19 @@ object StoreStress {
       require(users.size == 1, s"MIXED state after $p: $users")
       require(n == n0, s"row count drifted after $p: $n != $n0")
       require(users == prev || users == Set(s"u_$p"), s"state after $p neither old nor new")
+      // version rows commit atomically with the live swap (r11)
+      if (users == Set(s"u_$p")) expVersions += 1
+      val hist = store.readHistory("bib").count()
+      require(hist == n0 * expVersions,
+        s"history drifted after $p: $hist != ${n0 * expVersions}")
       require(!new java.io.File(s"$base/bibs_staging").exists(), s"$p left staging")
+      require(!new java.io.File(s"$base/bib_history_staging").exists(),
+        s"$p left history staging")
       println(f"$p%-13s -> recovered to ${users.head}%-15s " +
         f"(${(System.nanoTime() - t0) / 1e9}%.1f s incl. crash+reopen)")
       prev = users
     }
-    println("ALL CRASH POINTS RECOVER ALL-OR-NOTHING")
+    println("ALL CRASH POINTS RECOVER ALL-OR-NOTHING (live + history)")
     spark.stop()
   }
 }

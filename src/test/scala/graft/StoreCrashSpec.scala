@@ -35,19 +35,26 @@ class StoreCrashSpec extends AnyFunSuite {
     var store = new MarcStore(spark, base, numBuckets = 4)
     store.commit(bibs("v1"), user = "u", authCheck = false)
     assert(baskets(store) === Set("v1"))
+    assert(store.readHistory("bib").count() === 2)
 
-    // journal not yet written -> recovery must ROLL BACK to v1
+    // journal not yet written -> recovery must ROLL BACK to v1, and the
+    // staged history rows must roll back WITH the buckets
     MarcStore.failpoint = Some("post_staging")
     intercept[MarcStore.CrashInjected] {
       store.commit(bibs("v2"), user = "u", authCheck = false)
     }
     store = new MarcStore(spark, base, numBuckets = 4)
     assert(baskets(store) === Set("v1"), "pre-journal crash must leave the old table")
+    assert(store.readHistory("bib").count() === 2,
+      "rolled-back commit must not leave version rows")
+    assert(!new java.io.File(s"$base/bib_history_staging").exists())
 
     // journal written -> recovery must ROLL FORWARD, even when zero,
-    // one, or all of the renames already happened
-    for ((p, marker) <- Seq("post_journal" -> "v2", "mid_rename" -> "v3",
-        "post_rename" -> "v4")) {
+    // one, or all of the renames already happened, INCLUDING the
+    // history promotion (post_rename = the round-10 residual window:
+    // live swapped, history not yet appended)
+    for (((p, marker), k) <- Seq("post_journal" -> "v2", "mid_rename" -> "v3",
+        "post_rename" -> "v4", "post_history" -> "v5").zipWithIndex) {
       MarcStore.failpoint = Some(p)
       intercept[MarcStore.CrashInjected] {
         store.commit(bibs(marker), user = "u", authCheck = false)
@@ -55,8 +62,41 @@ class StoreCrashSpec extends AnyFunSuite {
       store = new MarcStore(spark, base, numBuckets = 4)
       assert(baskets(store) === Set(marker), s"$p crash must recover to the new table")
       assert(store.read("bib").count() === 2)
+      assert(store.readHistory("bib").count() === 2L * (k + 2),
+        s"$p: version rows must be all-or-nothing with the live swap")
+      assert(store.readHistory("bib").agg(max(col("version_no"))).head().getLong(0)
+        === (k + 2).toLong, s"$p: version numbering must survive recovery")
       assert(!new java.io.File(s"$base/bibs_staging").exists(), s"$p left staging behind")
+      assert(!new java.io.File(s"$base/bib_history_staging").exists(),
+        s"$p left history staging behind")
     }
+  }
+
+  test("malformed journal is treated as absent: roll back, never throw") {
+    // ADVICE r10: a truncated journal line ('12' with no comma) used to
+    // throw ArrayIndexOutOfBounds at store open, bricking the store.
+    // The journal is now written atomically (tmp + rename), so a
+    // malformed one can only be pre-protocol debris — recovery must
+    // roll back both stagings and open cleanly.
+    val base = freshBase()
+    var store = new MarcStore(spark, base, numBuckets = 4)
+    store.commit(bibs("v1"), user = "u", authCheck = false)
+    val staging = new java.io.File(s"$base/bibs_staging")
+    staging.mkdirs()
+    new java.io.File(staging, "id_bucket=0").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging.getPath, "_commit_journal"),
+      "12".getBytes("UTF-8"))
+    val hStaging = new java.io.File(s"$base/bib_history_staging")
+    hStaging.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(hStaging.getPath, "part-fake.snappy.parquet"),
+      Array[Byte](1, 2, 3))
+    store = new MarcStore(spark, base, numBuckets = 4) // must not throw
+    assert(baskets(store) === Set("v1"))
+    assert(store.readHistory("bib").count() === 2)
+    assert(!staging.exists(), "malformed-journal staging must roll back")
+    assert(!hStaging.exists(), "history staging must roll back with it")
   }
 
   test("recovery is idempotent and a clean store is untouched by it") {
