@@ -521,12 +521,111 @@ object StoreOps {
       store
     })
 
+  /** q202 (round-11 verdict #6): the import CLI end-to-end under the
+    * oracle — the reference's marc_import entry point
+    * (dlx/scripts/marc_import). A generated MRK batch runs through
+    * `cli.MarcImport` into a scratch store whose auth dimension forces
+    * all three parse-time resolution mechanisms
+    * (dlx/marc/__init__.py:1676-1700):
+    *  - AMBIGUOUS headings: auth pairs (2k+1 = [a "Subj k"],
+    *    2k+2 = [a "Subj k", x "Extra"]) make every (a, Subj k) lookup
+    *    two-way ambiguous; resolve_ambiguous must pick 2k+1 by exact
+    *    heading equality;
+    *  - `$0` CAPTURE: fields carrying $0<xref> short-circuit the
+    *    lookup entirely (the subfield value is deliberately garbage);
+    *  - UNIQUE lookups: [a "Uniq k"] headings resolve by plain xlookup.
+    * Record ids ride =001 so the id→xref assignment is deterministic;
+    * the oracle replays the whole assignment arithmetically. The
+    * resolution itself is joins against the auth dimension
+    * (spark.BatchAuthResolve — CliSpec + ExplainCheck pin the plan);
+    * the commit re-validates every assigned xref against the live
+    * headings, so a wrong assignment fails twice. */
+  private val importStoreCache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, MarcStore]
+
+  private val q202Subjects = 50
+  private val q202Bibs = 150
+
+  private def q202AuthRows(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{concat => cat}
+    val pairs = s.range(0, q202Subjects)
+      .select(explode(array(
+        marcRowCol(lit("auth"), col("id") * 2 + 1,
+          array(struct(lit("150").as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
+            array(struct(lit("a").as("code"), cat(lit("Subj "), col("id")).as("value"),
+              lit(null).cast("long").as("xref"))).as("subfields")))),
+        marcRowCol(lit("auth"), col("id") * 2 + 2,
+          array(struct(lit("150").as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
+            array(
+              struct(lit("a").as("code"), cat(lit("Subj "), col("id")).as("value"),
+                lit(null).cast("long").as("xref")),
+              struct(lit("x").as("code"), lit("Extra").as("value"),
+                lit(null).cast("long").as("xref"))).as("subfields")))))).as("r"))
+      .select("r.*")
+    val uniques = s.range(0, q202Subjects)
+      .select(marcRowCol(lit("auth"), col("id") + (2 * q202Subjects + 1),
+        array(struct(lit("150").as("tag"), lit(" ").as("ind1"), lit(" ").as("ind2"),
+          array(struct(lit("a").as("code"), cat(lit("Uniq "), col("id")).as("value"),
+            lit(null).cast("long").as("xref"))).as("subfields")))).as("r"))
+      .select("r.*")
+    pairs.unionByName(uniques)
+  }
+
+  /** The generated import batch, one MRK record per bib (blank-line
+    * separated), ids on =001. */
+  private def q202Mrk: String =
+    (0 until q202Bibs).map { i =>
+      val k = i % q202Subjects
+      val f650 = (i % 3) match {
+        case 0 => s"=650  \\\\$$aSubj $k"
+        case 1 => s"=650  \\\\$$aIgnored $i$$0${2 * k + 2}"
+        case _ => s"=650  \\\\$$aUniq $k"
+      }
+      s"=001  ${1000 + i}\n=245  \\\\$$aT $i\n$f650"
+    }.mkString("\n\n")
+
+  private def importedMarcStore(s: SparkSession): MarcStore =
+    importStoreCache.getOrElseUpdate(s, {
+      import MarcSchema.marcRowEncoder
+      val baseDir = java.nio.file.Files.createTempDirectory("graft_q202")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+          f.delete(): Unit
+        }
+        rm(baseDir.toFile)
+      }
+      val base = baseDir.toString
+      // the CLI opens the store with default sizing — seed the auth
+      // dimension through the same shape
+      val store = new MarcStore(s, base)
+      store.commit(q202AuthRows(s).as[MarcRow], user = "alice", now = ts1)
+      val mrk = java.nio.file.Files.createTempFile("graft_q202", ".mrk")
+      java.nio.file.Files.write(mrk, q202Mrk.getBytes("UTF-8"))
+      graft.cli.MarcImport.main(Array(base, "bib", mrk.toString))
+      java.nio.file.Files.deleteIfExists(mrk)
+      store
+    })
+
+  def q202MarcImport(s: SparkSession, dir: String): DataFrame = {
+    val store = importedMarcStore(s)
+    val xref = try_element_at(flatten(transform(
+      filter(col("datafields"), f => f.getField("tag") === "650"),
+      f => transform(filter(f.getField("subfields"), sf => sf.getField("code") === "a"),
+        sf => sf.getField("xref")))), lit(1))
+    store.read("bib").toDF()
+      .select(col("_id"), titleCol.as("title"), xref.as("xref"),
+        col("user").as("mod_user"))
+      .orderBy("_id")
+  }
+
   def q199StoreCrashRecovery(s: SparkSession, dir: String): DataFrame =
     crashedStore(s, dir).read("bib").toDF()
       .select(col("_id"), col("user"), col("created_user"), titleCol.as("title"))
       .orderBy("_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_marc_import" -> (q202MarcImport _),
     "q199_store_crash_recovery" -> (q199StoreCrashRecovery _),
     "q100_browse_eviction" -> (q100BrowseEviction _),
     "q102_merge_audit" -> (q102MergeAudit _),
@@ -542,6 +641,15 @@ object StoreOps {
     "q62_cascade" -> (q62Cascade _))
 
   val oracle: Map[String, String] = Map(
+    "q202_marc_import" ->
+      """WITH b AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 150))
+        |SELECT 1000 + i AS _id, 'T ' || i AS title,
+        |  CAST(CASE CAST(i % 3 AS INTEGER)
+        |    WHEN 0 THEN 1 + 2 * (i % 50)
+        |    WHEN 1 THEN 2 + 2 * (i % 50)
+        |    ELSE 101 + (i % 50) END AS BIGINT) AS xref,
+        |  'marc-import' AS mod_user
+        |FROM b ORDER BY _id""".stripMargin,
     "q199_store_crash_recovery" ->
       """SELECT o_orderkey AS _id, 'final' AS "user", 'alice' AS created_user,
         |  'F-' || o_orderpriority AS title

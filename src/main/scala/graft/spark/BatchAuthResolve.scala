@@ -31,9 +31,18 @@ import org.apache.spark.sql.functions._
   * `$0N` in a field short-circuits its controlled subfields to xref N
   * with no lookup, mirroring the parse-time capture.
   */
+/** One controlled-subfield probe of the import batch (top-level and
+  * non-private so the Dataset encoder's generated code can reach the
+  * accessors — an object-private case class forces Spark into the
+  * interpreted serializer fallback). */
+private[spark] final case class BatchProbe(rec: Int, fld: Int, sub: Int,
+    src: String, code: String, value: String)
+
 object BatchAuthResolve {
 
-  private case class Probe(rec: Int, fld: Int, sub: Int, src: String, code: String, value: String)
+  private type Probe = BatchProbe
+  private def Probe(rec: Int, fld: Int, sub: Int, src: String, code: String, value: String) =
+    BatchProbe(rec, fld, sub, src, code, value)
 
   /** exploded (tag, code, value, xref) view of the auth dimension —
     * raw values, because xlookup matches raw equality, not collation. */

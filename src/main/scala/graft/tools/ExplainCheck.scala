@@ -1184,6 +1184,33 @@ object ExplainCheck {
       "q201: over-cap attach scan is missing its flag joins")
     println("q201 bulk-cascade attach scan: INSET under-cap vs flag join over-cap OK")
 
+    // the import CLI's parse-time auth resolution (q202) must be a
+    // JOIN of the broadcast probe batch against the auth-dimension
+    // scan — never a driver collect of the auth table (the round-9
+    // MarcImport fix, now gated end-to-end by q202_marc_import)
+    {
+      import org.apache.spark.sql.functions.{broadcast, lit}
+      val barDim = graft.spark.BatchAuthResolve.authSubs(
+        graft.queries.RealMarc.marcAuths(spark))
+      val barProbes = spark.range(0, 1).select(
+        lit(0).as("rec"), lit(0).as("fld"), lit(0).as("sub"),
+        lit("150").as("src"), lit("a").as("code"),
+        lit(graft.queries.RealMarc.headingOf(3L)).as("value"))
+      val pBar = planOf(graft.spark.BatchAuthResolve.singlesFrame(
+        broadcast(barProbes), barDim))
+      // a LEFT join building the broadcast probe side is unsupported,
+      // so the plan is a shuffle join — the pin is that it IS a join
+      // over the dimension's Generate (explode) scan, with the match
+      // count a hash aggregate: no collected auth copy anywhere
+      assert(countOf(pBar, "Join") >= 1,
+        "q202: batch auth resolution must join the probes against the dimension")
+      assert(pBar.contains("Generate"),
+        "q202: the auth dimension must be the exploded scan, not a collected copy")
+      assert(pBar.contains("HashAggregate") || pBar.contains("ObjectHashAggregate"),
+        "q202: per-probe match counts must be a hash aggregate")
+      println("q202 import auth-resolve dimension join OK")
+    }
+
     val q192 = graft.SparkEntry.queries("q192_real_auth_use")(spark, sfDir)
     val p192 = planOf(q192)
     assert(p192.contains("HashAggregate") || p192.contains("ObjectHashAggregate"),
