@@ -38,7 +38,7 @@ object StoreOps {
       array(subs: _*).as("subfields"))
 
   /** orders-derived commit batch: one bib per sampled order. */
-  private def batch(s: SparkSession, dir: String, mod: Long, titlePrefix: String): DataFrame =
+  private[graft] def batch(s: SparkSession, dir: String, mod: Long, titlePrefix: String): DataFrame =
     orders(s, dir).where(col("o_orderkey") % mod === 0)
       .select(
         lit("bib").as("record_type"),

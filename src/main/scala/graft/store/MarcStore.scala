@@ -37,8 +37,10 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   private def tablePath(recordType: String) = s"$basePath/${recordType}s"
   private def historyPath(recordType: String) = s"$basePath/${recordType}_history"
 
-  /** opt-in phase timing (GRAFT_STORE_PROFILE=1) for tools.ProfileStore. */
-  private val profile = sys.env.contains("GRAFT_STORE_PROFILE")
+  /** opt-in phase timing (GRAFT_STORE_PROFILE=1, or the in-process
+    * flag) for tools.ProfileStore / tools.StoreBudget. */
+  private val profile =
+    sys.env.contains("GRAFT_STORE_PROFILE") || MarcStore.forceProfile
   private lazy val profileJobs: java.util.concurrent.atomic.AtomicInteger = {
     val c = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -53,7 +55,10 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       val j0 = profileJobs.get()
       val t0 = System.nanoTime()
       val r = f
-      println(f"  STORE $label%-22s ${(System.nanoTime() - t0) / 1e9}%7.3f s  jobs=${profileJobs.get() - j0}")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val jobs = profileJobs.get() - j0
+      println(f"  STORE $label%-22s $dt%7.3f s  jobs=$jobs")
+      MarcStore.profileLog.add((label, dt, jobs))
       r
     }
 
@@ -896,6 +901,12 @@ object MarcStore {
   @volatile var failpoint: Option[String] = None
   final class CrashInjected(point: String)
     extends RuntimeException(s"injected crash at $point")
+
+  /** In-process twin of GRAFT_STORE_PROFILE (tools.StoreBudget flips
+    * it before constructing its stores); phase rows accumulate in
+    * [[profileLog]] as (label, seconds, spark jobs). */
+  @volatile var forceProfile: Boolean = false
+  val profileLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, Int)]()
 }
 
 /** Cross-writer exclusion for one store path. The staging-dir swap
