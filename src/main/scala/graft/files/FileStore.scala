@@ -145,10 +145,16 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
   def read(): DataFrame = readRaw().select(canonicalCols.map(col): _*)
 
   /** Upsert metadata rows by checksum: rewrite ONLY the id buckets the
-    * batch touches (stage → swap, like MarcStore) — write cost is
-    * O(touched buckets), never O(table). */
+    * batch touches (stage → swap) — write cost is O(touched buckets),
+    * never O(table). CRASH-SAFE with the same commit-journal protocol
+    * as MarcStore.swapBuckets (round-11: a crash between two bucket
+    * renames used to leave the file table permanently mixed): staging
+    * completes, the journal is written atomically (tmp + rename), only
+    * then do renames start; [[recoverStaging]] — at store open and
+    * before every upsert — rolls forward iff the journal exists. */
   private def upsert(meta: DataFrame): Unit =
       graft.store.StoreLock.withLock(basePath, lockWaitMs) {
+    recoverStaging()
     val withBucket = meta.select(canonicalCols.map(col): _*)
       .withColumn("id_bucket", bucketCol)
     val touched = withBucket.select("id_bucket").distinct().as[Long].collect()
@@ -161,6 +167,12 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
     survivors.unionByName(withBucket)
       .repartition(math.max(touched.length, 1), col("id_bucket"))
       .write.partitionBy("id_bucket").mode(SaveMode.Overwrite).parquet(staging)
+    val journal = touched.map(b =>
+      s"$b,${if (new java.io.File(s"$staging/id_bucket=$b").exists()) 1 else 0}")
+    val tmp = java.nio.file.Paths.get(staging, "_commit_journal.tmp")
+    java.nio.file.Files.write(tmp, journal.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(staging, "_commit_journal"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     new java.io.File(tablePath).mkdirs()
     for (b <- touched) {
       val dst = new java.io.File(s"$tablePath/id_bucket=$b")
@@ -172,6 +184,37 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
     graft.store.TableGenerations.bump(tablePath)
     spark.catalog.refreshByPath(tablePath)
   }
+
+  /** Roll a dangling `files_staging` forward (journal present →
+    * staging complete; finish the renames) or back (journal absent or
+    * malformed → no rename ever started; drop it). Idempotent. */
+  private def recoverStaging(): Unit = {
+    val staging = new java.io.File(tablePath + "_staging")
+    if (!staging.exists()) return
+    val journal = new java.io.File(staging, "_commit_journal")
+    val entries: Option[Seq[(String, Boolean)]] =
+      if (!journal.exists()) None
+      else try {
+        Some(new String(java.nio.file.Files.readAllBytes(journal.toPath), "UTF-8")
+          .split("\n").iterator.filter(_.nonEmpty)
+          .map { l => val parts = l.split(","); (parts(0).trim, parts(1).trim == "1") }.toSeq)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    entries.foreach { es =>
+      for ((b, has) <- es) {
+        val src = new java.io.File(s"${staging.getPath}/id_bucket=$b")
+        val dst = new java.io.File(s"$tablePath/id_bucket=$b")
+        if (has) {
+          if (src.exists()) { rmDir(dst); require(src.renameTo(dst), s"recovery swap failed: $src -> $dst") }
+        } else rmDir(dst)
+      }
+    }
+    rmDir(staging)
+    graft.store.TableGenerations.bump(tablePath)
+    spark.catalog.refreshByPath(tablePath)
+  }
+
+  // store open: finish or roll back any swap a dead writer left behind
+  graft.store.StoreLock.withLock(basePath, lockWaitMs) { recoverStaging() }
 
   private def rmDir(f: java.io.File): Unit = {
     if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmDir) }

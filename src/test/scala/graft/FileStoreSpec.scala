@@ -136,4 +136,44 @@ class FileStoreSpec extends AnyFunSuite {
     val back = store.fromId(rec._id).get
     assert(back.updated != null)
   }
+
+  test("upsert staging recovers via the commit journal (round 11)") {
+    // the file table's stage-and-swap now journals like MarcStore:
+    // journal present -> roll forward (finish renames), absent or
+    // malformed -> roll back. Crash states are hand-crafted here
+    // (FileStore has no failpoints); direction-exactness at volume is
+    // MarcStore's q199/StoreCrashSpec, whose protocol this mirrors.
+    val dir = java.nio.file.Files.createTempDirectory("filestore_crash").toString
+    var store = new FileStore(spark, dir, new LocalBlobStore(s"$dir/blobs"))
+    store.importBinary(testData, Seq(Identifier("isbn", "1")), Seq("EN"),
+      "application/dlx", "test", filename = "fn.ext")
+    store.importBinary("other data".getBytes("UTF-8"), Seq(Identifier("isbn", "2")),
+      Seq("EN"), "application/dlx", "test", filename = "fn2.ext")
+    val n0 = store.read().count()
+
+    // roll FORWARD: a staged bucket whose rename never ran — move a
+    // live bucket into staging and journal it as hasData
+    val table = new java.io.File(s"$dir/files")
+    val staging = new java.io.File(s"$dir/files_staging")
+    staging.mkdirs()
+    val bucket = table.listFiles().filter(_.getName.startsWith("id_bucket=")).head
+    val staged = new java.io.File(staging, bucket.getName)
+    assert(bucket.renameTo(staged))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging.getPath, "_commit_journal"),
+      s"${bucket.getName.stripPrefix("id_bucket=")},1".getBytes("UTF-8"))
+    store = new FileStore(spark, dir, new LocalBlobStore(s"$dir/blobs")) // reopen
+    assert(store.read().count() === n0, "journal present must roll the staged bucket forward")
+    assert(!staging.exists())
+
+    // roll BACK: malformed journal + junk staging must vanish silently
+    staging.mkdirs()
+    new java.io.File(staging, "id_bucket=0").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging.getPath, "_commit_journal"),
+      "junk".getBytes("UTF-8"))
+    store = new FileStore(spark, dir, new LocalBlobStore(s"$dir/blobs")) // must not throw
+    assert(store.read().count() === n0)
+    assert(!staging.exists())
+  }
 }
