@@ -176,6 +176,54 @@ object AuthOps {
     }
   }
 
+  /** every distinct subfield xref of a record, as a Column. */
+  private def subfieldXrefs: Column =
+    array_distinct(flatten(transform(col("datafields"),
+      f => transform(f.getField("subfields"), sf => sf.getField("xref")))))
+
+  /** Records attached to ANY changed auth, by flag join against the
+    * change frame's `xref` column — the over-cap attach scan (round-11
+    * verdict #1): exploded subfield xrefs equi-join the change
+    * dimension, the distinct hit ids semi-join back. Never a driver
+    * materialization. */
+  def attachedJoined(records: DataFrame, changes: DataFrame): DataFrame = {
+    val hitIds = records
+      .select(col("_id"), explode(subfieldXrefs).as("__x"))
+      .join(changes.select(col("xref").as("__x")), "__x")
+      .select("_id").distinct()
+    records.join(hitIds, Seq("_id"), "left_semi")
+  }
+
+  private val cascadeChangeType = "array<struct<xref:bigint,newSuffix:string," +
+    "removed:array<string>,added:array<string>>>"
+
+  /** The over-cap structural cascade as FRAMES: join each attached
+    * record with exactly its relevant struct changes (sorted by xref)
+    * and apply them through [[cascadeHeadingChangesJoined]]. `changes`
+    * columns: (xref, new_suffix, removed, added) — value-only change
+    * rows (null suffix, empty code deltas) are filtered out here. */
+  def cascadeStructJoined(attached: DataFrame, changes: DataFrame)
+      : org.apache.spark.sql.Dataset[MarcRow] = {
+    val structDim = changes.where(col("new_suffix").isNotNull ||
+      size(col("removed")) > 0 || size(col("added")) > 0)
+    val recCols = attached.columns.toSeq
+    val perRec = attached
+      .select(col("_id").as("__cid"), explode(subfieldXrefs).as("__x"))
+      .join(structDim.select(col("xref").as("__x"), col("new_suffix"),
+        col("removed"), col("added")), "__x")
+      .groupBy(col("__cid"))
+      // sort_array orders by the leading xref field: the same
+      // deterministic ascending application order as the in-list map
+      .agg(sort_array(collect_list(struct(col("__x").as("xref"),
+        col("new_suffix").as("newSuffix"), col("removed"), col("added")))).as("__changes"))
+    val withChanges = attached
+      .join(perRec, col("_id") === col("__cid"), "left").drop("__cid")
+      .withColumn("__changes", coalesce(col("__changes"), lit(null).cast(cascadeChangeType)))
+    cascadeHeadingChangesJoined(
+      withChanges.select(struct(recCols.map(col): _*).as("rec"),
+        col("__changes").as("changes")))
+  }
+
   /** null out the materialized values of linked subfields so a resolve
     * pass re-derives them from the current heading state. */
   def stripLinkedValues(records: DataFrame): DataFrame =

@@ -546,16 +546,10 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       f => transform(f.getField("subfields"), sf => sf.getField("xref")))))
 
   /** Attached bibs via a distributed flag join against the changed-auth
-    * frame (`xref` column) — the over-cap regime: exploded subfield
-    * xrefs equi-join the change dimension, the distinct hit ids
-    * semi-join back. Never a driver materialization. */
-  private[graft] def attachedBibsJoined(changes: DataFrame): DataFrame = {
-    val hitIds = read("bib").toDF()
-      .select(col("_id"), explode(subfieldXrefs).as("__x"))
-      .join(changes.select(col("xref").as("__x")), "__x")
-      .select("_id").distinct()
-    read("bib").toDF().join(hitIds, Seq("_id"), "left_semi")
-  }
+    * frame (`xref` column) — the over-cap regime ([[AuthOps.attachedJoined]]).
+    * Never a driver materialization. */
+  private[graft] def attachedBibsJoined(changes: DataFrame): DataFrame =
+    AuthOps.attachedJoined(read("bib").toDF(), changes)
 
   /** The reference's update_attached_records default
     * (dlx/marc/__init__.py:1155-1232), UNDER-CAP regime: for every
@@ -616,25 +610,8 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
         .distinct()
         .select(lit("bib").as("record_type"), col("record_id"),
           lit("updated").as("action"), col("triggered_by"), lit(now).as("time")))
-    val structDim = changes.where(col("new_suffix").isNotNull ||
-      size(col("removed")) > 0 || size(col("added")) > 0)
-    val changeType = "array<struct<xref:bigint,newSuffix:string," +
-      "removed:array<string>,added:array<string>>>"
-    val perBib = attached
-      .select(col("_id").as("__cid"), explode(subfieldXrefs).as("__x"))
-      .join(structDim.select(col("xref").as("__x"), col("new_suffix"),
-        col("removed"), col("added")), "__x")
-      .groupBy(col("__cid"))
-      // sort_array orders by the leading xref field: the same
-      // deterministic ascending application order as the under-cap map
-      .agg(sort_array(collect_list(struct(col("__x").as("xref"),
-        col("new_suffix").as("newSuffix"), col("removed"), col("added")))).as("__changes"))
-    val withChanges = attached
-      .join(perBib, col("_id") === col("__cid"), "left").drop("__cid")
-      .withColumn("__changes", coalesce(col("__changes"), lit(null).cast(changeType)))
-    val restructured = AuthOps.cascadeHeadingChangesJoined(
-      withChanges.select(struct(canonicalCols.map(col): _*).as("rec"),
-        col("__changes").as("changes")))
+    val restructured = AuthOps.cascadeStructJoined(
+      attached.select(canonicalCols.map(col): _*), changes)
     finishCascade(restructured, user, now)
   }
 

@@ -50,7 +50,10 @@ object RealMarcBench {
     ("resolve", 6.0, 12.0, 6.0),
     ("dsl_search", 8.0, 15.0, 6.0),
     ("browse", 10.0, 18.0, 6.0),
-    ("cascade", 8.0, 15.0, 6.0))
+    ("cascade", 8.0, 15.0, 6.0),
+    // every-auth re-heading through the over-cap joined dataflow
+    // (q201 core); measured r11: x10 2.9 s, x30 3.9 s (ratio 1.37)
+    ("bulk_cascade", 11.0, 16.0, 6.0))
 
   def main(args: Array[String]): Unit = {
     val fails =
@@ -147,9 +150,28 @@ object RealMarcBench {
     if (cascChanged != cascExpect)
       fails += s"VERIFY FAIL x$factor cascade: $cascChanged retagged, replay expects $cascExpect"
 
+    // --- bulk cascade (q201 core): EVERY auth re-headed through the
+    // over-cap joined dataflow (flag-join attach scan + per-record
+    // joined struct changes) — O(1) driver state by construction; a
+    // super-linear ratio here would mean the join path regressed to
+    // per-auth work
+    val (bulkRetagged, tBulk) = time {
+      val changes = authsR.select(col("auth_id").cast("long").as("xref"),
+        lit("51").as("new_suffix"),
+        array().cast("array<string>").as("removed"),
+        array().cast("array<string>").as("added"))
+      val attached = graft.spark.AuthOps.attachedJoined(bibs, changes)
+      graft.spark.AuthOps.cascadeStructJoined(attached, changes)
+        .toDF()
+        .where(exists(col("datafields"), f => f.getField("tag") === "651"))
+        .count()
+    }
+    if (bulkRetagged != nB)
+      fails += s"VERIFY FAIL x$factor bulk_cascade: $bulkRetagged retagged, expected $nB"
+
     authsR.unpersist(); bibsR.unpersist()
     (Map("resolve" -> tResolve, "dsl_search" -> tDsl,
-      "browse" -> tBrowse, "cascade" -> tCasc), fails.toSeq)
+      "browse" -> tBrowse, "cascade" -> tCasc, "bulk_cascade" -> tBulk), fails.toSeq)
   }
 
   private def r3(v: Double): String =
