@@ -72,6 +72,35 @@ class StoreCrashSpec extends AnyFunSuite {
     }
   }
 
+  test("delete crash recovery: the deleted marker and live removal are atomic") {
+    val base = freshBase()
+    var store = new MarcStore(spark, base, numBuckets = 4)
+    store.commit(bibs("v1"), user = "u", authCheck = false)
+    assert(store.read("bib").count() === 2)
+
+    // post-journal crash: roll FORWARD — bib 1 gone AND its 'deleted'
+    // version row present (the marker stages under the same journal)
+    MarcStore.failpoint = Some("post_rename")
+    intercept[MarcStore.CrashInjected] {
+      store.delete("bib", Seq(1L), user = "deleter")
+    }
+    store = new MarcStore(spark, base, numBuckets = 4)
+    assert(store.read("bib").count() === 1)
+    val hist = store.readHistory("bib")
+    assert(hist.count() === 3)
+    assert(hist.where(col("action") === "deleted" && col("_id") === 1L).count() === 1)
+
+    // pre-journal crash: roll BACK — bib 2 still live, NO marker row
+    MarcStore.failpoint = Some("post_staging")
+    intercept[MarcStore.CrashInjected] {
+      store.delete("bib", Seq(2L), user = "deleter")
+    }
+    store = new MarcStore(spark, base, numBuckets = 4)
+    assert(store.read("bib").count() === 1)
+    assert(store.readHistory("bib").count() === 3,
+      "rolled-back delete must not leave a deleted marker")
+  }
+
   test("malformed journal is treated as absent: roll back, never throw") {
     // ADVICE r10: a truncated journal line ('12' with no comma) used to
     // throw ArrayIndexOutOfBounds at store open, bricking the store.
