@@ -167,12 +167,8 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
     survivors.unionByName(withBucket)
       .repartition(math.max(touched.length, 1), col("id_bucket"))
       .write.partitionBy("id_bucket").mode(SaveMode.Overwrite).parquet(staging)
-    val journal = touched.map(b =>
-      s"$b,${if (new java.io.File(s"$staging/id_bucket=$b").exists()) 1 else 0}")
-    val tmp = java.nio.file.Paths.get(staging, "_commit_journal.tmp")
-    java.nio.file.Files.write(tmp, journal.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(staging, "_commit_journal"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.store.SwapJournal.write(staging, touched.toSeq.map(b =>
+      s"$b,${if (new java.io.File(s"$staging/id_bucket=$b").exists()) 1 else 0}"))
     new java.io.File(tablePath).mkdirs()
     for (b <- touched) {
       val dst = new java.io.File(s"$tablePath/id_bucket=$b")
@@ -191,22 +187,8 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
   private def recoverStaging(): Unit = {
     val staging = new java.io.File(tablePath + "_staging")
     if (!staging.exists()) return
-    val journal = new java.io.File(staging, "_commit_journal")
-    val entries: Option[Seq[(String, Boolean)]] =
-      if (!journal.exists()) None
-      else try {
-        Some(new String(java.nio.file.Files.readAllBytes(journal.toPath), "UTF-8")
-          .split("\n").iterator.filter(_.nonEmpty)
-          .map { l => val parts = l.split(","); (parts(0).trim, parts(1).trim == "1") }.toSeq)
-      } catch { case scala.util.control.NonFatal(_) => None }
-    entries.foreach { es =>
-      for ((b, has) <- es) {
-        val src = new java.io.File(s"${staging.getPath}/id_bucket=$b")
-        val dst = new java.io.File(s"$tablePath/id_bucket=$b")
-        if (has) {
-          if (src.exists()) { rmDir(dst); require(src.renameTo(dst), s"recovery swap failed: $src -> $dst") }
-        } else rmDir(dst)
-      }
+    graft.store.SwapJournal.read(staging.getPath).foreach { es =>
+      graft.store.SwapJournal.rollForwardBuckets(staging.getPath, tablePath, es)
     }
     rmDir(staging)
     graft.store.TableGenerations.bump(tablePath)
@@ -216,10 +198,7 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
   // store open: finish or roll back any swap a dead writer left behind
   graft.store.StoreLock.withLock(basePath, lockWaitMs) { recoverStaging() }
 
-  private def rmDir(f: java.io.File): Unit = {
-    if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmDir) }
-    if (f.exists()) f.delete()
-  }
+  private def rmDir(f: java.io.File): Unit = graft.store.SwapJournal.deleteRecursively(f)
 
   def md5Hex(data: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(data)

@@ -403,14 +403,7 @@ object RealMarc {
       val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2021-01-01T00:00:00Z"))
       val t2 = java.sql.Timestamp.from(java.time.Instant.parse("2021-02-01T00:00:00Z"))
       val t3 = java.sql.Timestamp.from(java.time.Instant.parse("2021-03-01T00:00:00Z"))
-      val baseDir = java.nio.file.Files.createTempDirectory("graft_q196")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-          f.delete(): Unit
-        }
-        rm(baseDir.toFile)
-      }
+      val baseDir = graft.store.SwapJournal.scratchDir("graft_q196")
       val store = new graft.store.MarcStore(s, baseDir.toString,
         numBuckets = StoreOps.gateBuckets)
       store.commit(marcAuths(s).as[graft.spark.MarcRow](marcRowEncoder),
@@ -454,14 +447,7 @@ object RealMarc {
       val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2022-01-01T00:00:00Z"))
       val t2 = java.sql.Timestamp.from(java.time.Instant.parse("2022-02-01T00:00:00Z"))
       val t3 = java.sql.Timestamp.from(java.time.Instant.parse("2022-03-01T00:00:00Z"))
-      val baseDir = java.nio.file.Files.createTempDirectory("graft_q201")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-          f.delete(): Unit
-        }
-        rm(baseDir.toFile)
-      }
+      val baseDir = graft.store.SwapJournal.scratchDir("graft_q201")
       val store = new graft.store.MarcStore(s, baseDir.toString,
         numBuckets = StoreOps.gateBuckets, maxChangedAuths = 10)
       store.commit(marcAuths(s).as[graft.spark.MarcRow](marcRowEncoder),

@@ -469,14 +469,7 @@ object StoreOps {
   private def crashedStore(s: SparkSession, dir: String): MarcStore =
     crashStoreCache.getOrElseUpdate((s, dir), {
       import MarcSchema.marcRowEncoder
-      val baseDir = java.nio.file.Files.createTempDirectory("graft_q199")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-          f.delete(): Unit
-        }
-        rm(baseDir.toFile)
-      }
+      val baseDir = graft.store.SwapJournal.scratchDir("graft_q199")
       val base = baseDir.toString
       var store = new MarcStore(s, base, numBuckets = gateBuckets)
       store.commit(batch(s, dir, 97L, "").as[MarcRow], user = "alice", now = ts1)
@@ -587,14 +580,7 @@ object StoreOps {
   private def importedMarcStore(s: SparkSession): MarcStore =
     importStoreCache.getOrElseUpdate(s, {
       import MarcSchema.marcRowEncoder
-      val baseDir = java.nio.file.Files.createTempDirectory("graft_q202")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-          f.delete(): Unit
-        }
-        rm(baseDir.toFile)
-      }
+      val baseDir = graft.store.SwapJournal.scratchDir("graft_q202")
       val base = baseDir.toString
       // the CLI opens the store with default sizing — seed the auth
       // dimension through the same shape

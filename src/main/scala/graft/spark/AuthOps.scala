@@ -177,7 +177,7 @@ object AuthOps {
   }
 
   /** every distinct subfield xref of a record, as a Column. */
-  private def subfieldXrefs: Column =
+  private[graft] def subfieldXrefs: Column =
     array_distinct(flatten(transform(col("datafields"),
       f => transform(f.getField("subfields"), sf => sf.getField("xref")))))
 
@@ -193,9 +193,6 @@ object AuthOps {
       .select("_id").distinct()
     records.join(hitIds, Seq("_id"), "left_semi")
   }
-
-  private val cascadeChangeType = "array<struct<xref:bigint,newSuffix:string," +
-    "removed:array<string>,added:array<string>>>"
 
   /** The over-cap structural cascade as FRAMES: join each attached
     * record with exactly its relevant struct changes (sorted by xref)
@@ -216,9 +213,10 @@ object AuthOps {
       // deterministic ascending application order as the in-list map
       .agg(sort_array(collect_list(struct(col("__x").as("xref"),
         col("new_suffix").as("newSuffix"), col("removed"), col("added")))).as("__changes"))
+    // records with no struct change carry a null list from the left
+    // join — cascadeHeadingChangesJoined's null branch handles it
     val withChanges = attached
       .join(perRec, col("_id") === col("__cid"), "left").drop("__cid")
-      .withColumn("__changes", coalesce(col("__changes"), lit(null).cast(cascadeChangeType)))
     cascadeHeadingChangesJoined(
       withChanges.select(struct(recCols.map(col): _*).as("rec"),
         col("__changes").as("changes")))

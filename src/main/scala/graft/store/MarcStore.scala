@@ -227,6 +227,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()),
       authCheck: Boolean = true, updateAttached: Boolean = true,
       action: String = "commit"): Unit = StoreLock.withLock(basePath, lockWaitMs) {
+    recoverAllStaging() // BEFORE any plan reads the tables (r11 review)
     // pin the caller's batch ONCE before anything reads it: the stats
     // aggregate, validation, and the write path otherwise each
     // re-evaluate the caller's construction lineage (a MARC build is
@@ -420,13 +421,9 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     }
     awaitHist()
     maybeCrash("post_staging")
-    val journal = touched.map(b =>
+    SwapJournal.write(staging, touched.map(b =>
       s"$b,${if (new java.io.File(s"$staging/id_bucket=$b").exists()) 1 else 0}") :+
-      s"history,${if (history.isDefined) 1 else 0}"
-    val tmp = java.nio.file.Paths.get(staging, "_commit_journal.tmp")
-    java.nio.file.Files.write(tmp, journal.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(staging, "_commit_journal"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      s"history,${if (history.isDefined) 1 else 0}")
     maybeCrash("post_journal")
     new java.io.File(path).mkdirs()
     var renamed = 0
@@ -493,27 +490,15 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
       hStaging.filter(_.exists()).foreach(rmDir)
       return
     }
-    val journal = new java.io.File(staging, "_commit_journal")
-    // a malformed/unparseable journal is treated as ABSENT (roll back):
-    // the journal itself is written atomically, so a torn journal can
-    // only be pre-protocol debris, never a post-rename state (ADVICE r10)
-    val entries: Option[Seq[(String, Boolean)]] =
-      if (!journal.exists()) None
-      else try {
-        Some(new String(java.nio.file.Files.readAllBytes(journal.toPath), "UTF-8")
-          .split("\n").iterator.filter(_.nonEmpty)
-          .map { l => val parts = l.split(","); (parts(0).trim, parts(1).trim == "1") }.toSeq)
-      } catch { case scala.util.control.NonFatal(_) => None }
-    entries match {
+    // a malformed, entry-less or unparseable journal is treated as
+    // ABSENT (roll back): the journal is written fsync'd + atomically
+    // (SwapJournal.write), so a torn journal can only be pre-protocol
+    // debris, never a post-rename state (ADVICE r10, tightened by the
+    // r11 review for OS-crash torn content)
+    SwapJournal.read(staging.getPath) match {
       case Some(es) =>
-        for ((b, has) <- es if b != "history") {
-          val src = new java.io.File(s"${staging.getPath}/id_bucket=$b")
-          val dst = new java.io.File(s"$path/id_bucket=$b")
-          if (has) {
-            if (src.exists()) { rmDir(dst); require(src.renameTo(dst), s"recovery swap failed: $src -> $dst") }
-            // staged dir gone + journal says hasData → already moved
-          } else rmDir(dst) // bucket emptied by this commit (delete path)
-        }
+        SwapJournal.rollForwardBuckets(staging.getPath, path,
+          es.filter(_._1 != "history"))
         if (es.exists { case (k, v) => k == "history" && v })
           historyPathOf(path).foreach(promoteStagedHistory)
         else hStaging.filter(_.exists()).foreach(rmDir)
@@ -524,15 +509,21 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     invalidate(path)
   }
 
-  // store open: finish or roll back any swap a dead writer left behind
-  // (under the store lock, so an ACTIVE writer's staging is never
-  // mistaken for a dangling one — its lock is held across the swap).
-  // History stagings recover THROUGH their table's recoverStaging (the
-  // live journal decides their fate), so `<rt>_history_staging` maps
-  // back to the `<rt>s` table path.
-  StoreLock.withLock(basePath, lockWaitMs) {
-    val baseDir = new java.io.File(basePath)
-    val names = baseDir.listFiles()
+  /** Finish or roll back EVERY dangling swap under this base. Runs at
+    * store open AND at the start of every write entry point (commit /
+    * delete / restore / merge), under the store lock in both cases —
+    * the r11 review found that recovering only inside swapBuckets is
+    * too late for a SAME-INSTANCE retry: by then the retry's read
+    * plans (prev-audit join, survivors scan, history version counts)
+    * were already built against the pre-recovery file listing, so the
+    * retry could duplicate version numbers and silently revert the
+    * recovered commit's rows in the buckets it touches. Recovery must
+    * precede ANY plan construction of a write. No-op (a directory
+    * listing) when nothing dangles. History stagings recover THROUGH
+    * their table's recoverStaging (the live journal decides their
+    * fate), so `<rt>_history_staging` maps back to `<rt>s`. */
+  private def recoverAllStaging(): Unit = {
+    val names = new java.io.File(basePath).listFiles()
     if (names != null)
       names.iterator.filter(f => f.isDirectory && f.getName.endsWith("_staging"))
         .map(_.getPath.stripSuffix("_staging"))
@@ -541,10 +532,12 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
         .foreach(recoverStaging)
   }
 
-  private def rmDir(f: java.io.File): Unit = {
-    if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmDir) }
-    if (f.exists()) f.delete()
-  }
+  // store open: finish or roll back any swap a dead writer left behind
+  // (under the store lock, so an ACTIVE writer's staging is never
+  // mistaken for a dangling one — its lock is held across the swap)
+  StoreLock.withLock(basePath, lockWaitMs) { recoverAllStaging() }
+
+  private def rmDir(f: java.io.File): Unit = SwapJournal.deleteRecursively(f)
 
   // ---- attach scans, both regimes (exposed package-private for the
   // q201 plan pin in tools.ExplainCheck)
@@ -554,10 +547,6 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     read("bib").toDF()
       .where(exists(col("datafields"), f =>
         exists(f.getField("subfields"), s => s.getField("xref").isin(changedIds: _*))))
-
-  private def subfieldXrefs: Column =
-    array_distinct(flatten(transform(col("datafields"),
-      f => transform(f.getField("subfields"), sf => sf.getField("xref")))))
 
   /** Attached bibs via a distributed flag join against the changed-auth
     * frame (`xref` column) — the over-cap regime ([[AuthOps.attachedJoined]]).
@@ -619,7 +608,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     val attached = attachedBibsJoined(changes).localCheckpoint(false)
     appendLog("auth_linked_update_log",
       attached.select(col("_id").as("record_id"),
-          explode(subfieldXrefs).as("triggered_by"))
+          explode(AuthOps.subfieldXrefs).as("triggered_by"))
         .join(changes.select(col("xref").as("triggered_by")), "triggered_by")
         .distinct()
         .select(lit("bib").as("record_type"), col("record_id"),
@@ -674,6 +663,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   def merge(gaining: Long, losing: Long, user: String = "admin",
       now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now()))
       : Unit = StoreLock.withLock(basePath, lockWaitMs) {
+    recoverAllStaging() // the guards/rewrite below read both tables
     // guard BEFORE the merge_log stamp: gaining == losing would make
     // the xref rewrite a no-op, let the heading precondition pass
     // vacuously (losing's own heading carries the codes), and the
@@ -754,6 +744,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
   private def deleteImpl(recordType: String, predicate: Column, user: String,
       now: java.sql.Timestamp, checkInUse: Boolean): Unit =
       StoreLock.withLock(basePath, lockWaitMs) {
+    recoverAllStaging() // BEFORE any plan reads the tables (r11 review)
     if (recordType == "auth" && checkInUse) {
       val doomedIds = read(recordType).toDF().where(predicate)
         .select(col("_id").as("del_id"))
@@ -798,6 +789,7 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     * of which the row-per-version history carries in one row. */
   def restore(recordType: String, id: Long, user: String): Unit =
       StoreLock.withLock(basePath, lockWaitMs) {
+    recoverAllStaging() // the history read below must see recovered files
     // lock held across read-history + re-commit (re-entrant for the
     // inner commit), so the version it restores cannot be swapped out
     // from under it

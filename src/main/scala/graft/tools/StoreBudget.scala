@@ -66,8 +66,14 @@ object StoreBudget {
         jobs.incrementAndGet()
     })
     MarcStore.forceProfile = true
+    // NOTE on phase attribution: since r11 the bucket staging and the
+    // history staging run CONCURRENTLY inside one commit, sharing the
+    // job listener — the two phases' wall/jobs overlap each other (the
+    // per-OP wall/jobs stay exact). Read staging_write/history_stage
+    // as indicative split, ops as ground truth.
 
     val ops = scala.collection.mutable.ArrayBuffer.empty[Op]
+    try {
     def op(name: String)(f: => Unit): Unit = {
       MarcStore.profileLog.clear()
       val j0 = jobs.get(); val t0 = System.nanoTime()
@@ -110,6 +116,12 @@ object StoreBudget {
       s2.commit(StoreOps.profChangedAuth(spark, sfDir).as[MarcRow], user = "editor", now = ts3)
     }
     op("q102_merge") { s2.merge(gaining = 1000L, losing = 500L, user = "editor2", now = ts4) }
+    } finally {
+      // never leave global profiling on for the rest of the JVM (the
+      // RoundArtifacts chain runs the whole battery after this)
+      MarcStore.forceProfile = false
+      MarcStore.profileLog.clear()
+    }
 
     // the cheapest plain commit = the per-commit fixed cost: the other
     // walls are (lifecycle count) x (this) + genuine data cost
@@ -129,7 +141,6 @@ object StoreBudget {
       f""""per_commit_fixed_s":$fixed%.3f,"ops":{$opsJson}${GitStamp.jsonField}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
     println(s"[storebudget] wrote $out (per_commit_fixed_s=$fixed)")
-    MarcStore.forceProfile = false
     // sanity guard: a fixed cost past 60 s means the budget itself is
     // broken (wrong SF dir, pathological host) — fail the regen loudly
     if (fixed > 60.0) Seq(f"store_profile: per_commit_fixed_s=$fixed%.1f exceeds 60 s")

@@ -72,6 +72,48 @@ class StoreCrashSpec extends AnyFunSuite {
     }
   }
 
+  test("a FRESH store's first-commit crash post-journal reopens and rolls forward") {
+    // r11 review: the live table dir does not exist before the first
+    // commit's mkdirs (which runs AFTER the journal), so roll-forward
+    // renames used to fail on the missing parent and every reopen
+    // rethrew — a permanently bricked store
+    val base = freshBase()
+    var store = new MarcStore(spark, base, numBuckets = 4)
+    MarcStore.failpoint = Some("post_journal")
+    intercept[MarcStore.CrashInjected] {
+      store.commit(bibs("v1"), user = "u", authCheck = false)
+    }
+    assert(!new java.io.File(s"$base/bibs").exists(), "precondition: no live dir yet")
+    store = new MarcStore(spark, base, numBuckets = 4) // must not throw
+    assert(baskets(store) === Set("v1"))
+    assert(store.readHistory("bib").count() === 2)
+  }
+
+  test("a SAME-INSTANCE retry after a crashed swap sees the recovered state") {
+    // r11 review: recovery used to run only inside swapBuckets — after
+    // the retry's read plans (survivors, history version counts) were
+    // already built against the pre-recovery listing, so a retry could
+    // duplicate version numbers and revert the recovered commit's
+    // rows. Write entry points now recover FIRST.
+    val base = freshBase()
+    val store = new MarcStore(spark, base, numBuckets = 4)
+    store.commit(bibs("v1"), user = "u", authCheck = false)
+    MarcStore.failpoint = Some("post_journal")
+    intercept[MarcStore.CrashInjected] {
+      store.commit(bibs("v2"), user = "u", authCheck = false)
+    }
+    // no reopen: the next write on the SAME instance must roll v2
+    // forward before reading anything
+    store.commit(bibs("v3"), user = "u", authCheck = false)
+    assert(baskets(store) === Set("v3"))
+    assert(store.read("bib").count() === 2)
+    val hist = store.readHistory("bib")
+    assert(hist.count() === 6, "v2's rolled-forward versions must be counted")
+    assert(hist.select("_id", "version_no").distinct().count() === 6,
+      "version numbers must stay unique per record")
+    assert(hist.agg(max(col("version_no"))).head().getLong(0) === 3L)
+  }
+
   test("delete crash recovery: the deleted marker and live removal are atomic") {
     val base = freshBase()
     var store = new MarcStore(spark, base, numBuckets = 4)
