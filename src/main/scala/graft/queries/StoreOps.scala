@@ -577,6 +577,36 @@ object StoreOps {
       s"=001  ${1000 + i}\n=245  \\\\$$aT $i\n$f650"
     }.mkString("\n\n")
 
+  /** q203 (round-12 verdict #2): the CLI's OTHER parse leg — a MARCXML
+    * batch through `cli.MarcImport` into the same store, gating the
+    * XML-specific semantics q202's MRK leg can't reach
+    * (dlx/marc/__init__.py:1723-1785 from_xml_raw):
+    *  - entity UNESCAPING (&amp; in titles must round-trip);
+    *  - `$0` DIGIT-FILTERING: the reference captures
+    *    ''.join(48<=ord<=57) of the $0 text, so prefixed identifiers
+    *    like "(DHLAUTH)42" capture xref 42 (the round-12
+    *    BatchAuthResolve fix — toLongOption missed the prefix form);
+    *  - controlfield 001 → id through the XML node walk.
+    * Same ambiguous/unique mix as the MRK leg (ids 2000+i so both
+    * batches coexist in one store — which also gates an import commit
+    * into a NON-empty bib table). */
+  private def q203Xml: String =
+    "<collection>" + (0 until q202Bibs).map { i =>
+      val k = i % q202Subjects
+      val f650 = (i % 3) match {
+        case 0 => s"""<datafield tag="650" ind1=" " ind2=" ">""" +
+          s"""<subfield code="a">Subj $k</subfield></datafield>"""
+        case 1 => s"""<datafield tag="650" ind1=" " ind2=" ">""" +
+          s"""<subfield code="a">Ignored &amp; $i</subfield>""" +
+          s"""<subfield code="0">(DHLAUTH)${2 * k + 2}</subfield></datafield>"""
+        case _ => s"""<datafield tag="650" ind1=" " ind2=" ">""" +
+          s"""<subfield code="a">Uniq $k</subfield></datafield>"""
+      }
+      s"""<record><controlfield tag="001">${2000 + i}</controlfield>""" +
+        s"""<datafield tag="245" ind1=" " ind2=" "><subfield code="a">T &amp; $i</subfield>""" +
+        s"""</datafield>$f650</record>"""
+    }.mkString + "</collection>"
+
   private def importedMarcStore(s: SparkSession): MarcStore =
     importStoreCache.getOrElseUpdate(s, {
       import MarcSchema.marcRowEncoder
@@ -590,10 +620,14 @@ object StoreOps {
       java.nio.file.Files.write(mrk, q202Mrk.getBytes("UTF-8"))
       graft.cli.MarcImport.main(Array(base, "bib", mrk.toString))
       java.nio.file.Files.deleteIfExists(mrk)
+      val xml = java.nio.file.Files.createTempFile("graft_q203", ".xml")
+      java.nio.file.Files.write(xml, q203Xml.getBytes("UTF-8"))
+      graft.cli.MarcImport.main(Array(base, "bib", xml.toString))
+      java.nio.file.Files.deleteIfExists(xml)
       store
     })
 
-  def q202MarcImport(s: SparkSession, dir: String): DataFrame = {
+  private def importedBibs(s: SparkSession): DataFrame = {
     val store = importedMarcStore(s)
     val xref = try_element_at(flatten(transform(
       filter(col("datafields"), f => f.getField("tag") === "650"),
@@ -602,8 +636,13 @@ object StoreOps {
     store.read("bib").toDF()
       .select(col("_id"), titleCol.as("title"), xref.as("xref"),
         col("user").as("mod_user"))
-      .orderBy("_id")
   }
+
+  def q202MarcImport(s: SparkSession, dir: String): DataFrame =
+    importedBibs(s).where(col("_id") < 2000).orderBy("_id")
+
+  def q203MarcImportXml(s: SparkSession, dir: String): DataFrame =
+    importedBibs(s).where(col("_id") >= 2000).orderBy("_id")
 
   def q199StoreCrashRecovery(s: SparkSession, dir: String): DataFrame =
     crashedStore(s, dir).read("bib").toDF()
@@ -612,6 +651,7 @@ object StoreOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_marc_import" -> (q202MarcImport _),
+    "q203_marc_import_xml" -> (q203MarcImportXml _),
     "q199_store_crash_recovery" -> (q199StoreCrashRecovery _),
     "q100_browse_eviction" -> (q100BrowseEviction _),
     "q102_merge_audit" -> (q102MergeAudit _),
@@ -630,6 +670,15 @@ object StoreOps {
     "q202_marc_import" ->
       """WITH b AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 150))
         |SELECT 1000 + i AS _id, 'T ' || i AS title,
+        |  CAST(CASE CAST(i % 3 AS INTEGER)
+        |    WHEN 0 THEN 1 + 2 * (i % 50)
+        |    WHEN 1 THEN 2 + 2 * (i % 50)
+        |    ELSE 101 + (i % 50) END AS BIGINT) AS xref,
+        |  'marc-import' AS mod_user
+        |FROM b ORDER BY _id""".stripMargin,
+    "q203_marc_import_xml" ->
+      """WITH b AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 150))
+        |SELECT 2000 + i AS _id, 'T & ' || i AS title,
         |  CAST(CASE CAST(i % 3 AS INTEGER)
         |    WHEN 0 THEN 1 + 2 * (i % 50)
         |    WHEN 1 THEN 2 + 2 * (i % 50)

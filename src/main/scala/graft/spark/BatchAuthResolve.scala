@@ -65,7 +65,13 @@ object BatchAuthResolve {
     val captured = scala.collection.mutable.Map.empty[(Int, Int), Long] // $0 capture
     for ((rec, ri) <- records.zipWithIndex; (f, fi) <- rec.fields.zipWithIndex) f match {
       case d: DataField =>
-        val zero = d.subfields.find(_.code == "0").flatMap(_.value).flatMap(_.toLongOption)
+        // the reference digit-FILTERS the $0 text rather than parsing
+        // it whole (from_xml_raw, dlx/marc/__init__.py:1735-1738:
+        // ''.join 48<=ord<=57), so prefixed identifiers like
+        // "(DHLAUTH)42" capture xref 42 — gated end-to-end by q203's
+        // XML import leg
+        val zero = d.subfields.find(_.code == "0").flatMap(_.value)
+          .map(_.filter(c => c >= '0' && c <= '9')).filter(_.nonEmpty).flatMap(_.toLongOption)
         for ((s, si) <- d.subfields.zipWithIndex)
           if (DlxConfig.isAuthorityControlled(recordType, d.tag, s.code) && s.xref.isEmpty)
             zero match {

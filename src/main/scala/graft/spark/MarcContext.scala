@@ -67,8 +67,9 @@ object MarcContext {
     * each auth's heading field (first field whose tag starts '1'). */
   def authHeadings(auths: DataFrame): DataFrame = {
     val heading = auths.select(col("_id").as("xref"),
-      // first datafield with tag like '1%' — element_at after filter
-      element_at(filter(col("datafields"), f => f.getField("tag").startsWith("1")), 1).as("hf"))
+      // first datafield with tag like '1%' — try_element_at so an auth
+      // without a 1XX yields null (ANSI-mode safe) instead of throwing
+      try_element_at(filter(col("datafields"), f => f.getField("tag").startsWith("1")), lit(1)).as("hf"))
       .where(col("hf").isNotNull)
     heading.select(col("xref"), col("hf.tag").as("tag"),
         explode(col("hf.subfields")).as("sf"))

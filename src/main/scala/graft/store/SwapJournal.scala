@@ -18,6 +18,25 @@ package graft.store
   *    buckets into it — a FRESH store whose very first commit crashed
   *    post-journal must recover to the new state, not fail the rename
   *    forever (the reopen-bricking bug this object fixed).
+  *
+  * DURABILITY BOUNDARY (the accepted contract, round-12 verdict #8):
+  * the journal file itself is fsync'd (data + directory entry), so
+  * crash-atomicity is EXACT for process death — the journal decides
+  * roll-forward vs roll-back, and the staged parquet files a
+  * roll-forward promotes were fully written before the journal write
+  * began. The staged parquet FILES, however, are written by Spark's
+  * normal output commit without an explicit per-file fsync pass, so
+  * against OS/power loss the guarantee is the same as any Spark
+  * FileOutputCommitter output: the rename-visible file set is
+  * consistent, but very recent page-cache contents of staged files
+  * could be lost with the journal surviving — in which case recovery
+  * promotes a bucket whose parquet footer fails validation LOUDLY on
+  * first read (parquet is self-checking), never silently. A
+  * power-loss-paranoid deployment mounts the store on a filesystem
+  * with ordered journaling (data=ordered ext4 / xfs default, which
+  * flushes file data before the rename commits) or fsyncs staged
+  * files out-of-band; the engine deliberately does not pay an
+  * fsync-per-parquet-file pass on every commit.
   */
 object SwapJournal {
 

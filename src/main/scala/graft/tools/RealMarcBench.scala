@@ -74,6 +74,7 @@ object RealMarcBench {
         .config("spark.ui.enabled", "false")
         .getOrCreate())
     s.sparkContext.setLogLevel("WARN")
+    graft.Bench.silenceTeardownNoise()
     s
   }
 

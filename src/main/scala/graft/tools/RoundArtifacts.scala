@@ -19,10 +19,11 @@ package graft.tools
   * BENCH/PLANS_real_x10/x30 (RealBench), BENCH_realmarc_r0N
   * (RealMarcBench verified walls over the scaled Zipfian authority
   * dimension), BENCH_isolated_r0N (IsolatedBench fresh-JVM walls),
-  * and BENCH_store_profile.json (StoreBudget per-commit fixed-cost
-  * breakdown for the store-family walls). The x100 probe is NOT part
-  * of the cadence (expensive; re-run it when the near-dup family's
-  * code changes).
+  * BENCH_store_profile.json (StoreBudget per-commit fixed-cost
+  * breakdown for the store-family walls), and BENCH_contention.json
+  * (StoreStress cross-process two-JVM writer race). The x100 probe is
+  * NOT part of the cadence (expensive; re-run it when the near-dup
+  * family's code changes).
   */
 object RoundArtifacts {
   def main(args: Array[String]): Unit = {
@@ -41,7 +42,10 @@ object RoundArtifacts {
     // bloats; the in-JVM families are insensitive to ordering.
     val fails = IsolatedBench.run(Array(round)) ++ FuzzBench.run(Array(round)) ++
       RealBench.run(Array(round)) ++ RealMarcBench.run(Array(round)) ++
-      StoreBudget.run(Array.empty)
+      StoreBudget.run(Array.empty) ++
+      // cross-process writer contention (r11 verdict #5): two child
+      // JVMs race disjoint batches onto one store path
+      StoreStress.contentionRun(Array.empty)
     if (fails.nonEmpty) {
       fails.foreach(f => System.err.println(s"[roundartifacts] $f"))
       sys.exit(1)
@@ -53,7 +57,7 @@ object RoundArtifacts {
       s"BENCH_fuzz_$round.json", "BENCH_fuzz_fb_x30.json",
       "BENCH_real_x10.json", "BENCH_real_x30.json", s"BENCH_real_$round.json",
       s"BENCH_realmarc_$round.json", s"BENCH_isolated_$round.json",
-      "BENCH_store_profile.json",
+      "BENCH_store_profile.json", "BENCH_contention.json",
       "PLANS_fuzz_x10.md", "PLANS_fuzz_x30.md", "PLANS_fuzz_fb_x30.md",
       "PLANS_real_x10.md", "PLANS_real_x30.md")
       .filter(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f)))

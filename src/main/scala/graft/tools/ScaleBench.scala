@@ -85,6 +85,7 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Bench.silenceTeardownNoise()
 
     def src(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
 

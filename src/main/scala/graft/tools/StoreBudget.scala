@@ -57,6 +57,7 @@ object StoreBudget {
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Bench.silenceTeardownNoise()
     spark.range(1000000L).selectExpr("sum(id)").collect() // JIT warm
     import MarcSchema.marcRowEncoder
 
@@ -66,11 +67,11 @@ object StoreBudget {
         jobs.incrementAndGet()
     })
     MarcStore.forceProfile = true
-    // NOTE on phase attribution: since r11 the bucket staging and the
-    // history staging run CONCURRENTLY inside one commit, sharing the
-    // job listener — the two phases' wall/jobs overlap each other (the
-    // per-OP wall/jobs stay exact). Read staging_write/history_stage
-    // as indicative split, ops as ground truth.
+    // Phase attribution is EXACT (r12): the concurrent history staging
+    // tags its jobs with MarcStore.historyJobGroup (so no phase counts
+    // another's jobs) and history_stage's wall is the await remainder
+    // beyond the bucket staging — phases partition the commit timeline,
+    // so per-op phase walls sum to <= the op wall (guarded below).
 
     val ops = scala.collection.mutable.ArrayBuffer.empty[Op]
     try {
@@ -141,9 +142,24 @@ object StoreBudget {
       f""""per_commit_fixed_s":$fixed%.3f,"ops":{$opsJson}${GitStamp.jsonField}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
     println(s"[storebudget] wrote $out (per_commit_fixed_s=$fixed)")
+    val guards = scala.collection.mutable.ArrayBuffer.empty[String]
     // sanity guard: a fixed cost past 60 s means the budget itself is
     // broken (wrong SF dir, pathological host) — fail the regen loudly
-    if (fixed > 60.0) Seq(f"store_profile: per_commit_fixed_s=$fixed%.1f exceeds 60 s")
-    else Seq.empty
+    if (fixed > 60.0) guards += f"store_profile: per_commit_fixed_s=$fixed%.1f exceeds 60 s"
+    // attribution guard (r12): phases partition the commit timeline,
+    // so they must sum to <= the op wall at each nesting level —
+    // touched_collect/staging_write/history_stage are write_live's
+    // children, everything else is top-level. 5% slack for timer skew.
+    val nested = Set("touched_collect", "staging_write", "history_stage")
+    for (o <- ops) {
+      val topSum = o.phases.filterNot(p => nested(p._1)).map(_._2).sum
+      val inSum = o.phases.filter(p => nested(p._1)).map(_._2).sum
+      val wl = o.phases.filter(_._1 == "write_live").map(_._2).sum
+      if (topSum > o.wall * 1.05)
+        guards += f"store_profile ${o.name}: top-level phases sum $topSum%.2f > wall ${o.wall}%.2f"
+      if (inSum > wl * 1.05 + 0.05)
+        guards += f"store_profile ${o.name}: write_live children sum $inSum%.2f > write_live $wl%.2f"
+    }
+    guards.toSeq
   }
 }

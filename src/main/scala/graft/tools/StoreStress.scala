@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
 object StoreStress {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("crash")) { crashMain(args.drop(1)); return }
+    if (args.headOption.contains("contention")) {
+      val fails = contentionRun(args.drop(1))
+      if (fails.nonEmpty) {
+        fails.foreach(f => System.err.println(s"[contention] $f")); sys.exit(1)
+      }
+      return
+    }
+    if (args.headOption.contains("contentionWorker")) {
+      contentionWorkerMain(args.drop(1)); return
+    }
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -126,6 +136,124 @@ object StoreStress {
       prev = users
     }
     println("ALL CRASH POINTS RECOVER ALL-OR-NOTHING (live + history)")
+    spark.stop()
+  }
+
+  /** `StoreStress contention [sfDir] [out.json]` — CROSS-PROCESS
+    * writer contention (r11 verdict #5): StoreLock's file-channel tier
+    * (`MarcStore.StoreLock`) was only ever exercised in-JVM by specs;
+    * this mode races two real JVMs. Each child commits its half of the
+    * mod-97 corpus (disjoint ids, OVERLAPPING buckets — the dangerous
+    * interleaving) three times to ONE store path while the other does
+    * the same; the OS file lock must serialize every
+    * read-modify-swap. Green means: both batches fully applied, the
+    * right user on every row, history version numbers dense (1..3 per
+    * id, exactly 3 rows each — an interleaved lost update would leave
+    * a gap or a duplicate), and the recovery sweep at reopen finds
+    * nothing to sweep. Wired into RoundArtifacts like the other
+    * guards; writes a GitStamp'd BENCH_contention.json. */
+  def contentionRun(args: Array[String]): Seq[String] = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("BENCH_contention.json")
+    val base = java.nio.file.Files.createTempDirectory("storestress_contention").toString
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.io", "java.base/java.lang",
+      "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val t0 = System.nanoTime()
+    val procs = Seq("A", "B").map { w =>
+      val log = java.nio.file.Files.createTempFile(s"contention_$w", ".log").toFile
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx8g", "-Dspark.ui.enabled=false",
+        "-cp", sys.props("java.class.path"),
+        "graft.tools.StoreStress", "contentionWorker", base, sfDir, w)
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+        .redirectOutput(java.lang.ProcessBuilder.Redirect.to(log)).start()
+      (w, p, log)
+    }
+    val fails = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((w, p, log) <- procs) {
+      val rc = p.waitFor()
+      if (rc != 0) {
+        fails += s"contention: worker $w exited $rc"
+        System.err.println(s"[contention] worker $w tail:\n" +
+          scala.io.Source.fromFile(log).getLines().toSeq.takeRight(15).mkString("\n"))
+      }
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    // verify from THIS process: reopen (= recovery sweep under lock)
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val store = new graft.store.MarcStore(spark, base)
+    val expA = graft.queries.StoreOps.batch(spark, sfDir, 97L, "")
+      .where(col("_id") % 194 === 0).count()
+    val expB = graft.queries.StoreOps.batch(spark, sfDir, 97L, "")
+      .where(col("_id") % 194 === 97).count()
+    val live = store.read("bib").toDF()
+    val nA = live.where(col("_id") % 194 === 0).count()
+    val nB = live.where(col("_id") % 194 === 97).count()
+    if (nA != expA || nB != expB)
+      fails += s"contention: live halves A=$nA/$expA B=$nB/$expB (lost update)"
+    val wrongUser = live.where(
+      (col("_id") % 194 === 0 && col("user") =!= "A") ||
+        (col("_id") % 194 === 97 && col("user") =!= "B")).count()
+    if (wrongUser != 0) fails += s"contention: $wrongUser rows carry the other writer's user"
+    val hist = store.readHistory("bib")
+    val n = expA + expB
+    val histN = hist.count()
+    if (histN != 3 * n) fails += s"contention: history rows $histN != ${3 * n}"
+    val nonDense = hist.groupBy("_id")
+      .agg(countDistinct(col("version_no")).as("nv"), max(col("version_no")).as("mx"),
+        min(col("version_no")).as("mn"), count(lit(1)).as("cnt"))
+      .where(col("nv") =!= 3 || col("mx") =!= 3 || col("mn") =!= 1 || col("cnt") =!= 3)
+      .count()
+    if (nonDense != 0)
+      fails += s"contention: $nonDense ids have non-dense version numbers (interleaving corrupted history)"
+    for (d <- Seq("bibs_staging", "bib_history_staging"))
+      if (new java.io.File(s"$base/$d").exists()) fails += s"contention: dangling $d after both writers"
+
+    val json = f"""{"metric":"contention","wall_sec":$wall%.1f,"sf":"$sfDir",""" +
+      f""""workers":2,"commits_per_worker":3,"rows":$n,"history_rows":$histN,""" +
+      s""""guard_fails":[${fails.map(f => "\"" + f.replace("\"", "'") + "\"").mkString(",")}]""" +
+      s"${GitStamp.jsonField}}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+    println(json)
+    fails.toSeq
+  }
+
+  /** One contending writer: its own SparkSession + MarcStore on the
+    * SHARED base; three commits of its disjoint half of the corpus. */
+  def contentionWorkerMain(args: Array[String]): Unit = {
+    val Array(base, sfDir, w) = args.take(3)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import MarcSchema.marcRowEncoder
+    val rem = if (w == "A") 0L else 97L
+    val store = new graft.store.MarcStore(spark, base)
+    for (i <- 0 until 3) {
+      val b = graft.queries.StoreOps.batch(spark, sfDir, 97L, s"$w$i-")
+        .where(col("_id") % 194 === rem)
+      store.commit(b.as[MarcRow], user = w, authCheck = false,
+        now = java.sql.Timestamp.from(java.time.Instant.parse(s"2021-0${i + 1}-01T00:00:00Z")))
+      println(s"[worker $w] commit $i applied")
+    }
     spark.stop()
   }
 }

@@ -96,4 +96,24 @@ class BatchAuthResolveSpec extends AnyFunSuite {
     assert(d.subfields.map(_.code) === Vector("a"), "$0 must be stripped")
     assert(d.subfields.head.xref === Some(7L), "capture must win over lookup")
   }
+
+  test("$0 capture digit-filters prefixed identifiers (from_xml_raw, dlx 1735-1738)") {
+    val auths = MarcSchema.toDataset(spark,
+      Seq(auth(1L, "150", "a" -> "Header"))).toDF()
+    val rec = MarcRecord(recordType = "bib", id = Some(10L),
+      fields = Vector(DataField("650", " ", " ", Vector(
+        Subfield("a", Some("Totally unrelated")), Subfield("0", Some("(DHLAUTH)42"))))))
+    val out = BatchAuthResolve.resolve(spark, auths, "bib", Seq(rec))
+    val d = out.head.fields.collect { case d: DataField => d }.head
+    assert(d.subfields.head.xref === Some(42L),
+      "the reference keeps only the digits of $0 text: (DHLAUTH)42 -> 42")
+    // a digit-free $0 captures nothing -> the lookup path runs (and
+    // raises here, since the value matches no auth)
+    val bad = MarcRecord(recordType = "bib", id = Some(11L),
+      fields = Vector(DataField("650", " ", " ", Vector(
+        Subfield("a", Some("No such heading")), Subfield("0", Some("(none)"))))))
+    intercept[graft.records.InvalidAuthValue] {
+      BatchAuthResolve.resolve(spark, auths, "bib", Seq(bad))
+    }
+  }
 }

@@ -88,6 +88,32 @@ class FileStoreSpec extends AnyFunSuite {
     assert(store.findByDate(java.time.Instant.parse("2030-01-01T00:00:00Z")).isEmpty)
   }
 
+  test("row-level Seq APIs are bounded; DataFrame twins are not (r11 verdict #1)") {
+    val store = freshStore()
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    for (i <- 0 until 3)
+      store.importBinary(s"v$i".getBytes, Seq(Identifier("symbol", s"A/$i")), Seq("EN"),
+        "m", "s", now = t0.plusSeconds(i))
+    val wide = java.time.Instant.parse("1900-01-01T00:00:00Z")
+    // past the bound the Seq API raises instead of collecting the table
+    val e = intercept[IllegalArgumentException] { store.findByDate(wide, limit = 2) }
+    assert(e.getMessage.contains("DataFrame twin"))
+    // an explicit larger limit or the DF twin still reach everything
+    assert(store.findByDate(wide, limit = 3).length == 3)
+    assert(store.findByDateDf(wide).count() == 3)
+    assert(store.findByIdentifierDf(Identifier("symbol", "A/1")).count() == 1)
+    intercept[IllegalArgumentException] {
+      // three files share the identifier -> over a limit of 2 it raises
+      for (i <- 0 until 3)
+        store.importBinary(s"w$i".getBytes, Seq(Identifier("symbol", "B/1")), Seq("EN"),
+          "m", "s", now = t0.plusSeconds(10 + i))
+      store.findByIdentifier(Identifier("symbol", "B/1"), limit = 2)
+    }
+    // latest-by-identifier stays a bounded top-1 even with many matches
+    assert(store.latestByIdentifierLanguage(Identifier("symbol", "B/1"), "EN")
+      .map(_._id) == Some(store.md5Hex("w2".getBytes)))
+  }
+
   test("Bib.files linkage by 191 symbol + language") {
     import graft.model._
     implicit val noAuth: AuthLookup = AuthLookup.Empty

@@ -120,8 +120,10 @@ class StoreCrashSpec extends AnyFunSuite {
     store.commit(bibs("v1"), user = "u", authCheck = false)
     assert(store.read("bib").count() === 2)
 
-    // post-journal crash: roll FORWARD — bib 1 gone AND its 'deleted'
-    // version row present (the marker stages under the same journal)
+    // post-rename crash: roll FORWARD — the live bucket already
+    // swapped but the history marker is not yet promoted; recovery
+    // must finish the promotion, so bib 1 is gone AND its 'deleted'
+    // version row is present (the marker stages under the same journal)
     MarcStore.failpoint = Some("post_rename")
     intercept[MarcStore.CrashInjected] {
       store.delete("bib", Seq(1L), user = "deleter")
