@@ -51,7 +51,12 @@ def files():
 
 
 def main():
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    # the round number is REQUIRED: the r11 close regenerated this
+    # artifact without it and committed "round": 0 (ADVICE r11) — fail
+    # loudly instead of silently stamping a wrong round
+    if len(sys.argv) < 2:
+        sys.exit("usage: python3 tools/leakcheck.py <round_number>")
+    rnd = int(sys.argv[1])
     hits = {k: [] for k in CATEGORIES}
     for f in files():
         if f == "tools/leakcheck.py":
