@@ -105,14 +105,20 @@ object MarcImport {
     val store = new MarcStore(spark, base)
     implicit val auth: AuthLookup = AuthLookup.Empty
     val content = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val isXml = path.endsWith(".xml")
     val parsed =
-      if (path.endsWith(".xml"))
+      if (isXml)
         Serialization.setFromXml(recordType, content, authControl = false,
           deleteSubfieldZero = false)
       else Serialization.setFromMrk(recordType, content, authControl = false,
         deleteSubfieldZero = false)
+    // $0 capture is FORMAT-SPECIFIC in the reference (XML digit-filters
+    // the node text, MRK requires digits right after $0) — pick the
+    // matching rule for the resolver
     val records = graft.spark.BatchAuthResolve.resolve(
-      spark, store.read("auth").toDF(), recordType, parsed)
+      spark, store.read("auth").toDF(), recordType, parsed,
+      zeroXref = if (isXml) graft.spark.BatchAuthResolve.xmlZeroXref
+        else graft.spark.BatchAuthResolve.mrkZeroXref)
     store.commit(MarcSchema.toDataset(spark, records), user = "marc-import")
     println(s"imported ${records.length} $recordType records")
     Cli.release(spark, preExisting)

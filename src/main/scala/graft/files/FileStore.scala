@@ -368,7 +368,9 @@ final class FileStore(spark: SparkSession, basePath: String, blobs: BlobStore,
     * unbounded collect is reachable from this class's public surface. */
   private def toRecords(df: DataFrame, limit: Int): Seq[FileRecord] = {
     import MarcEncoders._
-    val rows = df.limit(limit + 1).as[FileRecord](fileRecordEncoder).collect().toSeq
+    // saturating +1: limit = Int.MaxValue must not wrap negative
+    val fetch = if (limit >= Int.MaxValue) Int.MaxValue else limit + 1
+    val rows = df.limit(fetch).as[FileRecord](fileRecordEncoder).collect().toSeq
     require(rows.length <= limit,
       s"row-level file API would collect more than $limit rows to the driver; " +
         "pass a larger limit explicitly or use the DataFrame twin (findByDateDf/findByIdentifierDf)")

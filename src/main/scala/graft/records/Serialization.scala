@@ -266,8 +266,14 @@ object Serialization {
     for (fieldNode <- root.child if fieldNode.label.endsWith("datafield")) {
       val tag = (fieldNode \ "@tag").text
       val subNodes = fieldNode.child.filter(_.label.endsWith("subfield"))
+      // digit-filter of the $0 node text (from_xml_raw,
+      // dlx/marc/__init__.py:1735-1738). Deliberate divergence: a $0
+      // with zero digits or a >Long digit string captures nothing
+      // here, where the reference raises ValueError / carries an
+      // arbitrary-precision xref that can never match a stored record
       val xref: Option[Long] = subNodes.find(n => (n \ "@code").text == "0")
-        .map(n => n.text.filter(c => c >= '0' && c <= '9').toLong)
+        .map(n => n.text.filter(c => c >= '0' && c <= '9'))
+        .filter(_.nonEmpty).flatMap(_.toLongOption)
       var subs = Vector.empty[Subfield]
       var ambiguous = Vector.empty[(String, String)]
       for (sn <- subNodes) {

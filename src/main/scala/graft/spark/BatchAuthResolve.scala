@@ -44,6 +44,25 @@ object BatchAuthResolve {
   private def Probe(rec: Int, fld: Int, sub: Int, src: String, code: String, value: String) =
     BatchProbe(rec, fld, sub, src, code, value)
 
+  /** Format-specific `$0` capture rules — the REFERENCE differs by
+    * serialization, so the resolver must too (round-12 review):
+    *  - MRK captures a digit run immediately after `$0`
+    *    (from_mrk, dlx/marc/__init__.py:1678: `re.search(r'\$0(\d+)')`)
+    *    — `$0(PREFIX)42` captures NOTHING in MRK;
+    *  - XML keeps every digit of the `$0` node text
+    *    (from_xml_raw, dlx/marc/__init__.py:1735-1738) — `(PREFIX)42`
+    *    captures 42.
+    * Deliberate divergence, both forms: a `$0` whose digits overflow
+    * Long captures nothing and falls back to lookup (the reference
+    * carries an arbitrary-precision int that can never match a stored
+    * xref, or raises ValueError on zero digits — neither is useful). */
+  val mrkZeroXref: String => Option[Long] =
+    v => "^\\d+".r.findPrefixOf(v).flatMap(_.toLongOption)
+  val xmlZeroXref: String => Option[Long] = { v =>
+    val d = v.filter(c => c >= '0' && c <= '9')
+    if (d.isEmpty) None else d.toLongOption
+  }
+
   /** exploded (tag, code, value, xref) view of the auth dimension —
     * raw values, because xlookup matches raw equality, not collation. */
   private[graft] def authSubs(auths: DataFrame): DataFrame =
@@ -57,7 +76,8 @@ object BatchAuthResolve {
     * subfields stripped. Raises InvalidAuthValue / AmbiguousAuthValue
     * exactly where the parse-time path would. */
   def resolve(spark: SparkSession, auths: DataFrame, recordType: String,
-      records: Seq[MarcRecord]): Seq[MarcRecord] = {
+      records: Seq[MarcRecord],
+      zeroXref: String => Option[Long] = mrkZeroXref): Seq[MarcRecord] = {
     import spark.implicits._
 
     // ---- probe extraction (driver-side walk of the parsed batch)
@@ -65,13 +85,9 @@ object BatchAuthResolve {
     val captured = scala.collection.mutable.Map.empty[(Int, Int), Long] // $0 capture
     for ((rec, ri) <- records.zipWithIndex; (f, fi) <- rec.fields.zipWithIndex) f match {
       case d: DataField =>
-        // the reference digit-FILTERS the $0 text rather than parsing
-        // it whole (from_xml_raw, dlx/marc/__init__.py:1735-1738:
-        // ''.join 48<=ord<=57), so prefixed identifiers like
-        // "(DHLAUTH)42" capture xref 42 — gated end-to-end by q203's
-        // XML import leg
-        val zero = d.subfields.find(_.code == "0").flatMap(_.value)
-          .map(_.filter(c => c >= '0' && c <= '9')).filter(_.nonEmpty).flatMap(_.toLongOption)
+        // format-specific capture (see mrkZeroXref/xmlZeroXref above;
+        // the XML form is gated end-to-end by q203's import leg)
+        val zero = d.subfields.find(_.code == "0").flatMap(_.value).flatMap(zeroXref)
         for ((s, si) <- d.subfields.zipWithIndex)
           if (DlxConfig.isAuthorityControlled(recordType, d.tag, s.code) && s.xref.isEmpty)
             zero match {

@@ -109,20 +109,8 @@ object IsolatedBench {
     * cold everything (codegen caches, gate caches, page state all per
     * child). Returns the child's combined output, None on nonzero. */
   private def spawnTimeQuery(sfDir: String, query: String): Option[String] = {
-    val javaBin = s"${sys.props("java.home")}/bin/java"
-    val addOpens = Seq(
-      "java.base/java.io", "java.base/java.lang",
-      "java.base/java.lang.invoke", "java.base/java.lang.reflect",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx24g", "-Dspark.ui.enabled=false",
-      "-cp", sys.props("java.class.path"),
-      "graft.tools.TimeQuery", sfDir, query, repsPerJvm.toString)
+    val cmd = ChildJvm.cmd("24g",
+      Seq("graft.tools.TimeQuery", sfDir, query, repsPerJvm.toString))
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val out = new String(p.getInputStream.readAllBytes,
       java.nio.charset.StandardCharsets.UTF_8)

@@ -156,37 +156,43 @@ object StoreStress {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = args.lift(1).getOrElse("BENCH_contention.json")
     val base = java.nio.file.Files.createTempDirectory("storestress_contention").toString
-    val javaBin = s"${sys.props("java.home")}/bin/java"
-    val addOpens = Seq(
-      "java.base/java.io", "java.base/java.lang",
-      "java.base/java.lang.invoke", "java.base/java.lang.reflect",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val t0 = System.nanoTime()
     val procs = Seq("A", "B").map { w =>
       val log = java.nio.file.Files.createTempFile(s"contention_$w", ".log").toFile
-      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-        "-Xmx8g", "-Dspark.ui.enabled=false",
-        "-cp", sys.props("java.class.path"),
-        "graft.tools.StoreStress", "contentionWorker", base, sfDir, w)
+      val cmd = ChildJvm.cmd("8g",
+        Seq("graft.tools.StoreStress", "contentionWorker", base, sfDir, w))
       val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
         .redirectOutput(java.lang.ProcessBuilder.Redirect.to(log)).start()
       (w, p, log)
     }
     val fails = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((w, p, log) <- procs) {
-      val rc = p.waitFor()
+      // BOUNDED wait: a cross-process deadlock (the bug class this
+      // gate exists to catch) must fail the gate red, not hang the
+      // round-close cadence forever
+      val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) {
+        p.destroyForcibly()
+        fails += s"contention: worker $w HUNG past 20 min (possible cross-process deadlock)"
+      }
+      val rc = if (done) p.waitFor() else -1
       if (rc != 0) {
-        fails += s"contention: worker $w exited $rc"
+        if (done) fails += s"contention: worker $w exited $rc"
+        val lines = scala.jdk.CollectionConverters
+          .ListHasAsScala(java.nio.file.Files.readAllLines(log.toPath)).asScala
         System.err.println(s"[contention] worker $w tail:\n" +
-          scala.io.Source.fromFile(log).getLines().toSeq.takeRight(15).mkString("\n"))
+          lines.takeRight(15).mkString("\n"))
       }
     }
     val wall = (System.nanoTime() - t0) / 1e9
+
+    // dangling-staging check MUST run before the verifying store is
+    // constructed: MarcStore's open runs the recovery sweep, which
+    // would silently clean exactly the debris this asserts against
+    // (round-12 review — the check was vacuous after the open)
+    for (d <- Seq("bibs_staging", "bib_history_staging"))
+      if (new java.io.File(s"$base/$d").exists())
+        fails += s"contention: dangling $d after both writers exited"
 
     // verify from THIS process: reopen (= recovery sweep under lock)
     val spark = SparkSession.builder().master("local[16]")
@@ -221,8 +227,6 @@ object StoreStress {
       .count()
     if (nonDense != 0)
       fails += s"contention: $nonDense ids have non-dense version numbers (interleaving corrupted history)"
-    for (d <- Seq("bibs_staging", "bib_history_staging"))
-      if (new java.io.File(s"$base/$d").exists()) fails += s"contention: dangling $d after both writers"
 
     val json = f"""{"metric":"contention","wall_sec":$wall%.1f,"sf":"$sfDir",""" +
       f""""workers":2,"commits_per_worker":3,"rows":$n,"history_rows":$histN,""" +

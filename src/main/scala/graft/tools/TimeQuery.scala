@@ -20,6 +20,7 @@ object TimeQuery {
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Bench.silenceTeardownNoise()
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)

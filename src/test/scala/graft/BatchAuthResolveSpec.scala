@@ -97,23 +97,32 @@ class BatchAuthResolveSpec extends AnyFunSuite {
     assert(d.subfields.head.xref === Some(7L), "capture must win over lookup")
   }
 
-  test("$0 capture digit-filters prefixed identifiers (from_xml_raw, dlx 1735-1738)") {
+  test("$0 capture is FORMAT-SPECIFIC: XML digit-filters, MRK wants a leading digit run") {
     val auths = MarcSchema.toDataset(spark,
       Seq(auth(1L, "150", "a" -> "Header"))).toDF()
-    val rec = MarcRecord(recordType = "bib", id = Some(10L),
+    def rec(id: Long) = MarcRecord(recordType = "bib", id = Some(id),
       fields = Vector(DataField("650", " ", " ", Vector(
         Subfield("a", Some("Totally unrelated")), Subfield("0", Some("(DHLAUTH)42"))))))
-    val out = BatchAuthResolve.resolve(spark, auths, "bib", Seq(rec))
-    val d = out.head.fields.collect { case d: DataField => d }.head
-    assert(d.subfields.head.xref === Some(42L),
-      "the reference keeps only the digits of $0 text: (DHLAUTH)42 -> 42")
-    // a digit-free $0 captures nothing -> the lookup path runs (and
+    // XML rule (from_xml_raw, dlx 1735-1738): every digit of the text
+    val xml = BatchAuthResolve.resolve(spark, auths, "bib", Seq(rec(10L)),
+      zeroXref = BatchAuthResolve.xmlZeroXref)
+    val dx = xml.head.fields.collect { case d: DataField => d }.head
+    assert(dx.subfields.head.xref === Some(42L),
+      "XML keeps only the digits of $0 text: (DHLAUTH)42 -> 42")
+    // MRK rule (from_mrk, dlx 1678: re.search(r'\$0(\d+)')): the
+    // prefixed form captures NOTHING -> the lookup path runs (and
     // raises here, since the value matches no auth)
-    val bad = MarcRecord(recordType = "bib", id = Some(11L),
+    intercept[graft.records.InvalidAuthValue] {
+      BatchAuthResolve.resolve(spark, auths, "bib", Seq(rec(11L)),
+        zeroXref = BatchAuthResolve.mrkZeroXref)
+    }
+    // digit-free $0 captures nothing under EITHER rule
+    val bad = MarcRecord(recordType = "bib", id = Some(12L),
       fields = Vector(DataField("650", " ", " ", Vector(
         Subfield("a", Some("No such heading")), Subfield("0", Some("(none)"))))))
     intercept[graft.records.InvalidAuthValue] {
-      BatchAuthResolve.resolve(spark, auths, "bib", Seq(bad))
+      BatchAuthResolve.resolve(spark, auths, "bib", Seq(bad),
+        zeroXref = BatchAuthResolve.xmlZeroXref)
     }
   }
 }
