@@ -18,6 +18,13 @@ object StoreStress {
       }
       return
     }
+    if (args.headOption.contains("contentionCrash")) {
+      val fails = contentionCrashRun(args.drop(1))
+      if (fails.nonEmpty) {
+        fails.foreach(f => System.err.println(s"[contention-crash] $f")); sys.exit(1)
+      }
+      return
+    }
     if (args.headOption.contains("contentionWorker")) {
       contentionWorkerMain(args.drop(1)); return
     }
@@ -213,9 +220,10 @@ object StoreStress {
     if (nA != expA || nB != expB)
       fails += s"contention: live halves A=$nA/$expA B=$nB/$expB (lost update)"
     val wrongUser = live.where(
-      (col("_id") % 194 === 0 && col("user") =!= "A") ||
-        (col("_id") % 194 === 97 && col("user") =!= "B")).count()
-    if (wrongUser != 0) fails += s"contention: $wrongUser rows carry the other writer's user"
+      (col("_id") % 194 === 0 && col("user") =!= "A_c2") ||
+        (col("_id") % 194 === 97 && col("user") =!= "B_c2")).count()
+    if (wrongUser != 0)
+      fails += s"contention: $wrongUser rows don't carry their own writer's LAST commit"
     val hist = store.readHistory("bib")
     val n = expA + expB
     val histN = hist.count()
@@ -238,9 +246,21 @@ object StoreStress {
   }
 
   /** One contending writer: its own SparkSession + MarcStore on the
-    * SHARED base; three commits of its disjoint half of the corpus. */
+    * SHARED base; commits of its disjoint half of the corpus, user
+    * stamped `<w>_c<i>` so the verifier can tell WHICH commit a row
+    * survived from. Modes (4th arg):
+    *  - (none): three clean commits (the plain contention race);
+    *  - `crash:<point>`: one clean commit, then a second with the
+    *    swap-protocol failpoint armed — the injected crash propagates,
+    *    the worker drops a `.crashed_<w>` marker and exits 0 WITHOUT
+    *    reopening the store (recovery must be the OTHER process's job);
+    *  - `await:<marker>`: two clean commits, then block until the
+    *    marker file appears (<= 10 min), then a third — whose
+    *    pre-swap recovery sweep is the cross-process recovery under
+    *    test. */
   def contentionWorkerMain(args: Array[String]): Unit = {
     val Array(base, sfDir, w) = args.take(3)
+    val mode = args.lift(3).getOrElse("")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -251,13 +271,127 @@ object StoreStress {
     import MarcSchema.marcRowEncoder
     val rem = if (w == "A") 0L else 97L
     val store = new graft.store.MarcStore(spark, base)
-    for (i <- 0 until 3) {
+    def commitN(i: Int): Unit = {
       val b = graft.queries.StoreOps.batch(spark, sfDir, 97L, s"$w$i-")
         .where(col("_id") % 194 === rem)
-      store.commit(b.as[MarcRow], user = w, authCheck = false,
+      store.commit(b.as[MarcRow], user = s"${w}_c$i", authCheck = false,
         now = java.sql.Timestamp.from(java.time.Instant.parse(s"2021-0${i + 1}-01T00:00:00Z")))
       println(s"[worker $w] commit $i applied")
     }
+    mode.split(":", 2) match {
+      case Array("crash", point) =>
+        commitN(0)
+        graft.store.MarcStore.failpoint = Some(point)
+        try { commitN(1); sys.error(s"failpoint $point did not fire") }
+        catch { case _: graft.store.MarcStore.CrashInjected =>
+          println(s"[worker $w] crashed at $point as injected") }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(base, s".crashed_$w"), Array.empty[Byte])
+      case Array("await", marker) =>
+        commitN(0); commitN(1)
+        val deadline = System.nanoTime() + 600L * 1000000000L
+        while (!new java.io.File(base, marker).exists()) {
+          require(System.nanoTime() < deadline, s"marker $marker never appeared")
+          Thread.sleep(100L)
+        }
+        commitN(2)
+      case _ => for (i <- 0 until 3) commitN(i)
+    }
     spark.stop()
+  }
+
+  /** `StoreStress contentionCrash [sfDir] [out.json]` — CROSS-PROCESS
+    * crash recovery, the interaction neither the single-process crash
+    * matrix nor the plain contention race exercises: worker A dies at
+    * an injected swap-protocol point and worker B's NEXT commit (its
+    * pre-swap recovery sweep, under the file lock) must finish or
+    * undo A's commit — the parent only verifies, it never recovers
+    * (the pre-open staging check proves B did the sweep). Two
+    * scenarios: post_journal (B must roll A FORWARD — another process
+    * completes A's crashed commit) and post_staging (B must roll A
+    * BACK). Out-of-cadence probe like the x100 walls; writes a
+    * GitStamp'd BENCH_contention_crash.json. */
+  def contentionCrashRun(args: Array[String]): Seq[String] = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("BENCH_contention_crash.json")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val expA = graft.queries.StoreOps.batch(spark, sfDir, 97L, "")
+      .where(col("_id") % 194 === 0).count()
+    val expB = graft.queries.StoreOps.batch(spark, sfDir, 97L, "")
+      .where(col("_id") % 194 === 97).count()
+
+    val fails = scala.collection.mutable.ArrayBuffer.empty[String]
+    val walls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for ((point, forward) <- Seq("post_journal" -> true, "post_staging" -> false)) {
+      val base = java.nio.file.Files.createTempDirectory(s"contention_crash_$point").toString
+      val t0 = System.nanoTime()
+      val procs = Seq(
+        ("A", s"crash:$point"),
+        ("B", "await:.crashed_A")).map { case (w, mode) =>
+        val log = java.nio.file.Files.createTempFile(s"ccrash_${point}_$w", ".log").toFile
+        val p = new ProcessBuilder(ChildJvm.cmd("8g",
+            Seq("graft.tools.StoreStress", "contentionWorker", base, sfDir, w, mode)): _*)
+          .redirectErrorStream(true)
+          .redirectOutput(java.lang.ProcessBuilder.Redirect.to(log)).start()
+        (w, p, log)
+      }
+      for ((w, p, log) <- procs) {
+        val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { p.destroyForcibly(); fails += s"$point: worker $w HUNG past 20 min" }
+        val rc = if (done) p.waitFor() else -1
+        if (rc != 0) {
+          if (done) fails += s"$point: worker $w exited $rc"
+          val lines = scala.jdk.CollectionConverters
+            .ListHasAsScala(java.nio.file.Files.readAllLines(log.toPath)).asScala
+          System.err.println(s"[contention-crash] $point worker $w tail:\n" +
+            lines.takeRight(15).mkString("\n"))
+        }
+      }
+      walls(point) = (System.nanoTime() - t0) / 1e9
+
+      // B (not the parent, not a reopen) must have swept A's debris:
+      // check BEFORE constructing the verifying store
+      for (d <- Seq("bibs_staging", "bib_history_staging"))
+        if (new java.io.File(s"$base/$d").exists())
+          fails += s"$point: $d still dangling — B's recovery sweep did not run"
+
+      val store = new graft.store.MarcStore(spark, base)
+      val live = store.read("bib").toDF()
+      val aUser = if (forward) "A_c1" else "A_c0"
+      val aBad = live.where(col("_id") % 194 === 0 && col("user") =!= aUser).count()
+      val bBad = live.where(col("_id") % 194 === 97 && col("user") =!= "B_c2").count()
+      val nA = live.where(col("_id") % 194 === 0).count()
+      val nB = live.where(col("_id") % 194 === 97).count()
+      if (nA != expA || nB != expB) fails += s"$point: live halves A=$nA/$expA B=$nB/$expB"
+      if (aBad != 0) fails += s"$point: $aBad A-rows are not at $aUser " +
+        s"(crashed commit must roll ${if (forward) "FORWARD" else "BACK"})"
+      if (bBad != 0) fails += s"$point: $bBad B-rows are not at B_c2"
+      val hist = store.readHistory("bib")
+      val expVerA = if (forward) 2 else 1
+      val badVer = hist.groupBy("_id")
+        .agg(countDistinct(col("version_no")).as("nv"), max(col("version_no")).as("mx"))
+        .withColumn("want", when(col("_id") % 194 === 0, expVerA).otherwise(3))
+        .where(col("nv") =!= col("want") || col("mx") =!= col("want")).count()
+      if (badVer != 0)
+        fails += s"$point: $badVer ids have non-dense/wrong history versions"
+      println(f"[contention-crash] $point%-13s ${walls(point)}%6.1f s  " +
+        s"(A rolled ${if (forward) "forward by B" else "back by B"}, fails so far ${fails.size})")
+    }
+
+    val wallsJson = walls.map { case (k, v) =>
+      f""""$k":$v%.1f""" }.mkString(",")
+    val json = s"""{"metric":"contention_crash","sf":"$sfDir","walls":{$wallsJson},""" +
+      s""""rows_a":$expA,"rows_b":$expB,""" +
+      s""""guard_fails":[${fails.map(f => "\"" + f.replace("\"", "'") + "\"").mkString(",")}]""" +
+      s"${GitStamp.jsonField}}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+    println(json)
+    fails.toSeq
   }
 }
