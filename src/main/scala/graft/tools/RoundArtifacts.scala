@@ -45,7 +45,10 @@ object RoundArtifacts {
       StoreBudget.run(Array.empty) ++
       // cross-process writer contention (r11 verdict #5): two child
       // JVMs race disjoint batches onto one store path
-      StoreStress.contentionRun(Array.empty)
+      StoreStress.contentionRun(Array.empty) ++
+      // cross-process CRASH recovery: one writer dies mid-swap, the
+      // other's next commit must roll it forward/back under the lock
+      StoreStress.contentionCrashRun(Array.empty)
     if (fails.nonEmpty) {
       fails.foreach(f => System.err.println(s"[roundartifacts] $f"))
       sys.exit(1)
@@ -58,6 +61,7 @@ object RoundArtifacts {
       "BENCH_real_x10.json", "BENCH_real_x30.json", s"BENCH_real_$round.json",
       s"BENCH_realmarc_$round.json", s"BENCH_isolated_$round.json",
       "BENCH_store_profile.json", "BENCH_contention.json",
+      "BENCH_contention_crash.json",
       "PLANS_fuzz_x10.md", "PLANS_fuzz_x30.md", "PLANS_fuzz_fb_x30.md",
       "PLANS_real_x10.md", "PLANS_real_x30.md")
       .filter(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
