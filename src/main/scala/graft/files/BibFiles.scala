@@ -9,7 +9,15 @@ import graft.model.{AuthLookup, MarcRecord}
   * [[FileStore.latestPerIdentifierLanguage]]. */
 object BibFiles {
 
-  /** All files attached to a bib through its 191$a symbols. */
+  /** All files attached to a bib through its 191$a symbols.
+    *
+    * Inherits [[FileStore.findByIdentifier]]'s row-API bound (default
+    * 10,000 matches per symbol — it RAISES past the bound rather than
+    * truncating). A single document symbol carrying >10k stored files
+    * is implausible in the reference's data model (a handful of
+    * language variants × revisions), so no limit parameter is threaded
+    * here; a caller that genuinely expects more should use the
+    * DataFrame twin [[FileStore.findByIdentifierDf]] directly. */
   def files(bib: MarcRecord, store: FileStore, language: Option[String] = None)
       (implicit auth: AuthLookup): Seq[FileRecord] =
     bib.getValues("191", "a").flatMap { symbol =>

@@ -74,10 +74,14 @@ object Serialization {
         val ind1 = rest.charAt(0).toString.replace("\\", " ")
         val ind2 = rest.charAt(1).toString.replace("\\", " ")
         val body = rest.substring(2)
-        val xref: Option[Long] = """\$0(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+        val chunks = body.split("\\$").filter(_.nonEmpty)
+        // ZeroXref.mrk == the reference's re.search(r'\$0(\d+)') over
+        // the body: first digit-prefixed $0 wins (see ZeroXref)
+        val xref: Option[Long] = ZeroXref.mrk(
+          chunks.toSeq.collect { case c if c.startsWith("0") => c.substring(1) })
         var subs = Vector.empty[Subfield]
         var ambiguous = Vector.empty[(String, String)]
-        for (chunk <- body.split("\\$").filter(_.nonEmpty)) {
+        for (chunk <- chunks) {
           val code = chunk.substring(0, 1)
           val value = chunk.substring(1)
           if (authControl && DlxConfig.isAuthorityControlled(recordType, tag, code)) {
@@ -266,14 +270,11 @@ object Serialization {
     for (fieldNode <- root.child if fieldNode.label.endsWith("datafield")) {
       val tag = (fieldNode \ "@tag").text
       val subNodes = fieldNode.child.filter(_.label.endsWith("subfield"))
-      // digit-filter of the $0 node text (from_xml_raw,
-      // dlx/marc/__init__.py:1735-1738). Deliberate divergence: a $0
-      // with zero digits or a >Long digit string captures nothing
-      // here, where the reference raises ValueError / carries an
-      // arbitrary-precision xref that can never match a stored record
-      val xref: Option[Long] = subNodes.find(n => (n \ "@code").text == "0")
-        .map(n => n.text.filter(c => c >= '0' && c <= '9'))
-        .filter(_.nonEmpty).flatMap(_.toLongOption)
+      // ZeroXref.xml == the reference's from_xml_raw loop, which
+      // digit-filters every $0 node and overwrites per node: the LAST
+      // $0 wins (divergences documented at ZeroXref)
+      val xref: Option[Long] = ZeroXref.xml(
+        subNodes.filter(n => (n \ "@code").text == "0").map(_.text))
       var subs = Vector.empty[Subfield]
       var ambiguous = Vector.empty[(String, String)]
       for (sn <- subNodes) {

@@ -45,23 +45,15 @@ object BatchAuthResolve {
     BatchProbe(rec, fld, sub, src, code, value)
 
   /** Format-specific `$0` capture rules — the REFERENCE differs by
-    * serialization, so the resolver must too (round-12 review):
-    *  - MRK captures a digit run immediately after `$0`
-    *    (from_mrk, dlx/marc/__init__.py:1678: `re.search(r'\$0(\d+)')`)
-    *    — `$0(PREFIX)42` captures NOTHING in MRK;
-    *  - XML keeps every digit of the `$0` node text
-    *    (from_xml_raw, dlx/marc/__init__.py:1735-1738) — `(PREFIX)42`
-    *    captures 42.
-    * Deliberate divergence, both forms: a `$0` whose digits overflow
-    * Long captures nothing and falls back to lookup (the reference
-    * carries an arbitrary-precision int that can never match a stored
-    * xref, or raises ValueError on zero digits — neither is useful). */
-  val mrkZeroXref: String => Option[Long] =
-    v => "^\\d+".r.findPrefixOf(v).flatMap(_.toLongOption)
-  val xmlZeroXref: String => Option[Long] = { v =>
-    val d = v.filter(c => c >= '0' && c <= '9')
-    if (d.isEmpty) None else d.toLongOption
-  }
+    * serialization, so the resolver must too (round-12 review). The
+    * rules themselves (first-digit-prefixed for MRK, last-node
+    * digit-filter for XML, divergences on zero digits / Long overflow)
+    * are defined ONCE at [[graft.records.ZeroXref]] and shared with
+    * the row-level parsers; these vals are the resolver's stable
+    * names for them (Cli picks by input extension). Each takes the
+    * field's document-ordered `$0` subfield values. */
+  val mrkZeroXref: Seq[String] => Option[Long] = graft.records.ZeroXref.mrk
+  val xmlZeroXref: Seq[String] => Option[Long] = graft.records.ZeroXref.xml
 
   /** exploded (tag, code, value, xref) view of the auth dimension —
     * raw values, because xlookup matches raw equality, not collation. */
@@ -77,7 +69,7 @@ object BatchAuthResolve {
     * exactly where the parse-time path would. */
   def resolve(spark: SparkSession, auths: DataFrame, recordType: String,
       records: Seq[MarcRecord],
-      zeroXref: String => Option[Long] = mrkZeroXref): Seq[MarcRecord] = {
+      zeroXref: Seq[String] => Option[Long] = mrkZeroXref): Seq[MarcRecord] = {
     import spark.implicits._
 
     // ---- probe extraction (driver-side walk of the parsed batch)
@@ -85,9 +77,11 @@ object BatchAuthResolve {
     val captured = scala.collection.mutable.Map.empty[(Int, Int), Long] // $0 capture
     for ((rec, ri) <- records.zipWithIndex; (f, fi) <- rec.fields.zipWithIndex) f match {
       case d: DataField =>
-        // format-specific capture (see mrkZeroXref/xmlZeroXref above;
-        // the XML form is gated end-to-end by q203's import leg)
-        val zero = d.subfields.find(_.code == "0").flatMap(_.value).flatMap(zeroXref)
+        // format-specific capture over ALL $0 subfields in document
+        // order (see ZeroXref; the XML form is gated end-to-end by
+        // q203's import leg)
+        val zero = zeroXref(d.subfields.collect {
+          case s if s.code == "0" && s.value.isDefined => s.value.get })
         for ((s, si) <- d.subfields.zipWithIndex)
           if (DlxConfig.isAuthorityControlled(recordType, d.tag, s.code) && s.xref.isEmpty)
             zero match {

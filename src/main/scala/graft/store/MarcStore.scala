@@ -950,11 +950,27 @@ object MarcStore {
   *   - cross-process: an OS file lock on `<base>/.graft_lock`
   *     (FileChannel.tryLock) acquired with bounded retry.
   * A writer that cannot acquire within `waitMs` throws
-  * IllegalStateException — loud, never corrupt. URI-scheme paths
-  * (hdfs://, s3a://) serialize in-process only; a multi-driver cluster
-  * deployment must fence through its own coordination service
-  * (documented limitation — OS file locks do not exist there). */
+  * IllegalStateException — loud, never corrupt.
+  *
+  * CONTRACT for URI-scheme paths (hdfs://, s3a://, …): the OS file
+  * lock tier DOES NOT EXIST there (no POSIX advisory locks on object
+  * stores; HDFS has no native file locking either), so writers on a
+  * URI path serialize IN-PROCESS ONLY. Two drivers writing one URI
+  * store path can interleave the staging-swap protocol with no
+  * fencing and lose rows silently. A deployment with more than one
+  * driver per store path MUST fence externally — a coordination
+  * service (ZooKeeper/etcd lease), a scheduler that serializes the
+  * jobs, or a Hive/metastore-style lock — before calling any write
+  * entry point. The single-driver batch contract needs nothing. To
+  * make the bypass impossible to miss, the FIRST outermost
+  * acquisition of each URI path logs one WARN naming the path and
+  * this requirement (round-13 verdict #3). */
 object StoreLock {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.store.StoreLock")
+  private val warnedUriKeys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Number of distinct URI-scheme store paths that have taken the
+    * in-process-only lock branch (test hook for the once-only WARN). */
+  private[graft] def uriWarnCount: Int = warnedUriKeys.size
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
@@ -971,8 +987,16 @@ object StoreLock {
       throw new IllegalStateException(
         s"Another writer holds the store lock for $key (waited $waitMs ms)")
     try {
-      if (jvm.getHoldCount > 1 || key.contains("://")) f
-      else {
+      if (jvm.getHoldCount > 1 || key.contains("://")) {
+        // URI-scheme path: no OS file-lock tier exists — say so ONCE
+        // per path, loudly, instead of silently fencing nothing
+        if (key.contains("://") && jvm.getHoldCount == 1 && warnedUriKeys.add(key))
+          log.warn(s"store path '$key' is a URI scheme: cross-PROCESS write " +
+            "locking is unavailable there (in-process serialization only). " +
+            "Multiple drivers writing this path MUST be fenced externally " +
+            "(coordination service or serialized scheduling) — see StoreLock's contract.")
+        f
+      } else {
         new java.io.File(key).mkdirs()
         val ch = java.nio.channels.FileChannel.open(
           java.nio.file.Paths.get(key, ".graft_lock"),

@@ -20,10 +20,16 @@ package graft.tools
   * (RealMarcBench verified walls over the scaled Zipfian authority
   * dimension), BENCH_isolated_r0N (IsolatedBench fresh-JVM walls),
   * BENCH_store_profile.json (StoreBudget per-commit fixed-cost
-  * breakdown for the store-family walls), and BENCH_contention.json
-  * (StoreStress cross-process two-JVM writer race). The x100 probe is
-  * NOT part of the cadence (expensive; re-run it when the near-dup
-  * family's code changes).
+  * breakdown for the store-family walls), and the three cross-process
+  * StoreStress gates: BENCH_contention.json (disjoint-id two-JVM
+  * writer race), BENCH_contention_crash.json (one writer dies
+  * mid-swap, the other recovers it), BENCH_contention_overlap.json
+  * (both JVMs commit the SAME id slice — last-wins + dense
+  * interleaved history). The x100 probes and the ScaleBench
+  * sf1/sf3/sf1_native batteries are NOT in this JVM (expensive,
+  * memory-heavy); the close chain runs them as separate commands
+  * first — sf1 exact, then sf1_native (whose dimension-ratio gate
+  * reads the same-commit BENCH_sf1.json), then sf3.
   */
 object RoundArtifacts {
   def main(args: Array[String]): Unit = {
@@ -48,7 +54,10 @@ object RoundArtifacts {
       StoreStress.contentionRun(Array.empty) ++
       // cross-process CRASH recovery: one writer dies mid-swap, the
       // other's next commit must roll it forward/back under the lock
-      StoreStress.contentionCrashRun(Array.empty)
+      StoreStress.contentionCrashRun(Array.empty) ++
+      // SAME-ID cross-process writers (r12 verdict #4): last-wins +
+      // dense interleaved history when both JVMs commit one id slice
+      StoreStress.contentionOverlapRun(Array.empty)
     if (fails.nonEmpty) {
       fails.foreach(f => System.err.println(s"[roundartifacts] $f"))
       sys.exit(1)
@@ -61,7 +70,7 @@ object RoundArtifacts {
       "BENCH_real_x10.json", "BENCH_real_x30.json", s"BENCH_real_$round.json",
       s"BENCH_realmarc_$round.json", s"BENCH_isolated_$round.json",
       "BENCH_store_profile.json", "BENCH_contention.json",
-      "BENCH_contention_crash.json",
+      "BENCH_contention_crash.json", "BENCH_contention_overlap.json",
       "PLANS_fuzz_x10.md", "PLANS_fuzz_x30.md", "PLANS_fuzz_fb_x30.md",
       "PLANS_real_x10.md", "PLANS_real_x30.md")
       .filter(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f)))

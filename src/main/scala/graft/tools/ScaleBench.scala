@@ -373,7 +373,74 @@ object ScaleBench {
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(ratio))},"cross_origin_cand_pairs":$crossPairs}"""
     }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"queries":$qs,"sf":"$label-equivalent ($srcDir x$factor, $mode replication)"$tputJson$lshJson$setsimJson${GitStamp.jsonField}}"""
+    // NATIVE DIMENSION GATE (round-13 verdict #6): the x10/x30
+    // batteries replicate FACT rows but hold dimension cardinality
+    // constant, so a plan that is accidentally O(dimension²) — auth
+    // headings, distinct logical values, xref fan-in — sails through
+    // them. When this run IS the committed sf1_native artifact, gate
+    // the dimension-sensitive family's walls against the same-commit
+    // exact-x10 battery (BENCH_sf1.json, which the close chain runs
+    // first). Caps are generous (measured same-code ratios are
+    // 1.0–2.2×; a quadratic dimension blowup reads ≥10×) and carry a
+    // 2 s absolute floor so sub-second denominators can't false-fire.
+    // The near-dup/vocab families are deliberately NOT capped here:
+    // their large native ratios are the documented fuzz-vs-exact-
+    // collapse effect (SCALING.md), not dimension scaling.
+    var nativeRatio = ""
+    if (isNative && label == "sf1_native") auditSafe("native-gate") {
+      val exactPath = java.nio.file.Paths.get("BENCH_sf1.json")
+      if (!java.nio.file.Files.exists(exactPath)) {
+        guardFails += "NATIVE GATE: BENCH_sf1.json missing — run the exact-x10 battery first in the close chain"
+      } else {
+        import org.json4s._
+        val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(exactPath))
+        val exactSha = j \ "git_sha" match { case JString(s) => s; case _ => "" }
+        if (exactSha != GitStamp.sha) {
+          guardFails += s"NATIVE GATE: BENCH_sf1.json stamps $exactSha, this run is ${GitStamp.sha} — " +
+            "the ratio gate needs a same-commit exact battery; regenerate sf1 first"
+        } else {
+          val exactQ: Map[String, Double] = (j \ "queries") match {
+            case JObject(fs) => fs.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty
+          }
+          val dimFamily = Seq("q25_marc_query_dsl", "q26_marc_auth_resolve",
+            "q30_marc_auth_use", "q36_store_commit", "q37_auth_merge",
+            "q51_partial_lookup", "q62_cascade", "q80_logical_search",
+            "q102_merge_audit", "q187_real_marc_dsl", "q189_real_auth_resolve",
+            "q190_real_partial_lookup", "q191_real_cascade", "q192_real_auth_use")
+          val resMap = results.toMap
+          val ratios = for (q <- dimFamily; nat <- resMap.get(q).filter(_ > 0);
+              ex <- exactQ.get(q).filter(_ > 0)) yield {
+            val ratio = nat / ex
+            if (ratio > 6.0 && nat > 2.0)
+              guardFails += f"NATIVE DIM FAIL $q: $nat%.2f s native vs $ex%.2f s exact-x10 " +
+                f"(${ratio}%.1fx > 6x cap) — dimension growth is super-linear"
+            s""""$q":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(ratio))}"""
+          }
+          val exactTotal = (j \ "value") match {
+            case JDouble(v) => v; case JInt(v) => v.toDouble
+            case JDecimal(v) => v.toDouble; case _ => 0.0
+          }
+          val totRatio = if (exactTotal > 0) total / exactTotal else 0.0
+          if (totRatio > 2.5)
+            guardFails += f"NATIVE TOTAL FAIL: $total%.1f s vs exact-x10 $exactTotal%.1f s " +
+              f"(${totRatio}%.2fx > 2.5x cap)"
+          println(f"NATIVE-GATE: total ratio $totRatio%.2fx vs same-commit exact-x10 " +
+            s"(${ratios.size} dimension-family queries capped at 6x)")
+          nativeRatio = s""","native_vs_exact":{"total_ratio":${
+            String.format(java.util.Locale.ROOT, "%.3f", Double.box(totRatio))},"dim_family":{${ratios.mkString(",")}}}"""
+        }
+      }
+      ""
+    }
+
+    val guardsJson = s""","guard_fails":[${
+      guardFails.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "'") + "\"").mkString(",")}]"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,"queries":$qs,"sf":"$label-equivalent ($srcDir x$factor, $mode replication)"$tputJson$lshJson$setsimJson$nativeRatio$guardsJson${GitStamp.jsonField}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"BENCH_$label.json"), json + "\n")
 

@@ -132,7 +132,7 @@ object SkewBench {
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"skew ($srcDir x$factor, 30% identical)"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"skew ($srcDir x$factor, 30% identical)"${GitStamp.jsonField}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_skew.json"), json + "\n")
     println("wrote BENCH_skew.json and SKEW.md")

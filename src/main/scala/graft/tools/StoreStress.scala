@@ -25,6 +25,13 @@ object StoreStress {
       }
       return
     }
+    if (args.headOption.contains("contentionOverlap")) {
+      val fails = contentionOverlapRun(args.drop(1))
+      if (fails.nonEmpty) {
+        fails.foreach(f => System.err.println(s"[contention-overlap] $f")); sys.exit(1)
+      }
+      return
+    }
     if (args.headOption.contains("contentionWorker")) {
       contentionWorkerMain(args.drop(1)); return
     }
@@ -245,8 +252,125 @@ object StoreStress {
     fails.toSeq
   }
 
+  /** `StoreStress contentionOverlap [sfDir] [out.json]` — the
+    * SAME-ID cross-process race (round-13 verdict #4; the disjoint-id
+    * `contention` mode shares buckets and the journal but never a
+    * record): two child JVMs each commit the SAME `_id % 194 === 0`
+    * slice three times, users `<w>_c<i>`. Because every commit is one
+    * whole-batch swap under the cross-process lock (reference
+    * semantics anchor: `replace_one(upsert=True)` last-wins,
+    * dlx/marc/__init__.py:1107, + history append 1066-1104), the
+    * verifier can assert exact invariants despite the nondeterministic
+    * interleaving:
+    *  - last-wins: every live row carries ONE user, and it is some
+    *    worker's final commit (`A_c2` or `B_c2`);
+    *  - dense interleaved history: 6 commits × n ids → 6n history
+    *    rows, version_no dense 1..6 per id;
+    *  - the interleaving is a real serialization: each version_no maps
+    *    to exactly ONE user across all ids (commits are atomic), and
+    *    each worker's own commits appear in its program order
+    *    c0 < c1 < c2;
+    *  - clean recovery: no staging debris (checked BEFORE any store
+    *    open, so the parent's recovery sweep can't make it vacuous).
+    * Part of the RoundArtifacts cadence; writes a GitStamp'd
+    * BENCH_contention_overlap.json. */
+  def contentionOverlapRun(args: Array[String]): Seq[String] = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("BENCH_contention_overlap.json")
+    val base = java.nio.file.Files.createTempDirectory("storestress_overlap").toString
+    val t0 = System.nanoTime()
+    val procs = Seq("A", "B").map { w =>
+      val log = java.nio.file.Files.createTempFile(s"overlap_$w", ".log").toFile
+      val p = new ProcessBuilder(ChildJvm.cmd("8g",
+          Seq("graft.tools.StoreStress", "contentionWorker", base, sfDir, w, "same")): _*)
+        .redirectErrorStream(true)
+        .redirectOutput(java.lang.ProcessBuilder.Redirect.to(log)).start()
+      (w, p, log)
+    }
+    val fails = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((w, p, log) <- procs) {
+      val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) {
+        p.destroyForcibly()
+        fails += s"overlap: worker $w HUNG past 20 min (possible cross-process deadlock)"
+      }
+      val rc = if (done) p.waitFor() else -1
+      if (rc != 0) {
+        if (done) fails += s"overlap: worker $w exited $rc"
+        val lines = scala.jdk.CollectionConverters
+          .ListHasAsScala(java.nio.file.Files.readAllLines(log.toPath)).asScala
+        System.err.println(s"[contention-overlap] worker $w tail:\n" +
+          lines.takeRight(15).mkString("\n"))
+      }
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    // staging-debris check BEFORE any store open (same discipline as
+    // contentionRun: MarcStore's open would sweep exactly this debris)
+    for (d <- Seq("bibs_staging", "bib_history_staging"))
+      if (new java.io.File(s"$base/$d").exists())
+        fails += s"overlap: dangling $d after both writers exited"
+
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val store = new graft.store.MarcStore(spark, base)
+    val n = graft.queries.StoreOps.batch(spark, sfDir, 97L, "")
+      .where(col("_id") % 194 === 0).count()
+    val live = store.read("bib").toDF()
+    val nLive = live.count()
+    if (nLive != n) fails += s"overlap: live rows $nLive != $n (both write the same slice)"
+    val offSlice = live.where(col("_id") % 194 =!= 0).count()
+    if (offSlice != 0) fails += s"overlap: $offSlice live rows outside the shared slice"
+    // last-wins: one final user for EVERY id, and it is a final commit
+    val finalUsers = live.select("user").distinct().collect().map(_.getString(0)).sorted
+    if (finalUsers.length != 1 || !Set("A_c2", "B_c2").contains(finalUsers.head))
+      fails += s"overlap: final users ${finalUsers.mkString(",")} — " +
+        "expected every id to carry the globally-last commit (A_c2 or B_c2)"
+    val hist = store.readHistory("bib")
+    val histN = hist.count()
+    if (histN != 6 * n) fails += s"overlap: history rows $histN != ${6 * n}"
+    val nonDense = hist.groupBy("_id")
+      .agg(countDistinct(col("version_no")).as("nv"), max(col("version_no")).as("mx"),
+        min(col("version_no")).as("mn"), count(lit(1)).as("cnt"))
+      .where(col("nv") =!= 6 || col("mx") =!= 6 || col("mn") =!= 1 || col("cnt") =!= 6)
+      .count()
+    if (nonDense != 0)
+      fails += s"overlap: $nonDense ids have non-dense 1..6 history versions"
+    // atomic interleaving: each version is ONE commit for ALL ids
+    val versionUsers = hist.groupBy("version_no")
+      .agg(countDistinct(col("user")).as("nu"), min(col("user")).as("u"))
+      .collect().map(r => r.getAs[Number]("version_no").longValue() ->
+        (r.getAs[Long]("nu"), r.getAs[String]("u"))).toMap
+    for ((v, (nu, _)) <- versionUsers if nu != 1)
+      fails += s"overlap: version $v carries $nu distinct users (commit not atomic across ids)"
+    // each worker's commits in program order within the serialization
+    val order = versionUsers.toSeq.sortBy(_._1).map(_._2._2)
+    for (w <- Seq("A", "B")) {
+      val seq = order.filter(_.startsWith(s"${w}_"))
+      if (seq != Seq(s"${w}_c0", s"${w}_c1", s"${w}_c2"))
+        fails += s"overlap: worker $w's commits appear as ${seq.mkString(",")} — program order violated"
+    }
+    if (finalUsers.length == 1 && order.nonEmpty && order.last != finalUsers.head)
+      fails += s"overlap: live user ${finalUsers.head} != last history version's user ${order.last}"
+
+    val json = f"""{"metric":"contention_overlap","wall_sec":$wall%.1f,"sf":"$sfDir",""" +
+      f""""workers":2,"commits_per_worker":3,"rows":$n,"history_rows":$histN,""" +
+      s""""serialization":[${order.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""guard_fails":[${fails.map(f => "\"" + f.replace("\"", "'") + "\"").mkString(",")}]""" +
+      s"${GitStamp.jsonField}}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+    println(json)
+    fails.toSeq
+  }
+
   /** One contending writer: its own SparkSession + MarcStore on the
-    * SHARED base; commits of its disjoint half of the corpus, user
+    * SHARED base; commits of its disjoint half of the corpus — or, in
+    * `same` mode, the SHARED slice — user
     * stamped `<w>_c<i>` so the verifier can tell WHICH commit a row
     * survived from. Modes (4th arg):
     *  - (none): three clean commits (the plain contention race);
@@ -257,7 +381,10 @@ object StoreStress {
     *  - `await:<marker>`: two clean commits, then block until the
     *    marker file appears (<= 10 min), then a third — whose
     *    pre-swap recovery sweep is the cross-process recovery under
-    *    test. */
+    *    test;
+    *  - `same`: three clean commits of the SAME id slice the OTHER
+    *    worker writes (both take the `_id % 194 === 0` half) — the
+    *    overlapping-ids race (round-13 verdict #4). */
   def contentionWorkerMain(args: Array[String]): Unit = {
     val Array(base, sfDir, w) = args.take(3)
     val mode = args.lift(3).getOrElse("")
@@ -269,7 +396,7 @@ object StoreStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import MarcSchema.marcRowEncoder
-    val rem = if (w == "A") 0L else 97L
+    val rem = if (mode == "same" || w == "A") 0L else 97L
     val store = new graft.store.MarcStore(spark, base)
     def commitN(i: Int): Unit = {
       val b = graft.queries.StoreOps.batch(spark, sfDir, 97L, s"$w$i-")
@@ -309,8 +436,8 @@ object StoreStress {
     * (the pre-open staging check proves B did the sweep). Two
     * scenarios: post_journal (B must roll A FORWARD — another process
     * completes A's crashed commit) and post_staging (B must roll A
-    * BACK). Out-of-cadence probe like the x100 walls; writes a
-    * GitStamp'd BENCH_contention_crash.json. */
+    * BACK). Part of the RoundArtifacts cadence since round 12 (commit
+    * 38c36b0); writes a GitStamp'd BENCH_contention_crash.json. */
   def contentionCrashRun(args: Array[String]): Seq[String] = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = args.lift(1).getOrElse("BENCH_contention_crash.json")

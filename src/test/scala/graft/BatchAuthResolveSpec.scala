@@ -125,4 +125,23 @@ class BatchAuthResolveSpec extends AnyFunSuite {
         zeroXref = BatchAuthResolve.xmlZeroXref)
     }
   }
+
+  test("multiple $0 in the batch resolver: MRK first digit-prefixed, XML last node") {
+    val auths = MarcSchema.toDataset(spark,
+      Seq(auth(1L, "150", "a" -> "Header"))).toDF()
+    def rec(id: Long, zeros: String*) = MarcRecord(recordType = "bib", id = Some(id),
+      fields = Vector(DataField("650", " ", " ",
+        Vector(Subfield("a", Some("Totally unrelated"))) ++
+          zeros.map(z => Subfield("0", Some(z))))))
+    // MRK: skip (pfx)9, land on 42abc (never reach 7) — dlx 1678
+    val m = BatchAuthResolve.resolve(spark, auths, "bib",
+      Seq(rec(20L, "(pfx)9", "42abc", "7")), zeroXref = BatchAuthResolve.mrkZeroXref)
+    assert(m.head.fields.collect { case d: DataField => d }.head
+      .subfields.head.xref === Some(42L))
+    // XML: the per-node overwrite makes the LAST $0 win — dlx 1735-1738
+    val x = BatchAuthResolve.resolve(spark, auths, "bib",
+      Seq(rec(21L, "7", "(DHLAUTH)42")), zeroXref = BatchAuthResolve.xmlZeroXref)
+    assert(x.head.fields.collect { case d: DataField => d }.head
+      .subfields.head.xref === Some(42L))
+  }
 }

@@ -55,6 +55,16 @@ class SerializationSpec extends AnyFunSuite {
     assert(rec.getValue("650", "a") == "Header")
   }
 
+  test("multiple $0: MRK takes the first digit-prefixed one, XML the last node") {
+    // re.search(r'\$0(\d+)') over the body: skips $0(pfx)9, lands on $02abc
+    val bib = S.fromMrk("bib", "=650  \\\\$aWill be replaced because of xref$0(pfx)9$02abc$01\n")
+    assert(bib.getXref("650", "a").contains(2L))
+    // from_xml_raw overwrites the capture per $0 node: last wins
+    val rec = S.fromXml("bib",
+      """<record><datafield tag="650" ind1=" " ind2=" "><subfield code="a">head</subfield><subfield code="0">2</subfield><subfield code="0">(DHL)1</subfield></datafield></record>""")
+    assert(rec.getXref("650", "a").contains(1L))
+  }
+
   test("set from_mrk splits on blank lines (tests/marc.mrk shape)") {
     val mrk =
       "=000  leader\n=008  controlfield\n=245  \\\\$aThis$bis the$ctitle\n=520  \\\\$aDescription\n" +
