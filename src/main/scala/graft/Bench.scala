@@ -65,6 +65,9 @@ object Bench {
           Filter.Result.DENY
         else Filter.Result.NEUTRAL
     })
+    // REQUIRED: already-created Logger instances keep their cached
+    // config until updateLoggers() — without this the filter is inert
+    // (verified against log4j-core 2.24.3)
     ctx.updateLoggers()
   }
 

@@ -166,49 +166,57 @@ object StoreStress {
     * a gap or a duplicate), and the recovery sweep at reopen finds
     * nothing to sweep. Wired into RoundArtifacts like the other
     * guards; writes a GitStamp'd BENCH_contention.json. */
-  def contentionRun(args: Array[String]): Seq[String] = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.lift(1).getOrElse("BENCH_contention.json")
-    val base = java.nio.file.Files.createTempDirectory("storestress_contention").toString
-    val t0 = System.nanoTime()
-    val procs = Seq("A", "B").map { w =>
-      val log = java.nio.file.Files.createTempFile(s"contention_$w", ".log").toFile
-      val cmd = ChildJvm.cmd("8g",
-        Seq("graft.tools.StoreStress", "contentionWorker", base, sfDir, w))
-      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+  // ---- shared cross-process race harness (round-13 review: the
+  // spawn/wait/debris blocks were drifting three-way copies)
+
+  /** Spawn the contention worker JVMs: one per (worker, mode) pair on
+    * the SHARED base dir; empty mode = the plain three-commit race. */
+  private def spawnWorkers(base: String, sfDir: String, tag: String,
+      workers: Seq[(String, String)]): Seq[(String, Process, java.io.File)] =
+    workers.map { case (w, mode) =>
+      val log = java.nio.file.Files.createTempFile(s"${tag}_$w", ".log").toFile
+      val p = new ProcessBuilder(ChildJvm.cmd("8g",
+          Seq("graft.tools.StoreStress", "contentionWorker", base, sfDir, w) ++
+            (if (mode.isEmpty) Nil else Seq(mode))): _*)
+        .redirectErrorStream(true)
         .redirectOutput(java.lang.ProcessBuilder.Redirect.to(log)).start()
       (w, p, log)
     }
-    val fails = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  /** BOUNDED wait (a cross-process deadlock — the bug class these
+    * gates exist to catch — must fail the gate red, not hang the
+    * round-close cadence forever) + rc check + log tail on failure. */
+  private def awaitWorkers(procs: Seq[(String, Process, java.io.File)], tag: String,
+      fails: scala.collection.mutable.ArrayBuffer[String]): Unit =
     for ((w, p, log) <- procs) {
-      // BOUNDED wait: a cross-process deadlock (the bug class this
-      // gate exists to catch) must fail the gate red, not hang the
-      // round-close cadence forever
       val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
       if (!done) {
         p.destroyForcibly()
-        fails += s"contention: worker $w HUNG past 20 min (possible cross-process deadlock)"
+        fails += s"$tag: worker $w HUNG past 20 min (possible cross-process deadlock)"
       }
       val rc = if (done) p.waitFor() else -1
       if (rc != 0) {
-        if (done) fails += s"contention: worker $w exited $rc"
+        if (done) fails += s"$tag: worker $w exited $rc"
         val lines = scala.jdk.CollectionConverters
           .ListHasAsScala(java.nio.file.Files.readAllLines(log.toPath)).asScala
-        System.err.println(s"[contention] worker $w tail:\n" +
+        System.err.println(s"[$tag] worker $w tail:\n" +
           lines.takeRight(15).mkString("\n"))
       }
     }
-    val wall = (System.nanoTime() - t0) / 1e9
 
-    // dangling-staging check MUST run before the verifying store is
-    // constructed: MarcStore's open runs the recovery sweep, which
-    // would silently clean exactly the debris this asserts against
-    // (round-12 review — the check was vacuous after the open)
+  /** Dangling-staging check — MUST run before the verifying store is
+    * constructed: MarcStore's open runs the recovery sweep, which
+    * would silently clean exactly the debris this asserts against
+    * (round-12 review — the check was vacuous after the open). */
+  private def debrisCheck(base: String, tag: String, detail: String,
+      fails: scala.collection.mutable.ArrayBuffer[String]): Unit =
     for (d <- Seq("bibs_staging", "bib_history_staging"))
       if (new java.io.File(s"$base/$d").exists())
-        fails += s"contention: dangling $d after both writers exited"
+        fails += s"$tag: dangling $d $detail"
 
-    // verify from THIS process: reopen (= recovery sweep under lock)
+  /** The parent's verifying SparkSession (reopen = recovery sweep
+    * under lock happens at the MarcStore construction that follows). */
+  private def verifySession(): SparkSession = {
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
@@ -216,6 +224,20 @@ object StoreStress {
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def contentionRun(args: Array[String]): Seq[String] = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("BENCH_contention.json")
+    val base = java.nio.file.Files.createTempDirectory("storestress_contention").toString
+    val t0 = System.nanoTime()
+    val procs = spawnWorkers(base, sfDir, "contention", Seq("A" -> "", "B" -> ""))
+    val fails = scala.collection.mutable.ArrayBuffer.empty[String]
+    awaitWorkers(procs, "contention", fails)
+    val wall = (System.nanoTime() - t0) / 1e9
+    debrisCheck(base, "contention", "after both writers exited", fails)
+    val spark = verifySession()
     val store = new graft.store.MarcStore(spark, base)
     val expA = graft.queries.StoreOps.batch(spark, sfDir, 97L, "")
       .where(col("_id") % 194 === 0).count()
@@ -279,45 +301,12 @@ object StoreStress {
     val out = args.lift(1).getOrElse("BENCH_contention_overlap.json")
     val base = java.nio.file.Files.createTempDirectory("storestress_overlap").toString
     val t0 = System.nanoTime()
-    val procs = Seq("A", "B").map { w =>
-      val log = java.nio.file.Files.createTempFile(s"overlap_$w", ".log").toFile
-      val p = new ProcessBuilder(ChildJvm.cmd("8g",
-          Seq("graft.tools.StoreStress", "contentionWorker", base, sfDir, w, "same")): _*)
-        .redirectErrorStream(true)
-        .redirectOutput(java.lang.ProcessBuilder.Redirect.to(log)).start()
-      (w, p, log)
-    }
+    val procs = spawnWorkers(base, sfDir, "overlap", Seq("A" -> "same", "B" -> "same"))
     val fails = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((w, p, log) <- procs) {
-      val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
-      if (!done) {
-        p.destroyForcibly()
-        fails += s"overlap: worker $w HUNG past 20 min (possible cross-process deadlock)"
-      }
-      val rc = if (done) p.waitFor() else -1
-      if (rc != 0) {
-        if (done) fails += s"overlap: worker $w exited $rc"
-        val lines = scala.jdk.CollectionConverters
-          .ListHasAsScala(java.nio.file.Files.readAllLines(log.toPath)).asScala
-        System.err.println(s"[contention-overlap] worker $w tail:\n" +
-          lines.takeRight(15).mkString("\n"))
-      }
-    }
+    awaitWorkers(procs, "overlap", fails)
     val wall = (System.nanoTime() - t0) / 1e9
-
-    // staging-debris check BEFORE any store open (same discipline as
-    // contentionRun: MarcStore's open would sweep exactly this debris)
-    for (d <- Seq("bibs_staging", "bib_history_staging"))
-      if (new java.io.File(s"$base/$d").exists())
-        fails += s"overlap: dangling $d after both writers exited"
-
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    debrisCheck(base, "overlap", "after both writers exited", fails)
+    val spark = verifySession()
     val store = new graft.store.MarcStore(spark, base)
     val n = graft.queries.StoreOps.batch(spark, sfDir, 97L, "")
       .where(col("_id") % 194 === 0).count()
@@ -441,13 +430,7 @@ object StoreStress {
   def contentionCrashRun(args: Array[String]): Seq[String] = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = args.lift(1).getOrElse("BENCH_contention_crash.json")
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = verifySession()
     val expA = graft.queries.StoreOps.batch(spark, sfDir, 97L, "")
       .where(col("_id") % 194 === 0).count()
     val expB = graft.queries.StoreOps.batch(spark, sfDir, 97L, "")
@@ -458,35 +441,13 @@ object StoreStress {
     for ((point, forward) <- Seq("post_journal" -> true, "post_staging" -> false)) {
       val base = java.nio.file.Files.createTempDirectory(s"contention_crash_$point").toString
       val t0 = System.nanoTime()
-      val procs = Seq(
-        ("A", s"crash:$point"),
-        ("B", "await:.crashed_A")).map { case (w, mode) =>
-        val log = java.nio.file.Files.createTempFile(s"ccrash_${point}_$w", ".log").toFile
-        val p = new ProcessBuilder(ChildJvm.cmd("8g",
-            Seq("graft.tools.StoreStress", "contentionWorker", base, sfDir, w, mode)): _*)
-          .redirectErrorStream(true)
-          .redirectOutput(java.lang.ProcessBuilder.Redirect.to(log)).start()
-        (w, p, log)
-      }
-      for ((w, p, log) <- procs) {
-        val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
-        if (!done) { p.destroyForcibly(); fails += s"$point: worker $w HUNG past 20 min" }
-        val rc = if (done) p.waitFor() else -1
-        if (rc != 0) {
-          if (done) fails += s"$point: worker $w exited $rc"
-          val lines = scala.jdk.CollectionConverters
-            .ListHasAsScala(java.nio.file.Files.readAllLines(log.toPath)).asScala
-          System.err.println(s"[contention-crash] $point worker $w tail:\n" +
-            lines.takeRight(15).mkString("\n"))
-        }
-      }
+      val procs = spawnWorkers(base, sfDir, s"ccrash_$point",
+        Seq("A" -> s"crash:$point", "B" -> "await:.crashed_A"))
+      awaitWorkers(procs, point, fails)
       walls(point) = (System.nanoTime() - t0) / 1e9
 
-      // B (not the parent, not a reopen) must have swept A's debris:
-      // check BEFORE constructing the verifying store
-      for (d <- Seq("bibs_staging", "bib_history_staging"))
-        if (new java.io.File(s"$base/$d").exists())
-          fails += s"$point: $d still dangling — B's recovery sweep did not run"
+      // B (not the parent, not a reopen) must have swept A's debris
+      debrisCheck(base, point, "— B's recovery sweep did not run", fails)
 
       val store = new graft.store.MarcStore(spark, base)
       val live = store.read("bib").toDF()
