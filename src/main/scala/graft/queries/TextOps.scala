@@ -599,6 +599,56 @@ object TextOps {
       .distinct()
       .localCheckpoint(true)
 
+    // REGIME SPLIT (round 13, optimization guide §1.2: fix the
+    // distributed algorithm first). Star contraction converges in
+    // O(log n) rounds, but each round costs 6 shuffles + a checkpoint
+    // job + a signature job — ~0.3 s of fixed cost per round on the
+    // bench rig, ~2.5 s per CC call at the observed 6-8 rounds. When
+    // the DEDUPLICATED edge set fits a bounded driver buffer, a
+    // union-find over the collected edges computes the identical
+    // min-label fixed point in one collect + one broadcast-joined
+    // local relation (the same capped-driver discipline as the query
+    // compiler's in-lists and the cascade's maxChangedAuths: capped,
+    // loud, distributed fallback above the cap). Only EDGES are
+    // collected — the node frame stays distributed, so isolated nodes
+    // never round-trip the driver. At 100 TB the duplicate-pair set
+    // can exceed the cap; past it the star contraction below runs
+    // unchanged. Cap override: spark.graft.cc.localEdgeCap (rows).
+    val localEdgeCap = pairs.sparkSession.conf
+      .get("spark.graft.cc.localEdgeCap", "2000000").toLong
+    // one cheap job over the checkpointed blocks; also the emptiness probe
+    val edgeCount = edges.count()
+    if (edgeCount > 0L && edgeCount <= localEdgeCap) {
+      val rows = edges.select(col("src"), col("dst")).collect()
+      // union-find, union by MIN root: the surviving root of every
+      // component IS its minimum node id — exactly the star fixed
+      // point's labels. Path compression keeps find() amortized flat.
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](rows.length * 2)
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.get(r).longValue != r) r = parent.get(r).longValue
+        var c = x0
+        while (c != r) { val n = parent.get(c).longValue; parent.put(c, r); c = n }
+        r
+      }
+      rows.foreach { row =>
+        val s = row.getLong(0); val d = row.getLong(1)
+        if (!parent.containsKey(s)) parent.put(s, s)
+        if (!parent.containsKey(d)) parent.put(d, d)
+        val rs = find(s); val rd = find(d)
+        if (rs < rd) parent.put(rd, rs) else if (rd < rs) parent.put(rs, rd)
+      }
+      val labels = new Array[(Long, Long)](parent.size)
+      val it = parent.keySet.iterator
+      var i = 0
+      while (it.hasNext) { val k = it.next.longValue; labels(i) = (k, find(k)); i += 1 }
+      import pairs.sparkSession.implicits._
+      val labelDf = pairs.sparkSession.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(labels))
+        .toDF("lnode", "label")
+      return nodes.join(broadcast(labelDf), nodes("node") === col("lnode"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    }
+
     def signature(e: DataFrame): (Long, Long) = {
       // bit_xor, not sum: order-independent and cannot overflow under ANSI
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
@@ -638,7 +688,7 @@ object TextOps {
 
     var prev = signature(edges)
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0L
     while (iter < maxIter && !converged) {
       edges = smallStar(largeStar(edges)).localCheckpoint(true)
       val sig = signature(edges)

@@ -634,11 +634,39 @@ class SparkMarcSpec extends AnyFunSuite {
     import spark.implicits._
     // diameter 299 >> maxIter 12 — min-label propagation (rounds =
     // diameter) would blow the cap; alternating large-star/small-star
-    // must converge regardless of diameter
-    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val cc = graft.queries.TextOps.connectedComponents(pairs, maxIter = 12)
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-    assert(cc.length == 300 && cc.forall(_._2 == 1L))
+    // must converge regardless of diameter. Cap forced to 0 so the
+    // DISTRIBUTED regime runs (the default cap would take the local
+    // union-find fast path and leave the star loop untested).
+    spark.conf.set("spark.graft.cc.localEdgeCap", "0")
+    try {
+      val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val cc = graft.queries.TextOps.connectedComponents(pairs, maxIter = 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(cc.length == 300 && cc.forall(_._2 == 1L))
+    } finally spark.conf.unset("spark.graft.cc.localEdgeCap")
+  }
+
+  test("connected components: local union-find regime == star contraction regime") {
+    import spark.implicits._
+    // deterministic pseudo-random multigraph with chains, stars,
+    // self-pairs and duplicate edges — every structural wrinkle the
+    // two regimes must agree on, label for label
+    val rnd = new scala.util.Random(4242)
+    val pairs = (
+      (1 to 400).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)) ++
+      (200L to 210L).map(i => (i, i)) ++            // isolated self-pairs
+      (300L until 340L).map(i => (i + 1, i))        // reversed chain
+    ).toDF("doc_a", "doc_b")
+    val local = graft.queries.TextOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.localEdgeCap", "0")
+    val dist =
+      try graft.queries.TextOps.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localEdgeCap")
+    assert(local == dist)
+    // self-pair nodes are isolated: label themselves in both regimes
+    assert((200L to 210L).forall(i => local(i) == i))
   }
 
   test("spanDedup: first occurrence wins across and within docs; partial tail chunk") {
