@@ -36,11 +36,28 @@ object AnalyticsOps {
     * is one src-keyed join + one dst-keyed agg — no corpus-wide
     * broadcast, no driver-side collect of anything graph-sized. */
   def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgesD = edges.join(deg, "src")
-      .repartition(col("src"))
+    // outdeg via a window on the src-partitioned frame: one exchange
+    // (reused by every iteration's src-keyed join in the distributed
+    // regime) instead of the former groupBy + join, which shuffled the
+    // edge set twice before the loop even started (guide §2.4: two
+    // operations keyed the same way share one exchange).
+    val edgesD = edges.repartition(col("src"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .persist()
     val nodes = edges.select(col("src").as("node")).distinct().persist()
+    // REGIME SPLIT (round 13, guide §3.1): the rank frame is
+    // node-bounded, so while the node count fits a broadcast budget,
+    // each iteration's two node-keyed joins ride broadcasts — the only
+    // shuffle left per step is the map-side-combined contribution agg
+    // (edge-volume in, node-bounded out). Past the cap (conf
+    // spark.graft.pagerank.broadcastNodeCap) the shuffle joins below
+    // run unchanged — same arithmetic, same results, both regimes.
+    // The count also materializes the persisted node frame.
+    val bcastCap = edges.sparkSession.conf
+      .get("spark.graft.pagerank.broadcastNodeCap", "4000000").toLong
+    val useBcast = nodes.count() <= bcastCap
+    def side(df: DataFrame): DataFrame = if (useBcast) broadcast(df) else df
     // EAGER per-iteration checkpoints — measured, not assumed: the loop
     // body contains no action, so LAZY checkpoints defer all five
     // iterations into the consumer's single job (no per-iteration AQE
@@ -51,10 +68,10 @@ object AnalyticsOps {
     // opposite shape.
     var r = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val contribs = edgesD.join(r, edgesD("src") === r("node"))
+      val contribs = edgesD.join(side(r), edgesD("src") === r("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      r = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+      r = nodes.join(side(contribs), nodes("node") === contribs("dst"), "left")
         .select(col("node"),
           expr("150000 + (85 * coalesce(s, 0)) div 100").as("r"))
         .localCheckpoint(true)

@@ -1286,6 +1286,26 @@ object TextOps {
     * in learned order. */
   def bpeMergesList(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
     val dict = bpeDict(docs).persist()
+    // REGIME SPLIT (round 13, guide §1.2 "fix the distributed
+    // algorithm"): the merge loop's unit of work is the WORD
+    // DICTIONARY, which is language-bounded, not corpus-bounded — yet
+    // the distributed loop pays one full Spark job (pair explode +
+    // hash agg + top-1 sort) per learned merge, ~0.4 s of fixed cost
+    // per step on the bench rig regardless of dictionary size. While
+    // the dictionary fits a bounded driver buffer, collect it ONCE and
+    // run the identical argmax/merge recurrence locally (the capped-
+    // driver discipline of connectedComponents' union-find regime:
+    // capped, loud, distributed fallback above the cap). The corpus
+    // itself is still touched exactly once, by the distributed
+    // word-count pass above. Cap override: spark.graft.bpe.localDictCap.
+    val localDictCap = docs.sparkSession.conf
+      .get("spark.graft.bpe.localDictCap", "2000000").toLong
+    val nWords = dict.count() // also materializes the persisted dict
+    if (nWords <= localDictCap) {
+      val rows = dict.select(col("freq"), col("seg")).collect()
+      dict.unpersist()
+      return bpeMergesLocal(rows.map(r => (r.getLong(0), r.getString(1))), nMerges)
+    }
     // the symbol array must be a NAMED column (bound by the caller's
     // select), not an inline regexp_extract_all -- the lambda would
     // re-extract per element (O(symbols^2) per word; the shingleArray
@@ -1325,6 +1345,91 @@ object TextOps {
       }
     }
     dict.unpersist()
+    merges.toSeq
+  }
+
+  /** Driver-local replay of the [[bpeMergesList]] recurrence over a
+    * collected (freq, seg) dictionary — answer-identical by
+    * construction: pair counts enumerate every adjacent symbol
+    * position (overlaps included, exactly like `pairsOf`), the argmax
+    * tiebreak compares pair strings in UTF-8 BYTE order (Spark's
+    * string ordering — Java's UTF-16 compareTo would diverge on
+    * supplementary-plane symbols), and a merge applies left-to-right
+    * non-overlapping per word, exactly like the sentinel-string
+    * `replace`. The SparkMarcSpec regime-parity test pins the two
+    * paths merge-for-merge. */
+  private def bpeMergesLocal(dictRows: Array[(Long, String)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    // seg = one "<U+0002>sym " unit per symbol; split on the sentinel
+    // (first piece empty), drop each unit's trailing space
+    val freqs = dictRows.map(_._1)
+    val words: Array[Array[String]] = dictRows.map { case (_, seg) =>
+      seg.split("\u0002").iterator.filter(_.nonEmpty)
+        .map(u => u.substring(0, u.length - 1)).toArray
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val counts = new java.util.HashMap[String, java.lang.Long]()
+      var w = 0
+      while (w < words.length) {
+        val syms = words(w); val f = freqs(w)
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = syms(i) + " " + syms(i + 1)
+          val prev = counts.get(key)
+          counts.put(key, if (prev == null) f else prev.longValue + f)
+          i += 1
+        }
+        w += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestPair: String = null; var bestCnt = Long.MinValue
+        val it = counts.entrySet.iterator
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue.longValue
+          if (c > bestCnt || (c == bestCnt && utf8Less(e.getKey, bestPair)))
+            { bestPair = e.getKey; bestCnt = c }
+        }
+        val Array(x, y) = bestPair.split(" ", 2)
+        val token = x + y
+        w = 0
+        while (w < words.length) {
+          val syms = words(w)
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            if (syms(i) == x && syms(i + 1) == y) has = true
+            i += 1
+          }
+          if (has) { // left-to-right non-overlapping walk
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == x && syms(i + 1) == y)
+                { out += token; i += 2 }
+              else { out += syms(i); i += 1 }
+            }
+            words(w) = out.toArray
+          }
+          w += 1
+        }
+        merges += ((merges.size + 1, bestPair, token, bestCnt))
+      }
+    }
     merges.toSeq
   }
 

@@ -976,16 +976,42 @@ class SparkMarcSpec extends AnyFunSuite {
       md.take(10).map(b => ('a' + ((b & 0xff) % 26)).toChar).mkString
     }
     val docs = Seq((0 until 400).map(word).mkString(" ")).toDF("text")
-    val t0 = System.nanoTime()
-    val m64 = graft.queries.TextOps.bpeMergesList(docs, 64)
-    val t64 = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    val m256 = graft.queries.TextOps.bpeMergesList(docs, 256)
-    val t256 = (System.nanoTime() - t1) / 1e9
-    assert(m256.size == 256, s"corpus exhausted early at ${m256.size} merges")
-    assert(m256.take(64) == m64, "merge sequence must not depend on the requested count")
-    assert(t256 / t64 <= 8.0,
-      f"per-step cost grew: 256 merges took $t256%.1f s vs 64 merges $t64%.1f s (ratio ${t256 / t64}%.1f > 8)")
+    // cap forced to 0 so the DISTRIBUTED merge loop runs — the default
+    // cap would take the driver-local fast path and leave the
+    // checkpointed replace() chain this test exists to pin untested
+    spark.conf.set("spark.graft.bpe.localDictCap", "0")
+    try {
+      val t0 = System.nanoTime()
+      val m64 = graft.queries.TextOps.bpeMergesList(docs, 64)
+      val t64 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val m256 = graft.queries.TextOps.bpeMergesList(docs, 256)
+      val t256 = (System.nanoTime() - t1) / 1e9
+      assert(m256.size == 256, s"corpus exhausted early at ${m256.size} merges")
+      assert(m256.take(64) == m64, "merge sequence must not depend on the requested count")
+      assert(t256 / t64 <= 8.0,
+        f"per-step cost grew: 256 merges took $t256%.1f s vs 64 merges $t64%.1f s (ratio ${t256 / t64}%.1f > 8)")
+    } finally spark.conf.unset("spark.graft.bpe.localDictCap")
+  }
+
+  test("BPE training: driver-local regime == distributed regime, merge for merge") {
+    import spark.implicits._
+    // deterministic multi-word corpus with repeated words, shared
+    // prefixes/suffixes and count ties — the tiebreak and overlap
+    // wrinkles both regimes must agree on exactly
+    def word(i: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bpepar_$i".getBytes("UTF-8"))
+      md.take(4 + (i % 5)).map(b => ('a' + ((b & 0xff) % 6)).toChar).mkString
+    }
+    val docs = Seq((0 until 120).map(i => word(i % 40)).mkString(" ")).toDF("text")
+    val local = graft.queries.TextOps.bpeMergesList(docs, 48)
+    spark.conf.set("spark.graft.bpe.localDictCap", "0")
+    val dist =
+      try graft.queries.TextOps.bpeMergesList(docs, 48)
+      finally spark.conf.unset("spark.graft.bpe.localDictCap")
+    assert(local == dist,
+      s"regimes diverged: first diff at ${local.zip(dist).indexWhere(p => p._1 != p._2)}")
   }
 
   test("BPE encode: learned merges tokenize each word, unseen chars stay atomic") {
