@@ -82,6 +82,10 @@ object AnalyticsOps {
   }
 
   def q129PageRank(s: SparkSession, dir: String): DataFrame = {
+    // NOT checkpointed (round 13, measured): cutting the distinct
+    // supply relation here read 7.99 s vs 7.59 s min in a same-window
+    // A/B — the extra materialization job costs more than the repeated
+    // distinct, whose self-identical exchange legs already reuse
     val li = lineitem(s, dir).select(
       (col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
       .distinct()
@@ -429,9 +433,15 @@ object AnalyticsOps {
       .withColumn("blk", expr("substring(dirty_name, 1, length(dirty_name)-2)"))
     val mReps = dim.groupBy(col("c_name")).agg(min(col("c_custkey")).as("c_custkey"))
       .withColumn("blk", expr("substring(c_name, 1, length(c_name)-2)"))
+    // thresholded levenshtein (round 13): the 3-arg form runs the
+    // banded O(len·maxDist) DP and early-exits to -1 past the bound —
+    // identical distances for every row this filter keeps, so the
+    // result set is unchanged while the dominant per-candidate cost
+    // drops from O(len²) to O(len·k)
     val cand = dNames.join(mReps, "blk")
-      .withColumn("edit_dist", levenshtein(col("dirty_name"), col("c_name")).cast("long"))
-      .where(col("edit_dist") <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("dirty_name"), col("c_name"), maxDist).cast("long"))
+      .where(col("edit_dist") >= 0)
     val bestPerName = cand
       .withColumn("rn", row_number().over(
         Window.partitionBy("dirty_name").orderBy(col("edit_dist"), col("c_custkey"))))
@@ -514,6 +524,10 @@ object AnalyticsOps {
   }
 
   def q141Triangles(s: SparkSession, dir: String): DataFrame = {
+    // NOT checkpointed (round 13, measured): the self-join's two legs
+    // are the IDENTICAL subtree, so ReuseExchange already shares one
+    // distinct; a checkpoint here measured 5.50 s vs 4.52 s min
+    // same-window (extra materialization job + lost scan fusion)
     val li = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val edges = li.as("x").join(li.as("y"), Seq("ok"))
@@ -633,8 +647,14 @@ object AnalyticsOps {
     * full candidate list without a second shuffle shape. */
   def q148CooccurRecs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialize the distinct basket-item frame ONCE (round 13): it
+    // feeds the degree aggregate plus both self-join legs, and the
+    // per-consumer column pruning keeps Catalyst's ReuseExchange from
+    // firing — the before plan re-scanned lineitem 6 times (12 in the
+    // initial plan)
     val li = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint(true)
     val deg = li.groupBy("pk").agg(count(lit(1)).as("deg"))
     val co = li.as("x").join(li.as("y"), Seq("ok"))
       .where(col("x.pk") < col("y.pk"))

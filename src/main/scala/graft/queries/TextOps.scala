@@ -1209,12 +1209,19 @@ object TextOps {
       .select(col("doc_id"), col("is_target"),
         (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long")
           % nBuckets).as("f"))
-    // ONE corpus-cardinality shuffle: every downstream dimension (raw,
-    // tgt, totals) folds off the per-doc feature counts, so the bigram
-    // explode + md5 run once and the (doc,f) exchange is reused by
-    // Catalyst for all four consumers instead of re-scanning the corpus
+    // ONE corpus-cardinality pass, MATERIALIZED (round 13): the per-doc
+    // feature counts feed three consumers (docfeat scores, raw, tgt)
+    // whose per-branch column pruning makes the exchanges non-identical
+    // — Catalyst's ReuseExchange never fires (the before plan carries
+    // 18 parquet scans: the bigram explode + md5 ran once per
+    // consumer). The eager localCheckpoint runs the explode + hash agg
+    // exactly once; downstream reads the bounded (doc, f, c) frame —
+    // ≤ nBuckets rows per doc — which is also the 100 TB-safe side to
+    // hold (the gram stream is corpus-sized, this frame is capped per
+    // doc).
     val docfeat0 = grams.groupBy("doc_id", "is_target", "f")
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val docfeat = docfeat0.select(col("doc_id"), col("f"), col("c"))
     val raw = docfeat0.groupBy("f").agg(sum("c").as("cr"))
     val tgt = docfeat0.where(col("is_target")).groupBy("f").agg(sum("c").as("ct"))

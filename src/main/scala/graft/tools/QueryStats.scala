@@ -12,12 +12,17 @@ import org.apache.spark.sql.SparkSession
   * up as fewer stages and fewer shuffle bytes even though the final
   * frame's explain is just "Scan ExistingRDD".
   *
-  * Usage: runMain graft.tools.QueryStats <sfDir> <q1,q2,...>
+  * Usage: runMain graft.tools.QueryStats <sfDir> <q1,q2,...> [k=v,k=v]
+  * The optional third arg sets runtime session confs before the run —
+  * e.g. spark.graft.cc.localEdgeCap=0 replays a pre-regime-split
+  * shape for an A/B without checking out old code.
   */
 object QueryStats {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+    val extraConfs = args.lift(2).toSeq.flatMap(_.split(",")).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,6 +33,7 @@ object QueryStats {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Bench.silenceTeardownNoise()
+    extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
 
     @volatile var jobs = 0
     @volatile var stages = 0
