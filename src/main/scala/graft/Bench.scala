@@ -112,6 +112,17 @@ object Bench {
     // headline total still INCLUDES warm (total = warm + sum of query
     // medians) so round-over-round totals stay comparable.
     val warmTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // per-pass observability (round 13): the median-of-passes design
+    // assumed passes are iid; measured pass-to-pass degradation (sum of
+    // pass walls drifting up across a run) needs per-pass totals + GC
+    // walls in the detail artifact to be diagnosable at all
+    val passWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passGc = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
     val passes: Seq[Map[String, Double]] = (1 to reps).map { p =>
       if (p > 1) {
         graft.queries.MarcOps.clearGateCaches()
@@ -123,7 +134,9 @@ object Bench {
         graft.queries.StoreOps.prewarmGateCaches(spark, sfDir)
       } catch { case _: Throwable => () } // a broken cache surfaces in its query
       warmTimes += (System.nanoTime() - w0) / 1e9
-      battery.map { case (name, fn) =>
+      val p0 = System.nanoTime()
+      val gc0 = gcMillis()
+      val passResult = battery.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -140,6 +153,9 @@ object Bench {
         System.gc()
         name -> dt
       }.toMap
+      passWalls += (System.nanoTime() - p0) / 1e9
+      passGc += (gcMillis() - gc0) / 1e3
+      passResult
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     // Locale.ROOT: a comma-decimal default locale would emit "0,123"
@@ -160,11 +176,13 @@ object Bench {
     val detailPath = "/root/repo/BENCH_DETAIL.json"
     val qDetail = med.map { case (n, v) =>
       val xs = passes.map(_(n))
-      s"${jstr(n)}:{\"median\":${r3(v)},\"min\":${r3(xs.min)},\"max\":${r3(xs.max)}}"
+      s"${jstr(n)}:{\"median\":${r3(v)},\"min\":${r3(xs.min)},\"max\":${r3(xs.max)},\"passes\":[${xs.map(r3).mkString(",")}]}"
     }.mkString(",")
     val eDetail = errors.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString(",")
+    val passMeta =
+      s""""pass_walls":[${passWalls.map(r3).mkString(",")}],"pass_gc_s":[${passGc.map(r3).mkString(",")}]"""
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"warm_sec":${r3(warm)},"n_queries":${names.size},"n_ok":${good.size},"queries":{$qDetail},"errors":{$eDetail}${graft.tools.GitStamp.jsonField}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"warm_sec":${r3(warm)},$passMeta,"n_queries":${names.size},"n_ok":${good.size},"queries":{$qDetail},"errors":{$eDetail}${graft.tools.GitStamp.jsonField}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes("UTF-8"))
 

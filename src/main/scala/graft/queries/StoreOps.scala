@@ -224,14 +224,45 @@ object StoreOps {
     part(s, dir).where(col("p_partkey") === 500)
       .select(authRowCol(lit(500L), lit("CHANGED")).as("r")).select("r.*")
 
+  // q62 and q102 replay the IDENTICAL three-commit cascade scenario
+  // (auth dimension, attached bibs, heading change on auth 500) before
+  // diverging: q62 reads the cascaded state, q102 additionally merges
+  // 500 into 1000. Round 13 (guide §1.2 "don't compute things you
+  // throw away"): build that seed ONCE per (session, dir) under the
+  // lifecycleStore discipline — constructed in Bench's warm phase
+  // (still inside the headline total), dropped between passes. q62
+  // only READS the seed; q102 MUTATES (merge + delete), so it clones
+  // the seed's directory (a plain file copy of a gate-sized store,
+  // no Spark job) and merges on the clone.
+  private val cascadeStoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (MarcStore, String)]
+
+  private def cascadeSeedStore(s: SparkSession, dir: String): (MarcStore, String) =
+    cascadeStoreCache.getOrElseUpdate((s, dir), {
+      import MarcSchema.marcRowEncoder
+      val base = java.nio.file.Files.createTempDirectory("graft_q62seed").toString
+      val store = new MarcStore(s, base, numBuckets = gateBuckets)
+      store.commit(profAuthBatch(s, dir).as[MarcRow], user = "alice", now = ts1)
+      store.commit(profBibBatch(s, dir).as[MarcRow], user = "bob", now = ts2)
+      // heading change on auth 500 -> cascade to every attached bib
+      store.commit(profChangedAuth(s, dir).as[MarcRow], user = "editor", now = ts3)
+      (store, base)
+    })
+
+  /** Recursive file copy for cloning a seeded gate store (driver-local
+    * filesystem walk; gate stores are a few MB). */
+  private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val s0 = src.toString.length
+    Files.walk(src).forEach { p =>
+      val t = java.nio.file.Paths.get(dst.toString + p.toString.substring(s0))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   def q62Cascade(s: SparkSession, dir: String): DataFrame = {
-    import MarcSchema.marcRowEncoder
-    val base = java.nio.file.Files.createTempDirectory("graft_q62").toString
-    val store = new MarcStore(s, base, numBuckets = gateBuckets)
-    store.commit(profAuthBatch(s, dir).as[MarcRow], user = "alice", now = ts1)
-    store.commit(profBibBatch(s, dir).as[MarcRow], user = "bob", now = ts2)
-    // heading change on auth 500 -> cascade to every attached bib
-    store.commit(profChangedAuth(s, dir).as[MarcRow], user = "editor", now = ts3)
+    val store = cascadeSeedStore(s, dir)._1
     val counts = store.readHistory("bib").groupBy(col("_id").as("c_id"))
       .agg(count(lit(1)).as("n_versions"))
     val subject = try_element_at(flatten(transform(
@@ -389,12 +420,13 @@ object StoreOps {
     * and leave the losing auth deleted with every xref rewritten —
     * asserted via the merged-xref count column. */
   def q102MergeAudit(s: SparkSession, dir: String): DataFrame = {
-    import MarcSchema.marcRowEncoder
+    // clone the shared seed (q62's exact scenario), then merge on the
+    // clone — the merge's bucket swaps and log appends never touch the
+    // seed q62 reads
+    val seedBase = cascadeSeedStore(s, dir)._2
     val base = java.nio.file.Files.createTempDirectory("graft_q102").toString
+    copyDir(java.nio.file.Paths.get(seedBase), java.nio.file.Paths.get(base))
     val store = new MarcStore(s, base, numBuckets = gateBuckets)
-    store.commit(profAuthBatch(s, dir).as[MarcRow], user = "alice", now = ts1)
-    store.commit(profBibBatch(s, dir).as[MarcRow], user = "bob", now = ts2)
-    store.commit(profChangedAuth(s, dir).as[MarcRow], user = "editor", now = ts3)
     store.merge(gaining = 1000L, losing = 500L, user = "editor2", now = ts4)
     val gainingRefs = store.read("bib").toDF()
       .select(sum(size(filter(flatten(transform(col("datafields"),
@@ -440,6 +472,7 @@ object StoreOps {
   def clearGateCaches(): Unit = {
     storeCache.clear()
     fileStoreCache.clear()
+    cascadeStoreCache.clear()
   }
 
   /** Run the shared store lifecycles (commits/deletes/imports) OUTSIDE
@@ -449,6 +482,7 @@ object StoreOps {
   def prewarmGateCaches(s: SparkSession, dir: String): Unit = {
     lifecycleStore(s, dir)
     importedFileStore(s, dir)
+    cascadeSeedStore(s, dir)
     ()
   }
 

@@ -24,6 +24,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.values.toSet == Set(expect))
   }
 
+  test("pageRank: driver-local and distributed regimes agree rank-for-rank") {
+    import spark.implicits._
+    // multigraph adversary: duplicate edges (outdeg counts edge ROWS,
+    // and each duplicate contributes separately), a non-source sink
+    // (9 receives mass but never ranks), and an asymmetric cycle
+    val edges = Seq(
+      (1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 9L), (3L, 9L)
+    ).toDF("src", "dst")
+    def run(): Map[Long, Long] =
+      AnalyticsOps.pageRank(edges, iterations = 4)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val local = run() // default cap (2M) >> 7 edges: local regime
+    spark.conf.set("spark.graft.pagerank.localEdgeCap", "0")
+    try {
+      val dist = run() // cap 0: the distributed loop
+      assert(local == dist)
+      assert(!local.contains(9L)) // sinks never enter the rank frame
+    } finally spark.conf.unset("spark.graft.pagerank.localEdgeCap")
+  }
+
   test("pageRank: a sink-free star splits rank by out-degree with integer div") {
     import spark.implicits._
     // hub 0 points at 1 and 2; both point back. outdeg(0)=2.
