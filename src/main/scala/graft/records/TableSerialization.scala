@@ -90,17 +90,28 @@ object TableSerialization {
   private val placeOfHeader: Regex = """(\d+)\.""".r
   private val codeOfHeader: Regex = """\d+\.\d{3}\$?(\w)?""".r
 
+  // Memo for the row-wise serializers (q34/q79 build a 1-record Table
+  // PER ROW, so the same handful of header sets is re-sorted through
+  // three regexes ~150k times per export — round 13, guide §1.2 "per-
+  // task work"). Pure-function cache, bounded so adversarial header
+  // streams cannot grow it; identical output by construction.
+  private val headerSortCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], Seq[String]]()
+
   /** Header sort: by tag, then place group, then subfield code
     * ('$0' < '__' < letters) — reference sort_table_header
     * (dlx/marc/__init__.py:145-160). */
-  def sortTableHeader(header: Seq[String]): Seq[String] =
-    header.sortBy { h =>
+  def sortTableHeader(header: Seq[String]): Seq[String] = {
+    def compute(hs: Seq[String]): Seq[String] = hs.sortBy { h =>
       val tag = tagOfHeader.findFirstMatchIn(h).map(_.group(1)).getOrElse(
         throw new IllegalArgumentException(s"Table header could not be parsed: $h"))
       val place = placeOfHeader.findFirstMatchIn(h).map(_.group(1).toInt).getOrElse(0)
       val code = codeOfHeader.findFirstMatchIn(h).flatMap(m => Option(m.group(1))).getOrElse("")
       (tag, place, code)
     }
+    if (headerSortCache.size > 4096) compute(header)
+    else headerSortCache.computeIfAbsent(header.toVector, compute(_))
+  }
 
   /** Record set -> table (reference to_table,
     * dlx/marc/__init__.py:393-431): 1.001 column carries the id; only

@@ -824,12 +824,20 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     // lock held across read-history + re-commit (re-entrant for the
     // inner commit), so the version it restores cannot be swapped out
     // from under it
-    val hist = readHistory(recordType).where(col("_id") === id)
+    // ONE bounded collect (the API is per-id, so the row count is 1 by
+    // contract) instead of checkpoint + isEmpty + a distributed re-read
+    // of the row through the commit pipeline: the commit below then
+    // runs its stats/prev-join/staging plans over a LocalRelation —
+    // same protocol, ~3 fewer jobs per restore (round 13, guide §5:
+    // bounded driver state is the exception to "no driver data work")
+    val rows = readHistory(recordType).where(col("_id") === id)
       .orderBy(col("version_no").desc).limit(1)
       .drop("version_no", "action")
-      .localCheckpoint(true)
-    require(!hist.isEmpty, s"History for $recordType $id not found")
-    commit(hist.as[MarcRow], user, authCheck = false, action = "restored")
+      .select(canonicalCols.map(col): _*)
+      .as[MarcRow].collect()
+    require(rows.nonEmpty, s"History for $recordType $id not found")
+    commit(spark.createDataset(rows.toIndexedSeq), user,
+      authCheck = false, action = "restored")
   }
 
   /** Reference `actions` audit list (dlx/marc/__init__.py:1301-1303,
