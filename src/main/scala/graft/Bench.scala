@@ -130,8 +130,12 @@ object Bench {
       }
       val w0 = System.nanoTime()
       try {
-        graft.queries.MarcOps.prewarmGateCaches(spark, sfDir)
-        graft.queries.StoreOps.prewarmGateCaches(spark, sfDir)
+        // the MARC corpora and the gate stores are independent — warm
+        // them concurrently (guide §2.6); each helper parallelizes its
+        // own independent members the same way
+        graft.queries.Tables.awaitAll(Seq(
+          () => graft.queries.MarcOps.prewarmGateCaches(spark, sfDir),
+          () => graft.queries.StoreOps.prewarmGateCaches(spark, sfDir)))
       } catch { case _: Throwable => () } // a broken cache surfaces in its query
       warmTimes += (System.nanoTime() - w0) / 1e9
       val p0 = System.nanoTime()

@@ -57,11 +57,14 @@ object MarcOps {
     * query otherwise pays the corpus construction joins, putting
     * multi-second attribution noise on whichever query runs first
     * (q24 measured 34.5 s in a battery vs 7.75 s isolated). */
-  def prewarmGateCaches(s: SparkSession, dir: String): Unit = {
-    marcBibs(s, dir).count()
-    marcAuths(s, dir).count()
-    cached("auths_multi", dir)(buildMarcAuthsMulti(s, dir)).count()
-  }
+  def prewarmGateCaches(s: SparkSession, dir: String): Unit =
+    // independent persisted corpora: materialize concurrently (guide
+    // §2.6) so the warm phase pays max(), not sum(), of the three
+    // construction pipelines
+    Tables.awaitAll(Seq(
+      () => { marcBibs(s, dir).count(); () },
+      () => { marcAuths(s, dir).count(); () },
+      () => { cached("auths_multi", dir)(buildMarcAuthsMulti(s, dir)).count(); () }))
 
   def marcBibs(s: SparkSession, dir: String): DataFrame =
     cached("bibs", dir)(buildMarcBibs(s, dir))

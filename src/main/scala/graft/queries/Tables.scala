@@ -49,4 +49,21 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  /** Run independent warm-phase tasks concurrently and propagate the
+    * first failure (guide §2.6: overlap independent jobs so one task's
+    * straggler tail back-fills with the next task's work). Bounded
+    * fixed pool — warm tasks are few and coarse. */
+  def awaitAll(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.size <= 1) { tasks.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      import scala.jdk.CollectionConverters._
+      val futures = pool.invokeAll(
+        tasks.map(t => new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = t()
+        }).asJava)
+      futures.asScala.foreach(_.get()) // rethrows task failures
+    } finally pool.shutdown()
+  }
 }

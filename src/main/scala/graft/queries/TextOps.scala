@@ -1582,11 +1582,23 @@ object TextOps {
       pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), g)), 1, 15), 16, 10)
         .cast("long"), lit(width))
     val rows = (0 until depth).map(lit): Seq[Column]
-    val sketch = bi
-      .select(explode(array(rows.map(j => struct(j.as("j"), cell(j, col("g")).as("cell"))): _*)).as("jc"))
-      .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
-      .agg(count(lit(1)).as("cnt"))
+    // ONE pass over the bigram stream (round 13, guide §2.3 "aggregate
+    // before you shuffle" / §1.2 "don't compute things twice"): the
+    // old shape exploded depth cells per bigram INSTANCE (4 md5s ×
+    // every occurrence) and then scanned the stream a second time for
+    // the exact counts. CMS cell totals are sums of per-gram counts,
+    // so derive the sketch FROM the exact-count table: md5 work drops
+    // from O(depth · instances) to O(depth · distinct grams), and the
+    // instance stream is read once. Cell totals are identical by
+    // associativity of the count sum.
     val exact = bi.groupBy("g").agg(count(lit(1)).as("exact_count"))
+      // two consumers (sketch + probe top-k); gram-bounded rows
+      .localCheckpoint(false)
+    val sketch = exact
+      .select(col("exact_count"), explode(array(rows.map(j =>
+        struct(j.as("j"), cell(j, col("g")).as("cell"))): _*)).as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .agg(sum(col("exact_count")).as("cnt"))
     val probes = exact.orderBy(col("exact_count").desc, col("g").asc).limit(topK)
     val probeCells = probes
       .select(col("g"), col("exact_count"),
