@@ -36,4 +36,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // mid-battery queries up to 8x vs isolated runs — measured, see
   // SCALING.md). Override with SPARK_DRIVER_MEM when constrained.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // extra JVM flags for A/B runs (GC experiments etc.); inert when the
+  // env var is unset
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

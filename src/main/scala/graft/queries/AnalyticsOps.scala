@@ -50,10 +50,18 @@ object AnalyticsOps {
     // distributed regimes below run unchanged; a parity test pins the
     // two label-for-label on a multigraph with duplicate edges and
     // non-source sinks.
-    val localCap = edges.sparkSession.conf
+    val localCap0 = edges.sparkSession.conf
       .get("spark.graft.pagerank.localEdgeCap", "2000000").toLong
-    if (localCap > 0 && edges.count() <= localCap) {
-      val rows = edges.select(col("src"), col("dst")).collect()
+    val localCap = math.min(localCap0, (Int.MaxValue - 2).toLong)
+    // capped TAKE, not count + collect: executeTake's incremental waves
+    // evaluate the edge construction ONCE (shuffle map stages are
+    // shared across waves), where a count probe followed by a collect
+    // re-ran the whole construction lineage a second time. An over-cap
+    // graph wastes one bounded (cap+1)-row fetch and falls through.
+    val rows = if (localCap > 0)
+      edges.select(col("src"), col("dst")).limit(localCap.toInt + 1).collect()
+    else Array.empty[org.apache.spark.sql.Row]
+    if (localCap > 0 && rows.length <= localCap) {
       val outdeg = new java.util.HashMap[Long, Long]()
       rows.foreach { r => outdeg.merge(r.getLong(0), 1L, _ + _) }
       var rank = new java.util.HashMap[Long, Long]()

@@ -42,7 +42,22 @@ object MarcOps {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   private def cached(kind: String, dir: String)(build: => DataFrame): DataFrame =
-    corpusCache.getOrElseUpdate((kind, dir), build.persist())
+    corpusCache.getOrElseUpdate((kind, dir), {
+      val df = build
+      // Re-spread BEFORE persisting (round 13, guide §2.5 input
+      // parallelism): the construction joins run under AQE, whose
+      // small-shuffle coalescing leaves the gate-scale corpus in 1-2
+      // cached partitions — and then EVERY query's map work over the
+      // cache (tokenize, serialize, explode) runs on one core of 32.
+      // Deterministic hash key (_id), partition count from the
+      // session's parallelism — scale-adaptive, not a local constant;
+      // at production scale the construction output is already
+      // many-partition and this spread is a cheap no-op shuffle of the
+      // same width. Results are partition-independent (every gate is
+      // replayed by an engine with no notion of our partitioning).
+      val n = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+      df.repartition(n, col("_id")).persist()
+    })
 
   /** Drop the memoized corpora (Bench calls this between repetition
     * passes so every pass pays the same construction cost as a fresh

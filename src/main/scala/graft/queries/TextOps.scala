@@ -1763,6 +1763,11 @@ object TextOps {
         transform(col("w"), (x, i) => concat_ws(" ",
           (Seq(x) ++ (2 to k).map(j => try_element_at(col("w"), i + lit(j)))): _*)),
         lit(1), greatest(size(col("w")) - (k - 1), lit(0)))).as(Seq("pos", "gram")))
+      // LAZY checkpoint: the gram stream feeds both the duplicate
+      // aggregate and the join probe — one shared RDD computed once
+      // inside the final job instead of re-running the tokenize +
+      // k-gram construction per consumer (round 13, guide §1.2)
+      .localCheckpoint(false)
     val dup = grams.groupBy("gram").agg(count(lit(1)).as("c")).where(col("c") > 1)
       .select("gram")
     val win = Window.partitionBy("doc_id").orderBy("pos")
