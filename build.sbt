@@ -36,6 +36,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // mid-battery queries up to 8x vs isolated runs — measured, see
   // SCALING.md). Override with SPARK_DRIVER_MEM when constrained.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Throughput collector (round 13, optimization guide §5): the bench
+  // battery is pure batch — no latency SLO — and a back-to-back A/B on
+  // one commit measured sum-of-min query walls 151.3 s (ParallelGC) vs
+  // 173.1 s (default G1): G1's concurrent cycles + region management
+  // tax every query a little, and the harness's explicit per-query
+  // System.gc() full collections are markedly cheaper under Parallel.
+  // JVM-level, not a local[32] tunable — any batch driver/executor JVM
+  // of this workload gets the same trade. Override: SPARK_GRAFT_GC=
+  // UseG1GC (or any -XX:+<collector> name).
+  s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}",
   // extra JVM flags for A/B runs (GC experiments etc.); inert when the
   // env var is unset
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

@@ -96,6 +96,13 @@ object Streaming {
     import org.apache.spark.sql.functions._
     docs
       .withWatermark("ts", watermark)
+      // fan the micro-batch out BEFORE the shingle explode (round 13,
+      // guide §2.5 input parallelism): a single-file source arrives as
+      // one scan task, so the n-gram explode + probe otherwise run on
+      // one core. Keyed on doc_id — the same key the dedup below needs,
+      // so the explode's output is already partitioned for it and the
+      // stateful operator adds no second exchange of the gram stream.
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("ts"),
         explode_outer(graft.queries.TextOps.shingleArray(split(col("text"), " "), 3)).as("g"))
       .join(broadcast(benchGrams), "g")
