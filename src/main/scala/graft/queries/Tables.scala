@@ -47,7 +47,31 @@ object Tables {
       case _             => df.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
-  def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  // Scan-width probe, cached per (dir, table): a gate-scale corpus is
+  // one single-row-group parquet file, so its scan is ONE task and all
+  // map-side work (tokenize, shingle, md5) of every consumer runs on
+  // one core (round 13, guide §2.5 "input skew: one huge unsplittable
+  // file — repartition immediately after the read"). When the scan's
+  // own parallelism is already within 4x of the session's cores (the
+  // production case: many files/row groups), this is a NO-OP — no
+  // exchange is added, so the fan-out can never hurt a wide scan.
+  private val fanOutDecision =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), Boolean]
+
+  private def fanOut(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(s, dir, s"$name")
+    val cores = math.max(s.sparkContext.defaultParallelism, 1)
+    val narrow = fanOutDecision.getOrElseUpdate((dir, name, cores),
+      df.rdd.getNumPartitions < math.max(cores / 4, 2))
+    // round-robin, NOT keyed: a key column would be forced into every
+    // consumer's ReadSchema even when pruned otherwise (guide §2.3
+    // "project before the exchange"); round-robin spreads rows without
+    // widening the scan, and sort-before-repartition (on by default)
+    // keeps task retries deterministic
+    if (narrow) df.repartition(cores) else df
+  }
+
+  def documents(s: SparkSession, dir: String): DataFrame = fanOut(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
   /** Run independent warm-phase tasks concurrently and propagate the
