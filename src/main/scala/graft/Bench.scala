@@ -123,10 +123,40 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(_.getCollectionTime).sum
     }
+    // Per-query aggregate executor task-time + peak concurrent tasks
+    // (round-13 verdict item 2: at sf0.1 the battery is fixed-cost
+    // dominated, so wall-clock alone cannot show which queries
+    // parallelize — the driver's low-core/high-core ratio heuristic
+    // misread the honored $SPARK_GRAFT_CPUS contract as ignored).
+    // task_s >> wall marks a genuinely parallel query; task_s ≈ 0
+    // marks engine/protocol fixed cost. Listener events are posted
+    // asynchronously; the per-query System.gc() pause below gives the
+    // bus time to drain, and residual attribution error is well under
+    // the rig's run-to-run noise.
+    val taskMillis = new java.util.concurrent.atomic.AtomicLong(0)
+    val activeTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peakTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskStart(
+          ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+        val a = activeTasks.incrementAndGet()
+        peakTasks.getAndAccumulate(a, math.max)
+      }
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        activeTasks.decrementAndGet()
+        val m = te.taskMetrics
+        if (m != null) taskMillis.addAndGet(m.executorRunTime)
+      }
+    })
+    // name -> per-pass task seconds / peak concurrent tasks
+    val taskSecs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    val peaks = scala.collection.mutable.Map.empty[String, Int]
     val passes: Seq[Map[String, Double]] = (1 to reps).map { p =>
       if (p > 1) {
         graft.queries.MarcOps.clearGateCaches()
         graft.queries.StoreOps.clearGateCaches()
+        graft.records.TableSerialization.clearHeaderSortCache()
       }
       val w0 = System.nanoTime()
       try {
@@ -141,6 +171,8 @@ object Bench {
       val p0 = System.nanoTime()
       val gc0 = gcMillis()
       val passResult = battery.map { case (name, fn) =>
+        val task0 = taskMillis.get()
+        peakTasks.set(0)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -155,6 +187,9 @@ object Bench {
         // untimed: let ContextCleaner drop dead checkpoint/broadcast
         // blocks so one query's residue doesn't skew the next
         System.gc()
+        taskSecs.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) +=
+          (taskMillis.get() - task0) / 1e3
+        peaks(name) = math.max(peaks.getOrElse(name, 0), peakTasks.get())
         name -> dt
       }.toMap
       passWalls += (System.nanoTime() - p0) / 1e9
@@ -180,7 +215,8 @@ object Bench {
     val detailPath = "/root/repo/BENCH_DETAIL.json"
     val qDetail = med.map { case (n, v) =>
       val xs = passes.map(_(n))
-      s"${jstr(n)}:{\"median\":${r3(v)},\"min\":${r3(xs.min)},\"max\":${r3(xs.max)},\"passes\":[${xs.map(r3).mkString(",")}]}"
+      val ts = taskSecs.getOrElse(n, Seq(0.0d))
+      s"${jstr(n)}:{\"median\":${r3(v)},\"min\":${r3(xs.min)},\"max\":${r3(xs.max)},\"passes\":[${xs.map(r3).mkString(",")}],\"task_s\":${r3(median(ts.toSeq))},\"peak_tasks\":${peaks.getOrElse(n, 0)}}"
     }.mkString(",")
     val eDetail = errors.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString(",")
     val passMeta =

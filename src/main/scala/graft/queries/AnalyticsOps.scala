@@ -34,7 +34,9 @@ object AnalyticsOps {
     * depth and lineage stay CONSTANT in the iteration count (the same
     * discipline as the BPE merge loop and CC propagation). Each step
     * is one src-keyed join + one dst-keyed agg — no corpus-wide
-    * broadcast, no driver-side collect of anything graph-sized. */
+    * broadcast. The ONE driver-side collect is the bounded local-regime
+    * probe below (≤ localEdgeCap+1 rows, cap itself clamped to
+    * heap/1000); past the cap nothing graph-sized touches the driver. */
   def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
     // DRIVER-LOCAL REGIME (the CC union-find / BPE merge-loop idiom,
     // guide §1.2 "the distributed algorithm" + §5 "the driver should do
@@ -50,9 +52,15 @@ object AnalyticsOps {
     // distributed regimes below run unchanged; a parity test pins the
     // two label-for-label on a multigraph with duplicate edges and
     // non-source sinks.
+    // The cap bounds DRIVER memory (~100 B per collected edge Row), so
+    // clamp it to heap/1000 as well — the conf can only lower the
+    // derived bound on a small driver, never raise the buffer past
+    // ~10% of heap (round-13 advice: the flat 2M default assumed this
+    // repo's 24g bench JVM, which is a config, not a guarantee).
     val localCap0 = edges.sparkSession.conf
       .get("spark.graft.pagerank.localEdgeCap", "2000000").toLong
-    val localCap = math.min(localCap0, (Int.MaxValue - 2).toLong)
+    val localCap = math.min(math.min(localCap0, (Int.MaxValue - 2).toLong),
+      Runtime.getRuntime.maxMemory / 1000)
     // capped TAKE, not count + collect: executeTake's incremental waves
     // evaluate the edge construction ONCE (shuffle map stages are
     // shared across waves), where a count probe followed by a collect
@@ -62,15 +70,22 @@ object AnalyticsOps {
       edges.select(col("src"), col("dst")).limit(localCap.toInt + 1).collect()
     else Array.empty[org.apache.spark.sql.Row]
     if (localCap > 0 && rows.length <= localCap) {
+      // Null handling mirrors the distributed loop exactly (round-13
+      // advice — the regimes must agree edge-for-edge): a null-src edge
+      // never joins (contributes nothing, spawns no node); a null-dst
+      // edge DOES count toward its src's outdeg (the src-window sees
+      // it) but its contribution lands on the dropped null group.
       val outdeg = new java.util.HashMap[Long, Long]()
-      rows.foreach { r => outdeg.merge(r.getLong(0), 1L, _ + _) }
+      rows.foreach { r => if (!r.isNullAt(0)) outdeg.merge(r.getLong(0), 1L, _ + _) }
       var rank = new java.util.HashMap[Long, Long]()
       outdeg.keySet.forEach(n => rank.put(n, 1000000L))
       for (_ <- 1 to iterations) {
         val contrib = new java.util.HashMap[Long, Long]()
         rows.foreach { r =>
-          val s = r.getLong(0)
-          contrib.merge(r.getLong(1), rank.get(s) / outdeg.get(s), _ + _)
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            val s = r.getLong(0)
+            contrib.merge(r.getLong(1), rank.get(s) / outdeg.get(s), _ + _)
+          }
         }
         val next = new java.util.HashMap[Long, Long]()
         // only source nodes carry rank (the distributed loop's

@@ -68,7 +68,7 @@ object PipelineOps {
     * plumbing. Map-only until the final sort. */
   def q101ImageDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long]
+    val media = documentsFanned(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           // 16..32 x 12..24 px; gray(x,y) = (id*31 + x*7 + y*13) % 256
@@ -103,7 +103,7 @@ object PipelineOps {
     * fails the hash. Map-only until the output sort. */
   def q115AudioDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long]
+    val media = documentsFanned(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val n = 800 + (id % 257).toInt
@@ -134,7 +134,7 @@ object PipelineOps {
     * fan-out is the sampled-frame count) until the output sort. */
   def q116VideoDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = documents(s, dir).select(col("doc_id")).as[Long]
+    val media = documentsFanned(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 16 + (id % 9).toInt
@@ -198,7 +198,7 @@ object PipelineOps {
     * once, not once per join branch. */
   def q122ImageAhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bands = documents(s, dir).select(col("doc_id")).as[Long]
+    val bands = documentsFanned(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val grp = id % 997
@@ -511,7 +511,7 @@ object PipelineOps {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .where(col("doc_id") % 50 =!= 0)
         .withColumn("ts", lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
-      val bench = documents(ss, dir).where(col("doc_id") % 50 === 0)
+      val bench = documentsFanned(ss, dir).where(col("doc_id") % 50 === 0)
         .select(explode(TextOps.shingleArray(split(col("text"), " "), 3)).as("g"))
         .distinct()
       val out = graft.streaming.Streaming.decontaminateStream(docs, bench)

@@ -71,7 +71,7 @@ object StoreOps {
   private def lifecycleStore(s: SparkSession, dir: String): MarcStore =
     storeCache.getOrElseUpdate((s, dir), {
       import MarcSchema.marcRowEncoder
-      val base = java.nio.file.Files.createTempDirectory("graft_q36").toString
+      val base = newTempStoreDir("graft_q36")
       val store = new MarcStore(s, base, numBuckets = gateBuckets)
       store.commit(batch(s, dir, 97L, "").as[MarcRow], user = "alice", now = ts1)
       store.commit(batch(s, dir, 194L, "X-").as[MarcRow], user = "bob", now = ts2)
@@ -143,7 +143,7 @@ object StoreOps {
     * version-1 title (revert-to-v1 content). */
   def q55Restore(s: SparkSession, dir: String): DataFrame = {
     import MarcSchema.marcRowEncoder
-    val base = java.nio.file.Files.createTempDirectory("graft_q55").toString
+    val base = newTempStoreDir("graft_q55")
     val store = new MarcStore(s, base, numBuckets = gateBuckets)
     store.commit(batch(s, dir, 1940L, "").as[MarcRow], user = "alice", now = ts1)
     // restore/revert need three CONCRETE ids (the reference API is
@@ -240,7 +240,7 @@ object StoreOps {
   private def cascadeSeedStore(s: SparkSession, dir: String): (MarcStore, String) =
     cascadeStoreCache.getOrElseUpdate((s, dir), {
       import MarcSchema.marcRowEncoder
-      val base = java.nio.file.Files.createTempDirectory("graft_q62seed").toString
+      val base = newTempStoreDir("graft_q62seed")
       val store = new MarcStore(s, base, numBuckets = gateBuckets)
       store.commit(profAuthBatch(s, dir).as[MarcRow], user = "alice", now = ts1)
       store.commit(profBibBatch(s, dir).as[MarcRow], user = "bob", now = ts2)
@@ -250,14 +250,45 @@ object StoreOps {
     })
 
   /** Recursive file copy for cloning a seeded gate store (driver-local
-    * filesystem walk; gate stores are a few MB). */
+    * filesystem walk; gate stores are a few MB). The walk stream is
+    * closed explicitly — Files.walk holds an open DirectoryStream per
+    * its javadoc (round-13 advice: the unclosed walk leaked one fd per
+    * q102 clone). */
   private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     val s0 = src.toString.length
-    Files.walk(src).forEach { p =>
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
       val t = java.nio.file.Paths.get(dst.toString + p.toString.substring(s0))
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
+  /** Temp directories created for seeded/cloned gate stores, deleted
+    * by clearGateCaches so repeated bench passes don't orphan one dir
+    * per pass (round-13 verdict finding #3). */
+  private val tempStoreDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def newTempStoreDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempStoreDirs.add(d)
+    d
+  }
+
+  private def deleteTempStoreDirs(): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    for (d <- tempStoreDirs.asScala.toSeq) {
+      tempStoreDirs.remove(d)
+      val root = Paths.get(d)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
     }
   }
 
@@ -284,7 +315,7 @@ object StoreOps {
   private def importedFileStore(s: SparkSession, dir: String): graft.files.FileStore =
     fileStoreCache.getOrElseUpdate((s, dir), {
       import graft.files.{FileStore, HadoopBlobStore}
-      val base = java.nio.file.Files.createTempDirectory("graft_q40").toString
+      val base = newTempStoreDir("graft_q40")
       val store = new FileStore(s, base, new HadoopBlobStore(s"file://$base/blobs"),
         numBuckets = gateBuckets)
       val files = orders(s, dir).where(col("o_orderkey") % 485 === 0)
@@ -352,7 +383,7 @@ object StoreOps {
     * so only the id SET is compared). */
   def q97AssignIds(s: SparkSession, dir: String): DataFrame = {
     import MarcSchema.marcRowEncoder
-    val base = java.nio.file.Files.createTempDirectory("graft_q97").toString
+    val base = newTempStoreDir("graft_q97")
     val store = new MarcStore(s, base, numBuckets = gateBuckets)
     store.commit(batch(s, dir, 1940L, "").as[MarcRow], user = "alice", now = ts1)
     val fresh = orders(s, dir)
@@ -378,7 +409,7 @@ object StoreOps {
     * bibcount+authcount==0 DeleteOne outcome. */
   def q100BrowseEviction(s: SparkSession, dir: String): DataFrame = {
     import MarcSchema.marcRowEncoder
-    val base = java.nio.file.Files.createTempDirectory("graft_q100").toString
+    val base = newTempStoreDir("graft_q100")
     val store = new MarcStore(s, base, numBuckets = gateBuckets)
     val raw = orders(s, dir).where(col("o_orderkey") % 1940 === 0)
       .select(
@@ -424,7 +455,7 @@ object StoreOps {
     // clone — the merge's bucket swaps and log appends never touch the
     // seed q62 reads
     val seedBase = cascadeSeedStore(s, dir)._2
-    val base = java.nio.file.Files.createTempDirectory("graft_q102").toString
+    val base = newTempStoreDir("graft_q102")
     copyDir(java.nio.file.Paths.get(seedBase), java.nio.file.Paths.get(base))
     val store = new MarcStore(s, base, numBuckets = gateBuckets)
     store.merge(gaining = 1000L, losing = 500L, user = "editor2", now = ts4)
@@ -468,11 +499,14 @@ object StoreOps {
       .orderBy("record_id")
   }
 
-  /** Drop the memoized lifecycle stores (Bench repetition passes). */
+  /** Drop the memoized lifecycle stores (Bench repetition passes) and
+    * delete their scratch directories — every cached store points at a
+    * newTempStoreDir dir that would otherwise be orphaned per pass. */
   def clearGateCaches(): Unit = {
     storeCache.clear()
     fileStoreCache.clear()
     cascadeStoreCache.clear()
+    deleteTempStoreDirs()
   }
 
   /** Run the shared store lifecycles (commits/deletes/imports) OUTSIDE

