@@ -499,9 +499,27 @@ object AnalyticsOps {
     // otherwise pays block-join volume quadratic in the duplicate
     // multiplicity — measured 29.6 s at native-x10 for answers
     // identical to the collapsed plan's.
+    // fan the distinct dirty names out to session cores BEFORE the
+    // block join (round 14, guide §2.5): the tiny distinct coalesces
+    // to ~1 partition under AQE and the broadcast block join preserves
+    // it, so the Levenshtein verify — the dominant per-candidate cost —
+    // otherwise runs serially (measured: 2.8 s of task time on ≤3
+    // concurrent tasks, wall 3.0 s). Round-robin over an explicit
+    // width, which AQE keeps; at production volumes the distinct is
+    // already wide and this is a fixed-cost no-op relative to the
+    // verify it spreads.
+    val cores = math.max(dirty.sparkSession.sparkContext.defaultParallelism, 1)
     val dNames = dirty.select(col("dirty_name")).distinct()
+      .repartition(cores)
       .withColumn("blk", expr("substring(dirty_name, 1, length(dirty_name)-2)"))
+    // BOTH distinct-name frames fanned: AQE broadcasts whichever side
+    // is smaller, and the verify projection fuses into the join stage
+    // on the STREAMED side — so that side must be wide whichever way
+    // the planner picks. At production volumes both frames are already
+    // wide and the repartition shuffles only the bounded name tables,
+    // never the candidate stream.
     val mReps = dim.groupBy(col("c_name")).agg(min(col("c_custkey")).as("c_custkey"))
+      .repartition(cores)
       .withColumn("blk", expr("substring(c_name, 1, length(c_name)-2)"))
     // thresholded levenshtein (round 13): the 3-arg form runs the
     // banded O(len·maxDist) DP and early-exits to -1 past the bound —

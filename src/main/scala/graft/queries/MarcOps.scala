@@ -402,6 +402,13 @@ object MarcOps {
     val p = part(s, dir).select(col("p_partkey"), col("p_name"))
     o.join(firstPart, col("o_orderkey") === col("l_orderkey"), "left")
       .join(p, col("pk") === col("p_partkey"), "left")
+      // fan out before the table-serializer UDF (round 14, guide §2.5):
+      // the per-row Table construction dominates this gate and the join
+      // output otherwise sits in ~4 coalesced partitions (measured
+      // peak_tasks = 4 for 1.7 s of task time; its siblings q28/q79/q82
+      // carry ≤ 0.6 s of task work and stay unfanned — the round-13
+      // lesson that a fixed repartition must be amortized).
+      .repartition(math.max(s.sparkContext.defaultParallelism, 1))
       .select(col("o_orderkey").as("_id"),
         posexplode(cellsUdf(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
           date_format(col("o_orderdate"), "yyyy-MM-dd"), col("p_name"), col("pk")))

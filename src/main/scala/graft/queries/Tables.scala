@@ -87,6 +87,14 @@ object Tables {
   def documentsFanned(s: SparkSession, dir: String): DataFrame = fanOut(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
+  /** Embeddings scan for heavy map-work consumers (the PQ/IVF-PQ
+    * encode+score pipelines, round 14): same width-gated round-robin
+    * fan-out as documentsFanned — the sf0.1 embeddings table is one
+    * parquet file, so the per-row codebook argmin otherwise runs as
+    * ONE task (measured: q113/q117 peak_tasks = 1, ~1.0-1.2 s of
+    * task time serial). No-op at production scan widths. */
+  def embeddingsFanned(s: SparkSession, dir: String): DataFrame = fanOut(s, dir, "embeddings")
+
   /** Run independent warm-phase tasks concurrently and propagate the
     * first failure (guide §2.6: overlap independent jobs so one task's
     * straggler tail back-fills with the next task's work). Bounded

@@ -786,7 +786,7 @@ object VectorOps {
   }
 
   def q113PqAnn(s: SparkSession, dir: String): DataFrame =
-    pqAnn(embeddings(s, dir).select("vec_id", "embedding"))
+    pqAnn(embeddingsFanned(s, dir).select("vec_id", "embedding"))
 
   /** IVF-PQ — the production ANN composition (Jégou et al. 2011 §IV):
     * a coarse quantizer routes each vector to its nearest of `nCells`
@@ -894,7 +894,7 @@ object VectorOps {
   }
 
   def q117IvfPq(s: SparkSession, dir: String): DataFrame =
-    ivfPqAnn(embeddings(s, dir).select("vec_id", "embedding"))
+    ivfPqAnn(embeddingsFanned(s, dir).select("vec_id", "embedding"))
 
   /** Near-dup at the REALISTIC sweep threshold — gates the
     * bandsFor(0.9) calibration point (r=21, b=60; 2M buckets per
@@ -905,6 +905,9 @@ object VectorOps {
     * + expanded pipeline runs end-to-end under the oracle at the
     * parameters a production near-dup sweep uses. */
   def q121NeardupHighTau(s: SparkSession, dir: String): DataFrame =
+    // NOT fanned (round 14, measured): the banded-signature map work
+    // here is cheaper than the repartition it would ride —
+    // same-window A/B 1.43 s plain vs 1.95 s fanned
     neardupHighTau(emb(s, dir).select(col("vec_id"), col("v")))
 
   /** Core of q121 over any (vec_id, v) corpus — also gated on the

@@ -191,9 +191,42 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     })
   }
 
-  private def authValidate(recs: Dataset[MarcRow], rt: String): Unit = {
-    val controlledKeys = graft.config.DlxConfig.authorityControlled(rt)
+  private def controlledKeysOf(rt: String): Seq[String] =
+    graft.config.DlxConfig.authorityControlled(rt)
       .flatMap { case (tag, codes) => codes.keys.map(c => s"$tag|$c") }.toSeq
+
+  /** The three violation-class EXISTENCE probes as aggregate columns
+    * over the raw batch (round 14, guide §1.2 "one job answers every
+    * batch question"): two of auth validation's three rules — stray
+    * xref on an uncontrolled subfield, missing xref on a controlled
+    * one — are per-row predicates, and the third (controlled xref must
+    * resolve) only needs the auth-store join when a controlled xref
+    * EXISTS in the batch. Folding the probes into the commit's stats
+    * aggregate lets the (overwhelmingly common) xref-free batch skip
+    * the separate validation job entirely, with bit-identical
+    * outcomes: the full pipeline still runs — for its sample row —
+    * whenever a probe fires. Null tags/codes make `ckey` null and the
+    * coalesce drops them, exactly as authValidate's `where` does. */
+  private def violationProbeCols: Seq[Column] = {
+    val ck = when(col("record_type") === "auth",
+      typedLit(controlledKeysOf("auth"))).otherwise(typedLit(controlledKeysOf("bib")))
+    def ckey(f: Column, s: Column) =
+      concat(f.getField("tag"), lit("|"), s.getField("code"))
+    def anySub(name: String)(p: (Column, Column) => Column): Column =
+      max(when(exists(col("datafields"), f =>
+        exists(f.getField("subfields"),
+          s => coalesce(p(f, s), lit(false)))), 1L).otherwise(0L)).as(name)
+    Seq(
+      anySub("v_stray")((f, s) =>
+        s.getField("xref").isNotNull && !array_contains(ck, ckey(f, s))),
+      anySub("v_missing")((f, s) =>
+        s.getField("xref").isNull && array_contains(ck, ckey(f, s))),
+      anySub("v_ctrl_xref")((f, s) =>
+        s.getField("xref").isNotNull && array_contains(ck, ckey(f, s))))
+  }
+
+  private def authValidate(recs: Dataset[MarcRow], rt: String): Unit = {
+    val controlledKeys = controlledKeysOf(rt)
     val subs = recs.toDF()
       .select(col("_id"), explode(col("datafields")).as("f"))
       .select(col("_id"), col("f.tag").as("tag"), explode(col("f.subfields")).as("s"))
@@ -229,6 +262,29 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     }
   }
 
+  /** Resolvability-only validation — the probe already proved the
+    * batch free of stray/missing-xref violations, so only the
+    * controlled-xref anti-join against the live heading dimension can
+    * still fire. Same violation predicate and error shape as
+    * [[authValidate]]'s badXref branch. */
+  private def authValidateXrefsOnly(recs: Dataset[MarcRow], rt: String): Unit = {
+    val controlledKeys = controlledKeysOf(rt)
+    val bad = recs.toDF()
+      .select(col("_id"), explode(col("datafields")).as("f"))
+      .select(col("_id"), col("f.tag").as("tag"), explode(col("f.subfields")).as("s"))
+      .select(col("_id"), col("tag"), col("s.code").as("code"), col("s.xref").as("xref"))
+      .where(concat(col("tag"), lit("|"), col("code")).isin(controlledKeys: _*) &&
+        col("xref").isNotNull)
+      .join(liveAuthHeadings.select(col("xref").as("h_xref"), col("code").as("h_code")),
+        col("xref") === col("h_xref") && col("code") === col("h_code"), "left_anti")
+    if (bad.count() > 0L) {
+      val r = bad.limit(1).collect().head
+      throw new IllegalArgumentException(
+        s"Auth validation failed for $rt ${r.getAs[Long]("_id")} " +
+          s"${r.getAs[String]("tag")}$$${r.getAs[String]("code")} xref=${r.getAs[Any]("xref")}")
+    }
+  }
+
   /** Upsert a batch: keep the incoming row for each _id, keep
     * untouched rows, stamp audit columns, append history. Defaults
     * mirror the reference (dlx/marc/__init__.py:857): auth_check on,
@@ -252,13 +308,25 @@ final class MarcStore(spark: SparkSession, basePath: String, numBuckets: Int = 6
     // when no row needs an id — fresh ids land in buckets this
     // aggregate cannot see, so that path falls back to a post-
     // assignment collect.
-    val stats = timed("stats_agg") { recsCk.toDF().agg(count(lit(1)).as("n"),
+    val baseCols = Seq(
       first(col("record_type")).as("rt"),
       count(when(col("_id") === -1L, lit(1))).as("need_ids"),
-      collect_set(pmod(col("_id"), lit(numBuckets.toLong))).as("buckets")).head() }
+      collect_set(pmod(col("_id"), lit(numBuckets.toLong))).as("buckets")) ++
+      (if (authCheck) violationProbeCols else Seq.empty)
+    val stats = timed("stats_agg") {
+      recsCk.toDF().agg(count(lit(1)).as("n"), baseCols: _*).head() }
     if (stats.getAs[Long]("n") == 0L) return
     val rt = stats.getAs[String]("rt")
-    if (authCheck) timed("auth_validate") { authValidate(recsCk, rt) }
+    if (authCheck) timed("auth_validate") {
+      // probe-directed (round 14): a batch with no violation candidates
+      // at all skips the validation job; a clean-but-xref-carrying
+      // batch pays only the resolvability anti-join; any local
+      // violation runs the full pipeline for its sample row (throws).
+      if (stats.getAs[Long]("v_stray") == 1L || stats.getAs[Long]("v_missing") == 1L)
+        authValidate(recsCk, rt)
+      else if (stats.getAs[Long]("v_ctrl_xref") == 1L)
+        authValidateXrefsOnly(recsCk, rt)
+    }
     val needIds = stats.getAs[Long]("need_ids")
     val incomingRaw = timed("assign_ids") { assignIds(recsCk, rt, needIds) }
     val knownTouched =

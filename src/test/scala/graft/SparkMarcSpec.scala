@@ -353,6 +353,21 @@ class SparkMarcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       store.commit(badRec, user = "t", authCheck = true)
     }
+    // stray xref on an UNCONTROLLED subfield -> invalid (the third
+    // violation class; exercises the round-14 probe's v_stray branch)
+    val strayRec = MarcSchema.toDataset(spark, Seq(
+      MarcRecord(recordType = "bib", id = Some(9L), fields = Vector(
+        DataField("245", " ", " ", Vector(Subfield("a", Some("T"), xref = Some(1L))))))))
+    intercept[IllegalArgumentException] {
+      store.commit(strayRec, user = "t", authCheck = true)
+    }
+    // an xref-free batch (no violation candidates at all) commits via
+    // the probe's skip path — outcome identical to the full validate
+    val cleanRec = MarcSchema.toDataset(spark, Seq(
+      MarcRecord(recordType = "bib", id = Some(10L), fields = Vector(
+        DataField("245", " ", " ", Vector(Subfield("a", Some("Clean"))))))))
+    store.commit(cleanRec, user = "t", authCheck = true)
+    assert(store.read("bib").where(col("_id") === 10L).count() == 1)
   }
 
   test("history queries: from_query, find_deleted, deleted_by_date (test_marc.py:1122-1146)") {
