@@ -642,8 +642,9 @@ object TextOps {
       val it = parent.keySet.iterator
       var i = 0
       while (it.hasNext) { val k = it.next.longValue; labels(i) = (k, find(k)); i += 1 }
-      import pairs.sparkSession.implicits._
-      val labelDf = pairs.sparkSession.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(labels))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labelDf = spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(labels))
         .toDF("lnode", "label")
       return nodes.join(broadcast(labelDf), nodes("node") === col("lnode"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
